@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a full collect (results are small aggregates).
+A tiny warmup query first amortizes JVM/codegen startup so timings reflect
+the plans, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from etlutil_spark.session import get_spark
+
+# headline set: the queries that exercise scan/filter/agg, joins, window,
+# date buckets — the shapes that dominate at 100 TB
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_customers_per_segment",
+    "events_monthly",
+    "events_weekly_buckets",
+    "events_backfill_chunks",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("etlutil-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etlutil_spark import queries as Q
+
+    # warmup: boot codegen + parquet reader paths
+    Q.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in Q.QUERIES:
+            continue
+        t0 = time.perf_counter()
+        Q.QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Column expressions (regex + higher-order array functions) chosen to
+be reproducible in ANSI SQL so each operator carries a DuckDB oracle:
+tokenization is lowercase + split on non-alphanumeric runs.
+
+  - tokens / token_count — whitespace-and-punct tokenizer
+  - word_shingles       — n-gram word shingles (dedup/Jaccard input)
+  - quality metrics     — length, alpha ratio, stopword ratio, mean word len
+  - lang_id             — stopword-hit heuristic over a small per-language
+                          lexicon (n-gram-free so it stays SQL-expressible)
+  - fingerprint         — order-invariant document fingerprint (portable md5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from etlutil_spark.functions.hashing import md5_bigint
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# tiny per-language stopword lexicons (public common-word lists), enough for
+# a deterministic heuristic over the synthetic `documents` table
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"),
+    "es": ("el", "la", "de", "que", "y", "los", "un", "una", "es", "para"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """lowercase tokens, empty strings removed."""
+    arr = F.split(F.lower(_c(col)), TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Rough subword-token estimate: regex pieces of <=4 chars.
+
+    Counts alphanumeric runs split into 4-char pieces plus standalone
+    punctuation — a deterministic, engine-portable stand-in for a BPE
+    tokenizer's token count (ceil(len(run)/4) per word + punct marks).
+    """
+    word_pieces = F.aggregate(
+        tokens(col),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+    )
+    punct = F.size(F.filter(F.split(_c(col), ""), lambda ch: ch.rlike(r"[^\w\s]")))
+    return word_pieces + punct
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """fraction of characters that are ASCII letters or space."""
+    c = _c(col)
+    kept = F.length(F.regexp_replace(c, "[^A-Za-z ]", ""))
+    return F.when(F.length(c) > 0, kept / F.length(c)).otherwise(F.lit(None))
+
+
+def mean_word_len(col: Column | str) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, total / F.size(t))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    t = tokens(col)
+    stop = F.array(*[F.lit(w) for w in LANG_LEXICON[lang]])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    return F.when(F.size(t) > 0, hits / F.size(t))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, alphabetic, not
+    stopword-free (gibberish) and not stopword-saturated (boilerplate)."""
+    n = token_count(col)
+    length_ok = F.least(n / F.lit(50.0), F.lit(1.0))
+    alpha = F.coalesce(alpha_ratio(col), F.lit(0.0))
+    swr = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    sw_component = F.least(swr * F.lit(5.0), F.lit(1.0))
+    return F.round((length_ok + alpha + sw_component) / F.lit(3.0), 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over per-language stopword hit counts; NULL when no hits.
+
+    greatest()-based argmax keeps it a flat codegen expression and makes the
+    identical formulation expressible in the DuckDB oracle.
+    """
+    t = tokens(col)
+    hit_cols: dict[str, Column] = {}
+    for lang, words in LANG_LEXICON.items():
+        lex = F.array(*[F.lit(w) for w in words])
+        hit_cols[lang] = F.size(F.filter(t, lambda x: F.array_contains(lex, x)))
+    best = F.greatest(*hit_cols.values())
+    # first language (lexicon insertion order) wins ties — mirror in oracle SQL
+    expr = F.when(best <= 0, F.lit(None).cast("string"))
+    for lang in LANG_LEXICON:
+        expr = expr.when(hit_cols[lang] == best, F.lit(lang))
+    return expr
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles (space-joined), [] when fewer than n tokens."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-invariant 60-bit content fingerprint: xor-free additive mix of
+    distinct-token hashes (portable: same formula runs in DuckDB)."""
+    t = F.array_distinct(tokens(col))
+    return F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc + md5_bigint(x)) % F.lit(2**60).cast("bigint"),
+    )

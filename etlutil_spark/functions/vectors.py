@@ -1,0 +1,58 @@
+"""Vector math over ``array<float|double>`` columns — pure Column expressions.
+
+Used by the similarity-search and embedding-dedup operators. Everything is
+``F.zip_with`` / ``F.aggregate`` (JVM higher-order functions): no Python UDF,
+no serialization of vectors to the driver — the hot path stays inside
+whole-stage codegen, which is what lets brute-force cosine top-k scale to a
+100 TB embedding table (it becomes one shuffle-free map + a top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Elementwise dot product of two array columns (double)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_lit(a: Column | str, vec: list[float]) -> Column:
+    """Dot product against a driver-side literal query vector.
+
+    Expands to sum(a[i] * vec_i) — a flat codegen expression with zero array
+    allocation, measurably faster than zip_with for a constant query vector.
+    """
+    c = _c(a)
+    expr = F.lit(0.0)
+    for i, v in enumerate(vec):
+        expr = expr + c.getItem(i).cast("double") * F.lit(float(v))
+    return expr
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either norm is zero."""
+    d = dot(a, b)
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, d / denom)
+
+
+def cosine_lit(a: Column | str, vec: list[float]) -> Column:
+    import math
+
+    qn = math.sqrt(sum(float(v) * float(v) for v in vec))
+    denom = norm(a) * F.lit(qn)
+    return F.when(denom != 0, dot_lit(a, vec) / denom)

@@ -1,0 +1,221 @@
+"""convert_dict_types lifted to DataFrames.
+
+Reference: ``/root/reference/etlutil/data_structures.py:936-1180``
+(``ConvertType`` enum + ``convert_dict_types`` + ``_convert_value``).
+
+Per-key type rules become one ``df.withColumns`` projection of cast
+expressions — a zero-shuffle map that Catalyst collapses into the scan.
+
+Parity choices (documented deviations are inherent to a typed engine):
+  - ``"3.14" -> 3``: int casts go via double then truncate toward zero,
+    matching the reference's ``int(float(v))`` (data_structures.py:1097-1098).
+  - bool strings: true/1/yes/on (case-insensitive) are true, anything else
+    parseable is false (data_structures.py:1110-1113).
+  - lenient mode (default): failed casts yield NULL. The reference keeps the
+    original *value*; a typed column cannot hold both — callers who need the
+    original can pass ``keep_original=True`` to retain ``<col>__raw``.
+  - strict mode: any row that fails to cast raises at execution time
+    (distributed check via conditional raise_error, same contract as the
+    reference's strict=True).
+  - epoch conversions assume UTC (session TZ is pinned; the reference used
+    local time, see SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DATETIME_FORMATS = (
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+)
+
+
+class ConvertType(Enum):
+    INT = "int"
+    FLOAT = "float"
+    BOOL = "bool"
+    DATE = "date"
+    DATETIME = "datetime"
+    TIMESTAMP = "timestamp"
+    TIMESTAMP_TO_ISO = "timestamp_to_iso"
+    TIMESTAMP_TO_ISO_DATE = "timestamp_to_iso_date"
+    TIMESTAMP_TO_ISO_YYYY_MM = "timestamp_to_iso_YYYY-MM"
+    TIMESTAMP_TO_ISO_YYYY = "timestamp_to_iso_YYYY"
+    STR = "str"
+
+
+_TRUE_WORDS = ("true", "1", "yes", "on")
+
+
+def cast_expr(
+    col: Column,
+    target: str | ConvertType,
+    *,
+    datetime_formats: tuple[str, ...] = DEFAULT_DATETIME_FORMATS,
+    empty_string_to_none: bool = False,
+) -> Column:
+    """Build the conversion expression for one column (lenient: NULL on fail)."""
+    t = target.value if isinstance(target, ConvertType) else target
+    c = col
+    if empty_string_to_none:
+        c = F.when(c.cast("string") == "", F.lit(None)).otherwise(c)
+    else:
+        # reference leaves "" untouched; for string targets that is already
+        # the case, for numeric targets "" -> NULL is the only typed option
+        pass
+
+    if t == "int":
+        return F.try_cast(F.try_cast(c, "double"), "bigint")
+    if t == "float":
+        return F.try_cast(c, "double")
+    if t == "bool":
+        s = F.lower(c.cast("string"))
+        return (
+            F.when(s.isNull(), F.lit(None).cast("boolean"))
+            .when(s.isin(*_TRUE_WORDS), F.lit(True))
+            .when(F.try_cast(s, "double").isNotNull(), F.try_cast(s, "double") != 0)
+            .otherwise(F.lit(False))
+        )
+    if t == "date":
+        return F.try_cast(c, "date")
+    if t == "datetime":
+        parsed = [F.try_to_timestamp(c.cast("string"), F.lit(f)) for f in datetime_formats]
+        return F.coalesce(*parsed) if len(parsed) > 1 else parsed[0]
+    if t == "timestamp":
+        return F.timestamp_seconds(F.try_cast(F.try_cast(c, "double"), "bigint"))
+    if t.startswith("timestamp_to_iso"):
+        ts = F.timestamp_seconds(F.try_cast(c, "double"))
+        fmt = {
+            "timestamp_to_iso": "yyyy-MM-dd'T'HH:mm:ss",
+            "timestamp_to_iso_date": "yyyy-MM-dd",
+            "timestamp_to_iso_YYYY-MM": "yyyy-MM",
+            "timestamp_to_iso_YYYY": "yyyy",
+        }[t]
+        return F.date_format(ts, fmt)
+    if t == "str":
+        return c.cast("string")
+    raise ValueError(f"unknown convert type {t!r}")
+
+
+def _strict_wrap(orig: Column, converted: Column, col_name: str, t: str) -> Column:
+    # distributed strict gate: original non-null but conversion null -> error
+    failed = orig.isNotNull() & (orig.cast("string") != "") & converted.isNull()
+    msg = F.concat(
+        F.lit(f"strict convert failed for column {col_name!r} -> {t}: "),
+        orig.cast("string"),
+    )
+    return F.when(failed, F.raise_error(msg)).otherwise(converted)
+
+
+def convert_types(
+    df: DataFrame,
+    type_schema: dict[str, str | ConvertType],
+    *,
+    recursive: bool = False,
+    strict: bool = False,
+    empty_string_to_none: bool = False,
+    datetime_formats: tuple[str, ...] = DEFAULT_DATETIME_FORMATS,
+    keep_original: bool = False,
+) -> DataFrame:
+    """Apply per-column conversions; unmatched columns pass through.
+
+    ``recursive=True`` also rewrites matching field names inside struct
+    columns and arrays of structs (the reference's recursive descent,
+    data_structures.py:1018-1029).
+    """
+    updates: dict[str, Column] = {}
+    originals: dict[str, Column] = {}
+
+    for field in df.schema.fields:
+        name = field.name
+        if name in type_schema:
+            expr = cast_expr(
+                F.col(name),
+                type_schema[name],
+                datetime_formats=datetime_formats,
+                empty_string_to_none=empty_string_to_none,
+            )
+            if strict:
+                expr = _strict_wrap(F.col(name), expr, name,
+                                    str(type_schema[name]))
+            updates[name] = expr
+            if keep_original:
+                originals[f"{name}__raw"] = F.col(name)
+        elif recursive and isinstance(field.dataType, (T.StructType, T.ArrayType)):
+            rewritten = _rewrite_nested(
+                F.col(name), field.dataType, type_schema,
+                datetime_formats, empty_string_to_none,
+            )
+            if rewritten is not None:
+                updates[name] = rewritten
+
+    out = df.withColumns(updates) if updates else df
+    if originals:
+        out = out.withColumns(originals)
+    return out
+
+
+def _rewrite_nested(
+    col: Column,
+    dtype: T.DataType,
+    type_schema: dict[str, str | ConvertType],
+    datetime_formats: tuple[str, ...],
+    empty_string_to_none: bool,
+) -> Column | None:
+    """Rebuild a struct/array column with schema-matched fields converted.
+
+    Returns None when nothing inside matches (avoids a useless rewrite that
+    would widen the projection)."""
+    if not _struct_has_match(dtype, type_schema):
+        return None
+    return _rewrite_nested_value(col, dtype, type_schema, datetime_formats, empty_string_to_none)
+
+
+def _struct_has_match(dtype: T.DataType, type_schema: dict[str, str | ConvertType]) -> bool:
+    if isinstance(dtype, T.ArrayType):
+        return _struct_has_match(dtype.elementType, type_schema)
+    if isinstance(dtype, T.StructType):
+        return any(
+            f.name in type_schema or _struct_has_match(f.dataType, type_schema)
+            for f in dtype.fields
+        )
+    return False
+
+
+def _rewrite_nested_value(
+    value: Column,
+    dtype: T.DataType,
+    type_schema: dict[str, str | ConvertType],
+    datetime_formats: tuple[str, ...],
+    empty_string_to_none: bool,
+) -> Column:
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(
+            value,
+            lambda x: _rewrite_nested_value(
+                x, dtype.elementType, type_schema, datetime_formats, empty_string_to_none
+            ),
+        )
+    if isinstance(dtype, T.StructType):
+        fields = []
+        for f in dtype.fields:
+            child = value.getField(f.name)
+            if f.name in type_schema:
+                child = cast_expr(
+                    child, type_schema[f.name],
+                    datetime_formats=datetime_formats,
+                    empty_string_to_none=empty_string_to_none,
+                )
+            elif isinstance(f.dataType, (T.StructType, T.ArrayType)):
+                child = _rewrite_nested_value(
+                    child, f.dataType, type_schema, datetime_formats, empty_string_to_none
+                )
+            fields.append(child.alias(f.name))
+        return F.struct(*fields)
+    return value

@@ -1,0 +1,162 @@
+"""clean_dict (PII scrubbing) lifted to DataFrames.
+
+Reference: ``/root/reference/etlutil/data_structures.py:1204-1474``.
+
+Targets columns/nested fields by name at any depth (structs and arrays of
+structs) with five modes:
+
+  replace           literal marker string (default "replaced (etl)")
+  hash              SHA-256 hex of the string value (F.sha2 — JVM built-in)
+  farm_fingerprint  64-bit fingerprint. Native analog is F.xxhash64; the
+                    reference uses FarmHash64 (data_structures.py:1348-1353)
+                    whose bit-exact parity would need a pandas_udf over a
+                    farmhash lib — xxhash64 is the documented default.
+  empty             NULL
+  delete            drop the field (schema-level removal)
+
+Per-key skip rules are value allowlists compiled to Column predicates
+(bare str = suffix match, reference :1397-1403). NULL/"" values under
+targeted keys are never cleaned (reference :1259, :1325-1333). Global
+``truncate_strings`` applies to every string leaf INCLUDING replacement
+markers (reference behavior).
+
+Everything is one projection — no shuffle, full codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+from enum import Enum
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etlutil_spark.functions.hashing import fingerprint64, sha256_hex
+
+DEFAULT_REPLACEMENT = "replaced (etl)"
+DEFAULT_TRUNCATION_SUFFIX = "… truncated (etl)"
+
+
+class CleanMode(str, Enum):
+    REPLACE = "replace"
+    HASH = "hash"
+    FARM_FINGERPRINT = "farm_fingerprint"
+    EMPTY = "empty"
+    DELETE = "delete"
+
+
+def _skip_predicate(rules: Iterable[Any], col: Column) -> Column | None:
+    """Compile skip rules to an OR of Column predicates.
+
+    str -> suffix match; dict with one of prefix/suffix/equals/regex.
+    (Callable rules from the reference are Python-only and unsupported —
+    express them as a regex instead.)
+    """
+    preds: list[Column] = []
+    s = col.cast("string")
+    for rule in rules:
+        if isinstance(rule, str):
+            preds.append(s.endswith(rule))
+        elif isinstance(rule, Mapping):
+            if "suffix" in rule:
+                preds.append(s.endswith(rule["suffix"]))
+            elif "prefix" in rule:
+                preds.append(s.startswith(rule["prefix"]))
+            elif "equals" in rule:
+                preds.append(s == rule["equals"])
+            elif "regex" in rule:
+                preds.append(s.rlike(rule["regex"]))
+            else:
+                raise ValueError(f"bad skip rule: {rule!r}")
+        else:
+            raise TypeError(f"unsupported skip rule type: {type(rule)}")
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def clean_columns(
+    df: DataFrame,
+    *,
+    keys_to_clean: Iterable[str],
+    clean_mode: CleanMode | str,
+    skip_rules: Mapping[str, Iterable[Any]] | None = None,
+    truncate_strings: int | None = None,
+    replacement_marker: str = DEFAULT_REPLACEMENT,
+    truncation_suffix: str = DEFAULT_TRUNCATION_SUFFIX,
+) -> DataFrame:
+    mode = CleanMode(clean_mode)
+    targets = set(keys_to_clean)
+    skips = dict(skip_rules or {})
+
+    def cleaned_value(col: Column, name: str, dtype: T.DataType) -> Column:
+        if mode is CleanMode.REPLACE:
+            new = F.lit(replacement_marker)
+        elif mode is CleanMode.HASH:
+            new = sha256_hex(col)
+        elif mode is CleanMode.FARM_FINGERPRINT:
+            new = fingerprint64(col)
+        elif mode is CleanMode.EMPTY:
+            new = F.lit(None).cast(dtype if not isinstance(dtype, T.StringType) else "string")
+        else:  # pragma: no cover - DELETE handled structurally
+            raise AssertionError
+        # NULL / empty-string under a targeted key is never cleaned
+        is_empty = col.isNull() | (col.cast("string") == "")
+        guarded = F.when(is_empty, col.cast(_result_type(dtype, mode))).otherwise(new)
+        pred = _skip_predicate(skips.get(name, ()), col)
+        if pred is not None:
+            guarded = F.when(pred, col.cast(_result_type(dtype, mode))).otherwise(guarded)
+        return guarded
+
+    def _result_type(dtype: T.DataType, mode: CleanMode) -> str:
+        if mode is CleanMode.FARM_FINGERPRINT:
+            return "bigint"
+        if mode is CleanMode.EMPTY:
+            return dtype.simpleString()
+        return "string"
+
+    def truncate(col: Column) -> Column:
+        if truncate_strings is None:
+            return col
+        return F.when(
+            F.length(col) > truncate_strings,
+            F.concat(F.substring(col, 1, truncate_strings), F.lit(truncation_suffix)),
+        ).otherwise(col)
+
+    def rewrite(col: Column, name: str, dtype: T.DataType) -> Column | None:
+        """Returns the rewritten column or None when DELETE removes it."""
+        if name in targets:
+            if mode is CleanMode.DELETE:
+                return None
+            out = cleaned_value(col, name, dtype)
+            if mode in (CleanMode.REPLACE, CleanMode.HASH):
+                out = truncate(out)  # truncation also hits replacements
+            return out
+        if isinstance(dtype, T.StructType):
+            fields = []
+            for f in dtype.fields:
+                child = rewrite(col.getField(f.name), f.name, f.dataType)
+                if child is not None:
+                    fields.append(child.alias(f.name))
+            return F.struct(*fields) if fields else F.lit(None)
+        if isinstance(dtype, T.ArrayType) and isinstance(
+            dtype.elementType, (T.StructType, T.ArrayType)
+        ):
+            return F.transform(
+                col, lambda x: rewrite(x, "", dtype.elementType) or F.lit(None)
+            )
+        if isinstance(dtype, T.StringType) and truncate_strings is not None:
+            return truncate(col)
+        return col
+
+    select_list: list[Column] = []
+    for field in df.schema.fields:
+        out = rewrite(F.col(field.name), field.name, field.dataType)
+        if out is not None:
+            select_list.append(out.alias(field.name))
+    return df.select(*select_list)

@@ -1,0 +1,111 @@
+"""normalize_date_fields lifted to DataFrames.
+
+Reference: ``/root/reference/etlutil/data_structures.py:1580-1761``.
+
+Each rule carries exactly one matcher (suffix/prefix/equals — str or list —
+or regex), a ``convert`` type from the :mod:`casts` family and a ``target``
+prefix. Matching happens driver-side over ``df.columns`` (pure metadata);
+the output is a single projection, so the whole operator costs nothing
+beyond the cast expressions themselves.
+
+Rename semantics (matched against the reference):
+  - new name = ``f"{target}_{base}"`` where base = the column name with the
+    matched part stripped (``strip_match=False`` keeps the full name);
+    empty base falls back to the full name.
+  - first matching rule wins; unmatched columns pass through.
+  - ``keep_original=True`` keeps the original column; the renamed one is
+    emitted after it (reference writes new key after original).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Mapping
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.casts import (
+    DEFAULT_DATETIME_FORMATS,
+    ConvertType,
+    _strict_wrap,
+    cast_expr,
+)
+
+Matcher = Callable[[str], tuple[str, str] | None]
+
+
+def _compile_rule(rule: Mapping[str, Any]) -> Matcher:
+    present = [m for m in ("suffix", "prefix", "equals", "regex") if m in rule]
+    if len(present) != 1:
+        raise ValueError(
+            f"rule must have exactly one of suffix/prefix/equals/regex, got {present}"
+        )
+    if "convert" not in rule or "target" not in rule:
+        raise ValueError("rule requires 'convert' and 'target'")
+
+    kind = present[0]
+    raw = rule[kind]
+    convert = rule["convert"]
+    convert = convert.value if isinstance(convert, ConvertType) else convert
+    target = rule["target"]
+    strip = rule.get("strip_match", True)
+
+    if kind == "regex":
+        pattern = re.compile(raw)
+
+        def match(name: str) -> tuple[str, str] | None:
+            m = pattern.search(name)
+            if not m:
+                return None
+            base = (name[: m.start()] + name[m.end():]) if strip else name
+            return f"{target}_{base or name}", convert
+
+        return match
+
+    patterns = [raw] if isinstance(raw, str) else list(raw)
+
+    def match(name: str) -> tuple[str, str] | None:
+        for p in patterns:
+            if kind == "suffix" and name.endswith(p):
+                base = name[: -len(p)] if (strip and p) else name
+            elif kind == "prefix" and name.startswith(p):
+                base = name[len(p):] if strip else name
+            elif kind == "equals" and name == p:
+                base = "" if strip else name
+            else:
+                continue
+            return f"{target}_{base or name}", convert
+        return None
+
+    return match
+
+
+def normalize_date_fields(
+    df: DataFrame,
+    rules: Iterable[Mapping[str, Any]],
+    *,
+    strict: bool = False,
+    keep_original: bool = False,
+    datetime_formats: tuple[str, ...] = DEFAULT_DATETIME_FORMATS,
+) -> DataFrame:
+    """Rename + convert date/timestamp columns in one projection."""
+    compiled = [_compile_rule(r) for r in rules]
+
+    select_list = []
+    for name in df.columns:
+        outcome = next(
+            (res for m in compiled if (res := m(name)) is not None), None
+        )
+        if outcome is None:
+            select_list.append(F.col(name))
+            continue
+        new_name, convert = outcome
+        expr = cast_expr(F.col(name), convert, datetime_formats=datetime_formats)
+        if strict:
+            expr = _strict_wrap(F.col(name), expr, name, convert)
+        if keep_original and new_name != name:
+            select_list.append(F.col(name))
+        select_list.append(expr.alias(new_name))
+    return df.select(*select_list)

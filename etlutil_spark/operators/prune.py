@@ -1,0 +1,172 @@
+"""prune_data lifted to DataFrames.
+
+Reference: ``/root/reference/etlutil/data_structures.py:33-240`` (the most
+complex kernel: recursive key/value removal with depth gates and
+empty-dropping that never touches 0/False).
+
+Spark lift, as a driver-side recursive schema rewrite:
+
+  - key removal        -> drop top-level columns / rebuild structs without
+                          the field / rebuild array-of-struct elements.
+  - value removal      -> array elements are FILTERED out (true removal);
+                          scalar & struct-field values are NULLED out (a
+                          typed column cannot lose a cell); map entries go
+                          through ``map_filter``.
+  - remove_empty       -> NULL, "", empty array/map/struct are nulled;
+                          0 and false are NOT empty (reference :51, :98).
+  - max_depth          -> container levels, None = unlimited, 0 = top level
+                          only; two gates like the reference: filtering is
+                          allowed at depth <= max_depth, recursion only at
+                          depth < max_depth (reference :137-138).
+  - no-op short-circuit: nothing to do -> the input DataFrame unchanged
+                          (reference :88-89).
+
+Key predicates: pass an iterable of names or a Python callable
+``str -> bool`` (evaluated driver-side against the schema — metadata only).
+Value predicates: pass an iterable of literals or a callable
+``Column -> Column`` boolean expression (runs JVM-side).
+
+The output is a single projection: zero shuffle, scan-collapsed, and with
+nested-schema pruning enabled the dropped subtrees are never read at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KeySpec = Iterable[str] | Callable[[str], bool] | None
+ValueSpec = Iterable[Any] | Callable[[Column], Column] | None
+
+
+def _key_pred(spec: KeySpec) -> Callable[[str], bool]:
+    if spec is None:
+        return lambda _: False
+    if callable(spec):
+        return spec
+    names = set(spec)
+    return lambda k: k in names
+
+
+def _value_pred(spec: ValueSpec) -> Callable[[Column], Column] | None:
+    if spec is None:
+        return None
+    if callable(spec):
+        return spec
+    values = list(spec)
+    if not values:
+        return None
+
+    def pred(c: Column) -> Column:
+        out = F.lit(False)
+        for v in values:
+            out = out | c.eqNullSafe(F.lit(v))
+        return out
+
+    return pred
+
+
+def _is_empty_expr(col: Column, dtype: T.DataType) -> Column:
+    """Emptiness per the reference's is_empty (:91-115): NULL, "", empty
+    containers; never 0/False."""
+    if isinstance(dtype, T.StringType):
+        return col.isNull() | (col == "")
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return col.isNull() | (F.size(col) <= 0)
+    if isinstance(dtype, T.StructType):
+        inner = [
+            ~_is_empty_expr(col.getField(f.name), f.dataType) for f in dtype.fields
+        ]
+        any_nonempty = inner[0] if inner else F.lit(False)
+        for e in inner[1:]:
+            any_nonempty = any_nonempty | e
+        return col.isNull() | ~any_nonempty
+    return col.isNull()
+
+
+def prune_columns(
+    df: DataFrame,
+    keys_to_remove: KeySpec = None,
+    values_to_remove: ValueSpec = None,
+    remove_empty: bool = False,
+    *,
+    max_depth: int | None = None,
+) -> DataFrame:
+    if max_depth is not None and max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    drop_key = _key_pred(keys_to_remove)
+    val_pred = _value_pred(values_to_remove)
+
+    if keys_to_remove is None and val_pred is None and not remove_empty:
+        return df  # no-op short-circuit (reference :88-89)
+
+    def can_filter(depth: int) -> bool:
+        return max_depth is None or depth <= max_depth
+
+    def can_recurse(depth: int) -> bool:
+        return max_depth is None or depth < max_depth
+
+    def rewrite(col: Column, dtype: T.DataType, depth: int) -> Column:
+        """Rewrite the VALUE of a field (key decisions happen in the parent)."""
+        if isinstance(dtype, T.StructType) and can_recurse(depth):
+            fields = []
+            for f in dtype.fields:
+                if can_filter(depth + 1) and drop_key(f.name):
+                    continue
+                child = rewrite(col.getField(f.name), f.dataType, depth + 1)
+                child = maybe_null_out(child, f.dataType, depth + 1)
+                fields.append(child.alias(f.name))
+            if not fields:
+                return F.lit(None)
+            rebuilt = F.struct(*fields)
+            return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+        if isinstance(dtype, T.ArrayType):
+            elem_t = dtype.elementType
+            out = col
+            if can_recurse(depth) and isinstance(elem_t, (T.StructType, T.ArrayType, T.MapType)):
+                out = F.transform(out, lambda x: rewrite(x, elem_t, depth + 1))
+            if can_filter(depth + 1):
+                if val_pred is not None and not isinstance(elem_t, (T.StructType, T.MapType)):
+                    out = F.filter(out, lambda x: ~F.coalesce(val_pred(x), F.lit(False)))
+                if remove_empty:
+                    out = F.filter(out, lambda x: ~_is_empty_expr(x, elem_t))
+            return out
+        if isinstance(dtype, T.MapType) and can_filter(depth + 1):
+            out = col
+            if val_pred is not None:
+                out = F.map_filter(out, lambda k, v: ~F.coalesce(val_pred(v), F.lit(False)))
+            if remove_empty:
+                out = F.map_filter(out, lambda k, v: ~_is_empty_expr(v, dtype.valueType))
+            return out
+        return col
+
+    def maybe_null_out(col: Column, dtype: T.DataType, depth: int) -> Column:
+        """Value-level removal for non-container positions: null out."""
+        if not can_filter(depth):
+            return col
+        conds: list[Column] = []
+        if val_pred is not None and not isinstance(
+            dtype, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            conds.append(F.coalesce(val_pred(col), F.lit(False)))
+        if remove_empty:
+            conds.append(_is_empty_expr(col, dtype))
+        if not conds:
+            return col
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        return F.when(cond, F.lit(None)).otherwise(col)
+
+    select_list: list[Column] = []
+    for field in df.schema.fields:
+        if can_filter(0) and drop_key(field.name):
+            continue
+        out = rewrite(F.col(field.name), field.dataType, 0)
+        out = maybe_null_out(out, field.dataType, 0)
+        select_list.append(out.alias(field.name))
+    return df.select(*select_list)

@@ -1,0 +1,138 @@
+"""walk lifted to Spark: structure introspection utilities.
+
+Reference: ``/root/reference/etlutil/data_structures.py:243-652``. The
+reference's ASCII tree over one record is near-isomorphic to Spark's
+``printSchema``; the Spark lift is metadata-first:
+
+  - :func:`schema_tree`  — ASCII tree of the schema with ├─/└─ connectors,
+    depth limiting, and optional types/nullability (driver-side, no job).
+  - :func:`sample_tree`  — the tree annotated with example values from ONE
+    sampled row (`limit(1)` — a cheap single-partition job), with value
+    truncation and max-items-per-container like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _connectors(n: int) -> list[str]:
+    return ["├─ "] * (n - 1) + ["└─ "] if n else []
+
+
+def _type_name(dtype: T.DataType) -> str:
+    return dtype.simpleString()
+
+
+def schema_tree(
+    df: DataFrame,
+    *,
+    max_depth: int | None = None,
+    show_types: bool = True,
+    print_output: bool = True,
+    writer=None,
+) -> str:
+    """ASCII tree of df.schema (metadata only — runs no job)."""
+
+    lines: list[str] = ["root"]
+
+    def walk(fields: list[T.StructField], prefix: str, depth: int) -> None:
+        if max_depth is not None and depth > max_depth:
+            return
+        conns = _connectors(len(fields))
+        for f, conn in zip(fields, conns):
+            label = f.name
+            if show_types:
+                label += f": {_type_name(f.dataType)}"
+                if not f.nullable:
+                    label += " (required)"
+            lines.append(prefix + conn + label)
+            child_prefix = prefix + ("│  " if conn.startswith("├") else "   ")
+            inner = _inner_struct(f.dataType)
+            if inner is not None:
+                walk(list(inner.fields), child_prefix, depth + 1)
+
+    walk(list(df.schema.fields), "", 1)
+    out = "\n".join(lines)
+    if print_output:
+        (writer or print)(out)
+    return out
+
+
+def _inner_struct(dtype: T.DataType) -> T.StructType | None:
+    if isinstance(dtype, T.StructType):
+        return dtype
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+        return dtype.elementType
+    return None
+
+
+def _render(value: Any, truncate_value_len: int | None) -> str:
+    if isinstance(value, str):
+        shown = value
+        if truncate_value_len is not None and len(shown) > truncate_value_len:
+            shown = shown[:truncate_value_len] + "…"
+        return json.dumps(shown, ensure_ascii=False)
+    return repr(value)
+
+
+def sample_tree(
+    df: DataFrame,
+    *,
+    max_depth: int | None = None,
+    max_items_per_container: int | None = None,
+    truncate_value_len: int | None = None,
+    sort_keys: bool = True,
+    print_output: bool = True,
+    writer=None,
+) -> str:
+    """Tree of one sampled row's values (reference walk's data view).
+
+    Containers beyond ``max_depth`` render as their type tag; sequences are
+    truncated to ``max_items_per_container`` (mappings never are — reference
+    behavior, data_structures.py:360-466).
+    """
+    rows = df.limit(1).collect()
+    lines: list[str] = ["root"]
+
+    def children(value: Any) -> list[tuple[str, Any]] | None:
+        if isinstance(value, dict):
+            items = list(value.items())
+            if sort_keys:
+                items.sort(key=lambda kv: str(kv[0]))
+            return [(str(k), v) for k, v in items]
+        if hasattr(value, "asDict"):  # Row
+            items = list(value.asDict().items())
+            if sort_keys:
+                items.sort(key=lambda kv: kv[0])
+            return items
+        if isinstance(value, (list, tuple)):
+            items = list(enumerate(value))
+            if max_items_per_container is not None:
+                items = items[:max_items_per_container]
+            return [(f"[{i}]", v) for i, v in items]
+        return None
+
+    def walk(pairs: list[tuple[str, Any]], prefix: str, depth: int) -> None:
+        conns = _connectors(len(pairs))
+        for (label, value), conn in zip(pairs, conns):
+            kids = children(value)
+            if kids is None:
+                lines.append(prefix + conn + f"{label} = {_render(value, truncate_value_len)}")
+                continue
+            if max_depth is not None and depth >= max_depth:
+                lines.append(prefix + conn + f"{label} = <{type(value).__name__}>")
+                continue
+            lines.append(prefix + conn + label)
+            walk(kids, prefix + ("│  " if conn.startswith("├") else "   "), depth + 1)
+
+    if rows:
+        walk(children(rows[0]) or [], "", 1)
+    out = "\n".join(lines)
+    if print_output:
+        (writer or print)(out)
+    return out

@@ -1,0 +1,74 @@
+"""Loaders for the driver-generated synthetic parquet tables.
+
+TPC-H-ish star schema + ``events`` (stream-shaped) + ``documents`` /
+``embeddings`` (training-data pipeline tables). See /root/repo/TESTDATA.md.
+
+All loads are plain ``spark.read.parquet`` so Catalyst keeps full pushdown
+and pruning rights; no caching here — callers decide what to persist.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at every scale factor the
+# schema supports (region/nation are fixed-size in TPC-H).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # pin TZ so epoch<->string formatting is reproducible no matter what
+    # session the caller hands us (the reference's TZ pitfall, SURVEY §7.4)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    Read it as a long (legacy conf) and truncate to microseconds — the same
+    truncation DuckDB applies, so oracle comparisons line up."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, *, register_views: bool = False
+) -> dict[str, DataFrame]:
+    """Load every table; optionally register each as a temp view for SQL."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, name, sf_dir)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
