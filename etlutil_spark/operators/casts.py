@@ -71,26 +71,26 @@ def cast_expr(
         pass
 
     if t == "int":
-        return F.try_cast(F.try_cast(c, "double"), "bigint")
+        return c.try_cast("double").try_cast("bigint")
     if t == "float":
-        return F.try_cast(c, "double")
+        return c.try_cast("double")
     if t == "bool":
         s = F.lower(c.cast("string"))
         return (
             F.when(s.isNull(), F.lit(None).cast("boolean"))
             .when(s.isin(*_TRUE_WORDS), F.lit(True))
-            .when(F.try_cast(s, "double").isNotNull(), F.try_cast(s, "double") != 0)
+            .when(s.try_cast("double").isNotNull(), s.try_cast("double") != 0)
             .otherwise(F.lit(False))
         )
     if t == "date":
-        return F.try_cast(c, "date")
+        return c.try_cast("date")
     if t == "datetime":
         parsed = [F.try_to_timestamp(c.cast("string"), F.lit(f)) for f in datetime_formats]
         return F.coalesce(*parsed) if len(parsed) > 1 else parsed[0]
     if t == "timestamp":
-        return F.timestamp_seconds(F.try_cast(F.try_cast(c, "double"), "bigint"))
+        return F.timestamp_seconds(c.try_cast("double").try_cast("bigint"))
     if t.startswith("timestamp_to_iso"):
-        ts = F.timestamp_seconds(F.try_cast(c, "double"))
+        ts = F.timestamp_seconds(c.try_cast("double"))
         fmt = {
             "timestamp_to_iso": "yyyy-MM-dd'T'HH:mm:ss",
             "timestamp_to_iso_date": "yyyy-MM-dd",

@@ -147,9 +147,12 @@ def clean_columns(
         if isinstance(dtype, T.ArrayType) and isinstance(
             dtype.elementType, (T.StructType, T.ArrayType)
         ):
-            return F.transform(
-                col, lambda x: rewrite(x, "", dtype.elementType) or F.lit(None)
-            )
+
+            def rebuild(x: Column) -> Column:
+                out = rewrite(x, "", dtype.elementType)
+                return out if out is not None else F.lit(None)
+
+            return F.transform(col, rebuild)
         if isinstance(dtype, T.StringType) and truncate_strings is not None:
             return truncate(col)
         return col

@@ -52,18 +52,38 @@ def _key_pred(spec: KeySpec) -> Callable[[str], bool]:
     return lambda k: k in names
 
 
-def _value_pred(spec: ValueSpec) -> Callable[[Column], Column] | None:
+def _value_pred(spec: ValueSpec) -> Callable[[Column, T.DataType], Column] | None:
+    """Compile value-removal spec to a (col, dtype) -> bool Column factory.
+
+    Literal comparisons are type-gated like Python equality in the
+    reference: ``1 == "error"`` is simply False, never a cast error — so a
+    literal only participates when its Python type is compatible with the
+    column's Spark type (str~string, bool~boolean, int/float~numeric)."""
     if spec is None:
         return None
     if callable(spec):
-        return spec
+        return lambda c, _dtype: spec(c)
     values = list(spec)
     if not values:
         return None
 
-    def pred(c: Column) -> Column:
+    def compatible(v: Any, dtype: T.DataType) -> bool:
+        if isinstance(v, bool):
+            return isinstance(dtype, T.BooleanType)
+        if isinstance(v, (int, float)):
+            return isinstance(dtype, T.NumericType)
+        if isinstance(v, str):
+            return isinstance(dtype, T.StringType)
+        if isinstance(v, bytes):
+            return isinstance(dtype, T.BinaryType)
+        return False
+
+    def pred(c: Column, dtype: T.DataType) -> Column:
+        applicable = [v for v in values if compatible(v, dtype)]
+        if not applicable:
+            return F.lit(False)
         out = F.lit(False)
-        for v in values:
+        for v in applicable:
             out = out | c.eqNullSafe(F.lit(v))
         return out
 
@@ -131,14 +151,14 @@ def prune_columns(
                 out = F.transform(out, lambda x: rewrite(x, elem_t, depth + 1))
             if can_filter(depth + 1):
                 if val_pred is not None and not isinstance(elem_t, (T.StructType, T.MapType)):
-                    out = F.filter(out, lambda x: ~F.coalesce(val_pred(x), F.lit(False)))
+                    out = F.filter(out, lambda x: ~F.coalesce(val_pred(x, elem_t), F.lit(False)))
                 if remove_empty:
                     out = F.filter(out, lambda x: ~_is_empty_expr(x, elem_t))
             return out
         if isinstance(dtype, T.MapType) and can_filter(depth + 1):
             out = col
             if val_pred is not None:
-                out = F.map_filter(out, lambda k, v: ~F.coalesce(val_pred(v), F.lit(False)))
+                out = F.map_filter(out, lambda k, v: ~F.coalesce(val_pred(v, dtype.valueType), F.lit(False)))
             if remove_empty:
                 out = F.map_filter(out, lambda k, v: ~_is_empty_expr(v, dtype.valueType))
             return out
@@ -152,7 +172,7 @@ def prune_columns(
         if val_pred is not None and not isinstance(
             dtype, (T.StructType, T.ArrayType, T.MapType)
         ):
-            conds.append(F.coalesce(val_pred(col), F.lit(False)))
+            conds.append(F.coalesce(val_pred(col, dtype), F.lit(False)))
         if remove_empty:
             conds.append(_is_empty_expr(col, dtype))
         if not conds:

@@ -25,6 +25,14 @@ def _connectors(n: int) -> list[str]:
 
 
 def _type_name(dtype: T.DataType) -> str:
+    # containers get short tags (children render as tree nodes; a full
+    # simpleString would leak grandchildren past max_depth)
+    if isinstance(dtype, T.StructType):
+        return "struct"
+    if isinstance(dtype, T.ArrayType):
+        return f"array<{_type_name(dtype.elementType)}>"
+    if isinstance(dtype, T.MapType):
+        return f"map<{_type_name(dtype.keyType)},{_type_name(dtype.valueType)}>"
     return dtype.simpleString()
 
 

@@ -379,3 +379,340 @@ def events_calendar_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke-check query: q1 pricing summary at the given sf."""
     return q1_pricing_summary(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Schema-transform operators (reference data_structures.py #1-#8), each
+# exercised through the real operator code on frames built from the test
+# tables, with an equivalent ANSI-SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_flatten_struct",
+    """
+    SELECT event_id,
+           user_id AS payload__user_id,
+           event_type AS payload__meta__event_type,
+           value AS payload__meta__value
+    FROM events
+    """,
+)
+def op_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten_dict -> flatten_struct (data_structures.py:1477-1577): nested
+    struct collapses to BQ-safe `__` columns; pure projection."""
+    from etlutil_spark.operators.flatten import flatten_struct
+
+    ev = load_table(spark, "events", sf_dir)
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id"),
+            F.struct(F.col("event_type"), F.col("value")).alias("meta"),
+        ).alias("payload"),
+    )
+    return flatten_struct(nested)
+
+
+@register(
+    "op_flatten_depth_limit",
+    """
+    SELECT event_id,
+           user_id AS payload__user_id,
+           to_json(struct_pack(event_type := event_type, user_id := user_id)) AS payload__meta
+    FROM events
+    """,
+)
+def op_flatten_depth_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_depth=1: one level collapses, deeper structs stay nested
+    (stringified for the oracle compare)."""
+    from etlutil_spark.operators.flatten import flatten_struct
+    from etlutil_spark.operators.jsonify import to_json_string
+
+    ev = load_table(spark, "events", sf_dir)
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id"),
+            F.struct(F.col("event_type"), F.col("user_id")).alias("meta"),
+        ).alias("payload"),
+    )
+    return to_json_string(flatten_struct(nested, max_depth=1), keys=["payload__meta"])
+
+
+@register(
+    "op_select_with_extras",
+    """
+    SELECT c_custkey,
+           c_name,
+           CAST(NULL AS VARCHAR) AS loyalty_tier,
+           to_json(struct_pack(
+             c_acctbal := c_acctbal,
+             c_mktsegment := c_mktsegment,
+             c_nationkey := c_nationkey
+           )) AS extra_collected
+    FROM customer
+    """,
+)
+def op_select_with_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """move_unknown_keys_to_extra (data_structures.py:655-824): whitelist
+    projection + JSON extras + fill_missing fabricating a stable schema."""
+    from etlutil_spark.operators.project import select_with_extras
+
+    c = load_table(spark, "customer", sf_dir)
+    out, moved = select_with_extras(
+        c,
+        ["c_custkey", "c_name", "loyalty_tier"],
+        fill_missing=True,
+    )
+    assert moved == ["c_acctbal", "c_mktsegment", "c_nationkey"]
+    return out
+
+
+@register(
+    "op_convert_types",
+    """
+    SELECT event_id,
+           TRY_CAST(TRY_CAST(CAST(user_id AS VARCHAR) AS DOUBLE) AS BIGINT) AS s_int,
+           TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS s_float,
+           (CASE WHEN user_id % 3 = 0 THEN 'true' WHEN user_id % 3 = 1 THEN 'no' ELSE '7' END IN ('true','1','yes','on'))
+             OR (TRY_CAST(CASE WHEN user_id % 3 = 0 THEN 'true' WHEN user_id % 3 = 1 THEN 'no' ELSE '7' END AS DOUBLE) IS NOT NULL
+                 AND TRY_CAST(CASE WHEN user_id % 3 = 0 THEN 'true' WHEN user_id % 3 = 1 THEN 'no' ELSE '7' END AS DOUBLE) != 0) AS s_bool,
+           TRY_CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS s_date,
+           CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS s_epoch,
+           strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m') AS s_epoch_ym,
+           TRY_CAST('not a number' AS DOUBLE) AS s_bad
+    FROM events
+    """,
+)
+def op_convert_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_dict_types (data_structures.py:936-1180): stringly inputs ->
+    typed columns; lenient mode yields NULL on failure ('not a number')."""
+    from etlutil_spark.operators.casts import convert_types
+
+    ev = load_table(spark, "events", sf_dir)
+    raw = ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("s_int"),
+        F.col("value").cast("string").alias("s_float"),
+        F.when(F.col("user_id") % 3 == 0, "true")
+        .when(F.col("user_id") % 3 == 1, "no")
+        .otherwise("7")
+        .alias("s_bool"),
+        F.date_format("ts", "yyyy-MM-dd").alias("s_date"),
+        F.unix_timestamp("ts").cast("string").alias("s_epoch"),
+        F.unix_timestamp("ts").cast("string").alias("s_epoch_ym"),
+        F.lit("not a number").alias("s_bad"),
+    )
+    return convert_types(
+        raw,
+        {
+            "s_int": "int",
+            "s_float": "float",
+            "s_bool": "bool",
+            "s_date": "date",
+            "s_epoch": "timestamp",
+            "s_epoch_ym": "timestamp_to_iso_YYYY-MM",
+            "s_bad": "float",
+        },
+    )
+
+
+@register(
+    "op_normalize_date_fields",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS datetime_created,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_updated
+    FROM orders
+    """,
+)
+def op_normalize_date_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_date_fields (data_structures.py:1580-1761): suffix-matched
+    epoch columns renamed to target-prefixed ISO strings; first rule wins."""
+    from etlutil_spark.operators.normalize_dates import normalize_date_fields
+
+    o = load_table(spark, "orders", sf_dir)
+    raw = o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("created_at"),
+        F.unix_timestamp("o_orderdate").alias("updated_time"),
+    )
+    return normalize_date_fields(
+        raw,
+        [
+            {"suffix": "_at", "convert": "timestamp_to_iso", "target": "datetime"},
+            {"suffix": "_time", "convert": "timestamp_to_iso_date", "target": "date"},
+        ],
+    )
+
+
+@register(
+    "op_clean_hash_skip_rules",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_name IS NULL OR c_name = '' THEN c_name
+                WHEN c_name LIKE '%1' THEN c_name
+                ELSE sha256(c_name) END AS c_name,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def op_clean_hash_skip_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_dict hash mode + suffix skip rule (data_structures.py:1204-1474):
+    names ending in '1' are allowlisted, the rest SHA-256; NULL/'' never
+    cleaned."""
+    from etlutil_spark.operators.clean import clean_columns
+
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return clean_columns(
+        c,
+        keys_to_clean=["c_name"],
+        clean_mode="hash",
+        skip_rules={"c_name": ["1"]},
+    )
+
+
+@register(
+    "op_clean_replace_truncate",
+    """
+    SELECT doc_id,
+           CASE WHEN length('replaced (etl)') > 10
+                THEN substr('replaced (etl)', 1, 10) || '… truncated (etl)'
+                ELSE 'replaced (etl)' END AS text,
+           CASE WHEN length(lang) > 10
+                THEN substr(lang, 1, 10) || '… truncated (etl)'
+                ELSE lang END AS lang,
+           source
+    FROM documents
+    """,
+)
+def op_clean_replace_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_dict replace mode + global truncation: the truncation hits the
+    replacement marker too (reference behavior)."""
+    from etlutil_spark.operators.clean import clean_columns
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", F.col("source")
+    )
+    cleaned = clean_columns(
+        d.select("doc_id", "text", "lang"),
+        keys_to_clean=["text"],
+        clean_mode="replace",
+        truncate_strings=10,
+    )
+    return cleaned.join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+
+
+@register("op_clean_fingerprint")  # xxhash64 has no DuckDB analog: rows-only check
+def op_clean_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_dict farm_fingerprint mode (data_structures.py:1348-1353):
+    64-bit fingerprint via native xxhash64 (documented FarmHash64 stand-in)."""
+    from etlutil_spark.operators.clean import clean_columns
+
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return clean_columns(
+        c, keys_to_clean=["c_name"], clean_mode="farm_fingerprint"
+    )
+
+
+@register(
+    "op_prune_values",
+    """
+    SELECT event_id,
+           CASE WHEN event_type IN ('error', '') THEN NULL ELSE event_type END AS event_type,
+           list_aggregate(
+             list_filter(
+               [event_type, '', 'click'],
+               x -> x NOT IN ('error', '') ),
+             'string_agg', '|') AS tags_joined
+    FROM events
+    """,
+)
+def op_prune_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prune_data (data_structures.py:33-240): value removal nulls scalars
+    and FILTERS array elements; remove_empty drops ''/NULL but never 0."""
+    from etlutil_spark.operators.prune import prune_columns
+
+    ev = load_table(spark, "events", sf_dir)
+    raw = ev.select(
+        "event_id",
+        "event_type",
+        F.array(F.col("event_type"), F.lit(""), F.lit("click")).alias("tags"),
+    )
+    pruned = prune_columns(
+        raw, values_to_remove=["error"], remove_empty=True
+    )
+    return pruned.select(
+        "event_id",
+        "event_type",
+        F.array_join("tags", "|").alias("tags_joined"),
+    )
+
+
+@register(
+    "op_prune_keys_depth",
+    """
+    SELECT event_id,
+           to_json(struct_pack(keep_me := user_id,
+                               inner := struct_pack(secret := event_type, keep2 := user_id)
+           )) AS payload
+    FROM events
+    """,
+)
+def op_prune_keys_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prune_data depth gate: key 'secret' is removable at depth 1 but
+    max_depth=1 forbids filtering below (can_filter depth<=max, recursion
+    depth<max — reference :137-138), so only the top-level copy is dropped."""
+    from etlutil_spark.operators.jsonify import to_json_string
+    from etlutil_spark.operators.prune import prune_columns
+
+    ev = load_table(spark, "events", sf_dir)
+    raw = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("keep_me"),
+            F.struct(
+                F.col("event_type").alias("secret"),
+                F.col("user_id").alias("keep2"),
+            ).alias("inner"),
+        ).alias("payload"),
+        F.col("event_type").alias("secret"),
+    )
+    pruned = prune_columns(raw, keys_to_remove=["secret"], max_depth=1)
+    return to_json_string(pruned, keys=["payload"])
+
+
+@register(
+    "op_jsonify",
+    """
+    SELECT l_orderkey,
+           l_linenumber,
+           to_json(struct_pack(partkey := l_partkey, suppkey := l_suppkey)) AS keys_json,
+           to_json([l_quantity, l_discount]) AS qty_json,
+           CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+           l_returnflag
+    FROM lineitem
+    """,
+)
+def op_jsonify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_to_json_string (data_structures.py:1764-1826): complex ->
+    JSON text, scalars -> cast, strings untouched (idempotent)."""
+    from etlutil_spark.operators.jsonify import to_json_string
+
+    li = load_table(spark, "lineitem", sf_dir)
+    raw = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        ).alias("keys_json"),
+        F.array(F.col("l_quantity"), F.col("l_discount")).alias("qty_json"),
+        F.col("l_orderkey").alias("orderkey_str"),
+        "l_returnflag",
+    )
+    return to_json_string(raw, keys=["keys_json", "qty_json", "orderkey_str"])

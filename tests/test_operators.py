@@ -1,0 +1,291 @@
+"""Operator-semantics unit tests over tiny in-memory DataFrames.
+
+These carry the reference's portable property invariants (SURVEY §5):
+no-op identity, NULL/0/False distinctions, idempotence, leaf preservation
+under flatten, first-match-wins rules."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etlutil_spark.operators.casts import convert_types
+from etlutil_spark.operators.clean import clean_columns
+from etlutil_spark.operators.flatten import flatten_struct
+from etlutil_spark.operators.project import select_with_extras
+from etlutil_spark.operators.prune import prune_columns
+from etlutil_spark.operators.jsonify import to_json_string
+from etlutil_spark.operators.normalize_dates import normalize_date_fields
+from etlutil_spark.operators.walk import sample_tree, schema_tree
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, {"b": {"c": 10, "d": "x"}, "e": 5}, ["a", "", "b"], 0),
+            (2, {"b": {"c": None, "d": ""}, "e": 0}, [], None),
+        ],
+        "id bigint, a struct<b: struct<c: bigint, d: string>, e: bigint>, tags array<string>, zero bigint",
+    )
+
+
+class TestFlatten:
+    def test_full_flatten(self, nested_df):
+        out = flatten_struct(nested_df)
+        assert out.columns == ["id", "a__b__c", "a__b__d", "a__e", "tags", "zero"]
+        rows = {r.id: r for r in out.collect()}
+        assert rows[1].a__b__c == 10 and rows[1].a__e == 5
+
+    def test_depth_limit_and_sep(self, nested_df):
+        out = flatten_struct(nested_df, max_depth=1, sep=".")
+        assert "a.b" in out.columns and "a.e" in out.columns
+        assert flatten_struct(nested_df, max_depth=0).columns == nested_df.columns
+
+    def test_skip_wins_over_whitelist(self, nested_df):
+        out = flatten_struct(nested_df, keys_to_flat=["a"], keys_to_skip=["a"])
+        assert out.columns == nested_df.columns
+
+    def test_keep_original(self, nested_df):
+        out = flatten_struct(nested_df, keep_original=True)
+        assert "a" in out.columns and "a__e" in out.columns
+
+    def test_idempotent_when_flat(self, spark):
+        df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+        assert flatten_struct(df).columns == ["a", "b"]
+
+
+class TestSelectWithExtras:
+    def test_moved_and_extras(self, nested_df):
+        out, moved = select_with_extras(nested_df, ["id", "zero"])
+        assert moved == ["a", "tags"]
+        assert out.columns == ["id", "zero", "extra_collected"]
+        row = out.where(F.col("id") == 1).collect()[0]
+        assert '"e":5' in row.extra_collected
+
+    def test_fill_missing_and_order(self, nested_df):
+        out, _ = select_with_extras(
+            nested_df, ["zero", "id", "ghost"], fill_missing=True, preserve_order=True
+        )
+        assert out.columns == ["zero", "id", "ghost", "extra_collected"]
+        assert out.select("ghost").distinct().collect()[0][0] is None
+
+    def test_no_extras_unless_always(self, spark):
+        df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+        out, moved = select_with_extras(df, ["a", "b"])
+        assert moved == [] and out.columns == ["a", "b"]
+        out2, _ = select_with_extras(df, ["a", "b"], always_add_extra=True)
+        assert out2.columns == ["a", "b", "extra_collected"]
+
+
+class TestConvertTypes:
+    def test_scalar_matrix(self, spark):
+        df = spark.createDataFrame(
+            [("42", "3.14", "yes", "2024-12-25", "abc", "")],
+            "i string, f string, b string, d string, bad string, empty string",
+        )
+        out = convert_types(
+            df,
+            {"i": "int", "f": "float", "b": "bool", "d": "date", "bad": "int"},
+        ).collect()[0]
+        assert out.i == 42 and out.f == 3.14 and out.b is True
+        assert str(out.d) == "2024-12-25"
+        assert out.bad is None  # lenient: NULL on failure
+
+    def test_int_via_float_truncation(self, spark):
+        df = spark.createDataFrame([("3.14",), ("-2.9",)], "v string")
+        vals = [r.v for r in convert_types(df, {"v": "int"}).collect()]
+        assert vals == [3, -2]
+
+    def test_bool_words_and_numbers(self, spark):
+        df = spark.createDataFrame(
+            [("true",), ("ON",), ("0",), ("2",), ("nope",)], "v string"
+        )
+        vals = [r.v for r in convert_types(df, {"v": "bool"}).collect()]
+        assert vals == [True, True, False, True, False]
+
+    def test_empty_string_to_none(self, spark):
+        df = spark.createDataFrame([("",)], "v string")
+        assert convert_types(df, {"v": "str"}, empty_string_to_none=True).collect()[0].v is None
+
+    def test_epoch_family(self, spark):
+        df = spark.createDataFrame([("1735056631",)], "v string")
+        out = convert_types(df, {"v": "timestamp_to_iso"}).collect()[0]
+        assert out.v == "2024-12-24T16:10:31"  # UTC (reference used local TZ)
+
+    def test_strict_raises(self, spark):
+        df = spark.createDataFrame([("abc",)], "v string")
+        with pytest.raises(Exception, match="strict convert failed"):
+            convert_types(df, {"v": "int"}, strict=True).collect()
+
+    def test_recursive_into_array_of_structs(self, spark):
+        df = spark.createDataFrame(
+            [(1, [{"value": "100"}, {"value": "200"}])],
+            "id bigint, items array<struct<value: string>>",
+        )
+        out = convert_types(df, {"value": "int"}, recursive=True).collect()[0]
+        assert [x.value for x in out.items] == [100, 200]
+
+    def test_multi_format_datetime(self, spark):
+        df = spark.createDataFrame(
+            [("2024-12-25T15:30:45",), ("2024-12-25 15:30:45",), ("2024-12-25",)],
+            "v string",
+        )
+        vals = [r.v for r in convert_types(df, {"v": "datetime"}).collect()]
+        assert all(v is not None for v in vals)
+        assert str(vals[0]) == "2024-12-25 15:30:45"
+
+
+class TestCleanColumns:
+    def test_replace_and_null_guard(self, spark):
+        df = spark.createDataFrame(
+            [("secret", ""), (None, "x")], "password string, note string"
+        )
+        out = clean_columns(
+            df, keys_to_clean=["password"], clean_mode="replace"
+        ).collect()
+        assert out[0].password == "replaced (etl)"
+        assert out[1].password is None  # NULL never cleaned
+
+    def test_hash_is_sha256_hex(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([("abc",)], "v string")
+        out = clean_columns(df, keys_to_clean=["v"], clean_mode="hash").collect()[0]
+        assert out.v == hashlib.sha256(b"abc").hexdigest()
+
+    def test_delete_drops_nested_field(self, spark):
+        df = spark.createDataFrame(
+            [({"token": "t", "keep": 1},)], "profile struct<token: string, keep: bigint>"
+        )
+        out = clean_columns(df, keys_to_clean=["token"], clean_mode="delete")
+        assert out.schema["profile"].dataType.fieldNames() == ["keep"]
+
+    def test_skip_rules(self, spark):
+        df = spark.createDataFrame(
+            [("user@example.com",), ("user@evil.com",)], "email string"
+        )
+        out = clean_columns(
+            df,
+            keys_to_clean=["email"],
+            clean_mode="empty",
+            skip_rules={"email": ["@example.com"]},
+        ).collect()
+        assert out[0].email == "user@example.com" and out[1].email is None
+
+    def test_truncation_hits_all_strings(self, spark):
+        df = spark.createDataFrame([("x" * 30, "y" * 30)], "a string, b string")
+        out = clean_columns(
+            df, keys_to_clean=["a"], clean_mode="replace", truncate_strings=5
+        ).collect()[0]
+        assert out.a == "repla… truncated (etl)"
+        assert out.b == "yyyyy… truncated (etl)"
+
+    def test_fingerprint_mode_array_of_structs(self, spark):
+        df = spark.createDataFrame(
+            [([{"token": "abc", "n": 1}],)],
+            "history array<struct<token: string, n: bigint>>",
+        )
+        out = clean_columns(
+            df, keys_to_clean=["token"], clean_mode="farm_fingerprint"
+        )
+        elem = out.schema["history"].dataType.elementType
+        assert dict((f.name, f.dataType.simpleString()) for f in elem.fields)["token"] == "bigint"
+
+
+class TestPrune:
+    def test_noop_identity(self, nested_df):
+        assert prune_columns(nested_df) is nested_df
+
+    def test_key_removal_any_depth(self, nested_df):
+        out = prune_columns(nested_df, keys_to_remove=["d", "zero"])
+        assert "zero" not in out.columns
+        assert out.schema["a"].dataType["b"].dataType.fieldNames() == ["c"]
+
+    def test_key_predicate(self, nested_df):
+        out = prune_columns(nested_df, keys_to_remove=lambda k: k.startswith("ta"))
+        assert "tags" not in out.columns
+
+    def test_remove_empty_never_zero(self, nested_df):
+        out = prune_columns(nested_df, remove_empty=True)
+        rows = {r.id: r for r in out.collect()}
+        assert rows[1].zero == 0  # 0 is NOT empty
+        assert rows[1].tags == ["a", "b"]  # "" filtered from array
+        assert rows[2].tags is None  # empty array nulled
+        assert rows[2].a.b is None  # struct of empties nulled
+
+    def test_value_removal_type_gated(self, nested_df):
+        out = prune_columns(nested_df, values_to_remove=["a", 5])
+        rows = {r.id: r for r in out.collect()}
+        assert rows[1].tags == ["", "b"]  # "a" filtered
+        assert rows[1].a.e is None  # 5 nulled
+        assert rows[1].id == 1  # bigint 1 untouched by string "a"
+
+    def test_max_depth_gates(self, nested_df):
+        out = prune_columns(nested_df, keys_to_remove=["c"], max_depth=1)
+        # c lives at depth 2 -> out of reach
+        assert "c" in out.schema["a"].dataType["b"].dataType.fieldNames()
+        out2 = prune_columns(nested_df, keys_to_remove=["e"], max_depth=1)
+        assert out2.schema["a"].dataType.fieldNames() == ["b"]
+
+
+class TestJsonify:
+    def test_idempotent_and_null_preserving(self, spark):
+        df = spark.createDataFrame(
+            [("already", {"a": 1}, None)],
+            "s string, st struct<a: bigint>, n struct<b: bigint>",
+        )
+        out = to_json_string(df).collect()[0]
+        assert out.s == "already"
+        assert out.st == '{"a":1}'
+        assert out.n is None
+
+    def test_unknown_key_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "a bigint")
+        with pytest.raises(KeyError):
+            to_json_string(df, keys=["ghost"])
+
+
+class TestNormalizeDates:
+    def test_rename_and_first_match_wins(self, spark):
+        df = spark.createDataFrame([(1735056631, "x")], "created_at long, id string")
+        out = normalize_date_fields(
+            df,
+            [
+                {"suffix": "_at", "convert": "timestamp_to_iso", "target": "datetime"},
+                {"suffix": "_at", "convert": "timestamp_to_iso_date", "target": "date"},
+            ],
+        )
+        assert out.columns == ["datetime_created", "id"]
+        assert out.collect()[0].datetime_created == "2024-12-24T16:10:31"
+
+    def test_keep_original_and_equals(self, spark):
+        df = spark.createDataFrame([(1735056631,)], "created long")
+        out = normalize_date_fields(
+            df,
+            [{"equals": "created", "convert": "timestamp_to_iso_date", "target": "date"}],
+            keep_original=True,
+        )
+        assert out.columns == ["created", "date_created"]
+        assert out.collect()[0].date_created == "2024-12-24"
+
+    def test_bad_rule(self, spark):
+        with pytest.raises(ValueError):
+            normalize_date_fields(
+                spark.range(1), [{"convert": "date", "target": "x"}]
+            )
+
+
+class TestWalk:
+    def test_schema_tree_shape(self, nested_df):
+        out = schema_tree(nested_df, print_output=False)
+        assert out.startswith("root")
+        assert "├─ a: struct" in out and "└─ zero: bigint" in out
+
+    def test_schema_tree_depth(self, nested_df):
+        out = schema_tree(nested_df, max_depth=1, print_output=False)
+        assert "a__b" not in out and "c" not in out.replace("struct", "")
+
+    def test_sample_tree_values(self, nested_df):
+        out = sample_tree(nested_df.orderBy("id").limit(1), print_output=False)
+        assert "id = 1" in out
