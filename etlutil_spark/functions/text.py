@@ -58,7 +58,7 @@ def bpe_ish_token_count(col: Column | str) -> Column:
         F.lit(0),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
     )
-    punct = F.size(F.filter(F.split(_c(col), ""), lambda ch: ch.rlike(r"[^\w\s]")))
+    punct = F.length(F.regexp_replace(_c(col), r"[\w\s]", ""))
     return word_pieces + punct
 
 

@@ -1,0 +1,313 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup — all
+pure DataFrame ops (no Python UDFs), designed so the only shuffles are the
+ones the algorithm fundamentally needs:
+
+  exact        1 shuffle (groupBy hash of the key)
+  ngram        explode -> self-join on shingle -> pair agg (skew-prone on
+               stop-shingles; ``max_shingle_freq`` drops the head of the
+               frequency distribution, the standard trick at corpus scale)
+  minhash-lsh  signatures are one groupBy; banding turns all-pairs into
+               per-bucket joins — candidates only, verified by exact Jaccard
+  simhash      per-doc fingerprint map-side; banded hamming join
+  embedding    cosine over array columns; banded by LSH in similarity.py
+
+Hashing is the portable md5-based family from functions.hashing so every
+deterministic stage can carry a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etlutil_spark.functions.hashing import md5_bigint
+from etlutil_spark.functions.text import tokens, word_shingles
+from etlutil_spark.functions.vectors import cosine
+
+# 2^31-ish prime for universal hashing; products stay < 2^63
+_MERSENNE31 = 2147483647
+
+
+def exact_dedup(df: DataFrame, subset: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct ``subset`` (the min ``id_col`` wins —
+    deterministic, unlike dropDuplicates' partition-order winner).
+
+    One shuffle on the dedup key; at 100 TB prefer this over
+    ``dropDuplicates`` exactly because the survivor is reproducible."""
+    w_cols = [F.col(c) for c in subset]
+    return (
+        df.groupBy(*w_cols)
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col, *subset)
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the input of the Jaccard family."""
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold).
+
+    ``max_shingle_freq`` drops shingles shared by more than that many docs
+    before the self-join — at corpus scale the head of the shingle frequency
+    distribution is what makes the join quadratic; dropping it bounds each
+    join group. (Documents sharing ONLY ultra-common shingles then can't
+    pair — acceptable for near-dup detection.)
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .where(F.col("df_") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_signature(shingle_hash: Column, n_hashes: int) -> list[Column]:
+    """Universal-hash permutations of one base hash: (a_i*h + b_i) mod p.
+
+    Deterministic coefficients derived from i (odd multipliers); the base
+    hash is folded to 31 bits so every product fits signed 64-bit."""
+    h31 = shingle_hash % F.lit(_MERSENNE31)
+    out = []
+    for i in range(n_hashes):
+        a = 2 * i + 1
+        b = (i * 0x9E3779B1) % _MERSENNE31
+        out.append(((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"h{i}"))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: array<bigint> of length num_hashes.
+
+    One explode + one groupBy; each permutation is cheap arithmetic over a
+    single md5 per shingle (not num_hashes md5 calls)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    hashed = sh.select(
+        id_col, *_minhash_signature(md5_bigint(F.col("shingle")), num_hashes)
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.7,
+) -> DataFrame:
+    """LSH candidate pairs via banding, optionally verified by exact Jaccard.
+
+    rows = num_hashes/bands per band; two docs collide when any band of
+    their signatures is identical. The banding join groups by (band_idx,
+    band_hash) — no all-pairs stage anywhere, which is the whole point at
+    100 TB. Returns (id_a, id_b[, jaccard])."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col("signature").getItem(i * rows + j) for j in range(rows)]
+                ).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=verify_threshold
+    )
+    return cands.join(exact, ["id_a", "id_b"])
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint (bigint of ``bits`` bits).
+
+    Token -> portable 60-bit hash -> per-bit +/-1 votes summed across the
+    doc via one array-accumulator aggregate (flat codegen, zero shuffle);
+    sign of each counter becomes the fingerprint bit."""
+    tok = F.array_distinct(tokens(text_col))
+    zero = F.array(*[F.lit(0)] * bits)
+    # shiftleft/shiftright need literal shift amounts, so carry the bit
+    # positions as a literal powers-of-two array and test bits via AND
+    pows = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+
+    def bit_votes(t: Column) -> Column:
+        h = md5_bigint(t)
+        return F.transform(
+            pows,
+            lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    counters = F.aggregate(
+        tok, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda x, y: x + y)
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            counters,
+            pows,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split the fingerprint into ``bands`` slices; any
+    pair within max_hamming < bands distance agrees on >= 1 slice, so the
+    join is per-slice equality, never all-pairs. Verified with bit_count."""
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    width = bits // bands
+    sh = simhash(df, id_col, text_col, bits=bits)
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                (F.shiftright(F.col("simhash"), i * width) % F.lit(mask + 1)).alias(
+                    "band_val"
+                ),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.explode(slices).alias("b")).select(
+        id_col, "simhash", "b.band_idx", "b.band_val"
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All-pairs cosine near-dup (id_a < id_b, sim >= threshold, rounded).
+
+    This is the EXACT baseline: O(n^2) dot products, fine for verification
+    scale. The scale path is similarity.ann_lsh_pairs (hyperplane LSH)."""
+    a = docs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

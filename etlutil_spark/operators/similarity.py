@@ -1,0 +1,155 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Baseline: brute-force cosine top-k — a single shuffle-free map + top-k,
+fully JVM-side (``cosine_lit`` expands the query vector into a flat codegen
+expression). On a 1000-executor cluster this scans the whole table once:
+the right baseline, and often the right production answer too.
+
+Scale path: random-hyperplane LSH (SimHash for vectors). Hyperplanes are
+deterministic (seeded) driver-side constants; each vector gets a bit-bucket
+map-side, so candidate generation is a bucket equality join. For IVF-style
+search the same bucket column doubles as the partition/cluster key.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etlutil_spark.functions.vectors import cosine, cosine_lit, dot_lit
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes (driver-side constants)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = (v . plane_i) >= 0. Pure expression."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        bit = F.when(dot_lit(c, p) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def cosine_topk(
+    docs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    orderBy+limit compiles to TakeOrderedAndProject: per-partition heap of
+    size k, then a k-row merge on the driver — no full sort, no shuffle of
+    the data. Ties broken by id for determinism."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.round(cosine_lit(vec_col, query_vec), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_lsh_topk(
+    docs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket.
+
+    With 8 planes + 1-bit multiprobe the candidate set is ~9/256 of the
+    table — the scan prunes to the candidate buckets BEFORE any cosine is
+    computed (the bucket predicate is an integer comparison on a derivable
+    column; persist it as a physical column + partition key for true IVF
+    pruning at scale)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qbits |= 1 << i
+    probe = [qbits]
+    if multiprobe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+
+    bucket = lsh_bucket(vec_col, planes)
+    return (
+        docs.withColumn("_bucket", bucket)
+        .where(F.col("_bucket").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_lit(vec_col, query_vec), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    *,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed k-NN join: for each left row, top-k right rows by cosine,
+    candidates restricted to the same LSH bucket (plus right rows whose
+    bucket differs in one bit, via explode of probe buckets)."""
+    sample = left.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = sample[0].d if sample else 0
+    planes = hyperplanes(dim, n_planes, seed)
+
+    l_b = left.select(
+        F.col(left_id), F.col(vec_col).alias("_lv"), lsh_bucket(vec_col, planes).alias("_bucket")
+    )
+    probes = F.array(
+        F.col("_rb"), *[F.col("_rb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    r_b = (
+        right.select(
+            F.col(right_id), F.col(vec_col).alias("_rv"), lsh_bucket(vec_col, planes).alias("_rb")
+        )
+        .withColumn("_bucket", F.explode(probes))
+        .drop("_rb")
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        l_b.join(r_b, "_bucket")
+        .where(F.col(left_id) != F.col(right_id))
+        .select(
+            left_id,
+            right_id,
+            F.round(cosine(F.col("_lv"), F.col("_rv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates([left_id, right_id])
+    )
+    w = Window.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(left_id, right_id, "cos_sim", "rnk")
+    )

@@ -716,3 +716,327 @@ def op_jsonify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
     )
     return to_json_string(raw, keys=["keys_json", "qty_json", "orderkey_str"])
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: text analysis, dedup, similarity,
+# multimodal (BASELINE.json north star, beyond the reference's surface).
+# DuckDB oracle fragments share tokenization with functions.text:
+#   tokens  = list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t <> '')
+#   h60(t)  = ('0x' || substr(md5(t),1,15))::BIGINT   (= Spark conv(md5,16,10))
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_DUCK_LANG_HITS = (
+    "len(list_filter({toks}, t -> t IN ({words})))"
+)
+
+
+def _duck_lang_case(toks_expr: str) -> str:
+    from etlutil_spark.functions.text import LANG_LEXICON
+
+    hits = {
+        lang: _DUCK_LANG_HITS.format(
+            toks=toks_expr, words=", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in LANG_LEXICON.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = f"CASE WHEN {best} <= 0 THEN NULL "
+    for lang, h in hits.items():
+        case += f"WHEN {h} = {best} THEN '{lang}' "
+    return case + "END"
+
+
+@register(
+    "docs_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents)
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           length(text) AS n_chars_text,
+           CAST(list_aggregate(list_transform(tk, x -> CAST(ceil(length(x) / 4.0) AS INTEGER)), 'sum')
+                + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER) AS est_bpe_tokens,
+           round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+           round(list_aggregate(list_transform(tk, x -> length(x)), 'sum') * 1.0 / len(tk), 6) AS mean_word_len
+    FROM t
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality inputs (text_analysis.profile_documents
+    subset): one shuffle-free projection over documents."""
+    from etlutil_spark.functions import text as X
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.char_count("text").alias("n_chars_text"),
+        X.bpe_ish_token_count("text").alias("est_bpe_tokens"),
+        F.round(X.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(X.mean_word_len("text"), 6).alias("mean_word_len"),
+    )
+
+
+@register(
+    "docs_quality_lang",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents)
+    SELECT doc_id,
+           round((least(len(tk) / 50.0, 1.0)
+                  + coalesce(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text), 0.0)
+                  + least(len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) * 5.0 / len(tk), 1.0)
+                 ) / 3.0, 6) AS quality,
+           {_duck_lang_case('tk')} AS lang_pred
+    FROM t
+    """,
+)
+def docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic + stopword-lexicon language ID (text_analysis)."""
+    from etlutil_spark.functions import text as X
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+        X.lang_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "docs_lang_histogram",
+    f"""
+    WITH t AS (SELECT {_DUCK_TOKENS} AS tk FROM documents)
+    SELECT {_duck_lang_case('tk')} AS lang_pred, COUNT(*) AS n_docs
+    FROM t GROUP BY 1
+    """,
+)
+def docs_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etlutil_spark.operators.text_analysis import language_histogram
+
+    return language_histogram(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "docs_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS tk FROM documents)
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(tk, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT), 'sum')
+                % 1152921504606846976 AS BIGINT) AS fingerprint
+    FROM t
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant 60-bit doc fingerprint (portable md5 hash family)."""
+    from etlutil_spark.functions import text as X
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", X.doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, text
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic survivor (min id), one shuffle."""
+    from etlutil_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, "documents", sf_dir), ["text"], "doc_id")
+
+
+_DUCK_SHINGLES = """
+  WITH toks AS (
+    SELECT doc_id, {toks} AS tk FROM documents),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+    FROM toks WHERE len(tk) >= 3),
+  ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+  sz AS (SELECT doc_id, len(s) AS n FROM sh),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM ex a JOIN ex b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+""".format(toks=_DUCK_TOKENS)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _DUCK_SHINGLES
+    + """
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.6."""
+    from etlutil_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+
+
+@register("dedup_minhash_lsh")  # probabilistic banding: rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms)+LSH(8 bands) candidates verified at Jaccard>=0.6.
+    Banding makes candidate generation per-bucket; no all-pairs stage."""
+    from etlutil_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
+    )
+
+
+@register("dedup_simhash")  # banded hamming join: rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs, hamming <= 3 via pigeonhole bands."""
+    from etlutil_spark.operators.dedup import simhash_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    return simhash_pairs(d, "doc_id", "text", bits=32, max_hamming=3, bands=4)
+
+
+_DUCK_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "dedup_embedding_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DUCK_COS}, 6) AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id AND round({_DUCK_COS}, 6) >= 0.4
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    from etlutil_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dup_pairs(e, threshold=0.4)
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT e.vec_id AS vec_id,
+           round(list_dot_product(e.v, q.v) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 query vector: shuffle-free
+    map + TakeOrderedAndProject (per-partition heap, k-row driver merge)."""
+    from etlutil_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return cosine_topk(e, qvec, k=10)
+
+
+@register("sim_ann_lsh")  # hyperplane constants too large for a SQL oracle
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-10 (8 planes, 1-bit multiprobe): the bucket
+    predicate prunes ~96% of candidates before any cosine is computed."""
+    from etlutil_spark.operators.similarity import ann_lsh_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return ann_lsh_topk(e, qvec, k=10, n_planes=8, multiprobe_hamming=1)
+
+
+@register(
+    "multimodal_media_stats",
+    """
+    WITH m AS (SELECT doc_id, encode(text) AS payload, 'text/plain' AS mime FROM documents)
+    SELECT mime, COUNT(*) AS n_items,
+           SUM(octet_length(payload)) AS total_bytes,
+           MAX(octet_length(payload)) AS max_bytes
+    FROM m GROUP BY mime
+    """,
+)
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns: metadata-only stats (never deserializes
+    payload bytes in Python — built-in expressions end to end)."""
+    from etlutil_spark.operators.multimodal import media_stats, wrap_binary
+
+    d = load_table(spark, "documents", sf_dir)
+    media = wrap_binary(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        mime="text/plain",
+    )
+    return media_stats(media)
+
+
+@register("multimodal_features")  # Arrow/pandas stub decoder: rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (stub decoder;
+    real codecs slot into the inner function without changing the plan)."""
+    from etlutil_spark.operators.multimodal import extract_features, wrap_binary
+
+    d = load_table(spark, "documents", sf_dir)
+    media = wrap_binary(
+        d.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        mime="text/plain",
+    )
+    feats = extract_features(media, decode_stub=True)
+    return feats.select(
+        "media_id", "mime", "n_bytes", "decoder", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via F.window — the batch twin of the
+    Structured Streaming pipeline in streaming/events.py (same expressions,
+    readStream swaps in)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,9)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

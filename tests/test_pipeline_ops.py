@@ -1,0 +1,184 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing, streaming)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etlutil_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from etlutil_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_stats,
+    wrap_binary,
+)
+from etlutil_spark.operators.similarity import ann_lsh_topk, cosine_topk, knn_join
+from etlutil_spark.operators.text_analysis import profile_documents, quality_filter
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "zzz qqq xxx"),  # low quality
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = exact_dedup(docs, ["text"], "doc_id")
+        assert out.count() == 4
+        kept = {r.doc_id for r in out.collect()}
+        assert 1 in kept and 4 not in kept  # min id survives
+
+    def test_ngram_jaccard_finds_near_dup(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and (1, 4) in pairs
+        assert pairs[(1, 4)] == 1.0
+        assert all(not (a == 3 or b == 3) for a, b in pairs)
+
+    def test_minhash_signature_shape_and_dup_equality(self, docs):
+        sig = {r.doc_id: r.signature for r in minhash_signatures(docs, "doc_id", "text").collect()}
+        assert len(sig[1]) == 32
+        assert sig[1] == sig[4]  # exact dups -> identical signatures
+
+    def test_minhash_lsh_pairs(self, docs):
+        pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5).collect()}
+        assert (1, 4) in pairs and (1, 2) in pairs
+
+    def test_simhash_dup_identical_and_pairs(self, docs):
+        sh = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+        assert sh[1] == sh[4]
+        pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+        assert pairs.get((1, 4)) == 0
+
+    def test_embedding_near_dup(self, vecs):
+        pairs = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dup_pairs(vecs, threshold=0.95).collect()}
+        assert list(pairs) == [(0, 1)]
+        assert pairs[(0, 1)] > 0.99
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_order(self, vecs):
+        out = cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+        assert [r.vec_id for r in out] == [0, 1, 2]
+        assert out[0].cos_sim == 1.0
+
+    def test_ann_recalls_near_neighbor(self, vecs):
+        out = ann_lsh_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=2, n_planes=4).collect()
+        assert out and out[0].cos_sim >= 0.99
+
+    def test_knn_join(self, vecs):
+        left = vecs.selectExpr("vec_id as id_a", "embedding")
+        right = vecs.selectExpr("vec_id as id_b", "embedding")
+        out = knn_join(left, right, k=2, n_planes=3)
+        got = out.where(F.col("id_a") == 0).collect()
+        assert got and got[0].id_b == 1  # nearest neighbor of 0 is 1
+
+
+class TestTextAnalysis:
+    def test_profile_columns(self, docs):
+        out = profile_documents(docs)
+        row = out.where(F.col("doc_id") == 1).collect()[0]
+        assert row.n_tokens == 13
+        assert row.lang_pred == "en"
+        assert 0 < row.quality <= 1
+        assert row.fingerprint >= 0
+
+    def test_fingerprint_order_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "id bigint, text string"
+        )
+        fps = [r.fingerprint for r in profile_documents(df).orderBy("id").collect()]
+        assert fps[0] == fps[1]
+
+    def test_quality_filter(self, docs):
+        kept = {r.doc_id for r in quality_filter(docs, min_tokens=5, min_quality=0.3).collect()}
+        assert 5 not in kept and 1 in kept
+
+
+class TestMultimodal:
+    def test_wrap_and_stats(self, docs):
+        media = wrap_binary(
+            docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+            "doc_id",
+            "payload",
+            mime="text/plain",
+        )
+        assert media.columns == ["media_id", "payload", "mime", "n_bytes", "sha256"]
+        stats = media_stats(media).collect()[0]
+        assert stats.mime == "text/plain" and stats.n_items == 5
+
+    def test_feature_extraction_stub(self, docs):
+        media = wrap_binary(
+            docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+            "doc_id",
+            "payload",
+        )
+        feats = extract_features(media, decode_stub=True).collect()
+        assert len(feats) == 5
+        assert all(len(r.features) == 8 for r in feats)
+        assert all(abs(sum(r.features) - 1.0) < 1e-3 for r in feats)
+        # determinism
+        again = extract_features(media, decode_stub=True).collect()
+        assert sorted(map(str, feats)) == sorted(map(str, again))
+
+    def test_real_decoder_raises(self, docs):
+        media = wrap_binary(
+            docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+            "doc_id",
+            "payload",
+        )
+        with pytest.raises(Exception, match="NotImplementedError|real media"):
+            extract_features(media, decode_stub=False).collect()
+
+    def test_frame_sample_plan(self, docs):
+        media = wrap_binary(
+            docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+            "doc_id",
+            "payload",
+        )
+        plan = frame_sample_plan(media, every_n_bytes=16, max_frames=4)
+        rows = plan.where(F.col("media_id") == 1).collect()
+        assert [r.frame_idx for r in rows] == list(range(len(rows)))
+        assert all(r.byte_offset == r.frame_idx * 16 for r in rows)
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, sf_dir):
+        from etlutil_spark.sources.testdata import load_table
+        from etlutil_spark.streaming.events import run_stream_once, windowed_counts
+
+        batch = windowed_counts(load_table(spark, "events", sf_dir))
+        streamed = run_stream_once(spark, f"{sf_dir}/events.parquet", query_name="t_stream")
+        b = {tuple(r) for r in batch.collect()}
+        s = {tuple(r) for r in streamed.collect()}
+        assert b == s
