@@ -109,18 +109,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_signature(shingle_hash: Column, n_hashes: int) -> list[Column]:
-    """Universal-hash permutations of one base hash: (a_i*h + b_i) mod p.
-
-    Deterministic coefficients derived from i (odd multipliers); the base
-    hash is folded to 31 bits so every product fits signed 64-bit."""
-    h31 = shingle_hash % F.lit(_MERSENNE31)
-    out = []
-    for i in range(n_hashes):
-        a = 2 * i + 1
-        b = (i * 0x9E3779B1) % _MERSENNE31
-        out.append(((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"h{i}"))
-    return out
+def _perm_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i odd, b_i golden-ratio
+    stepped); the base hash is folded to 31 bits so a*h+b fits signed 64."""
+    return [
+        (2 * i + 1, (i * 0x9E3779B1) % _MERSENNE31) for i in range(n_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -133,14 +127,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: array<bigint> of length num_hashes.
 
-    One explode + one groupBy; each permutation is cheap arithmetic over a
-    single md5 per shingle (not num_hashes md5 calls)."""
+    One explode + one groupBy. The md5 base hash is computed ONCE per
+    shingle in the aggregate's child projection; each permutation is the
+    cheap ``(a_i*h + b_i) mod p`` INSIDE its min() — inlining the md5 into
+    all num_hashes columns would both recompute it and push the generated
+    code past janino's 64 KB method limit (whole-stage codegen falls back
+    to the interpreted path)."""
     sh = shingle_table(df, id_col, text_col, n)
     hashed = sh.select(
-        id_col, *_minhash_signature(md5_bigint(F.col("shingle")), num_hashes)
+        id_col, (md5_bigint(F.col("shingle")) % F.lit(_MERSENNE31)).alias("h31")
     )
+    h31 = F.col("h31")
     mins = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+        ]
     )
     return mins.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")

@@ -888,7 +888,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
 
 
-@register("dedup_minhash_lsh")  # probabilistic banding: rows-only check
+def _duck_minhash_lsh_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.6
+) -> str:
+    """DuckDB replica of minhash_lsh_pairs: the md5-based hash family is
+    portable, and band equality is phrased as equality of the raw signature
+    slices (the Spark side only xxhash64-compacts those slices into a join
+    key, which preserves the same pair set)."""
+    p = 2147483647
+    rows = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(h, v -> (v * {2 * i + 1} + {(i * 0x9E3779B1) % p}) % {p}))"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    shg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      FROM toks WHERE len(tk) >= 3),
+    hs AS (
+      SELECT doc_id,
+             list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {p}) AS h
+      FROM shg),
+    sig AS (SELECT doc_id, [{sig_terms}] AS sg FROM hs),
+    bandtab AS (
+      SELECT doc_id, band_idx,
+             array_slice(sg, band_idx * {rows} + 1, band_idx * {rows} + {rows})::VARCHAR AS bv
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band_idx) bi),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandtab a JOIN bandtab b ON a.band_idx = b.band_idx AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM shg),
+    sz AS (SELECT doc_id, len(s) AS n FROM shg),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    exact AS (
+      SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold})
+    SELECT c.id_a, c.id_b, e.jaccard
+    FROM cands c JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b
+    """
+
+
+@register("dedup_minhash_lsh", _duck_minhash_lsh_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms)+LSH(8 bands) candidates verified at Jaccard>=0.6.
     Banding makes candidate generation per-bucket; no all-pairs stage."""
@@ -900,7 +950,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # banded hamming join: rows-only check
+@register(
+    "dedup_simhash",
+    # pigeonhole banding is exact for hamming<bands, so the oracle is the
+    # all-pairs formulation of the same md5-based fingerprint
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS tk FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(tk, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+          FROM t),
+    fp AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(range(0, 32), j ->
+               CASE WHEN 2 * len(list_filter(hs, v -> ((v >> j) & 1) = 1)) > len(hs)
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') AS sh
+      FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) near-dup pairs, hamming <= 3 via pigeonhole bands."""
     from etlutil_spark.operators.dedup import simhash_pairs
@@ -956,7 +1026,33 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, qvec, k=10)
 
 
-@register("sim_ann_lsh")  # hyperplane constants too large for a SQL oracle
+def _duck_ann_lsh_sql(k: int = 10, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB replica of ann_lsh_topk: the seeded hyperplanes are inlined
+    as literal arrays, and the 1-bit multiprobe set is exactly
+    hamming(bucket, query_bucket) <= 1."""
+    from etlutil_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in pl)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv, ({bucket}) AS qb FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, v, ({bucket}) AS vb FROM e)
+    SELECT b.vec_id AS vec_id,
+           round(list_dot_product(b.v, q.qv) /
+                 (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM b, q
+    WHERE bit_count(xor(vb::BIGINT, qb::BIGINT)) <= 1
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_ann_lsh", _duck_ann_lsh_sql())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-10 (8 planes, 1-bit multiprobe): the bucket
     predicate prunes ~96% of candidates before any cosine is computed."""
