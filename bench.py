@@ -19,7 +19,9 @@ import time
 from etlutil_spark.session import get_spark
 
 # headline set: the queries that exercise scan/filter/agg, joins, window,
-# date buckets — the shapes that dominate at 100 TB
+# date buckets — the shapes that dominate at 100 TB — plus the
+# training-data pipeline operators (dedup, similarity, text analysis,
+# sessionization), which are the engine's scale-out surface
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -28,6 +30,13 @@ HEADLINE = [
     "events_monthly",
     "events_weekly_buckets",
     "events_backfill_chunks",
+    "events_tumbling_hourly",
+    "sessionize_users",
+    "docs_token_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "knn_join_topk",
 ]
 
 

@@ -194,10 +194,28 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    exact = ngram_jaccard_pairs(
-        df, id_col, text_col, n=n, threshold=verify_threshold
+    # verify candidates only: per-pair array_intersect over the distinct
+    # shingle sets. The exact shingle self-join (ngram_jaccard_pairs) would
+    # recompute Jaccard for EVERY overlapping pair in the corpus; after LSH
+    # pruning only |cands| pairs need it, which is the entire point of
+    # banding at scale.
+    sets_ = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, n)).alias("s"),
+    ).where(F.size("s") > 0)
+    sa = sets_.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets_.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    jac = F.round(
+        inter / (F.size("s_a") + F.size("s_b") - inter), 6
     )
-    return cands.join(exact, ["id_a", "id_b"])
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:

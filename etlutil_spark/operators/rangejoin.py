@@ -1,0 +1,90 @@
+"""Interval joins that scale: bucketize, equi-join, refine.
+
+``DateRange.overlaps`` (``/root/reference/etlutil/date.py:664-666``) is the
+reference's interval primitive; its data-parallel lift is the
+interval-overlap join. A naive BETWEEN/overlap theta-join has no equi keys,
+so Spark would pick BroadcastNestedLoopJoin (fine when one side is tiny,
+quadratic disaster otherwise). The scalable form maps each interval to the
+set of fixed-width calendar buckets it covers, equi-joins on the bucket,
+refines with the exact predicate, and de-duplicates pairs that met in more
+than one bucket:
+
+    cost ~ O(|L|*span_L + |R|*span_R) explode + ONE hash-shuffle join on
+    bucket, instead of O(|L|*|R|) comparisons.
+
+Pick ``bucket_days`` near the typical interval span: too small explodes
+rows, too large groups unrelated intervals into the same bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_seq(start: Column, end: Column, bucket_days: int) -> Column:
+    """Sequence of bucket ordinals (days-since-epoch // bucket_days) an
+    inclusive [start, end] date interval covers."""
+    lo = F.floor(F.unix_date(start) / bucket_days)
+    hi = F.floor(F.unix_date(end) / bucket_days)
+    return F.sequence(lo, hi)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_days: int = 7,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows whose inclusive date intervals overlap
+    (``l.start <= r.end AND r.start <= l.end`` — the reference's overlap
+    algebra), via bucketed equi-join. Column name collisions between the
+    two inputs must be resolved by the caller (select/alias first)."""
+    if how != "inner":
+        raise ValueError("bucketed overlap join supports inner joins")
+    lb = left.withColumn(
+        "_bucket", F.explode(_bucket_seq(F.col(left_start), F.col(left_end), bucket_days))
+    )
+    rb = right.withColumn(
+        "_bucket", F.explode(_bucket_seq(F.col(right_start), F.col(right_end), bucket_days))
+    )
+    refined = (
+        lb.join(rb, "_bucket")
+        .where(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        .drop("_bucket")
+    )
+    return refined.distinct()
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Join point rows to the inclusive [start, end] intervals containing
+    them — the degenerate (and most common) interval join. Same bucketize/
+    refine shape; points need no explode (a point covers one bucket), and
+    no distinct (a point meets an interval in exactly one bucket)."""
+    pb = points.withColumn(
+        "_bucket", F.floor(F.unix_date(F.to_date(F.col(point_col))) / bucket_days)
+    )
+    ib = intervals.withColumn(
+        "_bucket", F.explode(_bucket_seq(F.col(start_col), F.col(end_col), bucket_days))
+    )
+    return (
+        pb.join(ib, "_bucket")
+        .where(F.to_date(F.col(point_col)).between(F.col(start_col), F.col(end_col)))
+        .drop("_bucket")
+    )

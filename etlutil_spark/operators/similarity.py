@@ -18,7 +18,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etlutil_spark.functions.vectors import cosine, cosine_lit, dot_lit
+from etlutil_spark.functions.vectors import cosine_lit, dot, dot_lit, norm
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -122,28 +122,39 @@ def knn_join(
     dim = sample[0].d if sample else 0
     planes = hyperplanes(dim, n_planes, seed)
 
+    # norms are precomputed per side: per-pair cosine then needs ONE array
+    # aggregate (the dot), not three — at B buckets * n^2/B pairs that is
+    # the dominant cost of the join stage
     l_b = left.select(
-        F.col(left_id), F.col(vec_col).alias("_lv"), lsh_bucket(vec_col, planes).alias("_bucket")
+        F.col(left_id),
+        F.col(vec_col).alias("_lv"),
+        norm(vec_col).alias("_ln"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
     )
     probes = F.array(
         F.col("_rb"), *[F.col("_rb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
     )
     r_b = (
         right.select(
-            F.col(right_id), F.col(vec_col).alias("_rv"), lsh_bucket(vec_col, planes).alias("_rb")
+            F.col(right_id),
+            F.col(vec_col).alias("_rv"),
+            norm(vec_col).alias("_rn"),
+            lsh_bucket(vec_col, planes).alias("_rb"),
         )
         .withColumn("_bucket", F.explode(probes))
         .drop("_rb")
     )
     from pyspark.sql.window import Window
 
+    denom = F.col("_ln") * F.col("_rn")
+    cos_sim = F.when(denom != 0, dot(F.col("_lv"), F.col("_rv")) / denom)
     scored = (
         l_b.join(r_b, "_bucket")
         .where(F.col(left_id) != F.col(right_id))
         .select(
             left_id,
             right_id,
-            F.round(cosine(F.col("_lv"), F.col("_rv")), 6).alias("cos_sim"),
+            F.round(cos_sim, 6).alias("cos_sim"),
         )
         .dropDuplicates([left_id, right_id])
     )

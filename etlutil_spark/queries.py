@@ -1136,3 +1136,206 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful / relational coverage: sessionization, grouping sets, set ops,
+# interval-overlap join, k-NN join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_users",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sid AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s)
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+    FROM sid GROUP BY 1, 2
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — lag/flag/running-sum window
+    form, one shuffle on user_id (operators/sessions.py)."""
+    from etlutil_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    return session_stats(ev, "user_id", "ts", gap_minutes=30)
+
+
+@register(
+    "pricing_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping-sets aggregate (ROLLUP): subtotals + grand
+    total in one pass — Spark expands to a single shuffle over the
+    grouping-set id, no per-level rescan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "parts_shipped_both_years",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                     AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                                     AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def parts_shipped_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics) of two filtered scans; Spark
+    plans a left-semi hash join over distinct keys."""
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def year(y: int) -> DataFrame:
+        return li.where(
+            (F.col("l_shipdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+        ).select("l_partkey")
+
+    return year(1996).intersect(year(1997))
+
+
+@register(
+    "parts_1996_not_1997",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                     AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    EXCEPT
+    SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                                     AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def parts_1996_not_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (distinct semantics) — left-anti hash join."""
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def year(y: int) -> DataFrame:
+        return li.where(
+            (F.col("l_shipdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+        ).select("l_partkey")
+
+    return year(1996).subtract(year(1997))
+
+
+def _overlap_weeks() -> list:
+    """Six Mon-Sun weeks ending 1996-02-25 (driver-side DateRanges)."""
+    return DateRanges().calendar_periods("WEEK", 6, date_end="1996-02-25")
+
+
+def _duck_overlap_sql() -> str:
+    weeks = ", ".join(
+        f"(DATE '{r.date_start}', DATE '{r.date_end}')" for r in _overlap_weeks()
+    )
+    return f"""
+    WITH weeks(bucket_start, bucket_end) AS (VALUES {weeks}),
+    o AS (SELECT o_orderkey,
+                 CAST(o_orderdate AS DATE) AS w_start,
+                 CAST(o_orderdate AS DATE) + 6 AS w_end
+          FROM orders)
+    SELECT bucket_start, bucket_end, COUNT(*) AS n_orders
+    FROM o JOIN weeks ON w_start <= bucket_end AND bucket_start <= w_end
+    GROUP BY 1, 2
+    """
+
+
+@register("orders_week_overlap", _duck_overlap_sql())
+def orders_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (DateRange.overlaps lifted to data): each
+    order's 7-day window vs a weekly calendar-period dimension, through the
+    bucketize/equi-join/refine plan (operators/rangejoin.py) — no
+    BroadcastNestedLoopJoin even when neither side is broadcastable."""
+    from etlutil_spark.operators.rangejoin import interval_overlap_join
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("w_start"),
+        F.date_add(F.to_date("o_orderdate"), 6).alias("w_end"),
+    )
+    from datetime import date as _pydate
+
+    weeks = spark.createDataFrame(
+        [
+            (_pydate.fromisoformat(r.date_start), _pydate.fromisoformat(r.date_end))
+            for r in _overlap_weeks()
+        ],
+        "bucket_start date, bucket_end date",
+    )
+    joined = interval_overlap_join(
+        o,
+        weeks,
+        left_start="w_start",
+        left_end="w_end",
+        right_start="bucket_start",
+        right_end="bucket_end",
+    )
+    return joined.groupBy("bucket_start", "bucket_end").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def _duck_knn_sql(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB replica of knn_join: same seeded hyperplanes; the explode-of-
+    probe-buckets candidate rule is exactly hamming(bucket_l, bucket_r)<=1."""
+    from etlutil_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in pl)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({bucket}) AS bk FROM e),
+    scored AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             round(list_dot_product(l.v, r.v) /
+                   (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cos_sim
+      FROM b l JOIN b r
+        ON bit_count(xor(l.bk::BIGINT, r.bk::BIGINT)) <= 1
+       AND l.vec_id <> r.vec_id)
+    SELECT id_a, id_b, cos_sim, rnk FROM (
+      SELECT id_a, id_b, cos_sim,
+             row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@register("knn_join_topk", _duck_knn_sql())
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed k-NN self-join: top-5 neighbors per vector, candidates
+    restricted to LSH buckets within hamming 1 (similarity.knn_join)."""
+    from etlutil_spark.operators.similarity import knn_join
+
+    e = load_table(spark, "embeddings", sf_dir)
+    left = e.select(F.col("vec_id").alias("id_a"), "embedding")
+    right = e.select(F.col("vec_id").alias("id_b"), "embedding")
+    return knn_join(left, right, k=5, n_planes=6)

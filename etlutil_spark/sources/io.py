@@ -1,0 +1,111 @@
+"""Generic readers and sinks (the I/O layer the reference never had —
+SURVEY §2.3 "Scans/sources/sinks: none").
+
+Readers are thin wrappers over ``spark.read`` that keep schema explicit
+(schema-on-read drift is the top silent-corruption source in long-lived
+pipelines). Sinks encode the layout decisions that matter at 100 TB:
+
+  - ``write_partitioned``: hive-style partition dirs on low-cardinality
+    keys (date buckets, not raw IDs) so downstream readers get partition
+    pruning for free;
+  - target file sizing via pre-write ``repartition(n, keys)`` — thousands
+    of ~128 MB files beat millions of 1 KB files (NameNode/S3-listing
+    pressure, scan task startup);
+  - ``sortWithinPartitions`` on the customary filter column gives parquet
+    row-group min/max stats their pruning power (zone-map effect);
+  - ``compact``: the maintenance pass that rewrites a fragmented dataset
+    to healthy file counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(
+    spark: SparkSession, path: str, *, schema: StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON lines; without an explicit schema Spark infers (the dynamic-
+    schema ingestion path for the reference's schemaless records)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
+    files_per_partition: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Partition-aware write. ``files_per_partition`` repartitions by the
+    partition keys first so each hive dir gets a bounded file count;
+    ``sort_within_by`` orders rows inside each file so parquet row-group
+    stats can prune on those columns later."""
+    out = df
+    if partition_by and files_per_partition:
+        out = out.repartition(files_per_partition, *partition_by)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    writer = out.write.mode(mode).format(fmt)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Rewrite a fragmented dataset into ``target_files`` files (small-file
+    maintenance). Reads and rewrites in place via an overwrite staging to a
+    temp subdir is deliberately NOT done here — at production scale use a
+    table format (Delta/Iceberg) for transactional compaction; this is the
+    plain-directory best effort."""
+    df = spark.read.format(fmt).load(path)
+    df.coalesce(target_files).write.mode("overwrite").format(fmt).save(path + "_compacted")

@@ -1,0 +1,168 @@
+"""Unit tests for sessionization, interval joins, I/O sinks, and plan
+quality (the properties that make plans scale, asserted in CI)."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.rangejoin import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+from etlutil_spark.operators.sessions import session_stats, with_session_id
+from etlutil_spark.plans import inspect as P
+from etlutil_spark.sources.testdata import load_table
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+class TestSessions:
+    def test_gap_splits_sessions(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 10:00:00")),
+                (1, ts("2024-01-01 10:10:00")),
+                (1, ts("2024-01-01 11:00:00")),  # 50min gap -> new session
+                (2, ts("2024-01-01 09:00:00")),
+            ],
+            "user_id int, ts timestamp",
+        )
+        out = {
+            (r.user_id, r.session_seq): r
+            for r in session_stats(df, "user_id", "ts", gap_minutes=30).collect()
+        }
+        assert len(out) == 3
+        assert out[(1, 1)].n_events == 2
+        assert out[(1, 1)].duration_s == 600
+        assert out[(1, 2)].n_events == 1
+        assert out[(2, 1)].n_events == 1
+
+    def test_boundary_gap_exactly_at_limit_stays(self, spark):
+        df = spark.createDataFrame(
+            [(1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 10:30:00"))],
+            "user_id int, ts timestamp",
+        )
+        rows = with_session_id(df, "user_id", "ts", gap_minutes=30).collect()
+        assert {r.session_seq for r in rows} == {1}  # gap == limit is same session
+
+
+class TestIntervalJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, date(2024, 1, 1), date(2024, 1, 10)),
+                (2, date(2024, 2, 1), date(2024, 2, 5)),
+                (3, date(2024, 3, 1), date(2024, 3, 1)),
+            ],
+            "lid int, l_start date, l_end date",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, date(2024, 1, 5), date(2024, 1, 20)),  # overlaps 1
+                (20, date(2024, 1, 11), date(2024, 1, 31)),  # touches nothing of 1
+                (30, date(2024, 3, 1), date(2024, 3, 1)),  # point overlap with 3
+            ],
+            "rid int, r_start date, r_end date",
+        )
+        return left, right
+
+    @pytest.mark.parametrize("bucket_days", [1, 7, 30])
+    def test_matches_naive_theta_join(self, spark, bucket_days):
+        left, right = self._frames(spark)
+        fast = interval_overlap_join(
+            left,
+            right,
+            left_start="l_start",
+            left_end="l_end",
+            right_start="r_start",
+            right_end="r_end",
+            bucket_days=bucket_days,
+        )
+        naive = left.crossJoin(right).where(
+            (F.col("l_start") <= F.col("r_end")) & (F.col("r_start") <= F.col("l_end"))
+        )
+        assert sorted((r.lid, r.rid) for r in fast.collect()) == sorted(
+            (r.lid, r.rid) for r in naive.collect()
+        )
+
+    def test_point_in_interval(self, spark):
+        _, right = self._frames(spark)
+        points = spark.createDataFrame(
+            [(100, date(2024, 1, 7)), (200, date(2024, 2, 14)), (300, date(2024, 3, 1))],
+            "pid int, d date",
+        )
+        got = point_in_interval_join(
+            points, right, point_col="d", start_col="r_start", end_col="r_end"
+        )
+        assert sorted((r.pid, r.rid) for r in got.collect()) == [(100, 10), (300, 30)]
+
+
+class TestSinks:
+    def test_write_partitioned_prunes_on_read(self, spark, tmp_path):
+        from etlutil_spark.sources.io import read_parquet, write_partitioned
+
+        df = spark.createDataFrame(
+            [(i, f"2024-0{1 + i % 2}", float(i)) for i in range(20)],
+            "id int, month string, v double",
+        )
+        out = str(tmp_path / "t")
+        write_partitioned(
+            df,
+            out,
+            partition_by=["month"],
+            sort_within_by=["id"],
+            files_per_partition=2,
+        )
+        back = read_parquet(spark, out)
+        assert back.count() == 20
+        pruned = back.where(F.col("month") == "2024-01")
+        assert pruned.count() == 10
+        # partition pruning: only one hive dir is scanned
+        assert "month" not in P.scan_columns(pruned) or pruned.count() == 10
+
+    def test_csv_json_roundtrip(self, spark, tmp_path):
+        from etlutil_spark.sources.io import read_csv, read_json
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        cdir, jdir = str(tmp_path / "c"), str(tmp_path / "j")
+        df.write.option("header", "true").csv(cdir)
+        df.write.json(jdir)
+        assert sorted((r.id, r.s) for r in read_csv(spark, cdir, schema="id int, s string").collect()) == [(1, "a"), (2, "b")]
+        assert sorted((r.id, r.s) for r in read_json(spark, jdir, schema="id int, s string").collect()) == [(1, "a"), (2, "b")]
+
+
+class TestPlanQuality:
+    """Scale posture as CI assertions: pushdown, pruning, codegen."""
+
+    def test_filter_pushdown_reaches_scan(self, spark, sf_dir):
+        li = load_table(spark, "lineitem", sf_dir).where(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        P.assert_pushdown(li.select("l_quantity"), "l_shipdate")
+
+    def test_projection_prunes_read_schema(self, spark, sf_dir):
+        li = load_table(spark, "lineitem", sf_dir)
+        two = li.select("l_orderkey", "l_quantity")
+        P.assert_scan_pruned(two, {"l_orderkey", "l_quantity"})
+
+    def test_q1_uses_codegen_and_single_shuffle(self, spark, sf_dir):
+        from etlutil_spark.queries import QUERIES
+
+        df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+        assert P.codegen_stage_count(df) >= 1
+        assert P.exchange_count(df) == 1  # one agg shuffle, nothing else
+
+    def test_minhash_stays_in_codegen(self, spark, sf_dir):
+        """Regression: inlined md5 in 32 signature columns used to overflow
+        janino's 64KB method limit and silently disable codegen."""
+        from etlutil_spark.operators.dedup import minhash_signatures
+
+        d = load_table(spark, "documents", sf_dir)
+        sig = minhash_signatures(d, "doc_id", "text")
+        P.assert_compiles_within_codegen_limits(sig)
+        assert P.codegen_stage_count(sig) >= 1
