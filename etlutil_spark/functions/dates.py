@@ -138,10 +138,34 @@ def range_bucket_join(
 ) -> DataFrame:
     """Tag rows with the DateRange bucket they fall into (inclusive bounds).
 
-    The bucket list is driver-side (DateRanges.* output) and tiny, so it is
-    broadcast — the join is a map-side range lookup, no shuffle of ``df``.
-    Rows outside every bucket are dropped (inner join).
+    The bucket list is driver-side (DateRanges.* output) and tiny. When the
+    ranges are disjoint (the normal DateRanges output) each row lands in at
+    most one bucket, so the tag compiles to a flat when-chain — a pure
+    map inside whole-stage codegen, no join operator at all. Overlapping
+    ranges need the row duplicated per bucket, which falls back to a
+    broadcast range join. Rows outside every bucket are dropped.
     """
+    d = F.to_date(F.col(date_col))
+
+    ordered = sorted(ranges, key=lambda r: r.date_start)
+    disjoint = all(
+        a.date_end < b.date_start for a, b in zip(ordered, ordered[1:])
+    )
+    if disjoint:
+        start_expr: Column | None = None
+        end_expr: Column | None = None
+        for r in ranges:
+            cond = d.between(F.lit(r.date_start).cast("date"), F.lit(r.date_end).cast("date"))
+            s = F.lit(r.date_start).cast("date")
+            e = F.lit(r.date_end).cast("date")
+            start_expr = F.when(cond, s) if start_expr is None else start_expr.when(cond, s)
+            end_expr = F.when(cond, e) if end_expr is None else end_expr.when(cond, e)
+        return (
+            df.withColumn(start_name, start_expr)
+            .withColumn(end_name, end_expr)
+            .where(F.col(start_name).isNotNull())
+        )
+
     spark = df.sparkSession
     buckets = spark.createDataFrame(
         [(r.date_start, r.date_end) for r in ranges],
@@ -150,7 +174,6 @@ def range_bucket_join(
         F.col(start_name).cast("date").alias(start_name),
         F.col(end_name).cast("date").alias(end_name),
     )
-    d = F.to_date(F.col(date_col))
     return df.join(
         F.broadcast(buckets),
         (d >= F.col(start_name)) & (d <= F.col(end_name)),

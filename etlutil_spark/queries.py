@@ -1339,3 +1339,58 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = e.select(F.col("vec_id").alias("id_a"), "embedding")
     right = e.select(F.col("vec_id").alias("id_b"), "embedding")
     return knn_join(left, right, k=5, n_planes=6)
+
+
+@register(
+    "daily_active_users",
+    """
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per day. Spark plans expand+two-phase agg; the
+    approximate path (approx_count_distinct, HLL) is the 100 TB default but
+    has no cross-engine-stable value to oracle against."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "salted_top_event_types",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation on a low-cardinality hot key (event_type):
+    two-phase salted aggregation (operators/skew.py) — partials on
+    (key, salt), combine on key. Result is identical to the direct groupBy;
+    the salt only changes row routing."""
+    from etlutil_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count("*"),
+            "total_value": F.sum(F.col("value").cast("decimal(38,9)")),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )

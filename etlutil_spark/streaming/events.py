@@ -99,3 +99,104 @@ def run_stream_once(
     )
     q.awaitTermination(120)
     return spark.table(query_name)
+
+
+def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-event_id stream: watermarked dropDuplicates.
+
+    State holds one entry per event_id seen within the watermark horizon and
+    is evicted as the watermark advances — the standard idempotent-ingest
+    front for at-least-once sources. Batch twin: dropDuplicates(["event_id"])."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+def session_windows(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session aggregation via F.session_window (merging windows).
+
+    The streaming twin of operators/sessions.py: state is one open window
+    per user, closed and emitted once the watermark passes gap past the last
+    event. Works identically on a batch frame (no watermark needed)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,9)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (GroupState), the escape hatch for stateful
+    semantics no built-in aggregation expresses (here: emit one updated
+    row per user per micro-batch carrying counts accumulated across ALL
+    previous batches).
+
+    State per key is two numbers; timeout is disabled for the demo — at
+    production scale set a state TTL to bound the store."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_query(
+    agg: DataFrame,
+    *,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive any streaming frame to completion (availableNow) into a memory
+    sink and return the materialized table."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return agg.sparkSession.table(query_name)

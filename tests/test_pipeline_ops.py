@@ -182,3 +182,61 @@ class TestStreaming:
         b = {tuple(r) for r in batch.collect()}
         s = {tuple(r) for r in streamed.collect()}
         assert b == s
+
+
+class TestStreamingStateful:
+    def test_dedup_stream_matches_batch(self, spark, sf_dir):
+        from etlutil_spark.streaming.events import (
+            dedup_stream,
+            run_stream_query,
+            stream_events_from_dir,
+        )
+
+        stream = stream_events_from_dir(spark, f"{sf_dir}/events.parquet")
+        got = run_stream_query(
+            dedup_stream(stream), query_name="t_dedup", output_mode="append"
+        )
+        from etlutil_spark.sources.testdata import load_table
+
+        batch = load_table(spark, "events", sf_dir).dropDuplicates(["event_id"])
+        assert got.count() == batch.count()
+
+    def test_session_windows_stream_matches_batch(self, spark, sf_dir):
+        from etlutil_spark.sources.testdata import load_table
+        from etlutil_spark.streaming.events import (
+            run_stream_query,
+            session_windows,
+            stream_events_from_dir,
+        )
+
+        stream = stream_events_from_dir(spark, f"{sf_dir}/events.parquet")
+        streamed = run_stream_query(
+            session_windows(stream), query_name="t_sess", output_mode="complete"
+        )
+        batch = session_windows(load_table(spark, "events", sf_dir))
+        s = {tuple(r) for r in streamed.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert s == b
+
+    def test_running_totals_state_accumulates(self, spark, sf_dir):
+        from etlutil_spark.sources.testdata import load_table
+        from etlutil_spark.streaming.events import (
+            run_stream_query,
+            running_user_totals,
+            stream_events_from_dir,
+        )
+
+        # one file -> one micro-batch; final state must equal the batch agg
+        stream = stream_events_from_dir(spark, f"{sf_dir}/events.parquet")
+        got = run_stream_query(
+            running_user_totals(stream), query_name="t_state", output_mode="update"
+        )
+        ev = load_table(spark, "events", sf_dir)
+        expect = {
+            r.user_id: (r.n, round(r.total, 6))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        latest = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
+        assert latest == expect

@@ -166,3 +166,28 @@ class TestPlanQuality:
         sig = minhash_signatures(d, "doc_id", "text")
         P.assert_compiles_within_codegen_limits(sig)
         assert P.codegen_stage_count(sig) >= 1
+
+
+class TestSkew:
+    def test_salted_join_equals_plain_join(self, spark, sf_dir):
+        from etlutil_spark.operators.skew import salted_join
+
+        li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+        o = load_table(spark, "orders", sf_dir).select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        plain = li.join(o, ["l_orderkey"], "inner")
+        salted = salted_join(li, o, ["l_orderkey"], n_salts=4)
+        assert salted.count() == plain.count()
+        a = {tuple(r) for r in salted.collect()}
+        b = {tuple(r) for r in plain.collect()}
+        assert a == b
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from etlutil_spark.operators.skew import salted_join
+
+        f = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+        d = spark.createDataFrame([(1, "dim")], "k int, name string")
+        got = salted_join(f, d, ["k"], n_salts=4, how="left").collect()
+        by_k = {r.k: r.name for r in got}
+        assert by_k == {1: "dim", 2: None}
