@@ -130,18 +130,61 @@ def prune_columns(
     def can_recurse(depth: int) -> bool:
         return max_depth is None or depth < max_depth
 
-    def rewrite(col: Column, dtype: T.DataType, depth: int) -> Column:
-        """Rewrite the VALUE of a field (key decisions happen in the parent)."""
+    def would_drop(dtype: T.DataType, depth: int) -> bool:
+        """True when the rewrite would leave this value with no fields.
+
+        Spark has no empty-struct value, so where the reference keeps ``{}``
+        after removing every key of a dict, the DataFrame lift drops the
+        field (schema-level decision, data-independent). An array whose
+        element type empties is dropped with it."""
+        if isinstance(dtype, T.StructType) and can_recurse(depth):
+            for f in dtype.fields:
+                if can_filter(depth + 1) and drop_key(f.name):
+                    continue
+                if not would_drop(f.dataType, depth + 1):
+                    return False
+            return True
+        if (
+            isinstance(dtype, T.ArrayType)
+            and can_recurse(depth)
+            and isinstance(dtype.elementType, (T.StructType, T.ArrayType, T.MapType))
+        ):
+            return would_drop(dtype.elementType, depth + 1)
+        return False
+
+    def pruned_type(dtype: T.DataType, depth: int) -> T.DataType:
+        """The dtype rewrite() produces — emptiness checks must run against
+        THIS, not the original dtype, or they reference dropped fields."""
         if isinstance(dtype, T.StructType) and can_recurse(depth):
             fields = []
             for f in dtype.fields:
                 if can_filter(depth + 1) and drop_key(f.name):
                     continue
+                if would_drop(f.dataType, depth + 1):
+                    continue
+                fields.append(T.StructField(f.name, pruned_type(f.dataType, depth + 1)))
+            return T.StructType(fields)
+        if isinstance(dtype, T.ArrayType) and can_recurse(depth) and isinstance(
+            dtype.elementType, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            return T.ArrayType(
+                pruned_type(dtype.elementType, depth + 1), dtype.containsNull
+            )
+        return dtype
+
+    def rewrite(col: Column, dtype: T.DataType, depth: int) -> Column:
+        """Rewrite the VALUE of a field (key decisions happen in the parent;
+        callers must not pass a dtype for which would_drop is True)."""
+        if isinstance(dtype, T.StructType) and can_recurse(depth):
+            fields = []
+            for f in dtype.fields:
+                if can_filter(depth + 1) and drop_key(f.name):
+                    continue
+                if would_drop(f.dataType, depth + 1):
+                    continue
                 child = rewrite(col.getField(f.name), f.dataType, depth + 1)
-                child = maybe_null_out(child, f.dataType, depth + 1)
+                child = maybe_null_out(child, pruned_type(f.dataType, depth + 1), depth + 1)
                 fields.append(child.alias(f.name))
-            if not fields:
-                return F.lit(None)
             rebuilt = F.struct(*fields)
             return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
         if isinstance(dtype, T.ArrayType):
@@ -153,7 +196,8 @@ def prune_columns(
                 if val_pred is not None and not isinstance(elem_t, (T.StructType, T.MapType)):
                     out = F.filter(out, lambda x: ~F.coalesce(val_pred(x, elem_t), F.lit(False)))
                 if remove_empty:
-                    out = F.filter(out, lambda x: ~_is_empty_expr(x, elem_t))
+                    new_elem_t = pruned_type(elem_t, depth + 1)
+                    out = F.filter(out, lambda x: ~_is_empty_expr(x, new_elem_t))
             return out
         if isinstance(dtype, T.MapType) and can_filter(depth + 1):
             out = col
@@ -186,7 +230,9 @@ def prune_columns(
     for field in df.schema.fields:
         if can_filter(0) and drop_key(field.name):
             continue
+        if would_drop(field.dataType, 0):
+            continue
         out = rewrite(F.col(field.name), field.dataType, 0)
-        out = maybe_null_out(out, field.dataType, 0)
+        out = maybe_null_out(out, pruned_type(field.dataType, 0), 0)
         select_list.append(out.alias(field.name))
     return df.select(*select_list)

@@ -191,3 +191,43 @@ class TestSkew:
         got = salted_join(f, d, ["k"], n_salts=4, how="left").collect()
         by_k = {r.k: r.name for r in got}
         assert by_k == {1: "dim", 2: None}
+
+
+class TestJsonIngestEndToEnd:
+    """The reference's primary use case end-to-end: schemaless JSON records
+    -> inferred schema -> whitelist-project-with-extras -> flatten ->
+    type-normalize -> columnar-safe output (SURVEY §7.4 hard part #1)."""
+
+    def test_dynamic_json_pipeline(self, spark, tmp_path):
+        import json
+
+        from etlutil_spark.operators.casts import convert_types
+        from etlutil_spark.operators.flatten import flatten_struct
+        from etlutil_spark.operators.project import select_with_extras
+        from etlutil_spark.sources.io import read_json
+
+        recs = [
+            {"id": 1, "created_at": 1735056631, "user": {"name": "a", "city": "x"},
+             "debug_blob": "zzz", "score": "3.5"},
+            {"id": 2, "created_at": 1735056700, "user": {"name": "b"},
+             "extra_field": [1, 2], "score": "4"},
+        ]
+        p = tmp_path / "in.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in recs))
+
+        raw = read_json(spark, str(p))  # schema inferred per reference's dynamic model
+        projected, moved = select_with_extras(
+            raw, ["id", "created_at", "user", "score"]
+        )
+        assert set(moved) == {"debug_blob", "extra_field"}
+        flat = flatten_struct(projected)
+        typed = convert_types(
+            flat, {"score": "float", "created_at": "timestamp"}
+        )
+        rows = {r.id: r for r in typed.collect()}
+        assert rows[1].user__city == "x"
+        assert rows[2].user__city is None
+        assert abs(rows[1].score - 3.5) < 1e-9
+        assert rows[1].created_at.year == 2024
+        # extras survived as lossless JSON
+        assert "zzz" in rows[1].extra_collected
