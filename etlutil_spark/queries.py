@@ -961,7 +961,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t),
     fp AS (
       SELECT doc_id,
-             list_aggregate(list_transform(range(0, 32), j ->
+             list_aggregate(list_transform(range(0, 48), j ->
                CASE WHEN 2 * len(list_filter(hs, v -> ((v >> j) & 1) = 1)) > len(hs)
                     THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') AS sh
       FROM h)
@@ -972,11 +972,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs, hamming <= 3 via pigeonhole bands."""
+    """SimHash(48-bit) near-dup pairs, hamming <= 3 via pigeonhole bands.
+    48 bits (vs the 32-bit default) keeps random collisions negligible on
+    template-heavy corpora where many docs share most tokens."""
     from etlutil_spark.operators.dedup import simhash_pairs
 
     d = load_table(spark, "documents", sf_dir)
-    return simhash_pairs(d, "doc_id", "text", bits=32, max_hamming=3, bands=4)
+    return simhash_pairs(d, "doc_id", "text", bits=48, max_hamming=3, bands=4)
 
 
 _DUCK_COS = (
@@ -1393,4 +1395,76 @@ def salted_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate probe. Every
+    predicate pushes to parquet row-group stats; no shuffle at all (global
+    agg is a 1-row exchange)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered semi-join (orders whose lineitems
+    exceed a quantity threshold) -> enrich -> top-k. The inner aggregate's
+    output is tiny, so Spark broadcast-semi-joins it against orders."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
     )
