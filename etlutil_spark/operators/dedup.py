@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from etlutil_spark.functions.hashing import md5_bigint
 from etlutil_spark.functions.text import tokens, word_shingles
+from etlutil_spark.operators.util import ensure_min_partitions
 from etlutil_spark.functions.vectors import cosine
 
 # 2^31-ish prime for universal hashing; products stay < 2^63
@@ -48,8 +49,12 @@ def exact_dedup(df: DataFrame, subset: list[str], id_col: str) -> DataFrame:
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct pairs — the input of the Jaccard family."""
-    return df.select(
+    """(id, shingle) distinct pairs — the input of the Jaccard family.
+
+    The tokenize+shingle+hash chain is CPU-bound per row, so the input is
+    spread to at least defaultParallelism partitions first (no-op when the
+    scan already has enough)."""
+    return ensure_min_partitions(df).select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
     )
 
@@ -199,7 +204,7 @@ def minhash_lsh_pairs(
     # recompute Jaccard for EVERY overlapping pair in the corpus; after LSH
     # pruning only |cands| pairs need it, which is the entire point of
     # banding at scale.
-    sets_ = df.select(
+    sets_ = ensure_min_partitions(df).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, n)).alias("s"),
     ).where(F.size("s") > 0)
@@ -249,7 +254,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return ensure_min_partitions(df).select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_pairs(
@@ -315,6 +320,7 @@ def embedding_near_dup_pairs(
 
     This is the EXACT baseline: O(n^2) dot products, fine for verification
     scale. The scale path is similarity.ann_lsh_pairs (hyperplane LSH)."""
+    docs = ensure_min_partitions(docs)
     a = docs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

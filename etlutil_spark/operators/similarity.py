@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etlutil_spark.functions.vectors import cosine_lit, dot, dot_lit, norm
+from etlutil_spark.operators.util import ensure_min_partitions
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -53,7 +54,8 @@ def cosine_topk(
     size k, then a k-row merge on the driver — no full sort, no shuffle of
     the data. Ties broken by id for determinism."""
     return (
-        docs.select(
+        ensure_min_partitions(docs)
+        .select(
             F.col(id_col),
             F.round(cosine_lit(vec_col, query_vec), 6).alias("cos_sim"),
         )
@@ -93,7 +95,7 @@ def ann_lsh_topk(
 
     bucket = lsh_bucket(vec_col, planes)
     return (
-        docs.withColumn("_bucket", bucket)
+        ensure_min_partitions(docs).withColumn("_bucket", bucket)
         .where(F.col("_bucket").isin(probe))
         .select(
             F.col(id_col),
@@ -125,6 +127,8 @@ def knn_join(
     # norms are precomputed per side: per-pair cosine then needs ONE array
     # aggregate (the dot), not three — at B buckets * n^2/B pairs that is
     # the dominant cost of the join stage
+    left = ensure_min_partitions(left)
+    right = ensure_min_partitions(right)
     l_b = left.select(
         F.col(left_id),
         F.col(vec_col).alias("_lv"),

@@ -766,8 +766,9 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality inputs (text_analysis.profile_documents
     subset): one shuffle-free projection over documents."""
     from etlutil_spark.functions import text as X
+    from etlutil_spark.operators.util import ensure_min_partitions
 
-    d = load_table(spark, "documents", sf_dir)
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
     return d.select(
         "doc_id",
         X.token_count("text").alias("n_tokens"),
@@ -794,8 +795,9 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristic + stopword-lexicon language ID (text_analysis)."""
     from etlutil_spark.functions import text as X
+    from etlutil_spark.operators.util import ensure_min_partitions
 
-    d = load_table(spark, "documents", sf_dir)
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
     return d.select(
         "doc_id",
         X.quality_score("text").alias("quality"),
