@@ -337,3 +337,65 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (member_id,
+    cluster_id) where cluster_id = min id reachable through pairs.
+
+    Iterative min-label propagation (the simple alternating form of the
+    large-star/small-star map-reduce CC algorithm): each round every node
+    takes the min of its own label and its neighbors' labels; convergence
+    in O(component diameter) rounds — near-dup clusters are shallow, so
+    single digits in practice. Each round is one shuffle join + one
+    aggregate; localCheckpoint() truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1 (the classic iterative-Spark trap).
+
+    The driver-side loop makes this the one operator family that is NOT a
+    single declarative plan — matched in the oracle by a recursive CTE.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+    )

@@ -1470,3 +1470,72 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "dedup_clusters",
+    # recursive CTE: DuckDB requires RECURSIVE on the WITH chain
+    _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.n)
+    SELECT n AS member_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact 3-gram Jaccard pairs (>=0.6) -> connected
+    components via iterative min-label propagation. The one iterative
+    (driver-loop) operator; its oracle is a recursive CTE."""
+    from etlutil_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return duplicate_clusters(pairs)
+
+
+@register(
+    "profile_lineitem",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+    SELECT 'l_returnflag' AS "column", n.n_rows,
+           (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NULL) AS n_nulls,
+           (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS n_distinct,
+           (SELECT CAST(MIN(l_returnflag) AS VARCHAR) FROM lineitem) AS min_value,
+           (SELECT CAST(MAX(l_returnflag) AS VARCHAR) FROM lineitem) AS max_value
+    FROM n
+    UNION ALL
+    SELECT 'l_orderkey', n.n_rows,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+           (SELECT CAST(MIN(l_orderkey) AS VARCHAR) FROM lineitem),
+           (SELECT CAST(MAX(l_orderkey) AS VARCHAR) FROM lineitem)
+    FROM n
+    UNION ALL
+    SELECT 'l_quantity', n.n_rows,
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL),
+           (SELECT COUNT(DISTINCT l_quantity) FROM lineitem),
+           (SELECT CAST(MIN(l_quantity) AS VARCHAR) FROM lineitem),
+           (SELECT CAST(MAX(l_quantity) AS VARCHAR) FROM lineitem)
+    FROM n
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (operators/profile.py): nulls, exact distincts,
+    min/max for three lineitem columns in one aggregation pass."""
+    from etlutil_spark.operators.profile import profile_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return profile_table(li, ["l_returnflag", "l_orderkey", "l_quantity"])

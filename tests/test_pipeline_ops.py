@@ -240,3 +240,42 @@ class TestStreamingStateful:
         }
         latest = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
         assert latest == expect
+
+
+class TestClustersAndProfile:
+    def test_duplicate_clusters_chain_and_island(self, spark):
+        from etlutil_spark.operators.dedup import duplicate_clusters
+
+        # chain 1-2-3 (transitive), pair 7-9, singleton 5 not in pairs
+        pairs = spark.createDataFrame(
+            [(2, 3), (1, 2), (7, 9)], "id_a bigint, id_b bigint"
+        )
+        got = {
+            r.member_id: r.cluster_id for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    def test_duplicate_clusters_long_chain_converges(self, spark):
+        from etlutil_spark.operators.dedup import duplicate_clusters
+
+        n = 12  # diameter > a couple of iterations
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+        )
+        got = {r.member_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == n + 1
+
+    def test_profile_table_counts(self, spark):
+        from etlutil_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b")], "k bigint, s string"
+        )
+        rows = {r.column: r for r in profile_table(df).collect()}
+        assert rows["k"].n_rows == 3
+        assert rows["k"].n_nulls == 0
+        assert rows["k"].n_distinct == 2
+        assert rows["k"].min_value == "1" and rows["k"].max_value == "2"
+        assert rows["s"].n_nulls == 1
+        assert rows["s"].n_distinct == 2
