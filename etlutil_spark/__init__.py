@@ -8,6 +8,12 @@ Here every operator is a pure ``DataFrame -> DataFrame`` transform compiled
 driver-side against ``df.schema``, so Catalyst gets a fully declarative plan
 (predicate pushdown, column pruning, whole-stage codegen, AQE all apply).
 
+The top-level namespace mirrors the reference's public surface
+(``/root/reference/etlutil/__init__.py:32-51``) one-to-one — record
+operators become DataFrame operators, the date layer keeps its names — and
+adds the scale-out extensions (dedup, similarity, sessionization, skew,
+profiling, streaming).
+
 Layout:
     session     SparkSession factory tuned for the local[32] harness
     sources     testdata loaders + generic readers/sinks
@@ -18,7 +24,47 @@ Layout:
     plans       plan-inspection utilities (pushdown/codegen assertions)
 """
 
+from etlutil_spark.functions.daterange import (
+    DateRange,
+    DateRanges,
+    format_year_month,
+    generate_date_array,
+    get_relative_date_frame,
+)
+from etlutil_spark.functions.daterange import to_date_iso_str
+from etlutil_spark.functions.daterange import to_date_py as to_date
+from etlutil_spark.operators.casts import ConvertType, convert_types
+from etlutil_spark.operators.clean import CleanMode, clean_columns
+from etlutil_spark.operators.flatten import flatten_struct
+from etlutil_spark.operators.jsonify import to_json_string
+from etlutil_spark.operators.normalize_dates import normalize_date_fields
+from etlutil_spark.operators.project import select_with_extras
+from etlutil_spark.operators.prune import prune_columns
+from etlutil_spark.operators.walk import sample_tree, schema_tree
 from etlutil_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = [
+    # session
+    "get_spark",
+    # reference record operators (SURVEY §2.1), DataFrame-lifted
+    "prune_columns",
+    "schema_tree",
+    "sample_tree",
+    "select_with_extras",
+    "convert_types",
+    "ConvertType",
+    "clean_columns",
+    "CleanMode",
+    "flatten_struct",
+    "normalize_date_fields",
+    "to_json_string",
+    # reference date layer (SURVEY §2.2)
+    "to_date",
+    "to_date_iso_str",
+    "format_year_month",
+    "generate_date_array",
+    "get_relative_date_frame",
+    "DateRange",
+    "DateRanges",
+]
+__version__ = "0.2.0"

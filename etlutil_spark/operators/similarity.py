@@ -168,3 +168,67 @@ def knn_join(
         .where(F.col("rnk") <= k)
         .select(left_id, right_id, "cos_sim", "rnk")
     )
+
+
+def build_ivf_store(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> None:
+    """Persist embeddings hive-partitioned by their LSH bucket — the
+    IVF-style layout: each bucket is a physical directory, so an ANN probe
+    reads only the probed partitions (true partition pruning, enforced by
+    the file listing, not just row-group stats).
+
+    2^n_planes partitions: keep n_planes small enough that each partition
+    still holds file-sized chunks (6 planes = 64 dirs; at 100 TB that is
+    ~1.6 TB/dir — split further with a secondary hash subdir if needed)."""
+    sample = docs.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = sample[0].d if sample else 0
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        ensure_min_partitions(docs)
+        .withColumn("bucket", lsh_bucket(vec_col, planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k over a build_ivf_store layout. The bucket predicate is a
+    partition filter — Spark's file index skips every non-probed directory
+    before any byte is read (check PartitionFilters in .explain)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qbits |= 1 << i
+    probe = [qbits]
+    if multiprobe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+    return (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_lit(vec_col, query_vec), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

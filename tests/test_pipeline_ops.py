@@ -279,3 +279,35 @@ class TestClustersAndProfile:
         assert rows["k"].min_value == "1" and rows["k"].max_value == "2"
         assert rows["s"].n_nulls == 1
         assert rows["s"].n_distinct == 2
+
+
+class TestIvfStore:
+    def test_ivf_matches_inline_ann_and_prunes_partitions(self, spark, sf_dir, tmp_path):
+        from etlutil_spark.operators.similarity import (
+            ann_lsh_topk,
+            build_ivf_store,
+            ivf_topk,
+        )
+        from etlutil_spark.sources.testdata import load_table
+
+        e = load_table(spark, "embeddings", sf_dir)
+        qvec = [
+            float(x)
+            for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        ]
+        store = str(tmp_path / "ivf")
+        build_ivf_store(e, store, n_planes=6)
+
+        got = ivf_topk(spark, store, qvec, k=10, n_planes=6)
+        expect = ann_lsh_topk(e, qvec, k=10, n_planes=6, multiprobe_hamming=1)
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+
+        # partition pruning: the bucket predicate must land in the scan's
+        # PartitionFilters (directory-level skip), not a post-scan Filter
+        from etlutil_spark.plans.inspect import formatted_plan
+
+        plan = formatted_plan(ivf_topk(spark, store, qvec, k=10, n_planes=6))
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "bucket" in m.group(1), plan[:2000]
