@@ -1539,3 +1539,28 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     return profile_table(li, ["l_returnflag", "l_orderkey", "l_quantity"])
+
+
+@register(
+    "events_props_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(json_extract(props, '$.k')) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a JSON-string column (the reference's dynamic
+    record model carried INSIDE a typed table): from_json with an explicit
+    schema -> typed field -> aggregate. At scale prefer from_json once over
+    repeated get_json_object calls — one parse per row."""
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("p.k").alias("sum_k"),
+        F.count("p.k").alias("n_with_k"),
+    )
