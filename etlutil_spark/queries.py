@@ -1564,3 +1564,56 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.k").alias("sum_k"),
         F.count("p.k").alias("n_with_k"),
     )
+
+
+@register(
+    "revenue_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group. F.percentile is
+    the exact form (sort-based within group) matching quantile_cont; at
+    100 TB switch to percentile_approx (t-digest sketch, single pass,
+    mergeable) — approximate answers have no cross-engine-stable oracle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "customer_order_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_last3
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def customer_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame aggregation: per-customer 3-order moving average
+    (rowsBetween frame, deterministic tiebreak on orderkey)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg_last3"),
+    )

@@ -311,3 +311,48 @@ class TestIvfStore:
 
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "bucket" in m.group(1), plan[:2000]
+
+
+class TestMultiBatchStreaming:
+    def test_state_accumulates_across_micro_batches(self, spark, sf_dir, tmp_path):
+        """Split events into 4 files; maxFilesPerTrigger=1 -> 4 micro-
+        batches. The applyInPandasWithState totals must converge to the
+        batch aggregate, proving state carries across batches (not one
+        batch recomputing everything)."""
+        from etlutil_spark.sources.testdata import load_table
+        from etlutil_spark.streaming.events import (
+            run_stream_query,
+            running_user_totals,
+        )
+
+        ev = load_table(spark, "events", sf_dir)
+        src_dir = str(tmp_path / "events_split")
+        ev.repartition(4).write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        got = run_stream_query(
+            running_user_totals(stream), query_name="t_multi", output_mode="update"
+        )
+        # update mode emits one row per user per batch that touched it;
+        # the LAST emission per user must equal the full batch aggregate
+        import pandas as pd
+
+        pdf = got.toPandas()
+        latest = (
+            pdf.groupby("user_id").last()[["n_events", "total_value"]].to_dict("index")
+        )
+        expect = {
+            r.user_id: (r.n, round(r.total, 6))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        got_map = {
+            k: (int(v["n_events"]), round(float(v["total_value"]), 6))
+            for k, v in latest.items()
+        }
+        assert got_map == expect
