@@ -109,3 +109,27 @@ def compact(
     plain-directory best effort."""
     df = spark.read.format(fmt).load(path)
     df.coalesce(target_files).write.mode("overwrite").format(fmt).save(path + "_compacted")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed catalog table: rows are hash-distributed into
+    ``n_buckets`` files by ``bucket_by`` at WRITE time, so any later
+    equi-join or aggregation on those keys between co-bucketed tables runs
+    with ZERO shuffle exchanges — the write pays the shuffle once, every
+    downstream join reuses it. The 100 TB pattern for fact-fact joins that
+    repeat (orders⋈lineitem on orderkey, daily).
+
+    Bucketing requires the session catalog (``saveAsTable``); plain
+    ``.save(path)`` silently drops bucket metadata."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

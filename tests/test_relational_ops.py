@@ -231,3 +231,39 @@ class TestJsonIngestEndToEnd:
         assert rows[1].created_at.year == 2024
         # extras survived as lossless JSON
         assert "zzz" in rows[1].extra_collected
+
+
+class TestBucketedJoin:
+    def test_cobucketed_join_has_no_shuffle(self, spark, sf_dir, tmp_path):
+        from etlutil_spark.sources.io import write_bucketed
+
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/warehouse'"
+        )
+        try:
+            li = load_table(spark, "lineitem", sf_dir).select(
+                "l_orderkey", "l_quantity"
+            )
+            o = load_table(spark, "orders", sf_dir).select(
+                "o_orderkey", "o_orderpriority"
+            )
+            write_bucketed(li, "bkt.li", bucket_by=["l_orderkey"], n_buckets=4)
+            write_bucketed(o, "bkt.o", bucket_by=["o_orderkey"], n_buckets=4)
+
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = spark.table("bkt.li").join(
+                    spark.table("bkt.o"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                n = joined.count()
+                assert n > 0
+                # co-bucketed equi-join: sort-merge with ZERO shuffle
+                # exchanges — the write-time distribution is reused
+                assert P.exchange_count(joined) == 0
+                assert P.broadcast_count(joined) == 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
