@@ -203,7 +203,11 @@ def minhash_lsh_pairs(
     # shingle sets. The exact shingle self-join (ngram_jaccard_pairs) would
     # recompute Jaccard for EVERY overlapping pair in the corpus; after LSH
     # pruning only |cands| pairs need it, which is the entire point of
-    # banding at scale.
+    # banding at scale. (A semi-join restricting re-shingling to candidate
+    # docs was measured SLOWER here: without materializing the candidate
+    # set it recomputes the whole banding lineage, and a localCheckpoint
+    # blocks AQE across the boundary — in a multi-step production job,
+    # persist the signatures/candidates table instead.)
     sets_ = ensure_min_partitions(df).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, n)).alias("s"),
