@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from etlutil_spark.functions.hashing import md5_bigint
 
-TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# unicode-aware: split on runs of non-letter/non-digit (any script), so
+# non-Latin text survives tokenization. \p{L}\p{N} behave identically in
+# Java regex (Spark) and RE2 (DuckDB oracle) — parity-tested.
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
 
 # tiny per-language stopword lexicons (public common-word lists), enough for
 # a deterministic heuristic over the synthetic `documents` table

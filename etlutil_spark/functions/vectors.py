@@ -26,16 +26,39 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _sql_double(v: float) -> str:
+    """Round-trip double literal for Spark SQL (D suffix = DoubleType)."""
+    return f"{float(v)!r}D"
+
+
+def dot_lit_sql(col_name: str, vec: list[float]) -> str:
+    """SQL text of the expanded literal dot product — built as ONE string and
+    parsed JVM-side in a single call. Building the same tree out of Python
+    Column objects costs ~2 py4j round-trips per vector element; for a
+    64-dim query that is ~150 driver calls per expression, which dominated
+    plan-construction time in the k-NN join. Term order matches the old
+    left-fold, so results are bit-identical."""
+    if not vec:
+        return "CAST(0.0 AS DOUBLE)"
+    c = f"`{col_name}`"
+    return "(" + " + ".join(
+        f"{c}[{i}] * {_sql_double(v)}" for i, v in enumerate(vec)
+    ) + ")"
+
+
 def dot_lit(a: Column | str, vec: list[float]) -> Column:
     """Dot product against a driver-side literal query vector.
 
     Expands to sum(a[i] * vec_i) — a flat codegen expression with zero array
     allocation, measurably faster than zip_with for a constant query vector.
+    String column names take the single-parse SQL fast path (see
+    ``dot_lit_sql``); Column inputs fall back to the tree builder.
     """
-    c = _c(a)
+    if isinstance(a, str):
+        return F.expr(dot_lit_sql(a, vec))
     expr = F.lit(0.0)
     for i, v in enumerate(vec):
-        expr = expr + c.getItem(i).cast("double") * F.lit(float(v))
+        expr = expr + a.getItem(i).cast("double") * F.lit(float(v))
     return expr
 
 

@@ -29,11 +29,24 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit i = (v . plane_i) >= 0. Pure expression."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    """Sign-bit bucket id: bit i = (v . plane_i) >= 0. Pure expression.
+
+    For string column names the whole bucket expression (n_planes expanded
+    dot products) is emitted as one SQL string and parsed JVM-side in a
+    single call — the Column-tree builder costs ~2 py4j round-trips per
+    vector element per plane, which was the dominant plan-construction cost
+    of the k-NN join (6 planes x 64 dims x 2 sides ~ 1.5k driver calls)."""
+    if isinstance(vec_col, str):
+        from etlutil_spark.functions.vectors import dot_lit_sql
+
+        bits = " + ".join(
+            f"shiftleft(IF({dot_lit_sql(vec_col, p)} >= 0, 1L, 0L), {i})"
+            for i, p in enumerate(planes)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {bits}" if bits else "CAST(0 AS BIGINT)")
     bucket = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
-        bit = F.when(dot_lit(c, p) >= 0, F.lit(1).cast("bigint")).otherwise(
+        bit = F.when(dot_lit(vec_col, p) >= 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         bucket = bucket + F.shiftleft(bit, i)
@@ -152,6 +165,10 @@ def knn_join(
 
     denom = F.col("_ln") * F.col("_rn")
     cos_sim = F.when(denom != 0, dot(F.col("_lv"), F.col("_rv")) / denom)
+    # no pair-level dedup needed: a right row's probe buckets (rb, rb^bit_i)
+    # are pairwise-distinct, so a (left, right) pair can match the left row's
+    # single bucket at most once — deduping here would re-shuffle the full
+    # candidate-pair set (the largest intermediate in the query) for nothing
     scored = (
         l_b.join(r_b, "_bucket")
         .where(F.col(left_id) != F.col(right_id))
@@ -160,7 +177,6 @@ def knn_join(
             right_id,
             F.round(cos_sim, 6).alias("cos_sim"),
         )
-        .dropDuplicates([left_id, right_id])
     )
     w = Window.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id))
     return (

@@ -726,7 +726,7 @@ def op_jsonify(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   h60(t)  = ('0x' || substr(md5(t),1,15))::BIGINT   (= Spark conv(md5,16,10))
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_DUCK_TOKENS = r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')"
 _DUCK_LANG_HITS = (
     "len(list_filter({toks}, t -> t IN ({words})))"
 )

@@ -267,3 +267,31 @@ class TestBucketedJoin:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         finally:
             spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+class TestCatalogPlanGuards:
+    """Catalog-wide scale invariant: no query may plan a cartesian product
+    or a broadcast-nested-loop join unless it is the documented exact
+    all-pairs baseline. Guards against a refactor silently turning a
+    banded/bucketed join back into O(n^2)."""
+
+    # exact all-pairs baselines by design (verification-scale only)
+    ALLPAIRS_OK = {"dedup_embedding_pairs"}
+
+    def test_no_accidental_cartesian_joins(self, spark, sf_dir):
+        from etlutil_spark.plans.inspect import formatted_plan
+        from etlutil_spark.queries import QUERIES
+
+        offenders = {}
+        for name, fn in sorted(QUERIES.items()):
+            if name in self.ALLPAIRS_OK:
+                continue
+            plan = formatted_plan(fn(spark, sf_dir))
+            bad = [
+                op
+                for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                if op in plan
+            ]
+            if bad:
+                offenders[name] = bad
+        assert not offenders, f"quadratic join shapes: {offenders}"
