@@ -142,10 +142,13 @@ def minhash_signatures(
     hashed = sh.select(
         id_col, (md5_bigint(F.col("shingle")) % F.lit(_MERSENNE31)).alias("h31")
     )
-    h31 = F.col("h31")
+    # one F.expr per permutation (not a Column tree): integer math parses to
+    # the identical expression, and single-string parsing avoids the ~8 py4j
+    # round-trips per column that made plan construction the visible cost of
+    # this operator at interactive scale
     mins = hashed.groupBy(id_col).agg(
         *[
-            F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"h{i}")
+            F.expr(f"min((h31 * {a}L + {b}L) % {_MERSENNE31}L)").alias(f"h{i}")
             for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
         ]
     )
@@ -175,16 +178,14 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.xxhash64(
-                    *[F.col("signature").getItem(i * rows + j) for j in range(rows)]
-                ).alias("band_hash"),
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            "named_struct('band_idx', {i}, 'band_hash', xxhash64({cols}))".format(
+                i=i,
+                cols=", ".join(f"signature[{i * rows + j}]" for j in range(rows)),
             )
             for i in range(bands)
-        ]
+        ) + ")"
     )
     banded = sig.select(id_col, F.explode(band_structs).alias("band")).select(
         id_col, "band.band_idx", "band.band_hash"
