@@ -1007,6 +1007,45 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, threshold=0.4)
 
 
+def _duck_embedding_lsh_sql(
+    threshold: float = 0.4, n_planes: int = 6, dim: int = 64
+) -> str:
+    """DuckDB replica of embedding_lsh_near_dup_pairs: same seeded
+    hyperplanes; the probe-explode candidate rule is hamming(bk_l, bk_r)<=1.
+    The oracle replicates the approximation itself, so parity is exact."""
+    from etlutil_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in pl)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({bucket}) AS bk FROM e)
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(list_dot_product(l.v, r.v) /
+                 (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cos_sim
+    FROM b l JOIN b r
+      ON bit_count(xor(l.bk::BIGINT, r.bk::BIGINT)) <= 1
+     AND l.vec_id < r.vec_id
+    WHERE round(list_dot_product(l.v, r.v) /
+                (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) >= {threshold}
+    """
+
+
+@register("dedup_embedding_lsh", _duck_embedding_lsh_sql())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane LSH banding — the scale path: the
+    only join is per-bucket equi (candidates within hamming 1), so the pair
+    stage is O(sum of bucket sizes squared), never corpus-squared."""
+    from etlutil_spark.operators.dedup import embedding_lsh_near_dup_pairs
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return embedding_lsh_near_dup_pairs(e, threshold=0.4, n_planes=6)
+
+
 @register(
     "sim_topk_bruteforce",
     f"""
