@@ -120,10 +120,18 @@ def lang_id(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """n-word shingles (space-joined), [] when fewer than n tokens."""
+    """n-word shingles (space-joined), [] when fewer than n tokens.
+
+    The sequence is only evaluated when size(t) >= n: an unguarded
+    sequence(1, size-(n-1)) yields a *descending* [1, 0] for short docs and
+    slice(t, 0, n) then throws INVALID_PARAMETER_VALUE.START at runtime.
+    """
     t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    return F.when(
+        F.size(t) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def doc_fingerprint(col: Column | str) -> Column:

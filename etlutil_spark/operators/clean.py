@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etlutil_spark.functions.hashing import fingerprint64, sha256_hex
+from etlutil_spark.functions.hashing import fingerprint64, md5_bigint, sha256_hex
 
 DEFAULT_REPLACEMENT = "replaced (etl)"
 DEFAULT_TRUNCATION_SUFFIX = "… truncated (etl)"
@@ -43,6 +43,10 @@ class CleanMode(str, Enum):
     REPLACE = "replace"
     HASH = "hash"
     FARM_FINGERPRINT = "farm_fingerprint"
+    # portable 60-bit md5 fingerprint (functions/hashing.py:md5_bigint):
+    # identical formula runs in any SQL engine, so this mode is
+    # oracle-checkable where farm_fingerprint (xxhash64) is Spark-only
+    FINGERPRINT_PORTABLE = "fingerprint_portable"
     EMPTY = "empty"
     DELETE = "delete"
 
@@ -101,6 +105,8 @@ def clean_columns(
             new = sha256_hex(col)
         elif mode is CleanMode.FARM_FINGERPRINT:
             new = fingerprint64(col)
+        elif mode is CleanMode.FINGERPRINT_PORTABLE:
+            new = md5_bigint(col)
         elif mode is CleanMode.EMPTY:
             new = F.lit(None).cast(dtype if not isinstance(dtype, T.StringType) else "string")
         else:  # pragma: no cover - DELETE handled structurally
@@ -114,7 +120,7 @@ def clean_columns(
         return guarded
 
     def _result_type(dtype: T.DataType, mode: CleanMode) -> str:
-        if mode is CleanMode.FARM_FINGERPRINT:
+        if mode in (CleanMode.FARM_FINGERPRINT, CleanMode.FINGERPRINT_PORTABLE):
             return "bigint"
         if mode is CleanMode.EMPTY:
             return dtype.simpleString()

@@ -608,15 +608,26 @@ def op_clean_replace_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op_clean_fingerprint")  # xxhash64 has no DuckDB analog: rows-only check
+@register(
+    "op_clean_fingerprint",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_name IS NULL OR c_name = '' THEN NULL
+                ELSE ('0x' || substr(md5(c_name), 1, 15))::BIGINT END AS c_name
+    FROM customer
+    """,
+)
 def op_clean_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """clean_dict farm_fingerprint mode (data_structures.py:1348-1353):
-    64-bit fingerprint via native xxhash64 (documented FarmHash64 stand-in)."""
+    """clean_dict fingerprint mode (data_structures.py:1348-1353) in the
+    PORTABLE variant: 60-bit md5 fingerprint (functions/hashing.py:35) whose
+    formula reproduces bit-exactly in any SQL engine, making the mode
+    oracle-checkable. The native farm_fingerprint mode (xxhash64, the
+    documented FarmHash64 stand-in) remains for Spark-only pipelines."""
     from etlutil_spark.operators.clean import clean_columns
 
     c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
     return clean_columns(
-        c, keys_to_clean=["c_name"], clean_mode="farm_fingerprint"
+        c, keys_to_clean=["c_name"], clean_mode="fingerprint_portable"
     )
 
 
@@ -1111,8 +1122,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (SELECT doc_id, encode(text) AS payload, 'text/plain' AS mime FROM documents)
     SELECT mime, COUNT(*) AS n_items,
-           SUM(octet_length(payload)) AS total_bytes,
-           MAX(octet_length(payload)) AS max_bytes
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
     FROM m GROUP BY mime
     """,
 )
@@ -1131,10 +1142,33 @@ def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(media)
 
 
-@register("multimodal_features")  # Arrow/pandas stub decoder: rows-only check
+@register(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, encode(text) AS payload, 'text/plain' AS mime
+      FROM documents),
+    h AS (
+      SELECT media_id, mime, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+             hex(payload) AS hx,
+             LEAST(octet_length(payload), 4096) AS nb
+      FROM m)
+    SELECT media_id, mime, n_bytes, 'stub' AS decoder,
+           CAST(length(list_filter(range(1, nb + 1),
+                i -> substr(hx, 2*i, 1) IN ('0', '8'))) AS BIGINT) AS f0_cnt
+    FROM h
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (stub decoder;
-    real codecs slot into the inner function without changing the plan)."""
+    real codecs slot into the inner function without changing the plan).
+
+    The oracle-checked column is the bucket-0 BYTE COUNT, not the
+    normalized float: the stub's feature f0 = round(c/total, 6) carries
+    < 5e-7 error, so round(f0 * total) recovers the exact integer c that
+    DuckDB can recount independently (low hex nibble of a byte in {0,8}
+    <=> byte % 8 == 0). Integers hash identically across engines where
+    re-rounded floats can tie-break differently (banker's vs half-away)."""
     from etlutil_spark.operators.multimodal import extract_features, wrap_binary
 
     d = load_table(spark, "documents", sf_dir)
@@ -1145,8 +1179,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         mime="text/plain",
     )
     feats = extract_features(media, decode_stub=True)
+    total = F.least(F.col("n_bytes"), F.lit(4096))
     return feats.select(
-        "media_id", "mime", "n_bytes", "decoder", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id",
+        "mime",
+        "n_bytes",
+        "decoder",
+        F.round(F.element_at("features", 1) * total, 0).cast("bigint").alias("f0_cnt"),
     )
 
 
@@ -1203,8 +1242,8 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM s)
     SELECT user_id, session_seq,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events,
            CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
     FROM sid GROUP BY 1, 2
@@ -1212,11 +1251,25 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) — lag/flag/running-sum window
-    form, one shuffle on user_id (operators/sessions.py)."""
+    form, one shuffle on user_id (operators/sessions.py).
+
+    Session bounds are emitted as second-precision formatted strings on
+    BOTH sides: the parquet ts is TIMESTAMP(NANOS), which Spark truncates
+    to micros at load while DuckDB keeps nanos — raw MIN/MAX timestamps
+    stringify differently under the driver's value hash even though they
+    name the same instants."""
     from etlutil_spark.operators.sessions import session_stats
 
     ev = load_table(spark, "events", sf_dir)
-    return session_stats(ev, "user_id", "ts", gap_minutes=30)
+    s = session_stats(ev, "user_id", "ts", gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "duration_s",
+    )
 
 
 @register(

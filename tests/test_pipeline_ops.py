@@ -80,6 +80,23 @@ class TestDedup:
         pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
         assert pairs.get((1, 4)) == 0
 
+    def test_short_docs_do_not_crash_shingles(self, spark):
+        # docs with < n tokens must yield [] shingles, not a runtime error
+        # (unguarded sequence(1, size-(n-1)) produces descending [1,0] and
+        # slice(t, 0, n) throws INVALID_PARAMETER_VALUE.START)
+        from etlutil_spark.functions.text import word_shingles
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "one"), (3, "just two"), (4, "now three tokens")],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.sh for r in df.select("doc_id", word_shingles("text").alias("sh")).collect()}
+        assert got[1] == [] and got[2] == [] and got[3] == []
+        assert got[4] == ["now three tokens"]
+        # the dedup entry points must survive short docs too
+        assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
+        assert minhash_lsh_pairs(df, "doc_id", "text", verify_threshold=0.5).count() == 0
+
     def test_embedding_near_dup(self, vecs):
         pairs = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dup_pairs(vecs, threshold=0.95).collect()}
         assert list(pairs) == [(0, 1)]
