@@ -74,10 +74,13 @@ def ngram_jaccard_pairs(
     before the self-join — at corpus scale the head of the shingle frequency
     distribution is what makes the join quadratic; dropping it bounds each
     join group. (Documents sharing ONLY ultra-common shingles then can't
-    pair — acceptable for near-dup detection.)
+    pair — acceptable for near-dup detection.) When the cap is set, Jaccard
+    is computed over the SURVIVING shingle universe: per-doc set sizes are
+    counted from the filtered table so numerator and denominator describe
+    the same sets (an unfiltered denominator would systematically
+    underestimate similarity and silently drop near-threshold pairs).
     """
     sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     if max_shingle_freq is not None:
         freq_ok = (
@@ -87,6 +90,8 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
+
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -204,15 +209,36 @@ def minhash_lsh_pairs(
     # shingle sets. The exact shingle self-join (ngram_jaccard_pairs) would
     # recompute Jaccard for EVERY overlapping pair in the corpus; after LSH
     # pruning only |cands| pairs need it, which is the entire point of
-    # banding at scale. (A semi-join restricting re-shingling to candidate
-    # docs was measured SLOWER here: without materializing the candidate
-    # set it recomputes the whole banding lineage, and a localCheckpoint
-    # blocks AQE across the boundary — in a multi-step production job,
-    # persist the signatures/candidates table instead.)
-    sets_ = ensure_min_partitions(df).select(
+    # banding at scale.
+    #
+    # The candidate set is MATERIALIZED LAZILY (localCheckpoint(eager=False)
+    # — it is tiny after banding) and its id set broadcast as a semi-join
+    # filter on the doc table, so re-shingling touches ONLY candidate docs.
+    # cands is referenced twice (broadcast-id side + pair-join probe side);
+    # the checkpoint computes banding once and — critically — truncates the
+    # LOGICAL plan immediately: the banding subtree (32 signature exprs +
+    # band structs) otherwise re-enters every downstream DataFrame op and
+    # each one pays multi-second re-analysis (measured 6.7 s of pure plan
+    # build at sf0.1). eager=False defers the actual job to the first
+    # action. The verify joins are then small-table joins instead of two
+    # full-corpus shuffles of array<string> payloads — the difference
+    # between sf0.1 and 100 TB survivability.
+    cands = cands.localCheckpoint(eager=False)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # NO size(s) > 0 guard here: a doc with zero shingles has no signature
+    # and can never be a candidate, so the predicate is redundant — and
+    # worse, Catalyst pushes it below the semi-join, evaluating the entire
+    # shingle pipeline against every corpus doc (the exact cost the
+    # semi-join exists to avoid).
+    sets_ = ensure_min_partitions(cand_docs).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, n)).alias("s"),
-    ).where(F.size("s") > 0)
+    )
     sa = sets_.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sets_.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))

@@ -885,20 +885,39 @@ _DUCK_SHINGLES = """
     "dedup_ngram_jaccard",
     _DUCK_SHINGLES
     + """
+    , freq_ok AS (
+      SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 50),
+    exf AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN freq_ok USING (shingle)),
+    szf AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id),
+    interf AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM exf a JOIN exf b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
     SELECT id_a, id_b,
            round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = id_a
-    JOIN sz sb ON sb.doc_id = id_b
+    FROM interf
+    JOIN szf sa ON sa.doc_id = id_a
+    JOIN szf sb ON sb.doc_id = id_b
     WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs at threshold 0.6."""
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.6.
+
+    ``max_shingle_freq=50`` is set in the REGISTERED query on purpose: the
+    shingle self-join is quadratic per shingle group, and at corpus scale
+    the stop-shingle head of the frequency distribution is the scale
+    killer. The cap bounds every join group at 50 docs (recall tradeoff:
+    docs sharing only ultra-common shingles can no longer pair). Jaccard
+    is over the surviving shingle universe on BOTH sides."""
     from etlutil_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, "documents", sf_dir)
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
+    )
 
 
 def _duck_minhash_lsh_sql(
