@@ -304,6 +304,14 @@ def simhash_pairs(
     join is per-slice equality, never all-pairs. Verified with bit_count."""
     if bits % bands:
         raise ValueError("bands must divide bits")
+    if max_hamming >= bands:
+        # the pigeonhole guarantee (>= 1 identical band) only holds for
+        # distances strictly below the band count — beyond it the banding
+        # join silently misses qualifying pairs
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}); "
+            "raise bands (or bits) to search larger hamming radii"
+        )
     width = bits // bands
     sh = simhash(df, id_col, text_col, bits=bits)
     mask = (1 << width) - 1
@@ -376,7 +384,7 @@ def embedding_lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs via hyperplane LSH — the scale path for
@@ -385,12 +393,23 @@ def embedding_lsh_near_dup_pairs(
     so the join is per-bucket equi, never all-pairs. Approximate by design:
     pairs whose buckets differ in >1 bit are not considered.
 
+    ``n_planes=None`` (default) sizes the bucket count from the corpus row
+    count (similarity.adaptive_n_planes) so per-bucket pair volume stays
+    bounded as the corpus grows; pass an explicit value when an oracle twin
+    must share the plane literals.
+
     ``id_a < id_b`` canonicalizes each unordered pair exactly once (each
     pair is seen from both sides of the self-join; the probe buckets of one
     row are pairwise-distinct so no per-side duplicates arise either)."""
     from etlutil_spark.functions.vectors import dot, norm
-    from etlutil_spark.operators.similarity import hyperplanes, lsh_bucket
+    from etlutil_spark.operators.similarity import (
+        adaptive_n_planes,
+        hyperplanes,
+        lsh_bucket,
+    )
 
+    if n_planes is None:
+        n_planes = adaptive_n_planes(docs.count())
     sample = docs.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = sample[0].d if sample else 0
     planes = hyperplanes(dim, n_planes, seed)
@@ -458,6 +477,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -482,7 +502,16 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent unconverged labels would diverge from exact transitive
+        # closure (components with diameter > max_iterations)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            "iterations — a component has a larger diameter; raise "
+            "max_iterations"
+        )
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
     )

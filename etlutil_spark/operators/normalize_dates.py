@@ -15,6 +15,12 @@ Rename semantics (matched against the reference):
   - first matching rule wins; unmatched columns pass through.
   - ``keep_original=True`` keeps the original column; the renamed one is
     emitted after it (reference writes new key after original).
+  - ``recursive=True`` descends into STRUCT columns/fields (the reference
+    descends nested dicts, NOT list items — data_structures.py:1671-1680),
+    renaming and converting matched fields inside the rebuilt struct.
+  - rename collisions resolve with dict semantics (last write wins, first
+    writer's position kept) at every nesting level, mirroring the
+    reference's ``result[new_k] = new_v`` behavior.
 """
 
 from __future__ import annotations
@@ -23,8 +29,9 @@ import re
 from collections.abc import Iterable, Mapping
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etlutil_spark.operators.casts import (
     DEFAULT_DATETIME_FORMATS,
@@ -86,26 +93,49 @@ def normalize_date_fields(
     df: DataFrame,
     rules: Iterable[Mapping[str, Any]],
     *,
+    recursive: bool = False,
     strict: bool = False,
     keep_original: bool = False,
     datetime_formats: tuple[str, ...] = DEFAULT_DATETIME_FORMATS,
 ) -> DataFrame:
-    """Rename + convert date/timestamp columns in one projection."""
+    """Rename + convert date/timestamp columns in one projection.
+
+    Still a single projection with ``recursive=True``: nested structs are
+    rebuilt as expressions, so the operator's cost stays the cast
+    expressions themselves (no shuffle, full codegen)."""
     compiled = [_compile_rule(r) for r in rules]
 
-    select_list = []
-    for name in df.columns:
+    def apply_rules(name: str, value: Column, entries: dict[str, Column]) -> None:
+        # `entries` is insertion-ordered; assigning an existing key updates
+        # in place — exactly the reference dict's last-write-wins collision
+        # behavior (data_structures.py:1671-1680)
         outcome = next(
             (res for m in compiled if (res := m(name)) is not None), None
         )
         if outcome is None:
-            select_list.append(F.col(name))
-            continue
+            entries[name] = value
+            return
         new_name, convert = outcome
-        expr = cast_expr(F.col(name), convert, datetime_formats=datetime_formats)
+        expr = cast_expr(value, convert, datetime_formats=datetime_formats)
         if strict:
-            expr = _strict_wrap(F.col(name), expr, name, convert)
+            expr = _strict_wrap(value, expr, name, convert)
         if keep_original and new_name != name:
-            select_list.append(F.col(name))
-        select_list.append(expr.alias(new_name))
-    return df.select(*select_list)
+            entries[name] = value
+        entries[new_name] = expr
+
+    def rewrite_struct(value: Column, dtype: T.StructType) -> Column:
+        entries: dict[str, Column] = {}
+        for f in dtype.fields:
+            child = value.getField(f.name)
+            if recursive and isinstance(f.dataType, T.StructType):
+                child = rewrite_struct(child, f.dataType)
+            apply_rules(f.name, child, entries)
+        return F.struct(*[c.alias(n) for n, c in entries.items()])
+
+    entries: dict[str, Column] = {}
+    for field in df.schema.fields:
+        value = F.col(field.name)
+        if recursive and isinstance(field.dataType, T.StructType):
+            value = rewrite_struct(value, field.dataType)
+        apply_rules(field.name, value, entries)
+    return df.select(*[c.alias(n) for n, c in entries.items()])

@@ -15,9 +15,12 @@ reproducible by a SQL oracle (lag/sum are ANSI), which session_window's
 merge semantics are not guaranteed to be across engines.
 
 At 100 TB: the only shuffle is partitionBy(key); skewed keys (one user =
-half the events) are the risk — mitigate by salting the key with a
-coarse time bucket (day) when a single key's events exceed a partition,
-then stitching adjacent sessions across bucket edges.
+half the events) are the risk. ``session_stats(salted=True)`` implements
+the mitigation: partition by (key, day) so no single task ever holds more
+than one key-day of events, then stitch sessions that straddle midnight
+with a second, tiny gap-merge pass over the per-day SESSION rows (orders
+of magnitude fewer rows than events — the skew is gone before the
+per-key window runs).
 """
 
 from __future__ import annotations
@@ -57,10 +60,17 @@ def session_stats(
     ts_col: str,
     *,
     gap_minutes: int = 30,
+    salted: bool = False,
 ) -> DataFrame:
     """Collapse events into one row per (key, session): bounds, size,
     duration seconds. Two stages, one shuffle total (the groupBy reuses
-    the window's hash partitioning on the key)."""
+    the window's hash partitioning on the key).
+
+    ``salted=True`` produces the IDENTICAL result via the skew-safe plan
+    (:func:`session_stats_salted`): use it when one key can hold a
+    partition-breaking share of events."""
+    if salted:
+        return session_stats_salted(df, key_col, ts_col, gap_minutes=gap_minutes)
     s = with_session_id(df, key_col, ts_col, gap_minutes=gap_minutes)
     return s.groupBy(key_col, "session_seq").agg(
         F.min(ts_col).alias("session_start"),
@@ -69,4 +79,76 @@ def session_stats(
         (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias(
             "duration_s"
         ),
+    )
+
+
+def session_stats_salted(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Skew-safe sessionization: day-bucket salt + boundary stitching.
+
+    Phase 1 partitions by (key, DAY) — no task ever sorts more than one
+    key-day of events, so a single hot key (one user = half the corpus)
+    can no longer break the per-key window. Sessions that straddle
+    midnight come out split; phase 2 re-runs the SAME gap rule over the
+    per-day session rows (start vs previous end) and merges the splits.
+    Phase 2's window partitions by key alone, but its input is session
+    rows — bounded by ~(86400/gap) rows per key-day regardless of event
+    volume, so the skew cannot reappear there.
+
+    Exactly equivalent to the unsalted form: a day boundary only splits a
+    session whose adjacent events are <= gap apart, and exactly those
+    splits are re-merged by the identical gap predicate in phase 2.
+    Output schema and numbering match :func:`session_stats`."""
+    day = F.to_date(F.col(ts_col)).alias("_day")
+    w = Window.partitionBy(key_col, "_day").orderBy(F.col(ts_col))
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap_s = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    is_new = F.when(
+        prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = (
+        Window.partitionBy(key_col, "_day")
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    day_sessions = (
+        df.select(key_col, F.col(ts_col), day)
+        .withColumn("_seq", F.sum(is_new).over(run))
+        .groupBy(key_col, "_day", "_seq")
+        .agg(
+            F.min(ts_col).alias("_start"),
+            F.max(ts_col).alias("_end"),
+            F.count("*").alias("_n"),
+        )
+    )
+    # phase 2: gap-merge over session rows (tiny), same rule on start vs
+    # previous session's end
+    w2 = Window.partitionBy(key_col).orderBy(F.col("_start"))
+    prev_end = F.lag(F.col("_end")).over(w2)
+    stitch_new = F.when(
+        prev_end.isNull()
+        | (F.col("_start").cast("long") - prev_end.cast("long") > gap_minutes * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run2 = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        day_sessions.withColumn("session_seq", F.sum(stitch_new).over(run2))
+        .groupBy(key_col, "session_seq")
+        .agg(
+            F.min("_start").alias("session_start"),
+            F.max("_end").alias("session_end"),
+            F.sum("_n").alias("n_events"),
+            (
+                F.max(F.col("_end").cast("long")) - F.min(F.col("_start").cast("long"))
+            ).alias("duration_s"),
+        )
     )

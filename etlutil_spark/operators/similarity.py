@@ -28,6 +28,34 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def adaptive_n_planes(
+    n_rows: int,
+    *,
+    target_rows_per_bucket: int = 1024,
+    min_planes: int = 2,
+    max_planes: int = 24,
+) -> int:
+    """Plane count that keeps expected bucket occupancy bounded.
+
+    A FIXED plane count is the quiet scale bug of hyperplane LSH: with B =
+    2^n_planes buckets, per-bucket candidate pairs grow O(n^2 / B), so a
+    corpus 100x larger needs ~log2(100) ~ 7 more planes to keep the join
+    groups the same size. ceil(log2(n_rows / target)) targets ~`target`
+    rows per bucket; the [min, max] clamp keeps tiny inputs from degrading
+    to brute force and bounds the bucket-id width (24 planes = 16M buckets
+    ~ 1e10 rows at the default target). Recall falls as planes grow —
+    multiprobe (1-bit neighbors, already used by the join operators)
+    compensates."""
+    import math
+
+    if n_rows <= target_rows_per_bucket:
+        return min_planes
+    return min(
+        max_planes,
+        max(min_planes, math.ceil(math.log2(n_rows / target_rows_per_bucket))),
+    )
+
+
 def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit i = (v . plane_i) >= 0. Pure expression.
 
@@ -127,12 +155,20 @@ def knn_join(
     left_id: str = "id_a",
     right_id: str = "id_b",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Bucketed k-NN join: for each left row, top-k right rows by cosine,
     candidates restricted to the same LSH bucket (plus right rows whose
-    bucket differs in one bit, via explode of probe buckets)."""
+    bucket differs in one bit, via explode of probe buckets).
+
+    ``n_planes=None`` (default) sizes the bucket count from the RIGHT side's
+    row count via :func:`adaptive_n_planes` — per-bucket candidate volume
+    then stays bounded as the corpus grows instead of scaling O(n^2/2^k)
+    with a fixed k. The count is one metadata-cheap job; pass an explicit
+    ``n_planes`` to skip it (e.g. when an oracle twin must share literals)."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(right.count())
     sample = left.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = sample[0].d if sample else 0
     planes = hyperplanes(dim, n_planes, seed)

@@ -7,9 +7,19 @@ AQE can't fix — a broadcast-ineligible join where ONE key holds a double-
 digit percent of all rows (the power-law head of user_id/domain/token
 distributions in web-scale corpora):
 
-  - fact side: append a uniform salt in [0, n) to the key;
+  - fact side: append a salt in [0, n) to the key;
   - dim side: explode each row into all n salt values;
   - join on (key, salt) — the hot key's rows now spread over n partitions.
+
+The salt is DETERMINISTIC: ``pmod(xxhash64(row columns), n)``. A
+nondeterministic ``rand()`` ahead of a shuffle is the classic
+retry-correctness hazard — when a task retries or a stage recomputes, the
+recomputed partitions re-roll their salts and rows can be double-counted
+or dropped. Content-derived salts reproduce identically on any replay, so
+salted operators stay exactly-once under failures. (Rows identical in
+every salt-input column share a salt — harmless: duplicates co-locating
+does not change results, only worst-case balance for pathological
+all-duplicate keys.)
 
 Aggregation skew uses the two-phase form: partial agg on (key, salt), then
 final agg on key — the map-side combine Spark already does for algebraic
@@ -23,11 +33,33 @@ from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
 
+#: allowed phase-2 merge ops for :func:`salted_agg`; anything else (avg,
+#: stddev, countDistinct, ...) is not mergeable from per-salt partials by a
+#: single op and must be decomposed by the caller (avg = sum + count).
+COMBINERS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
 
-def with_salt(df: DataFrame, n_salts: int, *, salt_col: str = SALT_COL) -> DataFrame:
-    """Uniform random salt in [0, n_salts). Non-deterministic by design —
-    it only routes rows, never appears in results."""
-    return df.withColumn(salt_col, (F.rand() * n_salts).cast("int"))
+
+def _salt_expr(df: DataFrame, n_salts: int, salt_on: list[str] | None) -> Column:
+    cols = [F.col(c) for c in (salt_on or df.columns)]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    *,
+    salt_col: str = SALT_COL,
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic salt in [0, n_salts) derived from row content
+    (xxhash64 over ``salt_on`` columns, default: all columns). It only
+    routes rows, never appears in results — but unlike ``rand()`` it
+    reproduces identically on task retry / stage recompute."""
+    return df.withColumn(salt_col, _salt_expr(df, n_salts, salt_on))
 
 
 def explode_salt(df: DataFrame, n_salts: int, *, salt_col: str = SALT_COL) -> DataFrame:
@@ -64,29 +96,40 @@ def salted_join(
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     *,
     n_salts: int = 8,
 ) -> DataFrame:
-    """Two-phase aggregation for skewed keys, for aggregates where the
-    partial/final split is expressible: pass phase-1 expressions in
-    ``aggs`` (name -> Column over raw rows); phase 2 re-aggregates the
-    named partials with the matching combiner, which the caller selects by
-    convention: sum->sum, count->sum, min->min, max->max.
+    """Two-phase aggregation for skewed keys.
+
+    ``aggs`` maps each output name to an EXPLICIT ``(phase1, combiner)``
+    pair: the phase-1 aggregate runs over raw rows grouped by
+    (keys, salt); the combiner — one of ``'sum' | 'min' | 'max'`` — merges
+    the per-salt partials per key. Making the combiner explicit (instead
+    of inferring it from an alias prefix) turns the
+    wrong-combiner-silently-wrong-answer footgun into a build-time
+    ValueError: non-mergeable aggregates like ``avg`` have no valid
+    combiner and must be decomposed (avg = sum partial / count partial,
+    merged by sum each).
 
     For algebraic aggregates Spark's partial aggregation already does
-    this; use salted_agg when a single key's groups state (collect_list,
+    this; use salted_agg when a single key's group state (collect_list,
     exact distinct sets) must be split across tasks."""
+    for name, pair in aggs.items():
+        if not (isinstance(pair, tuple) and len(pair) == 2):
+            raise TypeError(
+                f"aggs[{name!r}] must be a (phase1_column, combiner) tuple; "
+                f"got {type(pair).__name__}"
+            )
+        if pair[1] not in COMBINERS:
+            raise ValueError(
+                f"aggs[{name!r}]: unsupported combiner {pair[1]!r} — pick one "
+                f"of {sorted(COMBINERS)}; non-mergeable aggregates (avg, "
+                "stddev, countDistinct, ...) must be decomposed into "
+                "mergeable partials"
+            )
     phase1 = df.groupBy(
-        *keys, (F.rand() * n_salts).cast("int").alias(SALT_COL)
-    ).agg(*[c.alias(name) for name, c in aggs.items()])
-    # combiner convention: the phase-1 alias encodes the merge op
-    merged = []
-    for name in aggs:
-        if name.startswith(("min_",)):
-            merged.append(F.min(name).alias(name))
-        elif name.startswith(("max_",)):
-            merged.append(F.max(name).alias(name))
-        else:  # sums and counts both merge by sum
-            merged.append(F.sum(name).alias(name))
+        *keys, _salt_expr(df, n_salts, None).alias(SALT_COL)
+    ).agg(*[c.alias(name) for name, (c, _) in aggs.items()])
+    merged = [COMBINERS[comb](name).alias(name) for name, (_, comb) in aggs.items()]
     return phase1.groupBy(*keys).agg(*merged)

@@ -548,6 +548,52 @@ def op_normalize_date_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_normalize_dates_recursive",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS datetime_created,
+           o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_updated
+    FROM orders
+    """,
+)
+def op_normalize_dates_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_date_fields(recursive=True): descends nested structs (the
+    reference descends nested dicts, data_structures.py:1671-1680), renaming
+    and converting suffix-matched fields at every depth. The final select
+    flattens the rebuilt struct so the driver compare stays on scalar
+    columns; the rename inside the struct is what's being verified (a miss
+    would surface as a resolution error or NULLs)."""
+    from etlutil_spark.operators.normalize_dates import normalize_date_fields
+
+    o = load_table(spark, "orders", sf_dir)
+    raw = o.select(
+        "o_orderkey",
+        F.struct(
+            F.unix_timestamp("o_orderdate").alias("created_at"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.unix_timestamp("o_orderdate").alias("updated_time")
+            ).alias("inner"),
+        ).alias("meta"),
+    )
+    out = normalize_date_fields(
+        raw,
+        [
+            {"suffix": "_at", "convert": "timestamp_to_iso", "target": "datetime"},
+            {"suffix": "_time", "convert": "timestamp_to_iso_date", "target": "date"},
+        ],
+        recursive=True,
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("meta.datetime_created").alias("datetime_created"),
+        F.col("meta.status").alias("status"),
+        F.col("meta.inner.date_updated").alias("date_updated"),
+    )
+
+
+@register(
     "op_clean_hash_skip_rules",
     """
     SELECT c_custkey,
@@ -1292,6 +1338,48 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_users_salted",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sid AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s)
+    SELECT user_id, session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+    FROM sid GROUP BY 1, 2
+    """,
+)
+def sessionize_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe sessionization plan (day-bucket salt + boundary
+    stitching, operators/sessions.py:session_stats_salted), verified
+    against the SAME oracle as the unsalted form — the salt must only
+    change row routing, never the result."""
+    from etlutil_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    s = session_stats(ev, "user_id", "ts", gap_minutes=30, salted=True)
+    return s.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "duration_s",
+    )
+
+
+@register(
     "pricing_rollup",
     """
     SELECT l_returnflag, l_linestatus,
@@ -1499,8 +1587,8 @@ def salted_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         {
-            "n_events": F.count("*"),
-            "total_value": F.sum(F.col("value").cast("decimal(38,9)")),
+            "n_events": (F.count("*"), "sum"),
+            "total_value": (F.sum(F.col("value").cast("decimal(38,9)")), "sum"),
         },
         n_salts=8,
     )

@@ -275,6 +275,41 @@ class TestNormalizeDates:
                 spark.range(1), [{"convert": "date", "target": "x"}]
             )
 
+    def test_recursive_descends_structs_not_arrays(self, spark):
+        df = spark.createDataFrame(
+            [(1, (1735056631, "k", (1735056631,)), [(1735056631,)])],
+            "id bigint, "
+            "meta struct<created_at: bigint, keep: string, inner: struct<updated_at: bigint>>, "
+            "arr array<struct<seen_at: bigint>>",
+        )
+        rules = [{"suffix": "_at", "convert": "timestamp_to_iso_date", "target": "date"}]
+        out = normalize_date_fields(df, rules, recursive=True)
+        row = out.collect()[0]
+        assert out.schema["meta"].dataType.names == ["date_created", "keep", "inner"]
+        assert row.meta.date_created == "2024-12-24"
+        assert row.meta.inner.date_updated == "2024-12-24"
+        # arrays are NOT descended (reference skips list items)
+        assert out.schema["arr"].dataType.elementType.names == ["seen_at"]
+
+    def test_recursive_off_leaves_structs_untouched(self, spark):
+        df = spark.createDataFrame(
+            [((1735056631,),)], "meta struct<created_at: bigint>"
+        )
+        rules = [{"suffix": "_at", "convert": "timestamp_to_iso_date", "target": "date"}]
+        out = normalize_date_fields(df, rules)
+        assert out.schema["meta"].dataType.names == ["created_at"]
+
+    def test_recursive_keep_original_inside_struct(self, spark):
+        df = spark.createDataFrame(
+            [((1735056631,),)], "meta struct<created_at: bigint>"
+        )
+        rules = [{"suffix": "_at", "convert": "timestamp_to_iso_date", "target": "date"}]
+        out = normalize_date_fields(df, rules, recursive=True, keep_original=True)
+        assert out.schema["meta"].dataType.names == ["created_at", "date_created"]
+        row = out.collect()[0]
+        assert row.meta.created_at == 1735056631
+        assert row.meta.date_created == "2024-12-24"
+
 
 class TestWalk:
     def test_schema_tree_shape(self, nested_df):

@@ -80,6 +80,24 @@ class TestDedup:
         pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
         assert pairs.get((1, 4)) == 0
 
+    def test_simhash_pairs_rejects_unreachable_hamming(self, docs):
+        # pigeonhole banding only guarantees recall for max_hamming < bands
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
+
+    def test_duplicate_clusters_raises_when_unconverged(self, spark):
+        from etlutil_spark.operators.dedup import duplicate_clusters
+
+        # a path graph of diameter 5 cannot converge in 1 iteration
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "id_a bigint, id_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            duplicate_clusters(pairs, max_iterations=1)
+        # and converges fine with the default budget
+        got = duplicate_clusters(pairs).collect()
+        assert {r.cluster_id for r in got} == {0}
+
     def test_short_docs_do_not_crash_shingles(self, spark):
         # docs with < n tokens must yield [] shingles, not a runtime error
         # (unguarded sequence(1, size-(n-1)) produces descending [1,0] and
@@ -119,6 +137,29 @@ class TestSimilarity:
         out = knn_join(left, right, k=2, n_planes=3)
         got = out.where(F.col("id_a") == 0).collect()
         assert got and got[0].id_b == 1  # nearest neighbor of 0 is 1
+
+    def test_knn_join_adaptive_planes(self, vecs):
+        # n_planes=None must derive plane count from the right side and
+        # still produce correct neighbors on a tiny input (min_planes floor)
+        left = vecs.selectExpr("vec_id as id_a", "embedding")
+        right = vecs.selectExpr("vec_id as id_b", "embedding")
+        got = knn_join(left, right, k=2).where(F.col("id_a") == 0).collect()
+        assert got and got[0].id_b == 1
+
+    def test_adaptive_n_planes_scales_with_corpus(self):
+        from etlutil_spark.operators.similarity import adaptive_n_planes
+
+        tiny = adaptive_n_planes(500)
+        mid = adaptive_n_planes(1_000_000)
+        big = adaptive_n_planes(100_000_000)
+        assert tiny == 2  # floor: tiny corpora shouldn't over-bucket
+        assert tiny < mid < big
+        # bucket occupancy stays bounded: rows / 2^planes <= ~target
+        for n in (10_000, 1_000_000, 100_000_000, 10_000_000_000):
+            planes = adaptive_n_planes(n)
+            if planes < 24:  # inside the clamp, occupancy is the invariant
+                assert n / (2 ** planes) <= 1024
+        assert adaptive_n_planes(10**12) == 24  # width clamp holds
 
 
 class TestTextAnalysis:
@@ -187,6 +228,39 @@ class TestMultimodal:
         rows = plan.where(F.col("media_id") == 1).collect()
         assert [r.frame_idx for r in rows] == list(range(len(rows)))
         assert all(r.byte_offset == r.frame_idx * 16 for r in rows)
+
+
+class TestSessionsSalted:
+    def test_salted_equals_unsalted_on_events(self, spark, sf_dir):
+        from etlutil_spark.operators.sessions import session_stats
+        from etlutil_spark.sources.testdata import load_table
+
+        ev = load_table(spark, "events", sf_dir)
+        plain = {tuple(r) for r in session_stats(ev, "user_id", "ts").collect()}
+        salted = {
+            tuple(r)
+            for r in session_stats(ev, "user_id", "ts", salted=True).collect()
+        }
+        assert plain == salted
+
+    def test_salted_stitches_midnight_straddler(self, spark):
+        from etlutil_spark.operators.sessions import session_stats
+
+        # one session straddling midnight (10-min gaps), one separate next day
+        rows = [
+            (1, "2024-01-01 23:45:00"),
+            (1, "2024-01-01 23:55:00"),
+            (1, "2024-01-02 00:05:00"),  # same session, next day bucket
+            (1, "2024-01-02 09:00:00"),  # new session
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts string").select(
+            "user_id", F.to_timestamp("ts").alias("ts")
+        )
+        got = {
+            (r.session_seq, r.n_events)
+            for r in session_stats(df, "user_id", "ts", salted=True).collect()
+        }
+        assert got == {(1, 3), (2, 1)}
 
 
 class TestStreaming:

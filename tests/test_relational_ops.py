@@ -167,6 +167,68 @@ class TestPlanQuality:
         P.assert_compiles_within_codegen_limits(sig)
         assert P.codegen_stage_count(sig) >= 1
 
+    def test_minhash_verify_reshingles_candidates_not_corpus(self, spark, sf_dir):
+        """Regression for the verify-stage scale fix: the doc-table scans
+        feeding the verify joins must be filtered by a broadcast LEFT-SEMI
+        join on the candidate ids (so shingling runs on candidates only),
+        and the expensive shingle pipeline must not be pushed below it as
+        a scan filter."""
+        from etlutil_spark.operators.dedup import minhash_lsh_pairs
+
+        d = load_table(spark, "documents", sf_dir)
+        out = minhash_lsh_pairs(d, "doc_id", "text", verify_threshold=0.6)
+        plan = P.formatted_plan(out)
+        assert "BroadcastHashJoin LeftSemi" in plan
+        # no parquet-scan data filter may contain the tokenizer regex —
+        # that's the shingle pipeline leaking below the semi-join
+        for m in __import__("re").finditer(r"Condition : (.+)", plan):
+            if "Scan parquet" in plan[: m.start()][-600:]:
+                assert "split(lower" not in m.group(1)
+
+    def test_ngram_jaccard_capped_join_filters_before_selfjoin(self, spark, sf_dir):
+        """The registered freq cap must bound the self-join: the plan joins
+        the shingle table against the surviving-shingle set before any
+        id_a/id_b pairing (visible as >= 2 joins over the shingle column)."""
+        from etlutil_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = load_table(spark, "documents", sf_dir)
+        out = ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=0.6, max_shingle_freq=50
+        )
+        # correctness of the cap itself: equal to uncapped on this corpus
+        # only where no shingle exceeds the cap — just assert it runs and
+        # produces the pair set the oracle checks; here assert plan shape
+        plan = P.formatted_plan(out)
+        assert plan.count("HashAggregate") >= 4  # freq agg + sizes + inter
+
+    def test_knn_join_single_bucket_shuffle(self, spark, sf_dir):
+        """knn_join's only wide exchanges are the bucket join + the top-k
+        window — no stray repartitions sneaking in."""
+        from etlutil_spark.operators.similarity import knn_join
+
+        e = load_table(spark, "embeddings", sf_dir)
+        left = e.selectExpr("vec_id as id_a", "embedding")
+        right = e.selectExpr("vec_id as id_b", "embedding")
+        out = knn_join(left, right, k=3, n_planes=4)
+        out.collect()
+        assert P.exchange_count(out) <= 4
+
+    def test_sessionize_single_shuffle(self, spark, sf_dir):
+        ev = load_table(spark, "events", sf_dir)
+        out = session_stats(ev, "user_id", "ts")
+        out.collect()
+        # window + groupBy share the user_id hash partitioning: ONE shuffle
+        assert P.exchange_count(out) == 1
+
+    def test_docs_token_stats_shuffle_free(self, spark, sf_dir):
+        from etlutil_spark.queries import QUERIES
+
+        df = QUERIES["docs_token_stats"](spark, sf_dir)
+        df.collect()
+        # pure projection (+ optional round-robin spread): no hash shuffle
+        assert P.exchange_count(df) <= 1
+        P.assert_scan_pruned(df, {"doc_id", "text"})
+
 
 class TestSkew:
     def test_salted_join_equals_plain_join(self, spark, sf_dir):
@@ -191,6 +253,49 @@ class TestSkew:
         got = salted_join(f, d, ["k"], n_salts=4, how="left").collect()
         by_k = {r.k: r.name for r in got}
         assert by_k == {1: "dim", 2: None}
+
+    def test_salted_agg_explicit_combiners(self, spark):
+        from etlutil_spark.operators.skew import salted_agg
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(10)] + [("b", 100)], "k string, v int"
+        )
+        got = {
+            r.k: (r.n, r.total, r.lo, r.hi)
+            for r in salted_agg(
+                df,
+                ["k"],
+                {
+                    "n": (F.count("*"), "sum"),
+                    "total": (F.sum("v"), "sum"),
+                    "lo": (F.min("v"), "min"),
+                    "hi": (F.max("v"), "max"),
+                },
+                n_salts=4,
+            ).collect()
+        }
+        assert got == {"a": (10, 45, 0, 9), "b": (1, 100, 100, 100)}
+
+    def test_salted_agg_rejects_nonmergeable_combiner(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.skew import salted_agg
+
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        with _pytest.raises(ValueError, match="avg"):
+            salted_agg(df, ["k"], {"m": (F.avg("v"), "avg")})
+        with _pytest.raises(TypeError, match="tuple"):
+            salted_agg(df, ["k"], {"m": F.avg("v")})
+
+    def test_salt_is_deterministic(self, spark):
+        from etlutil_spark.operators.skew import with_salt
+
+        df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k int, v string")
+        a = {r.k: r._salt for r in with_salt(df, 8).collect()}
+        b = {r.k: r._salt for r in with_salt(df, 8).collect()}
+        assert a == b  # content-derived, reproducible on recompute
+        assert all(0 <= s < 8 for s in a.values())
+        assert len(set(a.values())) > 1  # actually spreads
 
 
 class TestJsonIngestEndToEnd:
