@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "knn_join_topk",
+    "docs_contamination",
+    "docs_pack_token_budget",
 ]
 
 

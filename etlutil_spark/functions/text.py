@@ -134,6 +134,54 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def dup_token_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token — the
+    cheapest repetition signal (Gopher-style quality filters cut docs
+    where it is high). NULL for empty docs."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.round(1.0 - F.size(F.array_distinct(t)) / F.size(t), 6),
+    )
+
+
+def dup_ngram_ratio(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are duplicates of an earlier n-gram
+    (phrase-level repetition: loops, boilerplate, degenerate generations).
+    NULL for docs with fewer than n tokens."""
+    g = word_shingles(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 6),
+    )
+
+
+# deliberately simple, engine-portable patterns: identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle) — no lookaround, no backrefs
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    col: Column | str,
+    *,
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+    marker: str = "[PII]",
+) -> Column:
+    """Replace every match of the selected PII patterns with ``marker``.
+
+    A chain of regexp_replace calls — pure codegen, no UDF; order is the
+    ``kinds`` tuple order (emails before phones so a phone-looking local
+    part can't bite a half-redacted email)."""
+    out = _c(col)
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], marker)
+    return out
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-invariant 60-bit content fingerprint: xor-free additive mix of
     distinct-token hashes (portable: same formula runs in DuckDB)."""

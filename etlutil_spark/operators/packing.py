@@ -1,0 +1,77 @@
+"""Sequence packing: group documents into token-budget bins.
+
+Training pipelines concatenate documents into fixed-length sequences
+(e.g. 4096-token windows); the planning half of that job — deciding WHICH
+docs share a bin — is a pure data transform that must scale and be
+deterministic. Optimal bin packing is NP-hard and inherently sequential;
+the distributed-friendly standard is NEXT-FIT over a deterministic
+order: sort the stream (within a group), take a running token total, and
+cut a new pack every time the total crosses the budget.
+
+Spark shape: one window (running sum over docs ordered by id within the
+group) — a single shuffle on the group key, exactly the sessionization
+cost profile. A doc larger than the whole budget gets a pack of its own
+(next-fit never splits documents; splitting/truncating belongs to the
+tokenizer stage downstream).
+
+The cut rule is ``pack_id = floor((cumsum - n_tokens) / budget)``: a doc
+opens at offset (cumsum - n_tokens) and joins the pack that offset falls
+in, so packs can overflow the budget by at most one document's tail —
+the standard next-fit bound — and every engine with window functions
+reproduces the assignment bit-for-bit (DuckDB oracle twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etlutil_spark.functions.text import token_count
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    *,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign each doc a ``pack_id`` so consecutive docs (by ``id_col``
+    within ``group_col``) share a pack until ``budget`` tokens is crossed.
+
+    Pass ``n_tokens_col`` to reuse a precomputed token count; otherwise
+    the whitespace/punct tokenizer (functions/text.py) counts inline.
+    Returns the input plus (n_tokens, pack_id, pack_offset)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tok = (
+        F.col(n_tokens_col) if n_tokens_col else token_count(text_col)
+    ).alias("n_tokens")
+    keys = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tok = df.withColumn("n_tokens", n_tok)
+    cum = F.sum("n_tokens").over(w)
+    offset = (cum - F.col("n_tokens")).alias("pack_offset")
+    return with_tok.select(
+        "*",
+        offset,
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("pack_id"),
+    )
+
+
+def pack_stats(packed: DataFrame, *, group_col: str | None = None) -> DataFrame:
+    """Per-pack summary (doc count, token total, budget utilization input):
+    one aggregate over the packing keys."""
+    keys = ([group_col] if group_col else []) + ["pack_id"]
+    return packed.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("pack_offset").alias("start_offset"),
+    )

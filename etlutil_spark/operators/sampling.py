@@ -1,0 +1,111 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+``df.sample()`` is nondeterministic across retries and cluster layouts —
+unacceptable for training data, where a resampled pipeline must produce
+the SAME corpus (reproducibility, dedup against previous runs, leakage
+audits). Everything here derives decisions from a content hash instead:
+
+  - hash is the portable 60-bit md5 family (functions/hashing.py), so the
+    exact sample is reproducible in any engine (DuckDB oracle twins) and
+    across Spark versions;
+  - decisions are per-row map-side expressions — zero shuffles, pure
+    codegen, trivially parallel at any scale;
+  - a seed string namespaces the hash so independent samples of the same
+    table are independent.
+
+The same mechanism powers train/eval/test splitting (hash-range
+assignment): unlike random splits, a row's split NEVER changes when the
+corpus grows — the property that prevents eval contamination across
+dataset releases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etlutil_spark.functions.hashing import md5_bigint
+
+# md5_bigint yields 60-bit non-negative values
+_HASH_SPACE = float(2**60)
+
+
+def _unit_hash(key_col: Column | str, seed: str) -> Column:
+    """Deterministic uniform [0, 1) value per key."""
+    return md5_bigint(key_col, seed=seed) / F.lit(_HASH_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    *,
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by content hash of ``key_col``.
+
+    Reproducible on retry, across cluster layouts, and across engines;
+    a row's fate depends only on (key, seed). Map-side filter — the
+    predicate reaches the scan, so at 100 TB the discarded rows still get
+    read (hash needs the key) but never shuffle anywhere."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_unit_hash(key_col, seed) < F.lit(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    *,
+    default_rate: float = 0.0,
+    seed: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language/source rebalancing
+    primitive (downsample the English firehose, keep all of the rare
+    languages). ``rates`` maps stratum value -> keep rate; strata not
+    listed keep ``default_rate``. One when-chain, zero shuffles."""
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
+    rate_expr: Column = F.lit(default_rate)
+    for stratum, rate in rates.items():
+        rate_expr = F.when(F.col(strata_col) == stratum, F.lit(rate)).otherwise(
+            rate_expr
+        )
+    return df.where(_unit_hash(key_col, seed) < rate_expr)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    splits: dict[str, float] | None = None,
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a stable train/eval/test split by hash range.
+
+    ``splits`` maps name -> fraction (must sum to ~1). A row's split is a
+    pure function of (key, seed): growing the corpus later can never move
+    an existing row between splits, which is what keeps future training
+    runs from leaking into a frozen eval set."""
+    splits = splits or {"train": 0.98, "eval": 0.01, "test": 0.01}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = _unit_hash(key_col, seed)
+    expr: Column | None = None
+    upper = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        upper += splits[name]
+        expr = (
+            F.when(u < F.lit(upper), F.lit(name))
+            if expr is None
+            else expr.when(u < F.lit(upper), F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)

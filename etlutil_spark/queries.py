@@ -894,6 +894,212 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.doc_fingerprint("text").alias("fingerprint"))
 
 
+# portable unit-interval hash: md5_bigint(seed || key) / 2^60 — the exact
+# expression deterministic_sample/assign_split evaluate Spark-side
+_DUCK_UNIT_HASH = (
+    "(('0x' || substr(md5('{seed}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " / 1152921504606846976.0)"
+)
+
+
+@register(
+    "docs_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_DUCK_UNIT_HASH.format(seed='mix-v1')} <
+          CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.75 ELSE 1.0 END
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample (operators/sampling.py): downsample the
+    dominant language, keep the rare ones — decided by a content hash so
+    the sample is reproducible across retries, engines, and releases.
+    Map-side filter: zero shuffles at any scale."""
+    from etlutil_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, "documents", sf_dir)
+    out = stratified_sample(
+        d,
+        {"en": 0.25, "de": 0.75},
+        "lang",
+        "doc_id",
+        default_rate=1.0,
+        seed="mix-v1",
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "docs_train_eval_split",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN {_DUCK_UNIT_HASH.format(seed='split-v1')} < 0.9 THEN 'train'
+                  WHEN {_DUCK_UNIT_HASH.format(seed='split-v1')} < 0.95 THEN 'eval'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def docs_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable hash-range train/eval/test assignment (operators/sampling.py):
+    a doc's split is a pure function of (id, seed), so growing the corpus
+    can never move an existing doc across splits — the property that keeps
+    a frozen eval set uncontaminated across dataset releases."""
+    from etlutil_spark.operators.sampling import assign_split
+
+    d = load_table(spark, "documents", sf_dir)
+    out = assign_split(
+        d, "doc_id", splits={"train": 0.9, "eval": 0.05, "test": 0.05},
+        seed="split-v1",
+    )
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "docs_pack_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_DUCK_TOKENS}) AS n_tokens FROM documents),
+    p AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS pack_offset
+      FROM t)
+    SELECT lang, CAST(floor(pack_offset / 512.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS pack_tokens,
+           MIN(pack_offset) AS start_offset
+    FROM p GROUP BY 1, 2
+    """,
+)
+def docs_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing plan (operators/packing.py): next-fit doc->pack
+    assignment under a 512-token budget, grouped per language; one window
+    shuffle on the group key, deterministic across engines."""
+    from etlutil_spark.operators.packing import pack_by_token_budget, pack_stats
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    packed = pack_by_token_budget(d, 512, group_col="lang")
+    return pack_stats(packed, group_col="lang")
+
+
+@register(
+    "docs_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(generate_series(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i+1])
+                  ELSE [] END AS bg
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN len(tk) > 0
+                THEN round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) END
+             AS dup_token_ratio,
+           CASE WHEN len(bg) > 0
+                THEN round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) END
+             AS dup_bigram_ratio
+    FROM g
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (functions/text.py): token-
+    and bigram-level duplicate fractions, shuffle-free projection."""
+    from etlutil_spark.functions import text as X
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    return d.select(
+        "doc_id",
+        X.dup_token_ratio("text").alias("dup_token_ratio"),
+        X.dup_ngram_ratio("text", 2).alias("dup_bigram_ratio"),
+    )
+
+
+@register(
+    "docs_contamination",
+    f"""
+    WITH tr AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+                WHERE source NOT IN ('src0', 'src1')),
+    ev AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+           WHERE source IN ('src0', 'src1')),
+    tsh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      FROM tr WHERE len(tk) >= 3),
+    esh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      FROM ev WHERE len(tk) >= 3)
+    SELECT doc_id, COUNT(DISTINCT tsh.shingle) AS n_shared
+    FROM tsh JOIN esh USING (shingle)
+    GROUP BY doc_id HAVING COUNT(DISTINCT tsh.shingle) >= 2
+    """,
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): training
+    docs (source src2..) sharing >= 2 distinct 3-gram shingles with the
+    'benchmark' slice (src0/src1). Eval shingles are broadcast — the
+    training corpus is never shuffled, the one aggregation is keyed by
+    train doc id."""
+    from etlutil_spark.operators.decontaminate import contaminated_docs
+
+    d = load_table(spark, "documents", sf_dir)
+    eval_df = d.where(F.col("source").isin("src0", "src1"))
+    train = d.where(~F.col("source").isin("src0", "src1"))
+    return contaminated_docs(train, eval_df, n=3, min_shared=2)
+
+
+@register(
+    "op_redact_pii",
+    r"""
+    WITH raw AS (
+      SELECT c_custkey,
+             'reach ' || lower(replace(c_name, '#', '.')) || '@example.com or +1 (555) 010-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.0.0.' || CAST(c_custkey % 200 AS VARCHAR) AS contact
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(contact,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PII]', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g')
+             AS contact
+    FROM raw
+    """,
+)
+def op_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as column expressions (functions/text.py:redact_pii):
+    email/phone/IPv4 regexes chained through regexp_replace — no UDF, and
+    the deliberately lookaround-free patterns behave identically in Java
+    regex and RE2, so the redaction is oracle-checkable. PII is synthesized
+    from customer keys (the corpus tables contain none)."""
+    from etlutil_spark.functions.text import redact_pii
+
+    c = load_table(spark, "customer", sf_dir)
+    raw = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("reach "),
+            F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0.0."),
+            (F.col("c_custkey") % 200).cast("string"),
+        ).alias("contact"),
+    )
+    return raw.select("c_custkey", redact_pii("contact").alias("contact"))
+
+
 @register(
     "dedup_exact",
     """

@@ -230,6 +230,130 @@ class TestMultimodal:
         assert all(r.byte_offset == r.frame_idx * 16 for r in rows)
 
 
+class TestSampling:
+    def test_deterministic_and_stable_under_growth(self, spark):
+        from etlutil_spark.operators.sampling import deterministic_sample
+
+        small = spark.range(0, 1000).withColumnRenamed("id", "k")
+        big = spark.range(0, 2000).withColumnRenamed("id", "k")
+        kept_small = {r.k for r in deterministic_sample(small, 0.3, "k").collect()}
+        kept_big = {r.k for r in deterministic_sample(big, 0.3, "k").collect()}
+        # growing the corpus never flips an existing row's fate
+        assert kept_small == {k for k in kept_big if k < 1000}
+        assert 0.2 < len(kept_small) / 1000 < 0.4
+
+    def test_different_seeds_are_independent(self, spark):
+        from etlutil_spark.operators.sampling import deterministic_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = {r.k for r in deterministic_sample(df, 0.5, "k", seed="a").collect()}
+        b = {r.k for r in deterministic_sample(df, 0.5, "k", seed="b").collect()}
+        overlap = len(a & b) / max(len(a), 1)
+        assert 0.3 < overlap < 0.7  # ~rate, not 0 or 1
+
+    def test_split_fractions_validated_and_exhaustive(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.sampling import assign_split
+
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        with _pytest.raises(ValueError, match="sum to 1"):
+            assign_split(df, "k", splits={"train": 0.5, "eval": 0.4})
+        out = assign_split(df, "k")
+        counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 500 and counts.get("train", 0) > 400
+
+    def test_rate_bounds_validated(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.sampling import deterministic_sample
+
+        df = spark.range(1).withColumnRenamed("id", "k")
+        with _pytest.raises(ValueError):
+            deterministic_sample(df, 1.5, "k")
+
+
+class TestPacking:
+    def test_next_fit_assignment(self, spark):
+        from etlutil_spark.operators.packing import pack_by_token_budget
+
+        rows = [(1, "a b c d"), (2, "e f g"), (3, "h i j k l"), (4, "m")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.pack_id, r.pack_offset)
+            for r in pack_by_token_budget(df, 5).collect()
+        }
+        # offsets: 0, 4, 7, 12 -> packs 0, 0, 1, 2
+        assert got == {1: (0, 0), 2: (0, 4), 3: (1, 7), 4: (2, 12)}
+
+    def test_oversized_doc_gets_own_pack_without_splitting(self, spark):
+        from etlutil_spark.operators.packing import pack_by_token_budget
+
+        df = spark.createDataFrame(
+            [(1, "x " * 20), (2, "y")], "doc_id bigint, text string"
+        )
+        got = {r.doc_id: r.pack_id for r in pack_by_token_budget(df, 5).collect()}
+        assert got[1] == 0 and got[2] == 4  # next doc opens at offset 20
+
+    def test_budget_validated(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.packing import pack_by_token_budget
+
+        with _pytest.raises(ValueError):
+            pack_by_token_budget(spark.range(1), 0)
+
+
+class TestDecontaminate:
+    def test_flags_overlapping_train_docs(self, spark):
+        from etlutil_spark.operators.decontaminate import contaminated_docs
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated words about engines"),
+            ],
+            "doc_id bigint, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "quick brown fox jumps high")], "doc_id bigint, text string"
+        )
+        got = {r.doc_id: r.n_shared for r in contaminated_docs(train, ev).collect()}
+        assert 1 in got and 2 not in got
+        assert got[1] == 2  # 'quick brown fox', 'brown fox jumps'
+
+    def test_eval_side_is_broadcast(self, spark):
+        from etlutil_spark.operators.decontaminate import contaminated_docs
+        from etlutil_spark.plans import inspect as P
+
+        train = spark.createDataFrame(
+            [(1, "one two three four")], "doc_id bigint, text string"
+        )
+        ev = spark.createDataFrame(
+            [(2, "one two three")], "doc_id bigint, text string"
+        )
+        out = contaminated_docs(train, ev, min_shared=1)
+        assert P.broadcast_count(out) >= 1
+
+
+class TestRedactPii:
+    def test_redacts_all_kinds(self, spark):
+        from etlutil_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-mail.co.uk call +1 (555) 010-1234 host 10.0.0.7 done")],
+            "id bigint, t string",
+        )
+        got = df.select(redact_pii("t").alias("t")).collect()[0].t
+        assert got == "mail [PII] call [PII] host [PII] done"
+
+    def test_leaves_clean_text_alone(self, spark):
+        from etlutil_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame([(1, "no pii here just words")], "id bigint, t string")
+        assert df.select(redact_pii("t").alias("t")).collect()[0].t == "no pii here just words"
+
+
 class TestSessionsSalted:
     def test_salted_equals_unsalted_on_events(self, spark, sf_dir):
         from etlutil_spark.operators.sessions import session_stats
