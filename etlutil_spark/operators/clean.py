@@ -54,15 +54,27 @@ class CleanMode(str, Enum):
 def _skip_predicate(rules: Iterable[Any], col: Column) -> Column | None:
     """Compile skip rules to an OR of Column predicates.
 
-    str -> suffix match; dict with one of prefix/suffix/equals/regex.
-    (Callable rules from the reference are Python-only and unsupported —
-    express them as a regex instead.)
+    str -> suffix match; dict with one of prefix/suffix/equals/regex;
+    callable -> the Spark lift of the reference's Python-callable rules
+    (data_structures.py:1387-1395): it receives the COLUMN (string-cast)
+    and must return a boolean Column expression, e.g.
+    ``lambda c: F.length(c) < 5``. Expression-valued, so it stays
+    JVM-side — a row-at-a-time Python predicate has no place in a
+    100 TB projection.
     """
     preds: list[Column] = []
     s = col.cast("string")
     for rule in rules:
         if isinstance(rule, str):
             preds.append(s.endswith(rule))
+        elif callable(rule) and not isinstance(rule, Mapping):
+            out = rule(s)
+            if not isinstance(out, Column):
+                raise TypeError(
+                    "callable skip rule must return a pyspark Column "
+                    f"predicate, got {type(out).__name__}"
+                )
+            preds.append(out)
         elif isinstance(rule, Mapping):
             if "suffix" in rule:
                 preds.append(s.endswith(rule["suffix"]))

@@ -408,8 +408,10 @@ def embedding_lsh_near_dup_pairs(
         lsh_bucket,
     )
 
+    # join-tight occupancy target (see similarity.knn_join): pair volume
+    # per bucket is quadratic in occupancy
     if n_planes is None:
-        n_planes = adaptive_n_planes(docs.count())
+        n_planes = adaptive_n_planes(docs.count(), target_rows_per_bucket=16)
     sample = docs.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = sample[0].d if sample else 0
     planes = hyperplanes(dim, n_planes, seed)

@@ -165,10 +165,13 @@ def knn_join(
     ``n_planes=None`` (default) sizes the bucket count from the RIGHT side's
     row count via :func:`adaptive_n_planes` — per-bucket candidate volume
     then stays bounded as the corpus grows instead of scaling O(n^2/2^k)
-    with a fixed k. The count is one metadata-cheap job; pass an explicit
+    with a fixed k. JOINS use a much tighter occupancy target than probe
+    lookups (16 vs 1024): candidate PAIRS per bucket grow with the square
+    of occupancy, so a bucket that is fine to scan once is far too big to
+    self-join. The count is one metadata-cheap job; pass an explicit
     ``n_planes`` to skip it (e.g. when an oracle twin must share literals)."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(right.count())
+        n_planes = adaptive_n_planes(right.count(), target_rows_per_bucket=16)
     sample = left.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = sample[0].d if sample else 0
     planes = hyperplanes(dim, n_planes, seed)

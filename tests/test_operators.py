@@ -137,6 +137,33 @@ class TestConvertTypes:
 
 
 class TestCleanColumns:
+    def test_callable_skip_rule_column_predicate(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("keepme",), ("scrub this long one",)], "password string"
+        )
+        out = clean_columns(
+            df,
+            keys_to_clean=["password"],
+            clean_mode="replace",
+            skip_rules={"password": [lambda c: F.length(c) <= 6]},
+        )
+        got = sorted(r.password for r in out.collect())
+        assert got == sorted(["keepme", "replaced (etl)"])
+
+    def test_callable_skip_rule_must_return_column(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("x",)], "password string")
+        with _pytest.raises(TypeError, match="Column"):
+            clean_columns(
+                df,
+                keys_to_clean=["password"],
+                clean_mode="replace",
+                skip_rules={"password": [lambda c: True]},
+            ).collect()
+
     def test_replace_and_null_guard(self, spark):
         df = spark.createDataFrame(
             [("secret", ""), (None, "x")], "password string, note string"
