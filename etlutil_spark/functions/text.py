@@ -39,17 +39,29 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _t(col: Column | str, pre_tokens: Column | str | None) -> Column:
+    """Token source: the pre-tokenized array column when given, else
+    tokenize inline. Passing ``pre_tokens`` (computed once per row via
+    ``withColumn``) keeps wide profiling projections from inflating the
+    generated code with one tokenizer copy per statistic — runtime CSE
+    already deduplicates the work, but codegen size (and janino compile
+    time) scales with the expression TREE, not the work."""
+    return _c(pre_tokens) if pre_tokens is not None else tokens(col)
+
+
 def tokens(col: Column | str) -> Column:
     """lowercase tokens, empty strings removed."""
     arr = F.split(F.lower(_c(col)), TOKEN_SPLIT_RE)
     return F.filter(arr, lambda t: t != "")
 
 
-def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col))
+def token_count(col: Column | str, *, pre_tokens: Column | str | None = None) -> Column:
+    return F.size(_t(col, pre_tokens))
 
 
-def bpe_ish_token_count(col: Column | str) -> Column:
+def bpe_ish_token_count(
+    col: Column | str, *, pre_tokens: Column | str | None = None
+) -> Column:
     """Rough subword-token estimate: regex pieces of <=4 chars.
 
     Counts alphanumeric runs split into 4-char pieces plus standalone
@@ -57,7 +69,7 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     tokenizer's token count (ceil(len(run)/4) per word + punct marks).
     """
     word_pieces = F.aggregate(
-        tokens(col),
+        _t(col, pre_tokens),
         F.lit(0),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
     )
@@ -76,37 +88,39 @@ def alpha_ratio(col: Column | str) -> Column:
     return F.when(F.length(c) > 0, kept / F.length(c)).otherwise(F.lit(None))
 
 
-def mean_word_len(col: Column | str) -> Column:
-    t = tokens(col)
+def mean_word_len(col: Column | str, *, pre_tokens: Column | str | None = None) -> Column:
+    t = _t(col, pre_tokens)
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(F.size(t) > 0, total / F.size(t))
 
 
-def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
-    t = tokens(col)
+def stopword_ratio(
+    col: Column | str, lang: str = "en", *, pre_tokens: Column | str | None = None
+) -> Column:
+    t = _t(col, pre_tokens)
     stop = F.array(*[F.lit(w) for w in LANG_LEXICON[lang]])
     hits = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
     return F.when(F.size(t) > 0, hits / F.size(t))
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, *, pre_tokens: Column | str | None = None) -> Column:
     """Composite [0,1] quality heuristic: long enough, alphabetic, not
     stopword-free (gibberish) and not stopword-saturated (boilerplate)."""
-    n = token_count(col)
+    n = token_count(col, pre_tokens=pre_tokens)
     length_ok = F.least(n / F.lit(50.0), F.lit(1.0))
     alpha = F.coalesce(alpha_ratio(col), F.lit(0.0))
-    swr = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    swr = F.coalesce(stopword_ratio(col, pre_tokens=pre_tokens), F.lit(0.0))
     sw_component = F.least(swr * F.lit(5.0), F.lit(1.0))
     return F.round((length_ok + alpha + sw_component) / F.lit(3.0), 6)
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, *, pre_tokens: Column | str | None = None) -> Column:
     """argmax over per-language stopword hit counts; NULL when no hits.
 
     greatest()-based argmax keeps it a flat codegen expression and makes the
     identical formulation expressible in the DuckDB oracle.
     """
-    t = tokens(col)
+    t = _t(col, pre_tokens)
     hit_cols: dict[str, Column] = {}
     for lang, words in LANG_LEXICON.items():
         lex = F.array(*[F.lit(w) for w in words])
@@ -119,14 +133,16 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
+def word_shingles(
+    col: Column | str, n: int = 3, *, pre_tokens: Column | str | None = None
+) -> Column:
     """n-word shingles (space-joined), [] when fewer than n tokens.
 
     The sequence is only evaluated when size(t) >= n: an unguarded
     sequence(1, size-(n-1)) yields a *descending* [1, 0] for short docs and
     slice(t, 0, n) then throws INVALID_PARAMETER_VALUE.START at runtime.
     """
-    t = tokens(col)
+    t = _t(col, pre_tokens)
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
     return F.when(
         F.size(t) >= n,
@@ -134,22 +150,24 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def dup_token_ratio(col: Column | str) -> Column:
+def dup_token_ratio(col: Column | str, *, pre_tokens: Column | str | None = None) -> Column:
     """Fraction of tokens that are repeats of an earlier token — the
     cheapest repetition signal (Gopher-style quality filters cut docs
     where it is high). NULL for empty docs."""
-    t = tokens(col)
+    t = _t(col, pre_tokens)
     return F.when(
         F.size(t) > 0,
         F.round(1.0 - F.size(F.array_distinct(t)) / F.size(t), 6),
     )
 
 
-def dup_ngram_ratio(col: Column | str, n: int = 2) -> Column:
+def dup_ngram_ratio(
+    col: Column | str, n: int = 2, *, pre_tokens: Column | str | None = None
+) -> Column:
     """Fraction of word n-grams that are duplicates of an earlier n-gram
     (phrase-level repetition: loops, boilerplate, degenerate generations).
     NULL for docs with fewer than n tokens."""
-    g = word_shingles(col, n)
+    g = word_shingles(col, n, pre_tokens=pre_tokens)
     return F.when(
         F.size(g) > 0,
         F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 6),

@@ -20,20 +20,30 @@ def profile_documents(
     """Append the full text-analysis profile to each row.
 
     Columns added: n_tokens, n_chars_text, est_bpe_tokens, alpha_ratio,
-    mean_word_len, stopword_ratio_en, quality, lang_pred, fingerprint."""
-    return df.withColumns(
+    mean_word_len, stopword_ratio_en, quality, lang_pred, fingerprint.
+
+    Tokenization happens ONCE (shared ``pre_tokens`` column): codegen size
+    scales with the expression tree, and nine statistics each carrying
+    their own tokenizer copy made compile time, not row work, the cost."""
+    tk = df.withColumn("__tk", X.tokens(text_col))
+    out = tk.withColumns(
         {
-            "n_tokens": X.token_count(text_col),
+            "n_tokens": X.token_count(text_col, pre_tokens="__tk"),
             "n_chars_text": X.char_count(text_col),
-            "est_bpe_tokens": X.bpe_ish_token_count(text_col),
+            "est_bpe_tokens": X.bpe_ish_token_count(text_col, pre_tokens="__tk"),
             "alpha_ratio": F.round(X.alpha_ratio(text_col), 6),
-            "mean_word_len": F.round(X.mean_word_len(text_col), 6),
-            "stopword_ratio_en": F.round(X.stopword_ratio(text_col, "en"), 6),
-            "quality": X.quality_score(text_col),
-            "lang_pred": X.lang_id(text_col),
+            "mean_word_len": F.round(
+                X.mean_word_len(text_col, pre_tokens="__tk"), 6
+            ),
+            "stopword_ratio_en": F.round(
+                X.stopword_ratio(text_col, "en", pre_tokens="__tk"), 6
+            ),
+            "quality": X.quality_score(text_col, pre_tokens="__tk"),
+            "lang_pred": X.lang_id(text_col, pre_tokens="__tk"),
             "fingerprint": X.doc_fingerprint(text_col),
         }
     )
+    return out.drop("__tk")
 
 
 def language_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:

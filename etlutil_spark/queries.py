@@ -826,13 +826,17 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    return d.select(
+    # tokenize ONCE into a column: runtime CSE already dedups the work,
+    # but codegen size scales with the expression tree — one tokenizer
+    # copy per statistic tripled first-run compile time
+    tk = d.withColumn("_tk", X.tokens("text"))
+    return tk.select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
+        X.token_count("text", pre_tokens="_tk").alias("n_tokens"),
         X.char_count("text").alias("n_chars_text"),
-        X.bpe_ish_token_count("text").alias("est_bpe_tokens"),
+        X.bpe_ish_token_count("text", pre_tokens="_tk").alias("est_bpe_tokens"),
         F.round(X.alpha_ratio("text"), 6).alias("alpha_ratio"),
-        F.round(X.mean_word_len("text"), 6).alias("mean_word_len"),
+        F.round(X.mean_word_len("text", pre_tokens="_tk"), 6).alias("mean_word_len"),
     )
 
 
@@ -855,10 +859,11 @@ def docs_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    return d.select(
+    tk = d.withColumn("_tk", X.tokens("text"))
+    return tk.select(
         "doc_id",
-        X.quality_score("text").alias("quality"),
-        X.lang_id("text").alias("lang_pred"),
+        X.quality_score("text", pre_tokens="_tk").alias("quality"),
+        X.lang_id("text", pre_tokens="_tk").alias("lang_pred"),
     )
 
 
@@ -1014,10 +1019,11 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    return d.select(
+    tk = d.withColumn("_tk", X.tokens("text"))
+    return tk.select(
         "doc_id",
-        X.dup_token_ratio("text").alias("dup_token_ratio"),
-        X.dup_ngram_ratio("text", 2).alias("dup_bigram_ratio"),
+        X.dup_token_ratio("text", pre_tokens="_tk").alias("dup_token_ratio"),
+        X.dup_ngram_ratio("text", 2, pre_tokens="_tk").alias("dup_bigram_ratio"),
     )
 
 
