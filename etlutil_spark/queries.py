@@ -1550,6 +1550,137 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pipeline_e2e",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tk FROM documents),
+    q AS (
+      SELECT doc_id, lang, text, len(tk) AS n_tokens,
+             round((least(len(tk) / 50.0, 1.0)
+                    + coalesce(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text), 0.0)
+                    + least(len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) * 5.0 / len(tk), 1.0)
+                   ) / 3.0, 6) AS quality
+      FROM toks),
+    kept AS (
+      SELECT * FROM q WHERE n_tokens >= 10 AND quality >= 0.3),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+             MIN(n_tokens) AS n_tokens
+      FROM kept GROUP BY text),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE {_DUCK_UNIT_HASH.format(seed='corpus-v1')} <
+            CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END),
+    packed AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS pack_offset
+      FROM sampled)
+    SELECT lang, CAST(floor(pack_offset / 2048.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+           MIN(pack_offset) AS start_offset
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus preparation pipeline composed end to end —
+    quality gate -> exact dedup (min-id survivor by text) -> stratified
+    downsampling of the dominant language -> sequence packing — verified
+    against ONE composed oracle. This is the integration proof that the
+    operator family shares consistent semantics (tokenizer, hash family,
+    survivor rules) rather than passing in isolation only.
+
+    Plan shape: filter is map-side; dedup is the first shuffle (by text);
+    sampling is map-side again; packing shuffles once on lang. Nothing
+    here widens with corpus size except those two keyed exchanges."""
+    from etlutil_spark.functions import text as X
+    from etlutil_spark.operators.packing import pack_by_token_budget, pack_stats
+    from etlutil_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, "documents", sf_dir)
+    tk = d.withColumn("_tk", X.tokens("text"))
+    profiled = tk.select(
+        "doc_id",
+        "lang",
+        "text",
+        X.token_count("text", pre_tokens="_tk").alias("n_tokens"),
+        X.quality_score("text", pre_tokens="_tk").alias("quality"),
+    )
+    kept = profiled.where((F.col("n_tokens") >= 10) & (F.col("quality") >= 0.3))
+    # MIN (not any_value) for the carried columns: identical texts can
+    # disagree on stored metadata, and any_value is partition-order
+    # nondeterministic in both engines
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    sampled = stratified_sample(
+        deduped, {"en": 0.5}, "lang", "doc_id", default_rate=1.0, seed="corpus-v1"
+    )
+    packed = pack_by_token_budget(
+        sampled.select("doc_id", "lang", "n_tokens"),
+        2048,
+        group_col="lang",
+        n_tokens_col="n_tokens",
+    )
+    return pack_stats(packed, group_col="lang")
+
+
+@register(
+    "orders_latest_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_iso,
+           o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+)
+def orders_latest_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction / CDC collapse (operators/compact.py:latest_by_key):
+    newest order per customer with a total-order tie-break, one shuffle,
+    full row survives without a re-join."""
+    from etlutil_spark.operators.compact import latest_by_key
+
+    o = load_table(spark, "orders", sf_dir)
+    latest = latest_by_key(
+        o, ["o_custkey"], "o_orderdate", tie_break="o_orderkey"
+    )
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_iso"),
+        "o_totalprice",
+    )
+
+
+@register(
+    "events_top_types_daily",
+    """
+    SELECT * FROM (
+      SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY COUNT(*) DESC, event_type ASC) AS rnk
+      FROM events GROUP BY 1, 2)
+    WHERE rnk <= 3
+    """,
+)
+def events_top_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters (operators/compact.py:top_k_per_group): the
+    3 most frequent event types per day. The top-k window runs over the
+    distinct (day, type) counts, not the raw events — tiny at any scale."""
+    from etlutil_spark.operators.compact import top_k_per_group
+
+    ev = load_table(spark, "events", sf_dir).withColumn("d", F.to_date("ts"))
+    return top_k_per_group(ev.select("d", "event_type"), ["d"], "event_type", 3)
+
+
+@register(
     "sessionize_users_salted",
     """
     WITH s AS (

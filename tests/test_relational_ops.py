@@ -298,6 +298,59 @@ class TestSkew:
         assert len(set(a.values())) > 1  # actually spreads
 
 
+class TestCompact:
+    def test_latest_by_key_deterministic_tiebreak(self, spark):
+        from etlutil_spark.operators.compact import latest_by_key
+
+        rows = [
+            (1, "2024-01-01", 10, "old"),
+            (1, "2024-01-02", 11, "mid"),
+            (1, "2024-01-02", 12, "new"),  # same date, higher id wins
+            (2, "2024-01-01", 20, "only"),
+        ]
+        df = spark.createDataFrame(rows, "k bigint, d string, id bigint, v string")
+        got = {
+            r.k: r.v
+            for r in latest_by_key(df, ["k"], "d", tie_break="id").collect()
+        }
+        assert got == {1: "new", 2: "only"}
+
+    def test_latest_by_key_ascending(self, spark):
+        from etlutil_spark.operators.compact import latest_by_key
+
+        df = spark.createDataFrame(
+            [(1, 5, "later"), (1, 3, "earliest")], "k bigint, ver bigint, v string"
+        )
+        got = latest_by_key(df, ["k"], "ver", descending=False).collect()
+        assert got[0].v == "earliest"
+
+    def test_top_k_per_group(self, spark):
+        from etlutil_spark.operators.compact import top_k_per_group
+
+        rows = [("g1", v) for v in ["a"] * 3 + ["b"] * 2 + ["c"]] + [
+            ("g2", v) for v in ["x", "y"]
+        ]
+        df = spark.createDataFrame(rows, "g string, v string")
+        got = {
+            (r.g, r.rnk): (r.v, r.n)
+            for r in top_k_per_group(df, ["g"], "v", 2).collect()
+        }
+        assert got == {
+            ("g1", 1): ("a", 3),
+            ("g1", 2): ("b", 2),
+            ("g2", 1): ("x", 1),  # count tie -> value asc
+            ("g2", 2): ("y", 1),
+        }
+
+    def test_top_k_validates_k(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.compact import top_k_per_group
+
+        with _pytest.raises(ValueError):
+            top_k_per_group(spark.range(1), ["id"], "id", 0)
+
+
 class TestJsonIngestEndToEnd:
     """The reference's primary use case end-to-end: schemaless JSON records
     -> inferred schema -> whitelist-project-with-extras -> flatten ->
