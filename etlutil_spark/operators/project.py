@@ -8,9 +8,17 @@ into a JSON string (``F.to_json(F.struct(...))`` — the reference's own
 strategy for columnar sinks); ``extra_as="struct"`` keeps a typed struct.
 
 ``moved_keys`` is computed from the schema — pure metadata, no job runs.
-The reference's key-collision machinery (``__int`` suffixes,
+The reference's non-string-key collision machinery (``__int`` suffixes,
 data_structures.py:827-906) is obsolete here: column names are already
-strings (SURVEY §7.4).
+strings (SURVEY §7.4). Its EXTRA-KEY collision rules do transfer and are
+implemented (data_structures.py:755-778, edge-tested at
+tests/test_data_structures_edges.py:342-371):
+
+  1. a column named exactly ``extra_key`` is renamed to the first free
+     name in the sequence ``{extra_key}_original``, ``..._original2``...;
+  2. every column whose name starts with ``{extra_key}_original`` is
+     pinned to the top level regardless of the whitelist — never swept
+     into the extras (and never counted in ``moved_keys``).
 """
 
 from __future__ import annotations
@@ -20,6 +28,19 @@ from typing import Literal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _free_name(base: str, taken: set[str]) -> str:
+    """Reference's cascade: base, base_original, base_original2, ..."""
+    if base not in taken:
+        return base
+    counter = 1
+    while True:
+        suffix = "_original" if counter == 1 else f"_original{counter}"
+        candidate = f"{base}{suffix}"
+        if candidate not in taken:
+            return candidate
+        counter += 1
 
 
 def select_with_extras(
@@ -43,18 +64,37 @@ def select_with_extras(
     """
     allowed = list(dict.fromkeys(allowed_keys))
     existing = set(df.columns)
-    moved = sorted(c for c in df.columns if c not in allowed)
+
+    # (source column | None for fill_missing, output name) pairs that stay
+    # top-level; extra-key collision rules documented in the module docstring
+    renames: dict[str, str] = {}
+    if extra_key in existing:
+        renames[extra_key] = _free_name(
+            f"{extra_key}_original", (existing - {extra_key}) | set(allowed)
+        )
+    for c in sorted(existing):
+        if c != extra_key and c.startswith(f"{extra_key}_original"):
+            renames.setdefault(c, c)
+
+    moved = sorted(
+        c for c in df.columns if c not in allowed and c not in renames
+    )
     kept = [c for c in allowed if c in existing]
     missing = [c for c in allowed if c not in existing] if fill_missing else []
 
-    ordered = kept + missing if preserve_order else sorted(kept + missing)
+    pairs: list[tuple[str | None, str]] = (
+        [(c, c) for c in kept]
+        + [(None, c) for c in missing]
+        + sorted(renames.items(), key=lambda kv: kv[1])
+    )
+    if not preserve_order:
+        # reference default: one lexicographic order over all top-level names
+        pairs = sorted(pairs, key=lambda kv: kv[1])
 
-    select_list = []
-    for c in ordered:
-        if c in existing:
-            select_list.append(F.col(c))
-        else:
-            select_list.append(F.lit(None).cast("string").alias(c))
+    select_list = [
+        F.col(src).alias(out) if src is not None else F.lit(None).cast("string").alias(out)
+        for src, out in pairs
+    ]
 
     if moved or always_add_extra:
         if moved:

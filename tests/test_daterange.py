@@ -241,3 +241,76 @@ class TestDateRanges:
         assert out[0].as_tuple() == ("2024-12-25", "2024-12-31")
         assert out[-1].as_tuple() == ("2024-12-02", "2024-12-03")
         assert sum(r.days_count() for r in out) == 30
+
+
+class TestReferenceEdgeParity:
+    """Literal expectations lifted from the reference's own test suite
+    (/root/reference/tests/test_date.py) — the month-end clamping, leap
+    years, negative steps, quarter/week boundary cases a BQ-migration
+    user would hit first. Values are data (expected outputs), asserted
+    against this implementation."""
+
+    def test_generate_date_array_reference_cases(self):
+        from datetime import date
+
+        cases = [
+            # leap-year crossing (test_date.py:304-307)
+            (("2024-02-28", "2024-03-01"),
+             [date(2024, 2, 28), date(2024, 2, 29), date(2024, 3, 1)]),
+            # month-end clamping: Jan 31 + 1 MONTH = Feb 29 (leap), then Mar 31
+            # — start + k*step, NOT compounding clamps (test_date.py:309-312)
+            (("2024-01-31", "2024-03-31", 1, "MONTH"),
+             [date(2024, 1, 31), date(2024, 2, 29), date(2024, 3, 31)]),
+            # 30-day stride across a leap year (test_date.py:316-344)
+            (("2024-01-01", "2024-12-31", 30, "DAY"),
+             [date(2024, 1, 1), date(2024, 1, 31), date(2024, 3, 1),
+              date(2024, 3, 31), date(2024, 4, 30), date(2024, 5, 30),
+              date(2024, 6, 29), date(2024, 7, 29), date(2024, 8, 28),
+              date(2024, 9, 27), date(2024, 10, 27), date(2024, 11, 26),
+              date(2024, 12, 26)]),
+            # negative steps walk backward (test_date.py:380-414)
+            (("2024-01-10", "2024-01-01", -2, "DAY"),
+             [date(2024, 1, 10), date(2024, 1, 8), date(2024, 1, 6),
+              date(2024, 1, 4), date(2024, 1, 2)]),
+            (("2024-12-01", "2024-01-01", -2, "MONTH"),
+             [date(2024, 12, 1), date(2024, 10, 1), date(2024, 8, 1),
+              date(2024, 6, 1), date(2024, 4, 1), date(2024, 2, 1)]),
+            # degenerate spans (test_date.py:427-431)
+            (("2024-01-01", "2024-01-01", -1, "DAY"), [date(2024, 1, 1)]),
+            (("2024-01-01", "2024-01-05", -1, "DAY"), []),
+            (("2024-01-01", "2024-03-01", 0, "DAY"), []),
+        ]
+        for args, expected in cases:
+            assert generate_date_array(*args) == expected, args
+
+    def test_generate_date_array_invalid_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            generate_date_array("invalid-date", "2024-01-01")
+
+    def test_relative_frame_reference_cases(self):
+        from datetime import date
+
+        anchor = date(2024, 6, 15)  # reference mocks today=2024-06-15 (Saturday)
+        # year-boundary months (test_date.py:685-700)
+        for part, n, expected in [
+            ("MONTH", 6, ("2024-12-01", "2024-12-31")),
+            ("MONTH", 7, ("2025-01-01", "2025-01-31")),
+            ("MONTH", -6, ("2023-12-01", "2023-12-31")),
+            ("MONTH", -7, ("2023-11-01", "2023-11-30")),
+        ]:
+            assert tuple(get_relative_date_frame(part, n, date_from=anchor)) == expected
+        # quarter boundaries incl. year wrap (test_date.py:668-683)
+        for n, expected in [
+            (-1, ("2024-01-01", "2024-03-31")), (0, ("2024-04-01", "2024-06-30")),
+            (1, ("2024-07-01", "2024-09-30")), (2, ("2024-10-01", "2024-12-31")),
+            (4, ("2025-04-01", "2025-06-30")), (-4, ("2023-04-01", "2023-06-30")),
+        ]:
+            assert tuple(get_relative_date_frame("QUARTER", n, date_from=anchor)) == expected
+        # ISO weeks: Monday start, same frame from every weekday (test_date.py:725-756)
+        for d in range(10, 17):
+            got = tuple(get_relative_date_frame("WEEK", 0, date_from=date(2024, 6, d)))
+            assert got == ("2024-06-10", "2024-06-16"), d
+        # defaults: MONTH, n=0 (test_date.py:758-763)
+        assert tuple(get_relative_date_frame(date_from=anchor)) == ("2024-06-01", "2024-06-30")

@@ -56,6 +56,34 @@ class TestFlatten:
 
 
 class TestSelectWithExtras:
+    def test_extra_key_collision_renamed_not_swept(self, spark):
+        # reference tests/test_data_structures_edges.py:342-353
+        df = spark.createDataFrame(
+            [(123, "conflict!", 30)], "id bigint, extra_collected string, age bigint"
+        )
+        out, moved = select_with_extras(df, ["id"])
+        assert moved == ["age"]
+        row = out.collect()[0]
+        assert row.extra_collected_original == "conflict!"
+        assert row.extra_collected == '{"age":30}'
+        assert row.id == 123
+
+    def test_extra_key_cascade_collision(self, spark):
+        # reference tests/test_data_structures_edges.py:356-371
+        df = spark.createDataFrame(
+            [(123, "conflict1", "conflict2", "conflict3", 30)],
+            "id bigint, extra_collected string, extra_collected_original string, "
+            "extra_collected_original2 string, age bigint",
+        )
+        out, moved = select_with_extras(df, ["id"])
+        row = out.collect()[0]
+        assert row.extra_collected_original_original == "conflict1"
+        # pre-existing *_original columns are pinned top-level, never swept
+        assert row.extra_collected_original == "conflict2"
+        assert row.extra_collected_original2 == "conflict3"
+        assert moved == ["age"]
+        assert row.extra_collected == '{"age":30}'
+
     def test_moved_and_extras(self, nested_df):
         out, moved = select_with_extras(nested_df, ["id", "zero"])
         assert moved == ["a", "tags"]
