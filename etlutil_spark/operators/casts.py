@@ -11,6 +11,10 @@ Parity choices (documented deviations are inherent to a typed engine):
     matching the reference's ``int(float(v))`` (data_structures.py:1097-1098).
   - bool strings: true/1/yes/on (case-insensitive) are true, anything else
     parseable is false (data_structures.py:1110-1113).
+  - ``str`` of a boolean yields SQL casing ``"true"``/``"false"`` where the
+    reference's Python ``str()`` yields ``"True"``/``"False"`` — the one
+    intentional repr-level deviation (columnar engines standardize on SQL
+    literals; documented rather than emulated).
   - lenient mode (default): failed casts yield NULL. The reference keeps the
     original *value*; a typed column cannot hold both — callers who need the
     original can pass ``keep_original=True`` to retain ``<col>__raw``.

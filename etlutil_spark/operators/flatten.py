@@ -60,8 +60,8 @@ def flatten_struct(
             return False
         return True
 
-    def emit(col: Column, name: str, dtype: T.DataType, depth: int) -> list[Column]:
-        out: list[Column] = []
+    def emit(col: Column, name: str, dtype: T.DataType, depth: int) -> list[tuple[str, Column]]:
+        out: list[tuple[str, Column]] = []
         if should_flatten(name, dtype, depth):
             assert isinstance(dtype, T.StructType)
             for f in dtype.fields:
@@ -69,12 +69,18 @@ def flatten_struct(
                     emit(col.getField(f.name), f"{name}{sep}{f.name}", f.dataType, depth + 1)
                 )
             if keep_original:
-                out.append(col.alias(name))
+                out.append((name, col))
         else:
-            out.append(col.alias(name))
+            out.append((name, col))
         return out
 
-    select_list: list[Column] = []
+    # dict semantics for name collisions (a flattened path meeting a
+    # pre-existing literal ``a__b`` column): LAST write wins, first
+    # writer's position kept — exactly the reference's dict update
+    # behavior (tests/test_data_structures.py:1186-1189); emitting both
+    # would produce a duplicate-named, unselectable column
+    entries: dict[str, Column] = {}
     for field in df.schema.fields:
-        select_list.extend(emit(F.col(field.name), field.name, field.dataType, 0))
-    return df.select(*select_list)
+        for name, col in emit(F.col(field.name), field.name, field.dataType, 0):
+            entries[name] = col
+    return df.select(*[c.alias(n) for n, c in entries.items()])

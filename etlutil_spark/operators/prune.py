@@ -14,6 +14,11 @@ Spark lift, as a driver-side recursive schema rewrite:
                           through ``map_filter``.
   - remove_empty       -> NULL, "", empty array/map/struct are nulled;
                           0 and false are NOT empty (reference :51, :98).
+  - a struct whose every field is key-removed drops from the SCHEMA
+    entirely (with or without remove_empty): a zero-field struct type has
+    no useful columnar representation, so the dict-world distinction
+    between {} and absent collapses here — schema-level deviation,
+    SURVEY §7.4.
   - max_depth          -> container levels, None = unlimited, 0 = top level
                           only; two gates like the reference: filtering is
                           allowed at depth <= max_depth, recursion only at

@@ -50,6 +50,13 @@ class TestFlatten:
         out = flatten_struct(nested_df, keep_original=True)
         assert "a" in out.columns and "a__e" in out.columns
 
+    def test_collision_last_write_wins(self, spark):
+        # reference tests/test_data_structures.py:1186-1189
+        df = spark.createDataFrame([(1, (2,))], "a__b bigint, a struct<b: bigint>")
+        out = flatten_struct(df)
+        assert out.columns == ["a__b"]
+        assert out.collect()[0].a__b == 2
+
     def test_idempotent_when_flat(self, spark):
         df = spark.createDataFrame([(1, "x")], "a bigint, b string")
         assert flatten_struct(df).columns == ["a", "b"]
