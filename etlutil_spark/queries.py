@@ -1394,6 +1394,32 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, qvec, k=10, n_planes=8, multiprobe_hamming=1)
 
 
+@register("sim_ivf_topk", _duck_ann_lsh_sql(n_planes=6))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-store ANN probe (similarity.build_ivf_store / ivf_topk): the
+    embeddings are persisted hive-partitioned by LSH bucket into a scratch
+    directory, then the probe reads ONLY the probed bucket directories —
+    the bucket predicate is a PartitionFilter, pruning at the file index
+    before a single byte of data is read. Same candidate rule as
+    sim_ann_lsh (bucket within hamming 1), so the identical oracle SQL
+    verifies the store roundtrip end to end (write -> partition prune ->
+    scan -> top-k)."""
+    import tempfile
+
+    from etlutil_spark.operators.similarity import build_ivf_store, ivf_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_ivf_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    build_ivf_store(e, path, n_planes=6)
+    return ivf_topk(
+        spark, path, qvec, k=10, n_planes=6, multiprobe_hamming=1
+    ).select("vec_id", "cos_sim")
+
+
 @register(
     "multimodal_media_stats",
     """

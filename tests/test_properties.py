@@ -184,3 +184,62 @@ class TestHashProperties:
         two = [r.h for r in df.select(md5_bigint("s").alias("h")).collect()]
         assert one == two
         assert all(0 <= h < 2**60 for h in one)
+
+
+class TestSamplingProperties:
+    """Content-hash sampling invariants (operators/sampling.py)."""
+
+    @PROP
+    @given(
+        rate=st.floats(0.0, 1.0, allow_nan=False),
+        n=st.integers(1, 300),
+        seed=st.text("abc", min_size=1, max_size=4),
+    )
+    def test_subset_and_stable(self, spark, rate, n, seed):
+        from etlutil_spark.operators.sampling import deterministic_sample
+
+        df = spark.range(0, n).withColumnRenamed("id", "k")
+        kept1 = {r.k for r in deterministic_sample(df, rate, "k", seed=seed).collect()}
+        kept2 = {r.k for r in deterministic_sample(df, rate, "k", seed=seed).collect()}
+        assert kept1 == kept2                       # deterministic
+        assert kept1 <= set(range(n))               # subset
+        if rate == 0.0:
+            assert kept1 == set()
+        if rate == 1.0:
+            assert kept1 == set(range(n))
+
+    @PROP
+    @given(n=st.integers(1, 200))
+    def test_split_partitions_every_row_exactly_once(self, spark, n):
+        from etlutil_spark.operators.sampling import assign_split
+
+        df = spark.range(0, n).withColumnRenamed("id", "k")
+        out = assign_split(df, "k").collect()
+        assert len(out) == n
+        assert {r.split for r in out} <= {"train", "eval", "test"}
+
+
+class TestPackingProperties:
+    """Next-fit packing invariants (operators/packing.py)."""
+
+    @PROP
+    @given(
+        tokens=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+        budget=st.integers(1, 60),
+    )
+    def test_offsets_are_prefix_sums_and_cut_rule_holds(self, spark, tokens, budget):
+        from etlutil_spark.operators.packing import pack_by_token_budget
+
+        rows = [(i, n) for i, n in enumerate(tokens)]
+        df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+        got = sorted(
+            pack_by_token_budget(df, budget, n_tokens_col="n_tok").collect(),
+            key=lambda r: r.doc_id,
+        )
+        running = 0
+        for r in got:
+            assert r.pack_offset == running           # offsets = prefix sums
+            assert r.pack_id == running // budget     # exact cut rule
+            running += r.n_tokens
+        # token conservation: packs partition the stream
+        assert running == sum(tokens)
