@@ -399,6 +399,27 @@ class TestStreaming:
         assert b == s
 
 
+class TestStreamingDocuments:
+    def test_document_ingest_stream_matches_batch(self, spark, sf_dir):
+        from etlutil_spark.sources.testdata import load_table
+        from etlutil_spark.streaming.documents import (
+            document_profile_stage,
+            stream_documents_from_dir,
+        )
+        from etlutil_spark.streaming.events import run_stream_query
+
+        stream = stream_documents_from_dir(spark, f"{sf_dir}/documents.parquet")
+        streamed = run_stream_query(
+            document_profile_stage(stream),
+            query_name="t_docs_ingest",
+            output_mode="append",
+        )
+        batch = document_profile_stage(load_table(spark, "documents", sf_dir))
+        s = {tuple(r) for r in streamed.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert s == b and len(b) > 0
+
+
 class TestStreamingStateful:
     def test_dedup_stream_matches_batch(self, spark, sf_dir):
         from etlutil_spark.streaming.events import (

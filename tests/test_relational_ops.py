@@ -229,6 +229,29 @@ class TestPlanQuality:
         assert P.exchange_count(df) <= 1
         P.assert_scan_pruned(df, {"doc_id", "text"})
 
+    def test_sampling_queries_are_map_side(self, spark, sf_dir):
+        """Hash sampling must stay a scan-level filter: zero exchanges."""
+        from etlutil_spark.operators.sampling import deterministic_sample
+        from etlutil_spark.sources.testdata import load_table
+
+        d = load_table(spark, "documents", sf_dir)
+        out = deterministic_sample(d, 0.3, "doc_id").select("doc_id")
+        out.collect()
+        assert P.exchange_count(out) == 0
+
+    def test_packing_single_shuffle(self, spark, sf_dir):
+        """Next-fit packing costs exactly one exchange (the group window);
+        pack_stats reuses that partitioning for its aggregate."""
+        from etlutil_spark.operators.packing import pack_by_token_budget, pack_stats
+        from etlutil_spark.sources.testdata import load_table
+
+        d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+        out = pack_stats(
+            pack_by_token_budget(d, 512, group_col="lang"), group_col="lang"
+        )
+        out.collect()
+        assert P.exchange_count(out) == 1
+
 
 class TestSkew:
     def test_salted_join_equals_plain_join(self, spark, sf_dir):
