@@ -77,6 +77,39 @@ def stratified_sample(
     return df.where(_unit_hash(key_col, seed) < rate_expr)
 
 
+def take_n_per_stratum(
+    df: DataFrame,
+    n: int,
+    strata_col: str,
+    key_col: str,
+    *,
+    seed: str = "sample",
+) -> DataFrame:
+    """EXACTLY min(n, stratum size) rows per stratum, chosen by hash order.
+
+    Rate-based sampling gives binomial counts; eval-set construction wants
+    exact ones. Ordering each stratum by the content hash (tie-broken by
+    key) makes the selection deterministic AND stable under corpus growth
+    in expectation's limit — a new row displaces at most one old row, it
+    never reshuffles the whole sample the way random orderings do.
+
+    One shuffle on the stratum key; the rank window input is the stratum's
+    rows, so pick strata with bounded cardinality (lang, source) or salt
+    first at extreme skew."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_bigint(key_col, seed=seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= n)
+        .drop("_rank")
+    )
+
+
 def assign_split(
     df: DataFrame,
     key_col: str,

@@ -936,6 +936,31 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_take_n_per_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('eval-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                        doc_id ASC) AS rnk
+      FROM documents)
+    WHERE rnk <= 20
+    """,
+)
+def docs_take_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count per-stratum selection (operators/sampling.py:
+    take_n_per_stratum): exactly 20 docs per language, chosen by content
+    hash order — the deterministic eval-set constructor (rate sampling
+    gives binomial counts; benchmarks need exact ones)."""
+    from etlutil_spark.operators.sampling import take_n_per_stratum
+
+    d = load_table(spark, "documents", sf_dir)
+    out = take_n_per_stratum(d, 20, "lang", "doc_id", seed="eval-v1")
+    return out.select("doc_id", "lang")
+
+
+@register(
     "docs_train_eval_split",
     f"""
     WITH s AS (

@@ -263,6 +263,23 @@ class TestSampling:
         counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
         assert sum(counts.values()) == 500 and counts.get("train", 0) > 400
 
+    def test_take_n_per_stratum_exact_and_stable(self, spark):
+        from etlutil_spark.operators.sampling import take_n_per_stratum
+
+        rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+        df = spark.createDataFrame(rows, "k bigint, g string")
+        got = take_n_per_stratum(df, 5, "g", "k").collect()
+        by_g: dict[str, set[int]] = {}
+        for r in got:
+            by_g.setdefault(r.g, set()).add(r.k)
+        assert {g: len(s) for g, s in by_g.items()} == {"a": 5, "b": 5}
+        # deterministic across invocations
+        again = take_n_per_stratum(df, 5, "g", "k").collect()
+        assert {(r.g, r.k) for r in again} == {(r.g, r.k) for r in got}
+        # n larger than the stratum: whole stratum survives
+        small = take_n_per_stratum(df.where(F.col("g") == "b"), 100, "g", "k")
+        assert small.count() == 20
+
     def test_rate_bounds_validated(self, spark):
         import pytest as _pytest
 
