@@ -157,6 +157,15 @@ class TestPlanQuality:
         assert P.codegen_stage_count(df) >= 1
         assert P.exchange_count(df) == 1  # one agg shuffle, nothing else
 
+    def test_q5_broadcasts_dimensions(self, spark, sf_dir):
+        """The fixed dims (region/nation/supplier) must ride broadcast
+        exchanges — a shuffle join on them would dominate at 100x."""
+        from etlutil_spark.queries import QUERIES
+
+        df = QUERIES["q5_region_revenue"](spark, sf_dir)
+        df.collect()
+        assert P.broadcast_count(df) >= 2
+
     def test_minhash_stays_in_codegen(self, spark, sf_dir):
         """Regression: inlined md5 in 32 signature columns used to overflow
         janino's 64KB method limit and silently disable codegen."""
@@ -195,11 +204,11 @@ class TestPlanQuality:
         out = ngram_jaccard_pairs(
             d, "doc_id", "text", threshold=0.6, max_shingle_freq=50
         )
-        # correctness of the cap itself: equal to uncapped on this corpus
-        # only where no shingle exceeds the cap — just assert it runs and
-        # produces the pair set the oracle checks; here assert plan shape
+        # the cap must survive into the physical plan as a filter on the
+        # shingle document-frequency aggregate, upstream of the self-join
         plan = P.formatted_plan(out)
         assert plan.count("HashAggregate") >= 4  # freq agg + sizes + inter
+        assert "<= 50" in plan  # df_ <= max_shingle_freq reached the plan
 
     def test_knn_join_single_bucket_shuffle(self, spark, sf_dir):
         """knn_join's only wide exchanges are the bucket join + the top-k
