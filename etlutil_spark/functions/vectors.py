@@ -62,6 +62,28 @@ def dot_lit(a: Column | str, vec: list[float]) -> Column:
     return expr
 
 
+def plane_dots(a: Column | str, planes: list[list[float]]) -> Column:
+    """Dot products against a list of literal hyperplanes, as one array.
+
+    The planes ship as a SINGLE nested-array ``Literal`` node
+    (``F.lit(list[list[float]])``), so the expression tree stays O(1) in
+    ``n_planes * dim`` instead of one node per coefficient. For the k-NN
+    join's 8-plane/64-dim bucket expression that cuts plan build, Catalyst
+    analysis, and generated-code size by ~500 nodes per side while the
+    per-element arithmetic (cast to double, left-fold sum) stays
+    bit-identical to :func:`dot` / :func:`dot_lit_sql`."""
+    pl = F.lit([[float(v) for v in p] for p in planes])
+    v = _c(a).cast("array<double>")
+    return F.transform(
+        pl,
+        lambda p: F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+
+
 def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -18,7 +18,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etlutil_spark.functions.vectors import cosine_lit, dot, dot_lit, norm
+from etlutil_spark.functions.vectors import cosine_lit, dot, norm
 from etlutil_spark.operators.util import ensure_min_partitions
 
 
@@ -59,26 +59,28 @@ def adaptive_n_planes(
 def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit i = (v . plane_i) >= 0. Pure expression.
 
-    For string column names the whole bucket expression (n_planes expanded
-    dot products) is emitted as one SQL string and parsed JVM-side in a
-    single call — the Column-tree builder costs ~2 py4j round-trips per
-    vector element per plane, which was the dominant plan-construction cost
-    of the k-NN join (6 planes x 64 dims x 2 sides ~ 1.5k driver calls)."""
-    if isinstance(vec_col, str):
-        from etlutil_spark.functions.vectors import dot_lit_sql
+    The planes ship as ONE nested-array literal (``plane_dots``), so the
+    bucket expression is a handful of higher-order-function nodes instead
+    of ``n_planes * dim`` literal nodes — plan build, per-action Catalyst
+    analysis, and generated-code size all stop scaling with the plane
+    table. Bit values are identical to the expanded form (same cast-to-
+    double, same left-fold order); 2^i is computed as ``pow(2.0, i)`` in
+    double, exact for i < 53."""
+    if not planes:
+        return F.lit(0).cast("bigint")
+    from etlutil_spark.functions.vectors import plane_dots
 
-        bits = " + ".join(
-            f"shiftleft(IF({dot_lit_sql(vec_col, p)} >= 0, 1L, 0L), {i})"
-            for i, p in enumerate(planes)
-        )
-        return F.expr(f"CAST(0 AS BIGINT) + {bits}" if bits else "CAST(0 AS BIGINT)")
-    bucket = F.lit(0).cast("bigint")
-    for i, p in enumerate(planes):
-        bit = F.when(dot_lit(vec_col, p) >= 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+    dots = plane_dots(vec_col, planes)
+    idx = F.sequence(F.lit(0), F.lit(len(planes) - 1))
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            idx,
+            lambda d, i: F.when(d >= 0, F.pow(F.lit(2.0), i)).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, b: acc + b,
+    ).cast("bigint")
 
 
 def cosine_topk(
