@@ -2215,3 +2215,152 @@ def customer_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.avg("o_totalprice").over(w), 4).alias("avg_last3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins & slowly-changing dimensions (operators/asof.py, scd2.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_attribution",
+    """
+    WITH l AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           l.value AS purchase_value,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           r.value AS click_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase joined to the user's most
+    recent click at-or-before it (operators/asof.py — the union-marker
+    plan: one shuffle+sort over both streams, never a range join). Oracle
+    is DuckDB's native ASOF LEFT JOIN. Timestamps are emitted as
+    second-precision strings on both sides (same nanos-vs-micros
+    representation guard as sessionize_users); the join itself compares
+    full-precision timestamps."""
+    from etlutil_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        left, right, on="user_id", left_time="ts", right_time="ts",
+        matched_time_col="click_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "click_value",
+    )
+
+
+@register(
+    "asof_attribution_tolerance",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click'),
+         m AS (
+           SELECT l.event_id, l.user_id, l.ts AS lts, r.ts AS rts, r.value
+           FROM l ASOF LEFT JOIN r
+             ON l.user_id = r.user_id AND l.ts >= r.ts)
+    SELECT event_id, user_id,
+           strftime(lts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN floor(epoch(lts)) - floor(epoch(rts)) <= 3600
+                THEN strftime(rts, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+           CASE WHEN floor(epoch(lts)) - floor(epoch(rts)) <= 3600
+                THEN value END AS click_value
+    FROM m
+    """,
+)
+def asof_attribution_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: clicks more than an hour
+    before the purchase do not count (payload nulled, left row kept).
+    Tolerance compares second-truncated epochs on both sides — Spark's
+    unix_timestamp truncates to seconds, mirrored by floor(epoch(...)) in
+    the oracle."""
+    from etlutil_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        left, right, on="user_id", left_time="ts", right_time="ts",
+        matched_time_col="click_ts", tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "click_value",
+    )
+
+
+@register(
+    "scd2_customer_priority",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders),
+    runs AS (
+      SELECT * FROM ordered
+      WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderpriority),
+    iv AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS vf,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS vt
+      FROM runs)
+    SELECT o_custkey, o_orderpriority,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM iv
+    """,
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval build (operators/scd2.py): treat each customer's
+    order log as a state stream of o_orderpriority and collapse runs into
+    half-open validity windows. Both windows share one (custkey, date, key)
+    sort, so the whole operator is a single shuffle of the log."""
+    from etlutil_spark.operators.scd2 import scd2_intervals
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    iv = scd2_intervals(
+        o, "o_custkey", "o_orderdate", "o_orderpriority",
+        tie_break="o_orderkey",
+    )
+    return iv.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )

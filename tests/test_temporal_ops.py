@@ -1,0 +1,225 @@
+"""Unit tests for the temporal operators: as-of join (operators/asof.py)
+and SCD2 interval construction (operators/scd2.py).
+
+These cover the semantics the registered oracle queries can't reach:
+forward direction, tolerance edge cases, NULL right-payload columns (the
+forward-fill trap the struct carrier exists for), tie handling, and
+multi-column state runs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.asof import asof_join
+from etlutil_spark.operators.scd2 import scd2_intervals
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 10:00:00"), 100),
+            ("A", ts("2024-01-01 10:05:00"), 101),
+            ("B", ts("2024-01-01 10:00:30"), 200),
+            ("C", ts("2024-01-01 09:00:00"), 300),
+        ],
+        "sym string, t timestamp, trade_id int",
+    )
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 09:59:00"), 10.0),
+            ("A", ts("2024-01-01 10:00:00"), 11.0),  # tie with first trade
+            ("A", ts("2024-01-01 10:04:00"), None),  # NULL payload mid-stream
+            ("B", ts("2024-01-01 10:02:00"), 20.0),  # after B's only trade
+        ],
+        "sym string, qt timestamp, px double",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_basic(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="qt",
+            matched_time_col="qt",
+        )
+        rows = {r.trade_id: r for r in out.collect()}
+        assert len(rows) == 4
+        # exact-tie quote (10:00:00) matches the 10:00:00 trade
+        assert rows[100].qt == ts("2024-01-01 10:00:00")
+        assert rows[100].px == 11.0
+        # B's quote is later than B's trade -> no match, left row kept
+        assert rows[200].qt is None and rows[200].px is None
+        # C has no quotes at all
+        assert rows[300].qt is None
+
+    def test_null_payload_not_skipped(self, trades, quotes):
+        """A right row whose payload is NULL must still win over an older
+        non-NULL row (the classic last(ignorenulls) forward-fill bug)."""
+        out = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="qt",
+            matched_time_col="qt",
+        )
+        r = {x.trade_id: x for x in out.collect()}[101]
+        assert r.qt == ts("2024-01-01 10:04:00")
+        assert r.px is None
+
+    def test_forward(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="qt",
+            direction="forward", matched_time_col="qt",
+        )
+        rows = {r.trade_id: r for r in out.collect()}
+        assert rows[100].qt == ts("2024-01-01 10:00:00")  # tie matches forward too
+        assert rows[101].qt is None  # no quote at/after 10:05
+        assert rows[200].qt == ts("2024-01-01 10:02:00")
+        assert rows[300].qt is None
+
+    def test_tolerance(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="qt",
+            tolerance_seconds=30, matched_time_col="qt",
+        )
+        rows = {r.trade_id: r for r in out.collect()}
+        assert len(rows) == 4  # tolerance nulls payloads, never drops rows
+        assert rows[100].qt == ts("2024-01-01 10:00:00")  # 0s stale: kept
+        # trade 101 at 10:05, nearest quote at 10:04 -> 60s stale -> nulled
+        assert rows[101].qt is None and rows[101].px is None
+
+    def test_tolerance_exact(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:01:00"))], "id int, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00:00"), 5.0)], "id int, qt timestamp, v double"
+        )
+        at_limit = asof_join(
+            left, right, on="id", left_time="t", right_time="qt",
+            tolerance_seconds=60, matched_time_col="qt",
+        ).collect()[0]
+        assert at_limit.v == 5.0  # staleness == tolerance is kept (<=)
+        over = asof_join(
+            left, right, on="id", left_time="t", right_time="qt",
+            tolerance_seconds=59, matched_time_col="qt",
+        ).collect()[0]
+        assert over.v is None and over.qt is None
+
+    def test_multi_key(self, spark):
+        left = spark.createDataFrame(
+            [("x", 1, ts("2024-01-01 01:00:00"))], "k1 string, k2 int, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                ("x", 1, ts("2024-01-01 00:30:00"), "good"),
+                ("x", 2, ts("2024-01-01 00:59:00"), "wrong-k2"),
+            ],
+            "k1 string, k2 int, rt timestamp, tag string",
+        )
+        out = asof_join(
+            left, right, on=["k1", "k2"], left_time="t", right_time="rt"
+        ).collect()
+        assert out[0].tag == "good"
+
+    def test_left_columns_preserved(self, trades, quotes):
+        out = asof_join(trades, quotes, on="sym", left_time="t", right_time="qt")
+        assert out.columns == ["sym", "t", "trade_id", "matched_time", "px"]
+        assert out.count() == trades.count()
+
+    def test_bad_direction_raises(self, trades, quotes):
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(
+                trades, quotes, on="sym", left_time="t", right_time="qt",
+                direction="nearest",
+            )
+
+    def test_missing_key_raises(self, trades, quotes):
+        with pytest.raises(ValueError, match="join key"):
+            asof_join(trades, quotes, on="nope", left_time="t", right_time="qt")
+
+    def test_single_shuffle_plan(self, trades, quotes):
+        """The union-marker plan must cost exactly one exchange — that is
+        its reason to exist vs a range join."""
+        out = asof_join(trades, quotes, on="sym", left_time="t", right_time="qt")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "BroadcastNestedLoop" not in plan
+
+
+class TestScd2:
+    @pytest.fixture()
+    def log(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 00:00:00"), "bronze", "eu"),
+                (1, ts("2024-02-01 00:00:00"), "bronze", "eu"),  # no change
+                (1, ts("2024-03-01 00:00:00"), "silver", "eu"),  # tier change
+                (1, ts("2024-04-01 00:00:00"), "silver", "us"),  # region change
+                (2, ts("2024-01-15 00:00:00"), "gold", "eu"),
+                (3, ts("2024-01-01 00:00:00"), None, "eu"),      # NULL state
+                (3, ts("2024-02-01 00:00:00"), None, "eu"),      # same NULL
+                (3, ts("2024-03-01 00:00:00"), "bronze", "eu"),
+            ],
+            "uid int, at timestamp, tier string, region string",
+        )
+
+    def test_runs_collapse(self, log):
+        iv = scd2_intervals(log, "uid", "at", ["tier", "region"])
+        rows = sorted(iv.collect(), key=lambda r: (r.uid, r.valid_from))
+        u1 = [r for r in rows if r.uid == 1]
+        assert len(u1) == 3  # bronze/eu run collapsed
+        assert u1[0].valid_from == ts("2024-01-01 00:00:00")
+        assert u1[0].valid_to == ts("2024-03-01 00:00:00")  # half-open
+        assert u1[0].is_current == 0
+        assert u1[2].valid_to is None and u1[2].is_current == 1
+
+    def test_null_state_runs(self, log):
+        """NULL-safe struct compare: consecutive NULL states are one run;
+        NULL -> non-NULL is a change."""
+        iv = scd2_intervals(log, "uid", "at", ["tier", "region"])
+        u3 = sorted(
+            [r for r in iv.collect() if r.uid == 3], key=lambda r: r.valid_from
+        )
+        assert len(u3) == 2
+        assert u3[0].tier is None
+        assert u3[0].valid_to == ts("2024-03-01 00:00:00")
+        assert u3[1].tier == "bronze" and u3[1].is_current == 1
+
+    def test_single_key_single_state(self, spark):
+        df = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00:00"), "a")], "k int, at timestamp, s string"
+        )
+        iv = scd2_intervals(df, "k", "at", "s").collect()
+        assert len(iv) == 1
+        assert iv[0].is_current == 1 and iv[0].valid_to is None
+
+    def test_tie_break(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 00:00:00"), 1, "a"),
+                (1, ts("2024-01-01 00:00:00"), 2, "b"),  # same ts, later seq
+            ],
+            "k int, at timestamp, seq int, s string",
+        )
+        iv = sorted(
+            scd2_intervals(df, "k", "at", "s", tie_break="seq").collect(),
+            key=lambda r: (r.valid_from, r.s),
+        )
+        assert [r.s for r in iv] == ["a", "b"]
+        assert iv[0].valid_to == ts("2024-01-01 00:00:00")  # zero-length run
+        assert iv[1].is_current == 1
+
+    def test_single_shuffle_plan(self, log):
+        iv = scd2_intervals(log, "uid", "at", ["tier", "region"])
+        plan = iv._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
