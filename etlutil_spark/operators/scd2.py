@@ -73,3 +73,72 @@ def scd2_intervals(
         )
         .select(*keys, *states, valid_from_col, valid_to_col, current_col)
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    state_cols: str | list[str],
+    *,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    strict: bool = False,
+) -> DataFrame:
+    """Apply a change batch to an existing SCD2 dimension incrementally.
+
+    The MERGE half of the SCD2 workflow: given ``dim`` (output of
+    :func:`scd2_intervals`) and a new batch of observations, rebuild
+    intervals for the touched keys only and pass every other dimension row
+    through untouched. At 100 TB this is the whole point — a daily CDC
+    batch touches a sliver of the key space, so the rebuild shuffle is
+    sized by the batch, not the dimension: the touched/untouched split is
+    a broadcast semi/anti join on the batch's distinct keys.
+
+    Correctness contract (the reason this can be incremental at all): the
+    dimension stores only run STARTS, so changes must be in-order per key
+    — every change at or after that key's latest ``valid_from``. An
+    out-of-order change that lands between two collapsed observations of
+    an old run would need the discarded observations to re-derive runs;
+    ``strict=True`` runs one small aggregate over the touched keys and
+    raises if any change predates its key's open run. Like
+    :func:`scd2_intervals` with ties, (key, ts) must be unique across
+    dim-starts and changes combined.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    states = [state_cols] if isinstance(state_cols, str) else list(state_cols)
+
+    affected = F.broadcast(changes.select(*keys).distinct())
+    touched = dim.join(affected, keys, "left_semi")
+    untouched = dim.join(affected, keys, "left_anti")
+
+    if strict:
+        latest = touched.groupBy(*keys).agg(
+            F.max(valid_from_col).alias("_latest_from")
+        )
+        n_bad = (
+            changes.join(latest, keys)
+            .where(F.col(ts_col) < F.col("_latest_from"))
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                "scd2_apply: change batch contains out-of-order rows (before "
+                "a key's latest valid_from); rebuild from the full log instead"
+            )
+
+    log_from_dim = touched.select(
+        *keys, F.col(valid_from_col).alias(ts_col), *states
+    )
+    log = log_from_dim.unionByName(changes.select(*keys, ts_col, *states))
+    rebuilt = scd2_intervals(
+        log, keys, ts_col, states,
+        valid_from_col=valid_from_col, valid_to_col=valid_to_col,
+        current_col=current_col,
+    )
+    return untouched.select(
+        *keys, *states, valid_from_col, valid_to_col, current_col
+    ).unionByName(rebuilt)

@@ -1,0 +1,133 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+COUNT(DISTINCT x) is one of the standard 100 TB pain points: exact
+distinct needs a full shuffle of every distinct value, and Spark's
+built-in approx (``approx_count_distinct`` / HyperLogLog) is
+implementation-specific — two engines give two answers, so it can never
+pass a cross-engine value-hash gate. The KMV estimator fills that gap:
+
+  1. hash every value with the engine-portable ``md5_bigint`` (uniform in
+     [0, 2^60)),
+  2. per group, keep the k smallest DISTINCT hashes,
+  3. estimate ``n_distinct ~ (k-1) * 2^60 / kth_smallest_hash`` (exact
+     count when fewer than k distinct values exist).
+
+Every step is deterministic integer/double arithmetic on a portable hash,
+so the SAME formula runs in DuckDB and hash-matches — an *oracle-checkable
+approximate* operator. Standard error is ~1/sqrt(k-2) (Beyer et al.,
+"On Synopses for Distinct-Value Estimation Under Multiset Operations",
+SIGMOD 2007): k=256 gives ~6%, k=1024 ~3%.
+
+Plan shape (the scale story): distinct on (group, hash) — one shuffle with
+map-side partial dedup — then a bottom-k window + final agg sharing ONE
+group shuffle. Memory is O(k) per group at every stage; no collect_set of
+unbounded distinct sets anywhere. Sketches MERGE: the bottom-k of a union
+is the bottom-k of each side's bottom-k union — union sketch tables and
+re-apply (``kmv_merge``) for incremental / per-partition rollups.
+
+The reference has no sketch surface at all; this extends the clean/hash
+family (reference ``data_structures.py:1336-1353``) to aggregate land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etlutil_spark.functions.hashing import md5_bigint
+
+HASH_SPACE = float(2**60)  # md5_bigint range; exact as a double
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    *,
+    k: int = 256,
+    seed: int | str = "",
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct value hashes.
+
+    Returns one row per (group, hash) with ``rn`` (1-based rank) — a
+    "tall" sketch table rather than an array column, so downstream merge /
+    estimate stages stay pure relational ops. At most k rows per group.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    hashed = df.select(
+        *groups, md5_bigint(F.col(value_col), seed=seed).alias("kmv_hash")
+    ).distinct()
+    w = Window.partitionBy(*groups).orderBy("kmv_hash")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_merge(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: str | list[str],
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Merge two sketch tables: bottom-k of the deduplicated union.
+
+    The KMV closure property — bottom_k(A ∪ B) = bottom_k(bottom_k(A) ∪
+    bottom_k(B)) — is what makes the sketch usable for incremental
+    pipelines: sketch each day's partition, merge, never rescan history.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u = sketch_a.select(*groups, "kmv_hash").unionByName(
+        sketch_b.select(*groups, "kmv_hash")
+    ).distinct()
+    w = Window.partitionBy(*groups).orderBy("kmv_hash")
+    return u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: str | list[str],
+    *,
+    k: int = 256,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Distinct-count estimate per group from a sketch table.
+
+    Fewer than k hashes -> the sketch saw every distinct value: exact
+    count. Otherwise (k-1) * 2^60 / kth_hash, floored (floor, not round:
+    identical in every engine, no half-way convention to match).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    agg = sketch.groupBy(*groups).agg(
+        F.count("*").alias("_n_seen"), F.max("kmv_hash").alias("_kth")
+    )
+    est = F.when(F.col("_n_seen") < k, F.col("_n_seen")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("_kth"))
+    )
+    return agg.select(*groups, est.cast("bigint").alias(out_col))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    *,
+    k: int = 256,
+    seed: int | str = "",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group, oracle-checkable.
+
+    sketch + estimate fused: the window and the final groupBy share one
+    exchange on the group columns (distinct's (group, hash) shuffle is the
+    only other exchange, with map-side partial dedup)."""
+    return kmv_estimate(
+        kmv_sketch(df, group_cols, value_col, k=k, seed=seed),
+        group_cols,
+        k=k,
+        out_col=out_col,
+    )

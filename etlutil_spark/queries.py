@@ -2364,3 +2364,99 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "kmv_distinct_events",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5('' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS kmv_hash
+      FROM events),
+    r AS (
+      SELECT event_type, kmv_hash,
+             row_number() OVER (PARTITION BY event_type ORDER BY kmv_hash) AS rn
+      FROM h)
+    SELECT event_type,
+           CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                     ELSE floor(63.0 * 1152921504606846976.0 / MAX(kmv_hash))
+                END AS BIGINT) AS approx_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+)
+def kmv_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT event_id) per event type via the KMV
+    sketch (operators/sketch.py) — the oracle-checkable alternative to
+    HLL: the bottom-k of a portable md5 hash is deterministic, so DuckDB
+    computes the IDENTICAL estimate. k=64 -> ~13% standard error; the
+    sketch shuffles at most k rows per group after the map-side distinct."""
+    from etlutil_spark.operators.sketch import kmv_distinct
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_distinct(ev, "event_type", "event_id", k=64)
+
+
+@register(
+    "scd2_apply_incremental",
+    """
+    WITH dedup AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority FROM (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+    ordered AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+             ) AS prev
+      FROM dedup),
+    runs AS (
+      SELECT * FROM ordered
+      WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderpriority),
+    iv AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS vf,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+             ) AS vt
+      FROM runs)
+    SELECT o_custkey, o_orderpriority,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM iv
+    """,
+)
+def scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/scd2.py:scd2_apply): build
+    the dimension from pre-1997 orders, then apply the 1997+ orders as a
+    CDC batch. The ORACLE is the full-log recompute — incremental apply
+    must be indistinguishable from rebuilding over all observations, which
+    is exactly the guarantee that lets a daily merge replace a full rescan
+    at scale. Orders are first compacted to one state per (custkey, day)
+    (last orderkey wins) so (key, ts) is unique, the operator's contract."""
+    from etlutil_spark.operators.compact import latest_by_key
+    from etlutil_spark.operators.scd2 import scd2_apply, scd2_intervals
+
+    o = load_table(spark, "orders", sf_dir)
+    log = latest_by_key(
+        o, ["o_custkey", "o_orderdate"], "o_orderkey"
+    ).select("o_custkey", "o_orderdate", "o_orderpriority")
+    split = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    dim = scd2_intervals(
+        log.where(F.col("o_orderdate") < split),
+        "o_custkey", "o_orderdate", "o_orderpriority",
+    )
+    batch = log.where(F.col("o_orderdate") >= split)
+    out = scd2_apply(
+        dim, batch, "o_custkey", "o_orderdate", "o_orderpriority", strict=True
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )

@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etlutil_spark.operators.asof import asof_join
-from etlutil_spark.operators.scd2 import scd2_intervals
+from etlutil_spark.operators.scd2 import scd2_apply, scd2_intervals
 
 
 def ts(s: str) -> datetime:
@@ -223,3 +223,94 @@ class TestScd2:
         iv = scd2_intervals(log, "uid", "at", ["tier", "region"])
         plan = iv._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestScd2Apply:
+    @pytest.fixture()
+    def dim(self, spark):
+        log = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 00:00:00"), "bronze"),
+                (1, ts("2024-02-01 00:00:00"), "silver"),
+                (2, ts("2024-01-01 00:00:00"), "gold"),
+            ],
+            "uid int, at timestamp, tier string",
+        )
+        return scd2_intervals(log, "uid", "at", "tier")
+
+    def test_new_state_closes_open_run(self, spark, dim):
+        batch = spark.createDataFrame(
+            [(1, ts("2024-03-01 00:00:00"), "gold")], "uid int, at timestamp, tier string"
+        )
+        out = scd2_apply(dim, batch, "uid", "at", "tier")
+        u1 = sorted(
+            [r for r in out.collect() if r.uid == 1], key=lambda r: r.valid_from
+        )
+        assert [(r.tier, r.is_current) for r in u1] == [
+            ("bronze", 0), ("silver", 0), ("gold", 1)
+        ]
+        assert u1[1].valid_to == ts("2024-03-01 00:00:00")
+
+    def test_same_state_extends_run(self, spark, dim):
+        """A batch observation repeating the open run's state must collapse
+        into it — no zero-length interval, valid_from unchanged."""
+        batch = spark.createDataFrame(
+            [(1, ts("2024-03-01 00:00:00"), "silver")],
+            "uid int, at timestamp, tier string",
+        )
+        out = scd2_apply(dim, batch, "uid", "at", "tier")
+        u1 = sorted(
+            [r for r in out.collect() if r.uid == 1], key=lambda r: r.valid_from
+        )
+        assert len(u1) == 2
+        assert u1[1].tier == "silver"
+        assert u1[1].valid_from == ts("2024-02-01 00:00:00")
+        assert u1[1].is_current == 1
+
+    def test_untouched_keys_pass_through(self, spark, dim):
+        batch = spark.createDataFrame(
+            [(1, ts("2024-03-01 00:00:00"), "gold")], "uid int, at timestamp, tier string"
+        )
+        out = scd2_apply(dim, batch, "uid", "at", "tier")
+        u2 = [r for r in out.collect() if r.uid == 2]
+        assert len(u2) == 1
+        assert (u2[0].tier, u2[0].is_current, u2[0].valid_to) == ("gold", 1, None)
+
+    def test_new_key_inserted(self, spark, dim):
+        batch = spark.createDataFrame(
+            [(9, ts("2024-05-01 00:00:00"), "bronze")],
+            "uid int, at timestamp, tier string",
+        )
+        out = scd2_apply(dim, batch, "uid", "at", "tier")
+        u9 = [r for r in out.collect() if r.uid == 9]
+        assert len(u9) == 1 and u9[0].is_current == 1
+
+    def test_strict_rejects_out_of_order(self, spark, dim):
+        late = spark.createDataFrame(
+            [(1, ts("2024-01-15 00:00:00"), "gold")],  # before silver's start
+            "uid int, at timestamp, tier string",
+        )
+        with pytest.raises(ValueError, match="out-of-order"):
+            scd2_apply(dim, late, "uid", "at", "tier", strict=True)
+
+    def test_equals_full_recompute(self, spark):
+        full_log = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 00:00:00"), "a"),
+                (1, ts("2024-02-01 00:00:00"), "b"),
+                (1, ts("2024-03-01 00:00:00"), "b"),
+                (1, ts("2024-04-01 00:00:00"), "c"),
+                (2, ts("2024-02-15 00:00:00"), "x"),
+                (3, ts("2024-03-20 00:00:00"), "y"),
+            ],
+            "uid int, at timestamp, s string",
+        )
+        cut = ts("2024-03-01 00:00:00")
+        dim = scd2_intervals(full_log.where(F.col("at") < F.lit(cut)), "uid", "at", "s")
+        batch = full_log.where(F.col("at") >= F.lit(cut))
+        inc = scd2_apply(dim, batch, "uid", "at", "s", strict=True)
+        full = scd2_intervals(full_log, "uid", "at", "s")
+        # columns: uid, s, valid_from, valid_to, is_current
+        key = lambda t: (t[0], t[2])
+        assert sorted(map(tuple, inc.collect()), key=key) == \
+               sorted(map(tuple, full.collect()), key=key)
