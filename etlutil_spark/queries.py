@@ -2460,3 +2460,59 @@ def scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "events_pivot_daily_types",
+    """
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long -> wide (operators/reshape.py:pivot_agg): daily event counts,
+    one column per type, compiled as when-filtered aggregates in ONE
+    groupBy — a single shuffle, no hidden distinct-discovery scan, and
+    COUNT of an absent combo is 0 exactly like the oracle's
+    COUNT(*) FILTER (WHERE ...)."""
+    from etlutil_spark.operators.reshape import pivot_agg
+
+    ev = load_table(spark, "events", sf_dir).withColumn("d", F.to_date("ts"))
+    return pivot_agg(
+        ev, "d", "event_type",
+        ["click", "view", "purchase", "signup", "error"],
+        lambda cond: F.count(F.when(cond, 1)),
+        prefix="n_",
+    )
+
+
+@register(
+    "orders_unpivot_price_parts",
+    """
+    SELECT o_orderkey, 'o_totalprice' AS component, o_totalprice AS amount
+    FROM orders WHERE o_custkey <= 50
+    UNION ALL
+    SELECT o_orderkey, 'half_price', o_totalprice / 2 FROM orders WHERE o_custkey <= 50
+    """,
+)
+def orders_unpivot_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long (operators/reshape.py:unpivot): melt two derived price
+    columns into (key, component, amount) rows. Zero-shuffle generator;
+    the oracle is the UNION ALL formulation every engine agrees on."""
+    from etlutil_spark.operators.reshape import unpivot
+
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") <= 50)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        (F.col("o_totalprice") / 2).alias("half_price"),
+    )
+    return unpivot(
+        wide, "o_orderkey", ["o_totalprice", "half_price"],
+        var_col="component", value_col="amount",
+    )
