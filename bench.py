@@ -39,6 +39,9 @@ HEADLINE = [
     "knn_join_topk",
     "docs_contamination",
     "docs_pack_token_budget",
+    "asof_purchase_attribution",
+    "scd2_apply_incremental",
+    "kmv_distinct_events",
 ]
 
 

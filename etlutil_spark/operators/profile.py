@@ -63,3 +63,57 @@ def profile_table(
         "e.min_value",
         "e.max_value",
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    *,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram: (bin, lo, hi, n) — the profiling counterpart
+    to quantiles that IS exactly reproducible in any engine.
+
+    Bounds default to the column's min/max (one tiny extra aggregate —
+    pass ``lo``/``hi`` to skip it and make the operator single-pass). The
+    bin index is ``floor((x - lo) / width)`` clamped so ``x == hi`` lands
+    in the last bin (the standard right-closed final bin); rows outside
+    explicit bounds are dropped. Empty bins are still emitted (n=0): an
+    n_bins-row range spine left-joins the counts — a broadcast join of a
+    constant-size side, never a cross join against the data.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(value_col).cast("double")).alias("mn"),
+            F.max(F.col(value_col).cast("double")).alias("mx"),
+        ).collect()[0]
+        lo = row.mn if lo is None else lo
+        hi = row.mx if hi is None else hi
+    if lo is None or hi is None or hi <= lo:
+        raise ValueError(f"invalid histogram bounds [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    x = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(n_bins - 1)
+    ).cast("int")
+    counts = (
+        df.where(x.isNotNull() & (x >= lo) & (x <= hi))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Time-series regularization: per-key spines, gap filling, forward fill.
+
+The reference's `DateRanges` family generates calendar spines driver-side
+to parameterize backfills (reference ``date.py:807-956``); these operators
+are the data-parallel completion of that idea — make an *irregular* keyed
+series regular so window math (moving averages, deltas, joins on time)
+is well-defined.
+
+Plan shapes (the scale story):
+
+  - ``time_spine``: per-key ``sequence(min, max, step)`` + explode — the
+    spine is GENERATED inside each key's aggregate row, so there is no
+    cross join of keys x calendar anywhere, and spine size is exactly the
+    output size.
+  - ``gap_fill``: spine left-joins the observed rows on (key, ts); both
+    sides arrive partitioned by key from the same upstream shuffle.
+  - ``forward_fill``: one window per key ordered by time, carrying the
+    last non-null observation via ``last(ignorenulls)`` — same
+    single-shuffle cost as sessionization. NULL-vs-missing caveat: ffill
+    treats an observed NULL as "nothing to carry" (it fills THROUGH it);
+    an observed NULL that must stay NULL needs the struct-carrier trick
+    (see operators/asof.py) — deliberate, documented difference.
+
+Grid contract: observation timestamps must already lie ON the step grid
+(e.g. daily rows for a 1-day step) or the join silently misses them —
+truncate/bucket first (``F.date_trunc``). This mirrors SQL gap-fill
+idioms and keeps the operator a pure equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def time_spine(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    *,
+    step: str = "interval 1 day",
+) -> DataFrame:
+    """One row per (key, grid point) from each key's min to max timestamp.
+
+    ``step`` is any Spark interval literal (``"interval 1 day"``,
+    ``"interval 15 minutes"``). Month-stepped spines are computed as
+    start + k*step by Spark's sequence (no end-of-month compounding).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx")
+    )
+    return bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step))
+        ).alias(ts_col),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    *,
+    step: str = "interval 1 day",
+    zero_fill: dict[str, float] | None = None,
+    ffill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Regularize a keyed series: insert missing grid rows, then fill.
+
+    ``zero_fill`` maps column -> constant for gap rows (counts -> 0);
+    ``ffill_cols`` carry the last observation forward instead. Columns in
+    neither stay NULL on gap rows. Observed rows pass through unchanged
+    (zero_fill only replaces NULLs, and on-grid observed values are
+    non-null by construction for counts/sums).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    spine = time_spine(df, keys, ts_col, step=step)
+    out = spine.join(df, [*keys, ts_col], "left")
+    if zero_fill:
+        out = out.withColumns(
+            {c: F.coalesce(F.col(c), F.lit(v)) for c, v in zero_fill.items()}
+        )
+    if ffill_cols:
+        out = forward_fill(out, keys, ts_col, ffill_cols)
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    value_cols: str | list[str],
+) -> DataFrame:
+    """Carry each key's last non-null value forward in time order.
+
+    All filled columns share ONE window over the same (key, time) sort —
+    a single shuffle regardless of how many columns are filled.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumns(
+        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in vals}
+    )

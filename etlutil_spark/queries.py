@@ -2441,9 +2441,14 @@ def scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlutil_spark.operators.scd2 import scd2_apply, scd2_intervals
 
     o = load_table(spark, "orders", sf_dir)
+    # the compacted log feeds four consumers (dim via touched/untouched,
+    # the strict-mode check, the rebuild union); checkpoint it lazily so
+    # its window shuffle runs once instead of per-branch
     log = latest_by_key(
         o, ["o_custkey", "o_orderdate"], "o_orderkey"
-    ).select("o_custkey", "o_orderdate", "o_orderpriority")
+    ).select("o_custkey", "o_orderdate", "o_orderpriority").localCheckpoint(
+        eager=False
+    )
     split = F.lit("1997-01-01 00:00:00").cast("timestamp")
     dim = scd2_intervals(
         log.where(F.col("o_orderdate") < split),
@@ -2516,3 +2521,105 @@ def orders_unpivot_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide, "o_orderkey", ["o_totalprice", "half_price"],
         var_col="component", value_col="amount",
     )
+
+
+@register(
+    "events_gap_fill_daily",
+    """
+    WITH src AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id < 3 GROUP BY 1, 2),
+    b AS (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx FROM src GROUP BY 1),
+    s AS (SELECT event_type,
+                 CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                             CAST(mx AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS d
+          FROM b),
+    j AS (SELECT s.event_type, s.d,
+                 coalesce(src.n_events, 0) AS n_events, src.day_value
+          FROM s LEFT JOIN src ON s.event_type = src.event_type AND s.d = src.d)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS d, n_events,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value
+    FROM j
+    """,
+)
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series regularization (operators/timeseries.py): a sparse keyed
+    daily series (3 users' events per type) gets its missing days inserted
+    from a per-key spine, counts zero-filled and the day's revenue carried
+    forward. The spine is generated INSIDE each key's aggregate row
+    (sequence+explode) — no key-by-calendar cross join at any scale."""
+    from etlutil_spark.operators.timeseries import gap_fill
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") < 3)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("day_value"),
+    )
+    out = gap_fill(
+        daily, "event_type", "d",
+        step="interval 1 day",
+        zero_fill={"n_events": 0},
+        ffill_cols=["day_value"],
+    )
+    return out.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_events",
+        "day_value",
+    )
+
+
+@register(
+    "lineitem_price_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(least(floor(CAST(l_extendedprice AS DOUBLE) / 11000.0), 9) AS INT) AS bin,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_extendedprice >= 0 AND l_extendedprice <= 110000
+      GROUP BY 1),
+    s AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin)
+    SELECT s.bin,
+           0.0 + s.bin * 11000.0 AS bin_lo,
+           0.0 + (s.bin + 1) * 11000.0 AS bin_hi,
+           coalesce(c.n, 0) AS n
+    FROM s LEFT JOIN c USING (bin)
+    """,
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/profile.py:histogram) over
+    l_extendedprice with explicit bounds (single pass, no min/max
+    pre-scan). Dense output: empty bins appear with n=0 via a 10-row
+    broadcast spine. The portable alternative to percentile profiling
+    when cross-engine determinism is required."""
+    from etlutil_spark.operators.profile import histogram
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return histogram(li, "l_extendedprice", n_bins=10, lo=0.0, hi=110000.0)
+
+
+@register(
+    "pricing_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping_id — all four aggregation levels
+    in one pass (Spark expands grouping sets inside a single shuffle;
+    partial aggregation still applies per set)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")

@@ -314,3 +314,72 @@ class TestScd2Apply:
         key = lambda t: (t[0], t[2])
         assert sorted(map(tuple, inc.collect()), key=key) == \
                sorted(map(tuple, full.collect()), key=key)
+
+
+class TestAsofVsPandas:
+    """Independent second oracle: pandas.merge_asof on seeded random data
+    (the DuckDB oracle already covers the registered query; this covers
+    both directions + tolerance on data with unmatched keys and ties)."""
+
+    @pytest.fixture(scope="class")
+    def frames(self):
+        import random
+
+        rng = random.Random(7)
+        base = 1_700_000_000
+        left = [
+            (f"k{rng.randrange(6)}", base + rng.randrange(0, 100_000), i)
+            for i in range(300)
+        ]
+        # unique (key, ts) on the right — the operator's determinism contract
+        seen = set()
+        right = []
+        for j in range(200):
+            k, t = f"k{rng.randrange(8)}", base + rng.randrange(0, 100_000)
+            if (k, t) not in seen:
+                seen.add((k, t))
+                right.append((k, t, float(j)))
+        return left, right
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    @pytest.mark.parametrize("tolerance", [None, 5_000])
+    def test_matches_merge_asof(self, spark, frames, direction, tolerance):
+        import pandas as pd
+
+        left, right = frames
+        ldf = spark.createDataFrame(
+            [(k, ts(f"1970-01-01 00:00:00").fromtimestamp(t), i) for k, t, i in left],
+            "k string, t timestamp, lid int",
+        )
+        rdf = spark.createDataFrame(
+            [(k, ts(f"1970-01-01 00:00:00").fromtimestamp(t), v) for k, t, v in right],
+            "k string, rt timestamp, rv double",
+        )
+        got = asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="rt",
+            direction=direction, tolerance_seconds=tolerance,
+            matched_time_col="mt",
+        ).toPandas()
+
+        lp = pd.DataFrame(left, columns=["k", "t", "lid"])
+        rp = pd.DataFrame(right, columns=["k", "mt", "rv"])
+        lp["t"] = pd.to_datetime(lp["t"], unit="s")
+        rp["mt"] = pd.to_datetime(rp["mt"], unit="s")
+        exp = pd.merge_asof(
+            lp.sort_values(["t", "lid"]),
+            rp.sort_values("mt"),
+            left_on="t", right_on="mt", by="k",
+            direction=direction,
+            tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+        )
+        g = got.sort_values("lid").reset_index(drop=True)
+        e = exp.sort_values("lid").reset_index(drop=True)
+        assert len(g) == len(e) == len(left)
+        for col in ("mt", "rv"):
+            ge, ee = g[col].tolist(), e[col].tolist()
+            for i, (x, y) in enumerate(zip(ge, ee)):
+                x_null = x is None or (isinstance(x, float) and x != x) or str(x) == "NaT"
+                y_null = y is None or (isinstance(y, float) and y != y) or str(y) == "NaT"
+                assert x_null == y_null, (col, i, x, y)
+                if not x_null:
+                    assert x == y, (col, i, x, y)

@@ -1,0 +1,109 @@
+"""Unit tests for time-series regularization (operators/timeseries.py):
+spine bounds, gap insertion, zero-fill vs ffill vs leave-NULL columns,
+ffill-through-observed-NULL semantics, and plan shape."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.timeseries import forward_fill, gap_fill, time_spine
+
+
+@pytest.fixture()
+def sparse(spark):
+    return spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 1), 10, 1.0),
+            ("a", date(2024, 1, 4), 5, None),   # observed NULL metric
+            ("a", date(2024, 1, 6), 7, 3.0),
+            ("b", date(2024, 2, 10), 1, 9.0),
+        ],
+        "k string, d date, n int, v double",
+    )
+
+
+class TestTimeSpine:
+    def test_per_key_bounds(self, sparse):
+        sp = time_spine(sparse, "k", "d")
+        days = {r.k: set() for r in sp.collect()}
+        for r in sp.collect():
+            days[r.k].add(r.d)
+        assert days["a"] == {date(2024, 1, i) for i in range(1, 7)}
+        assert days["b"] == {date(2024, 2, 10)}  # single observation: 1 row
+
+    def test_no_cross_join(self, sparse):
+        plan = time_spine(sparse, "k", "d")._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # spine is generated, never joined
+
+
+class TestGapFill:
+    def test_zero_fill_and_ffill(self, sparse):
+        out = gap_fill(
+            sparse, "k", "d", zero_fill={"n": 0}, ffill_cols=["v"]
+        )
+        a = {r.d: r for r in out.collect() if r.k == "a"}
+        assert len(a) == 6
+        assert a[date(2024, 1, 2)].n == 0  # gap row zero-filled
+        assert a[date(2024, 1, 2)].v == 1.0  # gap row carried forward
+        assert a[date(2024, 1, 4)].n == 5  # observed row untouched
+        # ffill fills THROUGH an observed NULL (documented semantics)
+        assert a[date(2024, 1, 4)].v == 1.0
+        assert a[date(2024, 1, 6)].v == 3.0
+
+    def test_unfilled_column_stays_null(self, sparse):
+        out = gap_fill(sparse, "k", "d", zero_fill={"n": 0})
+        a = {r.d: r for r in out.collect() if r.k == "a"}
+        assert a[date(2024, 1, 3)].v is None
+
+    def test_leading_gap_has_no_carry(self, spark):
+        df = spark.createDataFrame(
+            [("a", date(2024, 1, 1), None), ("a", date(2024, 1, 3), 5.0)],
+            "k string, d date, v double",
+        )
+        out = gap_fill(df, "k", "d", ffill_cols=["v"])
+        rows = {r.d: r.v for r in out.collect()}
+        assert rows[date(2024, 1, 1)] is None  # nothing earlier to carry
+        assert rows[date(2024, 1, 2)] is None
+        assert rows[date(2024, 1, 3)] == 5.0
+
+
+class TestForwardFill:
+    def test_multi_column_single_shuffle(self, sparse):
+        out = forward_fill(sparse, "k", "d", ["n", "v"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestHistogram:
+    """operators/profile.py:histogram (lives here to avoid a new session
+    module for one class — it shares the regular-grid theme)."""
+
+    def test_dense_bins_and_clamp(self, spark):
+        from etlutil_spark.operators.profile import histogram
+
+        df = spark.createDataFrame(
+            [(0.0,), (4.9,), (5.0,), (10.0,)], "x double"
+        )
+        out = {r.bin: r for r in histogram(df, "x", n_bins=2, lo=0.0, hi=10.0).collect()}
+        assert len(out) == 2
+        assert out[0].n == 2  # 0.0, 4.9
+        assert out[1].n == 2  # 5.0 lands in bin 1; 10.0 == hi clamps into last bin
+        assert (out[0].bin_lo, out[0].bin_hi) == (0.0, 5.0)
+
+    def test_auto_bounds_and_empty_bins(self, spark):
+        from etlutil_spark.operators.profile import histogram
+
+        df = spark.createDataFrame([(0.0,), (100.0,)], "x double")
+        rows = histogram(df, "x", n_bins=4).collect()
+        assert [r.n for r in sorted(rows, key=lambda r: r.bin)] == [1, 0, 0, 1]
+
+    def test_bad_bounds_raise(self, spark):
+        from etlutil_spark.operators.profile import histogram
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="bounds"):
+            histogram(df, "x", n_bins=3, lo=5.0, hi=5.0)
