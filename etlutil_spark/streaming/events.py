@@ -200,3 +200,45 @@ def run_stream_query(
     )
     q.awaitTermination(120)
     return agg.sparkSession.table(query_name)
+
+
+def hopping_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) window counts: each event lands in
+    window/slide overlapping windows. State grows by the same factor —
+    the watermark bound is what keeps it finite. Batch twin: identical
+    expression minus the watermark."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: broadcast hash join per
+    micro-batch, no streaming state at all (the static side is re-planned
+    each batch, so a refreshed dim table is picked up automatically).
+    This is the right tool whenever the lookup side fits in memory —
+    stream-stream joins with watermark bookkeeping are for two UNBOUNDED
+    sides, not for dimensions."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(dim), on, how)

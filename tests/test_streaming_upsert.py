@@ -1,0 +1,131 @@
+"""Streaming additions: foreachBatch SCD2 dimension maintenance,
+hopping windows, stream-static enrichment.
+
+The SCD2 sink test is the headline: four time-ordered micro-batches of
+state observations must leave EXACTLY the dimension a full batch
+recompute produces — the streaming twin of the scd2_apply_incremental
+oracle query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.scd2 import scd2_intervals
+from etlutil_spark.sources.testdata import load_table
+from etlutil_spark.streaming.events import enrich_stream, hopping_counts
+from etlutil_spark.streaming.upsert import run_scd2_upsert_stream
+
+
+@pytest.fixture(scope="module")
+def user_states(spark, sf_dir):
+    """Per-user state log: each event observes the user's 'current' event
+    type. Deduped to unique (user_id, ts) — the operator contract."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select("user_id", "ts", "event_type").dropDuplicates(
+        ["user_id", "ts"]
+    )
+
+
+class TestScd2UpsertStream:
+    def test_stream_converges_to_batch_recompute(
+        self, spark, user_states, tmp_path
+    ):
+        src_dir = str(tmp_path / "changes")
+        # four CONTIGUOUS time slices written in order: distinct mtimes, so
+        # the file source replays them as in-order micro-batches (the
+        # scd2_apply contract; random row-hash splits would violate it)
+        qs = user_states.select(
+            F.percentile_approx("ts", [0.25, 0.5, 0.75], 10000).alias("q")
+        ).collect()[0].q
+        bounds = [None, *qs, None]
+        for i in range(4):
+            part = user_states
+            if bounds[i] is not None:
+                part = part.where(F.col("ts") > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.where(F.col("ts") <= bounds[i + 1])
+            part.coalesce(1).write.mode("append").parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(user_states.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        dim_path = str(tmp_path / "dim")
+        run_scd2_upsert_stream(
+            stream, dim_path, "user_id", "ts", "event_type",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+        got = spark.read.parquet(dim_path)
+        want = scd2_intervals(user_states, "user_id", "ts", "event_type")
+        key = lambda t: (t[0], t[2])
+        assert sorted(map(tuple, got.collect()), key=key) == sorted(
+            map(tuple, want.collect()), key=key
+        )
+
+    def test_open_runs_are_current(self, spark, user_states, tmp_path):
+        src_dir = str(tmp_path / "chg1")
+        user_states.coalesce(1).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(user_states.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        dim_path = str(tmp_path / "dim1")
+        run_scd2_upsert_stream(
+            stream, dim_path, "user_id", "ts", "event_type",
+            checkpoint_dir=str(tmp_path / "ckpt1"),
+        )
+        dim = spark.read.parquet(dim_path)
+        per_user_current = (
+            dim.where(F.col("is_current") == 1).groupBy("user_id").count()
+        )
+        assert per_user_current.where(F.col("count") != 1).count() == 0
+
+
+class TestHoppingWindows:
+    def test_overlap_factor(self, spark, sf_dir):
+        ev = load_table(spark, "events", sf_dir)
+        tumbling = ev.groupBy(F.window("ts", "1 hour"), "event_type").count()
+        hopping = hopping_counts(ev, window="1 hour", slide="15 minutes")
+        # every event lands in exactly 4 hopping windows -> total count x4
+        t = tumbling.agg(F.sum("count")).collect()[0][0]
+        h = hopping.agg(F.sum("n_events")).collect()[0][0]
+        assert h == 4 * t
+
+
+class TestEnrichStream:
+    def test_broadcast_join_per_batch(self, spark, sf_dir, tmp_path):
+        from etlutil_spark.streaming.events import (
+            run_stream_query,
+            stream_events_from_dir,
+        )
+
+        ev = load_table(spark, "events", sf_dir)
+        src_dir = str(tmp_path / "ev")
+        ev.coalesce(1).write.parquet(src_dir)
+        dim = spark.createDataFrame(
+            [("click", "engagement"), ("view", "engagement"),
+             ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+            "event_type string, category string",
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        enriched = enrich_stream(stream, dim, "event_type").groupBy(
+            "category"
+        ).count()
+        got = run_stream_query(enriched, query_name="t_enrich")
+        want = {
+            r.category: r["count"]
+            for r in enrich_stream(ev, dim, "event_type")
+            .groupBy("category")
+            .count()
+            .collect()
+        }
+        assert {r.category: r["count"] for r in got.collect()} == want
