@@ -243,3 +243,130 @@ class TestPackingProperties:
             running += r.n_tokens
         # token conservation: packs partition the stream
         assert running == sum(tokens)
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators: randomized logs vs pure-Python reference models
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+_T0 = datetime(2024, 1, 1)
+
+# a log: list of (key, day-offset, state); unique (key, day) enforced below
+log_entry = st.tuples(
+    st.integers(1, 3), st.integers(0, 12), st.one_of(st.none(), st.sampled_from("abc"))
+)
+
+
+def _scd2_reference(entries):
+    """Pure-Python SCD2: per key, sort by ts, collapse equal-state runs,
+    half-open intervals, NULL-safe state compare."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, d, s in entries:
+        by_key[k].append((d, s))
+    out = []
+    for k, obs in by_key.items():
+        obs.sort()
+        runs = []
+        for d, s in obs:
+            if not runs or runs[-1][1] != s:
+                runs.append([d, s])
+        for i, (d, s) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            out.append(
+                (
+                    k,
+                    s,
+                    _T0 + timedelta(days=d),
+                    None if nxt is None else _T0 + timedelta(days=nxt),
+                    1 if nxt is None else 0,
+                )
+            )
+    return sorted(out, key=lambda t: (t[0], t[2]))
+
+
+class TestScd2Properties:
+    @PROP
+    @given(entries=st.lists(log_entry, min_size=1, max_size=14))
+    def test_matches_reference_model(self, spark, entries):
+        from etlutil_spark.operators.scd2 import scd2_intervals
+
+        # unique (key, day): the operator's tie contract
+        dedup = {(k, d): (k, d, s) for k, d, s in entries}
+        entries = list(dedup.values())
+        df = spark.createDataFrame(
+            [(k, _T0 + timedelta(days=d), s) for k, d, s in entries],
+            "k int, at timestamp, s string",
+        )
+        got = sorted(
+            map(tuple, scd2_intervals(df, "k", "at", "s").collect()),
+            key=lambda t: (t[0], t[2]),
+        )
+        assert got == _scd2_reference(entries)
+
+    @PROP
+    @given(entries=st.lists(log_entry, min_size=2, max_size=14), cut=st.integers(1, 11))
+    def test_incremental_apply_equals_recompute(self, spark, entries, cut):
+        """For ANY time split, scd2_apply(dim(before), after) must equal
+        scd2_intervals(all) — the incremental-maintenance invariant."""
+        from etlutil_spark.operators.scd2 import scd2_apply, scd2_intervals
+
+        dedup = {(k, d): (k, d, s) for k, d, s in entries}
+        entries = list(dedup.values())
+        before = [(k, d, s) for k, d, s in entries if d < cut]
+        after = [(k, d, s) for k, d, s in entries if d >= cut]
+        if not before or not after:
+            return
+        mk = lambda rows: spark.createDataFrame(
+            [(k, _T0 + timedelta(days=d), s) for k, d, s in rows],
+            "k int, at timestamp, s string",
+        )
+        dim = scd2_intervals(mk(before), "k", "at", "s")
+        inc = scd2_apply(dim, mk(after), "k", "at", "s", strict=True)
+        key = lambda t: (t[0], t[2])
+        assert sorted(map(tuple, inc.collect()), key=key) == _scd2_reference(entries)
+
+
+class TestGapFillProperties:
+    @PROP
+    @given(
+        obs=st.lists(
+            st.tuples(st.integers(1, 2), st.integers(0, 10), st.integers(-3, 3)),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_dense_grid_and_ffill_model(self, spark, obs):
+        from datetime import date
+
+        from etlutil_spark.operators.timeseries import gap_fill
+
+        dedup = {(k, d): (k, d, v) for k, d, v in obs}
+        obs = list(dedup.values())
+        d0 = date(2024, 3, 1)
+        df = spark.createDataFrame(
+            [(k, d0 + timedelta(days=d), v) for k, d, v in obs],
+            "k int, d date, v int",
+        )
+        out = gap_fill(df, "k", "d", ffill_cols=["v"])
+        rows = sorted(map(tuple, out.collect()))
+
+        # model: per key, every day min..max present exactly once, value =
+        # last observation at or before that day
+        from collections import defaultdict
+
+        by_key = defaultdict(dict)
+        for k, d, v in obs:
+            by_key[k][d] = v
+        want = []
+        for k, days in by_key.items():
+            lo, hi = min(days), max(days)
+            last = None
+            for d in range(lo, hi + 1):
+                if d in days:
+                    last = days[d]
+                want.append((k, d0 + timedelta(days=d), last))
+        assert rows == sorted(want)
