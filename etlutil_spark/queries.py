@@ -2623,3 +2623,49 @@ def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+
+@register(
+    "lineitem_rollup_maintenance",
+    """
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month, l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)) * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE) AS revenue,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def lineitem_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup (operators/rollup.py): daily partial stats
+    merged up to (month, returnflag). The ORACLE is the direct monthly
+    aggregation — merging partials must be indistinguishable from
+    rescanning, which is the invariant that lets 100 TB of history stay
+    untouched when a day arrives. Revenue merges exactly because the
+    partial sums are DECIMAL."""
+    from etlutil_spark.operators.rollup import merge_stats, partial_stats
+
+    li = load_table(spark, "lineitem", sf_dir)
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    daily = partial_stats(
+        li.withColumn("day", F.date_trunc("day", "l_shipdate")),
+        ["day", "l_returnflag"],
+        {
+            "n": ("count", F.lit(1)),
+            "revenue": ("sum", revenue),
+            "min_qty": ("min", F.col("l_quantity")),
+            "max_qty": ("max", F.col("l_quantity")),
+        },
+    )
+    monthly = merge_stats(
+        daily.withColumn("month", F.date_trunc("month", "day")),
+        ["month", "l_returnflag"],
+        {"n": "count", "revenue": "sum", "min_qty": "min", "max_qty": "max"},
+    )
+    return monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "l_returnflag", "n",
+        F.col("revenue").cast("double").alias("revenue"),
+        "min_qty", "max_qty",
+    )
