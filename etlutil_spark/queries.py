@@ -2669,3 +2669,37 @@ def lineitem_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         "min_qty", "max_qty",
     )
+
+
+@register(
+    "orders_price_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders WHERE o_custkey <= 200)
+    SELECT quartile, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM t GROUP BY quartile
+    """,
+)
+def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing via ntile with a total-order tiebreak (price,
+    key) — deterministic bucket assignment, unlike bare ntile over a
+    non-unique ordering. The global sort is the documented cost: at
+    100 TB prefer the histogram/percentile route unless exact equal-count
+    buckets are required."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") <= 200)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
+    return t.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

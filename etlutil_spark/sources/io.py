@@ -133,3 +133,70 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12):
+    """Morton (z-order) interleave of min/max-normalized columns.
+
+    Returns (key Column, the min/max bounds used). Each column is scaled
+    to a ``bits``-bit integer with its observed min/max (one small agg
+    job), then the bits are interleaved so the sort key preserves
+    LOCALITY IN EVERY COLUMN at once — the reason z-ordering beats
+    lexicographic sort for multi-column filters: a plain sort gives
+    perfect pruning on the leading column and none on the others.
+
+    Min/max scaling is the cheap linearization; heavily skewed columns
+    deserve a rank-based scale (one ntile pass per column) — same
+    interleave downstream.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    scale = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(scale),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * scale),
+        ).cast("bigint")
+        quantized.append(q)
+    # interleave: bit i of column j lands at position i*n_cols + j
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            key = key + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
+            ).cast("bigint")
+    return key, row
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 16,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the z-order of ``cols``: range-partition
+    on the interleaved key, sort within each file, drop the key. Every
+    file then covers a compact hyper-rectangle of the filter space, so
+    parquet min/max stats prune scans on ANY of the clustered columns —
+    the plain-directory version of Delta/Iceberg OPTIMIZE ZORDER."""
+    key, _ = zorder_key(df, cols, bits=bits)
+    (
+        df.withColumn("_z", key)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
