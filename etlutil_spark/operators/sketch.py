@@ -131,3 +131,95 @@ def kmv_distinct(
         k=k,
         out_col=out_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimates, same portability story
+# as KMV (deterministic md5 hash family -> oracle-checkable).
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "",
+) -> DataFrame:
+    """Count-min sketch table: one row per (hash row j, bucket) with the
+    collision-summed count. Size is depth*width regardless of input — the
+    fixed-memory frequency summary (Cormode & Muthukrishnan 2005).
+    Overestimates only: est(x) >= true(x), with error <= 2N/width at 95%
+    for depth 4. Each input row explodes into ``depth`` (j, bucket) rows
+    pre-aggregation; map-side partials collapse them immediately."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.pmod(
+                        md5_bigint(F.col(value_col), seed=f"{seed}cms{j}"),
+                        F.lit(width),
+                    ).alias("bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(pairs.alias("p"))
+        .select("p.j", "p.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Counters add: the sketch of a union is the cellwise sum."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "",
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Frequency estimate per probe value: min over the depth counters.
+
+    The probe side is exploded into its (j, bucket) cells and joined to
+    the sketch — the sketch is depth*width rows, so broadcast it; a probe
+    value whose bucket has no row was never seen (count 0)."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.pmod(
+                        md5_bigint(F.col(value_col), seed=f"{seed}cms{j}"),
+                        F.lit(width),
+                    ).alias("bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    probe_cells = probes.select(value_col, cells.alias("p")).select(
+        value_col, "p.j", "p.bucket"
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out_col))
+    )

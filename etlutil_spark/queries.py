@@ -2703,3 +2703,47 @@ def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+def _duck_cms_sql(width: int = 512, depth: int = 4, n_probes: int = 10) -> str:
+    """DuckDB replica of the count-min construction: same md5 hash family,
+    row seeds, width — bit-identical buckets, hence identical estimates."""
+    def h(j: int) -> str:
+        return (
+            f"(('0x' || substr(md5('cms{j}' || CAST(user_id AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {width})"
+        )
+
+    sk = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, {h(j)} AS bucket, COUNT(*) AS c FROM events GROUP BY 2"
+        for j in range(depth)
+    )
+    vals = ", ".join(f"({u})" for u in range(n_probes))
+    pe = "\n      UNION ALL ".join(
+        f"SELECT user_id, {j} AS j, {h(j)} AS bucket FROM probe"
+        for j in range(depth)
+    )
+    return f"""
+    WITH sk AS ({sk}),
+    probe AS (SELECT CAST(u AS BIGINT) AS user_id FROM (VALUES {vals}) t(u)),
+    pe AS ({pe})
+    SELECT pe.user_id, MIN(coalesce(sk.c, 0)) AS est_count
+    FROM pe LEFT JOIN sk USING (j, bucket)
+    GROUP BY pe.user_id
+    """
+
+
+@register("cms_user_frequency", _duck_cms_sql())
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates (operators/sketch.py:cms_sketch):
+    per-user event counts answered from a fixed 4x512-cell summary
+    instead of the raw table. Deterministic md5 hash rows make the
+    estimate — unlike Spark's native sketches — reproducible in DuckDB,
+    so even the approximation is value-checked. Counters add, so daily
+    sketches merge (cms_merge) without rescanning history."""
+    from etlutil_spark.operators.sketch import cms_estimate, cms_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    sk = cms_sketch(ev, "user_id", width=512, depth=4)
+    probes = spark.createDataFrame([(i,) for i in range(10)], "user_id long")
+    return cms_estimate(sk, probes, "user_id", width=512, depth=4)

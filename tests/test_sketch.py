@@ -84,3 +84,63 @@ class TestKmv:
         out = kmv_distinct(events, "event_type", "event_id", k=64)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 2
+
+
+class TestCms:
+    @pytest.fixture(scope="class")
+    def sketch_and_exact(self, events):
+        from etlutil_spark.operators.sketch import cms_sketch
+
+        sk = cms_sketch(events, "user_id", width=256, depth=4)
+        exact = {
+            r.user_id: r.n
+            for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        return sk, exact
+
+    def test_never_underestimates(self, spark, events, sketch_and_exact):
+        from etlutil_spark.operators.sketch import cms_estimate
+
+        sk, exact = sketch_and_exact
+        probes = spark.createDataFrame([(u,) for u in exact], "user_id long")
+        est = {
+            r.user_id: r.est_count
+            for r in cms_estimate(sk, probes, "user_id", width=256, depth=4).collect()
+        }
+        n_total = sum(exact.values())
+        for u, true_n in exact.items():
+            assert est[u] >= true_n
+            assert est[u] - true_n <= 2 * n_total / 256 * 4  # loose CM bound
+
+    def test_unseen_value_small(self, spark, sketch_and_exact):
+        from etlutil_spark.operators.sketch import cms_estimate
+
+        sk, exact = sketch_and_exact
+        probes = spark.createDataFrame([(999_999,)], "user_id long")
+        est = cms_estimate(sk, probes, "user_id", width=256, depth=4).collect()[0]
+        n_total = sum(exact.values())
+        # not necessarily 0 (collisions), but bounded by the error term
+        assert est.est_count <= 2 * n_total / 256 * 4
+
+    def test_merge_is_cellwise_sum(self, spark, events):
+        from etlutil_spark.operators.sketch import cms_merge, cms_sketch
+
+        a = cms_sketch(events.where(F.col("event_id") % 2 == 0), "user_id", width=64, depth=2)
+        b = cms_sketch(events.where(F.col("event_id") % 2 == 1), "user_id", width=64, depth=2)
+        whole = cms_sketch(events, "user_id", width=64, depth=2)
+        merged = cms_merge(a, b)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_sketch_size_fixed(self, events):
+        from etlutil_spark.operators.sketch import cms_sketch
+
+        sk = cms_sketch(events, "user_id", width=32, depth=3)
+        assert sk.count() <= 32 * 3
+
+    def test_validation(self, events):
+        from etlutil_spark.operators.sketch import cms_sketch
+
+        with pytest.raises(ValueError, match="width"):
+            cms_sketch(events, "user_id", width=1, depth=0)
