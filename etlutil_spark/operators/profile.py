@@ -117,3 +117,42 @@ def histogram(
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
+
+
+def group_zscores(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    *,
+    z_col: str = "zscore",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group standard scores from EXACT moments.
+
+    Mean and population variance come from decimal SUM(x) / SUM(x^2) —
+    order-independent and bit-identical across engines — so the derived
+    doubles (and any |z| > t outlier flag downstream) are deterministic,
+    unlike streaming stddev aggregates whose partial merge order leaks
+    into the last bits. Cost: one group aggregate + a broadcast-size join
+    of the per-group moments back onto the rows (group count rows, tiny
+    relative to the data by construction).
+
+    Degenerate groups (single row, or zero variance) get NULL z-scores.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # decimal(18,s): the square then needs 37 digits, inside every engine's
+    # 38-digit cap — decimal(38,s)^2 would overflow DuckDB's multiply
+    x = F.col(value_col).cast(f"decimal(18,{scale})")
+    moments = df.groupBy(*groups).agg(
+        F.count("*").alias("_n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+    )
+    mean = F.col("_sx") / F.col("_n")
+    var = F.col("_sxx") / F.col("_n") - mean * mean
+    joined = df.join(F.broadcast(moments), groups)
+    z = F.when(
+        (F.col("_n") > 1) & (var > 0),
+        (F.col(value_col).cast("double") - mean) / F.sqrt(var),
+    )
+    return joined.withColumn(z_col, z).drop("_n", "_sx", "_sxx")

@@ -2747,3 +2747,35 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = cms_sketch(ev, "user_id", width=512, depth=4)
     probes = spark.createDataFrame([(i,) for i in range(10)], "user_id long")
     return cms_estimate(sk, probes, "user_id", width=512, depth=4)
+
+
+@register(
+    "events_value_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS zscore
+    FROM events e JOIN m USING (event_type)
+    WHERE abs((e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 2.5
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection (operators/profile.py:group_zscores): per-type
+    standard scores from exact decimal moments, flag |z| > 2.5. The
+    moments are order-independent sums, so the derived doubles — and the
+    flagged row SET — are deterministic across engines and partition
+    counts; a streaming-stddev formulation could flip rows at the
+    threshold boundary between runs."""
+    from etlutil_spark.operators.profile import group_zscores
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    z = group_zscores(ev, "event_type", "value")
+    return z.where(F.abs(F.col("zscore")) > 2.5).select(
+        "event_id", "event_type", "value", F.round("zscore", 6).alias("zscore")
+    )

@@ -242,3 +242,53 @@ def enrich_stream(
     from pyspark.sql.functions import broadcast
 
     return events.join(broadcast(dim), on, how)
+
+
+def attribution_join_stream(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    *,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``attribution_window``.
+
+    The time-range predicate plus BOTH watermarks is what makes unbounded
+    join state finite: a buffered click can be evicted once the watermark
+    passes click_ts + window (no future purchase can reach back to it),
+    which Spark derives from the range condition. Without the range
+    bounds the state store grows forever — the classic stream-join
+    mistake. Batch twin: the identical join expression (used by the
+    equivalence test); the as-of variant (nearest click only) is the
+    batch operators/asof.py — nearest-match is not expressible as a
+    watermarked stream join, which is why both operators exist."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"interval {attribution_window}")
+        )
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        "click_value",
+    )

@@ -129,3 +129,39 @@ class TestEnrichStream:
             .collect()
         }
         assert {r.category: r["count"] for r in got.collect()} == want
+
+
+class TestStreamStreamJoin:
+    def test_stream_join_matches_batch_join(self, spark, sf_dir, tmp_path):
+        """The watermarked stream-stream attribution join must emit exactly
+        the rows the identical batch join produces on the same data."""
+        from etlutil_spark.streaming.events import (
+            attribution_join_stream,
+            run_stream_query,
+        )
+
+        ev = load_table(spark, "events", sf_dir)
+        p_dir, c_dir = str(tmp_path / "p"), str(tmp_path / "c")
+        ev.where(F.col("event_type") == "purchase").coalesce(2).write.parquet(p_dir)
+        ev.where(F.col("event_type") == "click").coalesce(2).write.parquet(c_dir)
+
+        def stream(d):
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+
+        got = run_stream_query(
+            attribution_join_stream(stream(p_dir), stream(c_dir)),
+            query_name="t_ssj",
+            output_mode="append",
+        )
+        want = attribution_join_stream(
+            spark.read.parquet(p_dir), spark.read.parquet(c_dir)
+        )
+        key = lambda t: (t[0], t[3])
+        assert sorted(map(tuple, got.collect()), key=key) == sorted(
+            map(tuple, want.collect()), key=key
+        )
+        assert got.count() > 0  # the window actually matches something

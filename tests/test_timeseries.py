@@ -107,3 +107,29 @@ class TestHistogram:
         import pytest as _pt
         with _pt.raises(ValueError, match="bounds"):
             histogram(df, "x", n_bins=3, lo=5.0, hi=5.0)
+
+
+class TestGroupZscores:
+    def test_standardization_and_degenerate_groups(self, spark):
+        from etlutil_spark.operators.profile import group_zscores
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("c", 4.0), ("c", 4.0)],
+            "g string, v double",
+        )
+        out = group_zscores(df, "g", "v").collect()
+        a = sorted(r.zscore for r in out if r.g == "a")
+        # mean 2, population std sqrt(2/3)
+        import math
+
+        std = math.sqrt(2.0 / 3.0)
+        assert a == pytest.approx([-1 / std, 0.0, 1 / std])
+        assert all(r.zscore is None for r in out if r.g == "b")  # single row
+        assert all(r.zscore is None for r in out if r.g == "c")  # zero variance
+
+    def test_moments_join_is_broadcast(self, spark):
+        from etlutil_spark.operators.profile import group_zscores
+
+        df = spark.createDataFrame([("a", float(i)) for i in range(10)], "g string, v double")
+        plan = group_zscores(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
