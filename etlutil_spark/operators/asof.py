@@ -67,6 +67,17 @@ def asof_join(
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} must exist on both sides")
     payload = [c for c in right.columns if c not in keys and c != right_time]
+    # the output is left.columns + matched_time_col + payload: any name
+    # collision would emit a duplicate-named column that only explodes
+    # downstream (AMBIGUOUS_REFERENCE) — fail here, at the call site
+    clashes = (set(payload) | {matched_time_col}) & set(left.columns)
+    if matched_time_col in payload:
+        clashes.add(matched_time_col)
+    if clashes:
+        raise ValueError(
+            f"output name collision(s) {sorted(clashes)}: rename/drop the "
+            "right payload columns or pick a different matched_time_col"
+        )
 
     rpay = F.struct(
         F.col(right_time).alias(matched_time_col),

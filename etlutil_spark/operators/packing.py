@@ -10,15 +10,18 @@ cut a new pack every time the total crosses the budget.
 
 Spark shape: one window (running sum over docs ordered by id within the
 group) — a single shuffle on the group key, exactly the sessionization
-cost profile. A doc larger than the whole budget gets a pack of its own
-(next-fit never splits documents; splitting/truncating belongs to the
-tokenizer stage downstream).
+cost profile. Documents are never split (splitting/truncating belongs to
+the tokenizer stage downstream).
 
 The cut rule is ``pack_id = floor((cumsum - n_tokens) / budget)``: a doc
 opens at offset (cumsum - n_tokens) and joins the pack that offset falls
-in, so packs can overflow the budget by at most one document's tail —
-the standard next-fit bound — and every engine with window functions
-reproduces the assignment bit-for-bit (DuckDB oracle twin).
+in, and every engine with window functions reproduces the assignment
+bit-for-bit (DuckDB oracle twin). Consequences of the offset rule worth
+knowing: a pack can exceed the budget by the tail of whichever doc
+straddles its boundary (for an over-budget doc that tail is the whole
+overshoot — it joins the pack its offset falls in, which may already
+hold smaller docs), and pack ids within a group may skip values after an
+oversized doc (ids are stable bucket labels, not a dense sequence).
 """
 
 from __future__ import annotations

@@ -143,16 +143,30 @@ def group_zscores(
     # decimal(18,s): the square then needs 37 digits, inside every engine's
     # 38-digit cap — decimal(38,s)^2 would overflow DuckDB's multiply
     x = F.col(value_col).cast(f"decimal(18,{scale})")
+    # count(x), not count(*): NULL values must not dilute the moments
+    # (sums skip NULLs; a star count would bias mean and variance low)
     moments = df.groupBy(*groups).agg(
-        F.count("*").alias("_n"),
+        F.count(x).alias("_n"),
         F.sum(x).cast("double").alias("_sx"),
         F.sum(x * x).cast("double").alias("_sxx"),
     )
     mean = F.col("_sx") / F.col("_n")
     var = F.col("_sxx") / F.col("_n") - mean * mean
-    joined = df.join(F.broadcast(moments), groups)
+    # null-safe equi-join: a NULL group is a group (groupBy treats it as
+    # one); a plain equi-join would silently DROP its rows instead of
+    # scoring them
+    m = F.broadcast(moments.select(
+        *[F.col(g).alias(f"_g_{g}") for g in groups], "_n", "_sx", "_sxx"
+    ))
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+        cond = c if cond is None else cond & c
+    joined = df.join(m, cond)
     z = F.when(
         (F.col("_n") > 1) & (var > 0),
         (F.col(value_col).cast("double") - mean) / F.sqrt(var),
     )
-    return joined.withColumn(z_col, z).drop("_n", "_sx", "_sxx")
+    return joined.withColumn(z_col, z).drop(
+        "_n", "_sx", "_sxx", *[f"_g_{g}" for g in groups]
+    )

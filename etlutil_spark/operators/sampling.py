@@ -47,7 +47,11 @@ def deterministic_sample(
     Reproducible on retry, across cluster layouts, and across engines;
     a row's fate depends only on (key, seed). Map-side filter — the
     predicate reaches the scan, so at 100 TB the discarded rows still get
-    read (hash needs the key) but never shuffle anywhere."""
+    read (hash needs the key) but never shuffle anywhere.
+
+    NULL keys are DROPPED at any rate (hash of NULL is NULL, and a NULL
+    predicate filters): sample keys should be identifiers — coalesce or
+    filter NULL keys upstream if they must participate."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return df.where(_unit_hash(key_col, seed) < F.lit(rate))
@@ -123,7 +127,12 @@ def assign_split(
     ``splits`` maps name -> fraction (must sum to ~1). A row's split is a
     pure function of (key, seed): growing the corpus later can never move
     an existing row between splits, which is what keeps future training
-    runs from leaking into a frozen eval set."""
+    runs from leaking into a frozen eval set.
+
+    A NULL key gets a NULL split (not silently the last bucket) — NULL
+    hashes through to NULL, and quietly routing unkeyed rows into the
+    test set is exactly the contamination this operator exists to
+    prevent."""
     splits = splits or {"train": 0.98, "eval": 0.01, "test": 0.01}
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
@@ -141,4 +150,8 @@ def assign_split(
         )
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
-    return df.withColumn(split_col, out)
+    # NULL key -> NULL split: the otherwise() branch must not capture rows
+    # whose hash is NULL (every when-condition evaluates NULL for them)
+    return df.withColumn(
+        split_col, F.when(u.isNotNull(), out).otherwise(F.lit(None).cast("string"))
+    )

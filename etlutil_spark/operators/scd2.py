@@ -57,9 +57,11 @@ def scd2_intervals(
     w = Window.partitionBy(*keys).orderBy(*order)
 
     # struct compare handles multi-column state + NULLs in one expression
-    # (NULL-safe: a NULL state differs from a non-NULL one, equals itself)
+    # (NULL-safe: a NULL state differs from a non-NULL one, equals itself).
+    # No explicit first-row test needed: lag() is NULL only on each key's
+    # first row, and NULL.eqNullSafe(struct) is false -> changed
     state = F.struct(*[F.col(s) for s in states])
-    changed = F.lag(state).over(w).isNull() | ~F.lag(state).over(w).eqNullSafe(state)
+    changed = ~F.lag(state).over(w).eqNullSafe(state)
 
     runs = df.withColumn("_chg", changed).where(F.col("_chg"))
     # same partitioning/order as w: the lead window reuses the sort

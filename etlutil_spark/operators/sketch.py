@@ -57,9 +57,14 @@ def kmv_sketch(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    hashed = df.select(
-        *groups, md5_bigint(F.col(value_col), seed=seed).alias("kmv_hash")
-    ).distinct()
+    # NULLs are excluded, matching COUNT(DISTINCT) semantics — and a NULL
+    # hash would sort FIRST in Spark but LAST in DuckDB, stealing a
+    # bottom-k slot on one side only and breaking the cross-engine match
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, md5_bigint(F.col(value_col), seed=seed).alias("kmv_hash"))
+        .distinct()
+    )
     w = Window.partitionBy(*groups).orderBy("kmv_hash")
     return (
         hashed.withColumn("rn", F.row_number().over(w))
@@ -155,6 +160,9 @@ def cms_sketch(
     pre-aggregation; map-side partials collapse them immediately."""
     if width < 2 or depth < 1:
         raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
+    # NULL values are not countable by hash (NULL bucket on one engine,
+    # dropped join keys on the other) — excluded, like COUNT(value)
+    df = df.where(F.col(value_col).isNotNull())
     pairs = F.explode(
         F.array(
             *[

@@ -2372,7 +2372,7 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT DISTINCT event_type,
              ('0x' || substr(md5('' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS kmv_hash
-      FROM events),
+      FROM events WHERE event_id IS NOT NULL),
     r AS (
       SELECT event_type, kmv_hash,
              row_number() OVER (PARTITION BY event_type ORDER BY kmv_hash) AS rn
@@ -2715,7 +2715,7 @@ def _duck_cms_sql(width: int = 512, depth: int = 4, n_probes: int = 10) -> str:
         )
 
     sk = "\n      UNION ALL ".join(
-        f"SELECT {j} AS j, {h(j)} AS bucket, COUNT(*) AS c FROM events GROUP BY 2"
+        f"SELECT {j} AS j, {h(j)} AS bucket, COUNT(*) AS c FROM events WHERE user_id IS NOT NULL GROUP BY 2"
         for j in range(depth)
     )
     vals = ", ".join(f"({u})" for u in range(n_probes))
@@ -2753,7 +2753,7 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_outliers",
     """
     WITH m AS (
-      SELECT event_type, COUNT(*) AS n,
+      SELECT event_type, COUNT(value) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
       FROM events GROUP BY 1)

@@ -160,6 +160,11 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12):
     quantized = []
     for c in cols:
         mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"cannot z-order on {c!r}: no non-NULL values (empty input "
+                "or all-NULL column)"
+            )
         span = (mx - mn) or 1.0
         q = F.least(
             F.lit(scale),
