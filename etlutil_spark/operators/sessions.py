@@ -44,7 +44,7 @@ def with_session_id(
     the previous one by more than ``gap_minutes``."""
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_s = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
     is_new = F.when(
         prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -76,7 +76,7 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
-        (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias(
+        (F.max(F.unix_timestamp(F.col(ts_col))) - F.min(F.unix_timestamp(F.col(ts_col)))).alias(
             "duration_s"
         ),
     )
@@ -107,7 +107,7 @@ def session_stats_salted(
     day = F.to_date(F.col(ts_col)).alias("_day")
     w = Window.partitionBy(key_col, "_day").orderBy(F.col(ts_col))
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_s = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
     is_new = F.when(
         prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -132,7 +132,7 @@ def session_stats_salted(
     prev_end = F.lag(F.col("_end")).over(w2)
     stitch_new = F.when(
         prev_end.isNull()
-        | (F.col("_start").cast("long") - prev_end.cast("long") > gap_minutes * 60),
+        | (F.unix_timestamp(F.col("_start")) - F.unix_timestamp(prev_end) > gap_minutes * 60),
         F.lit(1),
     ).otherwise(F.lit(0))
     run2 = (
@@ -148,7 +148,7 @@ def session_stats_salted(
             F.max("_end").alias("session_end"),
             F.sum("_n").alias("n_events"),
             (
-                F.max(F.col("_end").cast("long")) - F.min(F.col("_start").cast("long"))
+                F.max(F.unix_timestamp(F.col("_end"))) - F.min(F.unix_timestamp(F.col("_start")))
             ).alias("duration_s"),
         )
     )

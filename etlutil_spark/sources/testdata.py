@@ -41,14 +41,36 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
     if name == "events":
-        return _read_events(spark, path)
-    return spark.read.parquet(path)
+        return _normalize_timestamps(_read_events(spark, path))
+    return _normalize_timestamps(spark.read.parquet(path))
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Pin ONE timestamp type (TIMESTAMP, i.e. LTZ) at the read boundary.
+
+    Parquet written with tz-naive ``timestamp[us]`` is inferred as
+    ``TIMESTAMP_NTZ`` by Spark 4.x, which (a) rejects ``cast("long")``
+    (AnalysisException) and (b) shifts window/epoch semantics relative to
+    the LTZ+UTC behavior every operator and oracle was verified against.
+    Since the session TZ is pinned to UTC one line above the read, an
+    NTZ→LTZ cast preserves every wall-clock value exactly; doing it once
+    here means no downstream operator ever sees a mixed timestamp zoo."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    Read it as a long (legacy conf) and truncate to microseconds — the same
-    truncation DuckDB applies, so oracle comparisons line up."""
+    """events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as long
+    via the legacy conf, truncated to micros — the same truncation DuckDB
+    applies) and plain ``timestamp[us]`` (read natively). Handle both; the
+    NTZ→LTZ pin happens in :func:`_normalize_timestamps`."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -20,10 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts is declared LongType: the testdata parquet stores TIMESTAMP(NANOS),
-# which Spark's vectorized reader only accepts as long (nanosAsLong); the
-# stream converts nanos -> timestamp right after the scan, same as the
-# batch loader (sources/testdata.py).
+# The events parquet has shipped with two physical ts encodings across
+# testdata generations: TIMESTAMP(NANOS) (readable only as long via the
+# legacy nanosAsLong conf) and tz-naive timestamp[us] (inferred as
+# TIMESTAMP_NTZ by Spark 4.x). File-source streams require a pinned
+# schema, so the stream sniffs the physical schema from a one-off static
+# read of the same directory and then normalizes ts to TIMESTAMP (LTZ)
+# right after the scan — the same single-timestamp-type policy as the
+# batch loader (sources/testdata.py), so stream and batch plans agree
+# bit-for-bit under the pinned UTC session TZ.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -58,10 +63,14 @@ def stream_events_from_dir(
     spark: SparkSession, events_dir: str, *, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over an events parquet directory (schema pinned —
-    streaming requires it; also dodges the NANOS footer issue by reading
-    through the declared schema)."""
+    streaming requires it). The pinned schema is sniffed from a one-off
+    static read of the footer so the stream tracks whichever physical ts
+    encoding this testdata generation used; ts is normalized to TIMESTAMP
+    (LTZ, UTC session) right after the scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    physical = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(physical).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     # file stream sources need a directory; a single-file path (the driver's
@@ -70,10 +79,15 @@ def stream_events_from_dir(
         parent, name = os.path.split(events_dir)
         reader = reader.option("pathGlobFilter", name)
         events_dir = parent
-    # integer DIV, not `/`: double division drifts by 1us at nano scale
-    return reader.parquet(events_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    df = reader.parquet(events_dir)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # nanos generation — integer DIV, not `/`: double division drifts
+        # by 1us at nano scale
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def run_stream_once(
