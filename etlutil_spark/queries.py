@@ -1303,7 +1303,7 @@ _DUCK_COS = (
 
 
 @register(
-    "dedup_embedding_pairs",
+    "baseline_dedup_embedding_pairs",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1313,7 +1313,11 @@ _DUCK_COS = (
     """,
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    """Embedding-cosine near-dup pairs — EXACT ALL-PAIRS BASELINE, not a
+    production path: the O(n^2) crossJoin exists to ground-truth the LSH
+    twin (``dedup_embedding_lsh``) at test scale. The ``baseline_``
+    catalog prefix marks it non-production; never run it at corpus
+    scale."""
     from etlutil_spark.operators.dedup import embedding_near_dup_pairs
 
     e = load_table(spark, "embeddings", sf_dir)

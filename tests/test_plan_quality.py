@@ -1,0 +1,90 @@
+"""Plan-quality budgets for the headline (bench) queries.
+
+`bench.py` catches a plan regression only as a timing drift at sf0.1;
+these tests catch it as a structural diff at sf0.001 — per-query shuffle
+budgets, broadcast expectations for the dimension joins, scan pruning and
+filter pushdown for the TPC-H trio, and two repo-wide guards (no
+row-at-a-time Python eval anywhere; no single-partition funnel in any
+headline plan). Budgets are the measured values of the plans we WANT
+(see the shuffle-count rationale in each operator's docstring), so a new
+Exchange — e.g. a lost partitioning reuse between a window and the
+groupBy above it — fails here, not in the benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etlutil_spark.plans import inspect as P
+from etlutil_spark.queries import QUERIES
+
+# name -> (max shuffle exchanges, min broadcast exchanges)
+HEADLINE_BUDGETS = {
+    "q1_pricing_summary": (1, 0),
+    "q3_top_orders": (1, 2),  # customer + orders dims broadcast
+    "q5_region_revenue": (1, 5),  # full dim chain broadcast
+    "top_customers_per_segment": (1, 0),
+    "events_monthly": (1, 0),
+    "events_weekly_buckets": (2, 0),
+    "events_backfill_chunks": (1, 0),
+    "events_tumbling_hourly": (1, 0),
+    "sessionize_users": (1, 0),  # window + groupBy share user_id hash
+    "docs_token_stats": (1, 0),
+    "dedup_exact": (1, 0),
+    "dedup_minhash_lsh": (3, 2),  # band explode + candidate verify
+    "sim_topk_bruteforce": (1, 0),  # TakeOrderedAndProject, no global sort
+    "knn_join_topk": (3, 1),
+    "docs_contamination": (5, 1),  # eval shingles broadcast to train side
+    "docs_pack_token_budget": (1, 0),
+    "asof_purchase_attribution": (1, 0),  # union-marker single shuffle
+    "scd2_apply_incremental": (5, 1),  # batch keys broadcast semi/anti
+    "kmv_distinct_events": (2, 0),
+}
+
+# Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
+# escape hatch for these; row-at-a-time BatchEvalPython is never OK.
+ARROW_OK = {"multimodal_features", "multimodal_media_stats"}
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestHeadlinePlanBudgets:
+    @pytest.mark.parametrize("name", sorted(HEADLINE_BUDGETS))
+    def test_budget(self, spark, name):
+        max_exch, min_bcast = HEADLINE_BUDGETS[name]
+        df = QUERIES[name](spark, SF)
+        df.collect()  # drive to the AQE final plan
+        plan = P.formatted_plan(df)
+        exch, bcast = P.exchange_count(df), P.broadcast_count(df)
+        assert exch <= max_exch, f"{name}: {exch} shuffles (budget {max_exch})"
+        assert bcast >= min_bcast, f"{name}: {bcast} broadcasts (need {min_bcast})"
+        assert "SinglePartition" not in plan, f"{name}: single-partition funnel"
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+
+    def test_q1_scan_is_pruned_and_pushed(self, spark):
+        df = QUERIES["q1_pricing_summary"](spark, SF)
+        df.collect()
+        # the shipdate filter must reach the parquet scan
+        assert any("l_shipdate" in f for f in P.pushed_filters(df))
+        read = P.scan_columns(df)
+        assert "l_comment" not in read and "l_shipinstruct" not in read
+
+
+class TestCatalogPythonEval:
+    def test_no_row_at_a_time_python_in_catalog(self, spark, sf_dir):
+        """BatchEvalPython (pickled row-at-a-time UDF) is banned across
+        the whole catalog; Arrow-vectorized Python is allowed only for
+        the multimodal family (decode/feature UDFs have no JVM form)."""
+        offenders = {}
+        for name, fn in sorted(QUERIES.items()):
+            plan = P.formatted_plan(fn(spark, sf_dir))
+            bad = []
+            if "BatchEvalPython" in plan:
+                bad.append("BatchEvalPython")
+            if name not in ARROW_OK and (
+                "ArrowEvalPython" in plan or "MapInPandas" in plan
+            ):
+                bad.append("ArrowEvalPython/MapInPandas")
+            if bad:
+                offenders[name] = bad
+        assert not offenders, f"Python eval in hot paths: {offenders}"

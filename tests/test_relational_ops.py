@@ -466,7 +466,7 @@ class TestCatalogPlanGuards:
     banded/bucketed join back into O(n^2)."""
 
     # exact all-pairs baselines by design (verification-scale only)
-    ALLPAIRS_OK = {"dedup_embedding_pairs"}
+    ALLPAIRS_OK = {"baseline_dedup_embedding_pairs"}
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
         from etlutil_spark.plans.inspect import formatted_plan
