@@ -2835,6 +2835,80 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hopping_counts",
+    """
+    WITH k AS (SELECT unnest(range(4)) AS k),
+    w AS (
+      SELECT e.event_type,
+             time_bucket(INTERVAL '15 minutes', e.ts)
+               - k.k * INTERVAL '15 minutes' AS window_start
+      FROM events e CROSS JOIN k)
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window counts — the BATCH twin of
+    streaming/events.py:hopping_counts, hard-verified against an oracle
+    (the streaming form is only equivalence-testable): each event lands in
+    window/slide = 4 overlapping hourly windows on a 15-minute grid. The
+    oracle reconstructs F.window's slide semantics as the union of 4
+    shifted tumbling buckets (time_bucket - k*slide). One shuffle on the
+    (window, type) group keys; the 4x explode is map-side."""
+    from etlutil_spark.streaming.events import hopping_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    return hopping_counts(ev)
+
+
+@register(
+    "events_session_window_30m",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sid AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+      FROM s)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sid GROUP BY user_id, seq
+    """,
+)
+def events_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window on a batch frame — the merging-window primitive the
+    streaming sessionizer uses, hard-verified against a lag/flag oracle.
+
+    Boundary semantics differ from gap-sessionization (sessionize_users)
+    by exactly one edge: session_window opens a NEW session when the gap
+    is >= the 30-minute window (two abutting half-open windows do not
+    overlap), while the gap rule splits only on gap > 30min — hence the
+    oracle's ``>= 1800``. session_end is max(ts) + gap (the merged
+    window's half-open end), not max(ts)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -67,6 +67,37 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, *, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC scans get the same Catalyst treatment as parquet (vectorized
+    reader, predicate pushdown, column pruning) — the interchange format
+    when upstream systems are Hive/ORC-native."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw text ingestion (one column ``value``) — the front door for an
+    LLM training corpus that arrives as plain files. ``whole_file=True``
+    yields one row per file (document-per-file corpora; beware single-row
+    skew for huge files — prefer line- or record-split layouts at scale).
+    ``line_sep`` overrides the record delimiter for e.g. NUL-separated
+    dumps."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path, wholetext=whole_file)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -135,6 +135,32 @@ class TestSinks:
         assert sorted((r.id, r.s) for r in read_csv(spark, cdir, schema="id int, s string").collect()) == [(1, "a"), (2, "b")]
         assert sorted((r.id, r.s) for r in read_json(spark, jdir, schema="id int, s string").collect()) == [(1, "a"), (2, "b")]
 
+    def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
+        from etlutil_spark.sources.io import read_orc, write_partitioned
+
+        df = spark.createDataFrame(
+            [(i, f"k{i % 3}", float(i)) for i in range(30)], "id int, k string, v double"
+        )
+        out = str(tmp_path / "orc")
+        write_partitioned(df, out, fmt="orc")
+        back = read_orc(spark, out, schema="id int, k string, v double")
+        assert back.count() == 30
+        assert back.where(F.col("id") < 10).count() == 10
+
+    def test_text_reader_lines_and_wholefile(self, spark, tmp_path):
+        from etlutil_spark.sources.io import read_text
+
+        d = tmp_path / "corpus"
+        d.mkdir()
+        (d / "a.txt").write_text("doc one line one\ndoc one line two\n")
+        (d / "b.txt").write_text("doc two\n")
+        lines = read_text(spark, str(d))
+        assert lines.count() == 3
+        docs = read_text(spark, str(d), whole_file=True)
+        assert docs.count() == 2
+        texts = sorted(r.value for r in docs.collect())
+        assert texts[1].startswith("doc two")
+
 
 class TestPlanQuality:
     """Scale posture as CI assertions: pushdown, pruning, codegen."""
