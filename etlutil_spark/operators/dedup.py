@@ -265,16 +265,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
     # shiftleft/shiftright need literal shift amounts, so carry the bit
     # positions as a literal powers-of-two array and test bits via AND
     pows = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    # materialize one hash PER TOKEN before folding, so a single md5 per
+    # token is guaranteed by construction (not left to whether the engine
+    # CSEs the md5 subtree across the ``bits`` per-bit lambda elements —
+    # measured: current Catalyst does, so this is shape-insurance, not a
+    # speedup; the operator's cost at sf0.1 is the ~1M-pair banding join
+    # output, which is output-bound, not fingerprint-bound)
+    hashes = F.transform(tok, lambda t: md5_bigint(t))
 
-    def bit_votes(t: Column) -> Column:
-        h = md5_bigint(t)
+    def bit_votes(h: Column) -> Column:
         return F.transform(
             pows,
             lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
         )
 
     counters = F.aggregate(
-        tok, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda x, y: x + y)
+        hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda x, y: x + y)
     )
     fingerprint = F.aggregate(
         F.zip_with(
