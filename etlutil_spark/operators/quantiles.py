@@ -1,0 +1,88 @@
+"""Distributed exact equal-count bucketing (ntile without the funnel).
+
+``ntile(n) OVER (ORDER BY ...)`` — the reference-free SQL idiom for exact
+quantile buckets — plans as a window over ONE partition: every row
+funnels through a single task, which is the canonical scale-killer shape.
+This module computes the IDENTICAL bucket assignment with textbook
+parallel ranking:
+
+  1. ``repartitionByRange`` on the total order — sorting spreads over all
+     partitions;
+  2. per-range-partition ``row_number`` (window partitioned by
+     ``spark_partition_id``: bounded partitions, no global funnel);
+  3. per-partition counts (one tiny row per partition) collected, turned
+     into rank offsets, broadcast back;
+  4. global rank = offset + local rank, then ntile's closed-form bucket
+     rule: with N rows and n buckets, the first ``N mod n`` buckets get
+     ``N div n + 1`` rows, the rest ``N div n``.
+
+Bit-identical to ntile whenever ``order_cols`` is a unique total order
+(add a key column as tiebreak — same requirement ntile itself has for
+deterministic output). The lazy ``localCheckpoint`` pins the range
+partitioner's sampled boundaries so the count job and the rank job see
+identical partition ids.
+
+Property-tested against F.ntile itself (tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list[str],
+    *,
+    bucket_col: str = "bucket",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``bucket_col`` (int, 1-based) = ntile(n_buckets) over the total
+    order given by ``order_cols``, computed without a single-partition
+    sort. ``order_cols`` must be a unique total order for deterministic
+    (and ntile-identical) assignment."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = df.sparkSession
+    n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, n_buckets)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    part_counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in part_counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    if not offsets:  # empty input: preserve schema + empty result
+        return ranged.drop("_pid").withColumn(bucket_col, F.lit(None).cast("int"))
+    total = acc
+    base, rem = divmod(total, n_buckets)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    lw = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = ranged.withColumn("_lr", F.row_number().over(lw)).join(
+        F.broadcast(off_df), "_pid"
+    )
+    rank = F.col("_off") + F.col("_lr")
+    return (
+        ranked.withColumn(bucket_col, _ntile_bucket(rank, base, rem))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def _ntile_bucket(rank: Column, base: int, rem: int) -> Column:
+    """Closed-form ntile bucket for 1-based ``rank`` given bucket sizes
+    (``rem`` buckets of ``base+1`` rows, then buckets of ``base`` rows).
+    Integer math via `x - x % d` keeps everything exact (no float div)."""
+    big_span = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    in_big = (rank - 1 - ((rank - 1) % (base + 1))) / (base + 1)
+    r2 = rank - big_span - 1
+    in_small = rem + (r2 - (r2 % max(base, 1))) / max(base, 1)
+    return (F.when(rank <= big_span, in_big).otherwise(in_small)).cast("int") + 1

@@ -2693,64 +2693,21 @@ def orders_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``ntile(4) OVER (ORDER BY ...)`` (the oracle's form, and this query's
     r1-r2 implementation) plans as a window over ONE partition — the
-    classic scale-killer: every row funnels through a single task. The
-    distributed-exact replacement is textbook parallel ranking:
-
-      1. ``repartitionByRange`` on the total order (price, key) — the sort
-         work spreads over all partitions;
-      2. per-range-partition ``row_number`` (window partitioned by
-         ``spark_partition_id`` — bounded partitions, no global funnel);
-      3. per-partition counts (a handful of rows) collected, turned into
-         rank offsets, broadcast back;
-      4. global rank = offset + local rank, then the closed-form ntile
-         bucket formula (first ``N mod 4`` buckets get ``N div 4 + 1``
-         rows) — bit-identical to ntile's assignment over the same
-         unique total order.
-
-    The lazy localCheckpoint pins the range-partitioner's sampled
-    boundaries so the count job and the rank job see identical partition
-    ids."""
-    from pyspark.sql.window import Window
+    classic scale-killer. operators/quantiles.py:exact_ntile computes the
+    bit-identical assignment with distributed ranking (range repartition
+    + per-partition row_number + broadcast rank offsets); the (price,
+    key) pair is the unique total order that makes both forms
+    deterministic."""
+    from etlutil_spark.operators.quantiles import exact_ntile
 
     o = (
         load_table(spark, "orders", sf_dir)
         .where(F.col("o_custkey") <= 200)
         .select("o_totalprice", "o_orderkey")
     )
-    n_parts = max(spark.sparkContext.defaultParallelism, 4)
-    ranged = (
-        o.repartitionByRange(n_parts, "o_totalprice", "o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    t = exact_ntile(
+        o, 4, ["o_totalprice", "o_orderkey"], bucket_col="quartile"
     )
-    part_counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, cnt in part_counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    total = acc
-    base, rem = divmod(total, 4)
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    lw = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
-    ranked = ranged.withColumn("_lr", F.row_number().over(lw)).join(
-        F.broadcast(off_df), "_pid"
-    )
-    rank = F.col("_off") + F.col("_lr")
-    big_span = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
-    quartile = (
-        F.when(rank <= big_span, (rank - 1 - ((rank - 1) % (base + 1))) / (base + 1))
-        .otherwise(
-            rem
-            + (rank - big_span - 1 - ((rank - big_span - 1) % max(base, 1)))
-            / max(base, 1)
-        )
-        .cast("int")
-        + 1
-    )
-    t = ranked.select("o_totalprice", quartile.alias("quartile"))
     return t.groupBy("quartile").agg(
         F.count("*").alias("n"),
         F.sum(_dec("o_totalprice")).cast("double").alias("total"),

@@ -370,3 +370,39 @@ class TestGapFillProperties:
                     last = days[d]
                 want.append((k, d0 + timedelta(days=d), last))
         assert rows == sorted(want)
+
+
+class TestExactNtileProperties:
+    """operators/quantiles.py must be bit-identical to F.ntile over the
+    same unique total order, for any row count / bucket count / partition
+    count — the closed-form bucket rule and the distributed rank offsets
+    are both exercised."""
+
+    @PROP
+    @given(
+        n=st.integers(0, 120),
+        buckets=st.integers(1, 7),
+        parts=st.integers(1, 6),
+    )
+    def test_matches_real_ntile(self, spark, n, buckets, parts):
+        from pyspark.sql.window import Window
+
+        from etlutil_spark.operators.quantiles import exact_ntile
+
+        # values with heavy ties; id breaks them into a unique total order
+        df = spark.range(0, n).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        got = {
+            r.k: r.bucket
+            for r in exact_ntile(
+                df, buckets, ["v", "k"], n_partitions=parts
+            ).collect()
+        }
+        want = {
+            r.k: r.nt
+            for r in df.withColumn(
+                "nt", F.ntile(buckets).over(Window.orderBy("v", "k"))
+            ).collect()
+        }
+        assert got == want
