@@ -247,9 +247,15 @@ def build_ivf_store(
     sample = docs.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = sample[0].d if sample else 0
     planes = hyperplanes(dim, n_planes, seed)
+    # repartition BY BUCKET before the partitioned write: without it every
+    # upstream task opens a writer per bucket dir it touches (tasks x 2^n
+    # small files — listing/NameNode pressure and a slow build); with it
+    # each bucket's rows land in one task -> ~1 well-sized file per dir.
+    # At larger stores raise the partition count to a multiple of 2^n so
+    # hot buckets split across several files of healthy size.
     (
-        ensure_min_partitions(docs)
-        .withColumn("bucket", lsh_bucket(vec_col, planes))
+        docs.withColumn("bucket", lsh_bucket(vec_col, planes))
+        .repartition(1 << n_planes, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
