@@ -2931,8 +2931,9 @@ _DRIVER_FRONT = [
     "events_tumbling_hourly",
     "orders_latest_per_customer",
     "multimodal_features",
-    "docs_train_eval_split",
-    "docs_stratified_sample",
+    # new in r4 (registered at the catalog tail): claim driver rows now
+    "events_hopping_counts",
+    "events_session_window_30m",
 ]
 
 

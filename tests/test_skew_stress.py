@@ -1,0 +1,103 @@
+"""Skew stress: the salted operators under their actual design condition
+— a power-law key where ONE key holds half the corpus. sf-table tests
+exercise correctness on benign distributions; these pin correctness on
+the adversarial one (and document why the salted plan exists at all:
+at 100 TB a 50% hot key makes the unsalted per-key window a single
+straggler task holding half the data)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def skewed_events(spark):
+    """40k events, user 0 owns 50%; timestamps interleave so the hot key
+    spans many days (the salted plan's day-bucket dimension) and sessions
+    straddle midnights."""
+    n = 40_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("event_id"),
+        # hot key: every even row -> user 0; rest spread over 100 users
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise((F.col("id") % 199) + 1)
+        .alias("user_id"),
+        # ~17 days of data, events every ~37s per stream, gaps > 30min
+        # appear naturally when a user's rows are sparse
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * 37) % (86400 * 17)
+            + (F.col("id") % 97) * 1800
+        ).alias("ts"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    return df.localCheckpoint(eager=True)
+
+
+class TestSkewedSessionization:
+    def test_salted_equals_unsalted_on_hot_key(self, spark, skewed_events):
+        from etlutil_spark.operators.sessions import session_stats
+
+        plain = {
+            (r["user_id"], r["session_seq"]): (
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                r["duration_s"],
+            )
+            for r in session_stats(skewed_events, "user_id", "ts").collect()
+        }
+        salted = {
+            (r["user_id"], r["session_seq"]): (
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                r["duration_s"],
+            )
+            for r in session_stats(
+                skewed_events, "user_id", "ts", salted=True
+            ).collect()
+        }
+        assert plain == salted
+        # sanity: the hot key actually dominates and has many sessions
+        hot_sessions = [k for k in plain if k[0] == 0]
+        assert sum(plain[k][2] for k in hot_sessions) == 20_000
+        assert len(hot_sessions) > 1
+
+    def test_salted_agg_equals_plain_on_hot_key(self, spark, skewed_events):
+        from etlutil_spark.operators.skew import salted_agg
+
+        plain = {
+            r["user_id"]: (r["n"], round(r["total"], 6))
+            for r in skewed_events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .collect()
+        }
+        salted = {
+            r["user_id"]: (r["n"], round(r["total"], 6))
+            for r in salted_agg(
+                skewed_events,
+                ["user_id"],
+                {
+                    "n": (F.count("*"), "sum"),
+                    "total": (
+                        F.sum(F.col("value").cast("decimal(38,6)")),
+                        "sum",
+                    ),
+                },
+                n_salts=8,
+            )
+            .select(
+                "user_id",
+                "n",
+                F.col("total").cast("double").alias("total"),
+            )
+            .collect()
+        }
+        assert plain == salted
