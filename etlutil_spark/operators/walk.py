@@ -144,3 +144,120 @@ def sample_tree(
     if print_output:
         (writer or print)(out)
     return out
+
+
+def _as_plain(value: Any) -> Any:
+    """Row -> dict so the collected copy is plain Python containers (the
+    reference's record type)."""
+    if hasattr(value, "asDict"):
+        return {k: _as_plain(v) for k, v in value.asDict().items()}
+    if isinstance(value, dict):
+        return {k: _as_plain(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_as_plain(v) for v in value]
+    if isinstance(value, tuple):
+        return tuple(_as_plain(v) for v in value)
+    return value
+
+
+def collect_limited(
+    value: Any,
+    *,
+    max_depth: int | None = None,
+    max_items_per_container: int | None = None,
+    sort_keys: bool = True,
+    _depth: int = 0,
+) -> Any:
+    """The reference walk's collected-copy semantics
+    (``/root/reference/etlutil/data_structures.py:360-466``) over one
+    row's value tree:
+
+      - containers at ``max_depth`` become EMPTY containers of the same
+        kind (structure marker without contents — mirrors the printed
+        form, which shows the container tag only);
+      - mappings always process EVERY key (``max_items_per_container``
+        does not apply to them);
+      - sequences truncate to ``max_items_per_container``, preserving
+        list vs tuple;
+      - primitives (incl. strings — no truncation in the copy) pass
+        through unchanged.
+    """
+    value = _as_plain(value)
+    is_seq = isinstance(value, (list, tuple)) and not isinstance(value, (str, bytes))
+    if max_depth is not None and _depth >= max_depth:
+        if isinstance(value, dict):
+            return {}
+        if is_seq:
+            return [] if isinstance(value, list) else ()
+        return value
+    if isinstance(value, dict):
+        items = list(value.items())
+        if sort_keys:
+            items.sort(key=lambda kv: str(kv[0]))
+        return {
+            k: collect_limited(
+                v,
+                max_depth=max_depth,
+                max_items_per_container=max_items_per_container,
+                sort_keys=sort_keys,
+                _depth=_depth + 1,
+            )
+            if isinstance(v, (dict, list, tuple)) and not isinstance(v, (str, bytes))
+            else v
+            for k, v in items
+        }
+    if is_seq:
+        items = list(value)
+        if max_items_per_container is not None:
+            items = items[:max_items_per_container]
+        out = [
+            collect_limited(
+                v,
+                max_depth=max_depth,
+                max_items_per_container=max_items_per_container,
+                sort_keys=sort_keys,
+                _depth=_depth + 1,
+            )
+            if isinstance(v, (dict, list, tuple)) and not isinstance(v, (str, bytes))
+            else v
+            for v in items
+        ]
+        return out if isinstance(value, list) else tuple(out)
+    return value
+
+
+def walk_sample(
+    df: DataFrame,
+    *,
+    print_output: bool = True,
+    max_depth: int | None = None,
+    max_items_per_container: int | None = None,
+    truncate_value_len: int | None = None,
+    sort_keys: bool = True,
+    writer=None,
+) -> Any:
+    """The reference ``walk`` contract on a DataFrame: print the value
+    tree of ONE sampled row (optional) and ALWAYS return the collected,
+    limit-applied copy as plain Python containers — print + return, same
+    as ``data_structures.py:243-340``. Depth counting matches the
+    reference (root container is depth 0, so ``max_depth=1`` keeps top-
+    level keys and empties their child containers)."""
+    rows = df.limit(1).collect()
+    if print_output:
+        sample_tree(
+            df,
+            max_depth=max_depth,
+            max_items_per_container=max_items_per_container,
+            truncate_value_len=truncate_value_len,
+            sort_keys=sort_keys,
+            print_output=True,
+            writer=writer,
+        )
+    if not rows:
+        return None
+    return collect_limited(
+        rows[0],
+        max_depth=max_depth,
+        max_items_per_container=max_items_per_container,
+        sort_keys=sort_keys,
+    )

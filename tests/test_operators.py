@@ -386,3 +386,53 @@ class TestWalk:
     def test_sample_tree_values(self, nested_df):
         out = sample_tree(nested_df.orderBy("id").limit(1), print_output=False)
         assert "id = 1" in out
+
+    def test_walk_sample_returns_collected_copy(self, spark):
+        """Reference walk contract (data_structures.py:243-340): print is
+        optional, the return value is ALWAYS the limit-applied copy."""
+        from etlutil_spark.operators.walk import walk_sample
+
+        df = spark.createDataFrame(
+            [(1, {"b": 2, "a": 1}, [10, 20, 30], ("x", "y"))],
+            "id long, m map<string,long>, xs array<long>, tp struct<u:string,v:string>",
+        )
+        got = walk_sample(df, print_output=False)
+        assert got == {
+            "id": 1,
+            "m": {"a": 1, "b": 2},
+            "xs": [10, 20, 30],
+            "tp": {"u": "x", "v": "y"},
+        }
+
+    def test_collect_limited_reference_semantics(self):
+        """Mirrors the reference's _collect_data rules
+        (data_structures.py:360-466): depth-limited containers become
+        EMPTY containers of the same kind; sequences truncate (list vs
+        tuple preserved); mappings keep every key; strings pass through
+        untruncated."""
+        from etlutil_spark.operators.walk import collect_limited
+
+        data = {
+            "deep": {"inner": {"x": 1}},
+            "seq": [1, 2, 3, 4],
+            "tup": (1, 2, 3),
+            "s": "long-string",
+        }
+        # max_depth: root=0, children containers empty out at depth 2
+        assert collect_limited(data, max_depth=2) == {
+            "deep": {"inner": {}},
+            "seq": [1, 2, 3, 4],
+            "tup": (1, 2, 3),
+            "s": "long-string",
+        }
+        # item limit applies to sequences only, never mappings
+        many_keys = {f"k{i}": i for i in range(10)}
+        got = collect_limited(
+            {"m": many_keys, "seq": [1, 2, 3, 4]}, max_items_per_container=2
+        )
+        assert got["m"] == many_keys
+        assert got["seq"] == [1, 2]
+        # depth limit at the root: empty container of the root's kind
+        assert collect_limited(data, max_depth=0) == {}
+        assert collect_limited([1, [2]], max_depth=0) == []
+        assert collect_limited((1, 2), max_depth=0) == ()
