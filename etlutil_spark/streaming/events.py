@@ -120,9 +120,34 @@ def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
 
     State holds one entry per event_id seen within the watermark horizon and
     is evicted as the watermark advances — the standard idempotent-ingest
-    front for at-least-once sources. Batch twin: dropDuplicates(["event_id"])."""
+    front for at-least-once sources. Batch twin: dropDuplicates(["event_id"]).
+
+    Caveat: with dropDuplicates the event-time column must be part of the
+    key for state eviction to be safe, and a RETRANSMITTED duplicate whose
+    ts differs (clock skew, producer re-stamping) is NOT deduped. That
+    case is :func:`dedup_stream_within_watermark`."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.dropDuplicates(["event_id"])
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Dedup on key ONLY, tolerating duplicates that arrive with DIFFERENT
+    event times: dropDuplicatesWithinWatermark keeps state for each key
+    until the watermark passes the FIRST-seen event's time + delay, so a
+    re-sent record re-stamped by an at-least-once producer still dedupes.
+
+    This is the right front for sources that regenerate timestamps on
+    retry (webhook redelivery, producer re-sends); plain dropDuplicates
+    is cheaper when the event time is part of the record identity. Batch
+    twin: dropDuplicates(["event_id"]) — on a static frame the two
+    semantics coincide (no late re-stamped arrivals in batch)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def session_windows(

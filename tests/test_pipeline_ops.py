@@ -454,6 +454,52 @@ class TestStreamingStateful:
         batch = load_table(spark, "events", sf_dir).dropDuplicates(["event_id"])
         assert got.count() == batch.count()
 
+    def test_within_watermark_dedup_catches_restamped_duplicate(
+        self, spark, tmp_path
+    ):
+        """An at-least-once producer re-sends event 1 with a NEW event time
+        (clock re-stamp) in a later micro-batch; key-only
+        dropDuplicatesWithinWatermark must still emit it exactly once."""
+        import pandas as pd
+
+        from etlutil_spark.streaming.events import (
+            dedup_stream_within_watermark,
+            run_stream_query,
+        )
+
+        d = tmp_path / "restamped"
+        d.mkdir()
+
+        def write(name, rows):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+            pdf.to_parquet(str(d / name), index=False)
+
+        write("b1.parquet", [(1, "2024-03-01 10:00:00", 7, "click", 1.0, "{}")])
+        write(
+            "b2.parquet",
+            [
+                (1, "2024-03-01 10:10:00", 7, "click", 1.0, "{}"),  # re-stamped dup
+                (2, "2024-03-01 10:11:00", 7, "view", 2.0, "{}"),
+            ],
+        )
+        schema = spark.read.parquet(str(d)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        got = run_stream_query(
+            dedup_stream_within_watermark(stream, watermark="1 hour"),
+            query_name="t_dedup_wm",
+            output_mode="append",
+        )
+        ids = sorted(r.event_id for r in got.collect())
+        assert ids == [1, 2]
+
     def test_session_windows_stream_matches_batch(self, spark, sf_dir):
         from etlutil_spark.sources.testdata import load_table
         from etlutil_spark.streaming.events import (

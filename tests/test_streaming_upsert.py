@@ -66,6 +66,46 @@ class TestScd2UpsertStream:
             map(tuple, want.collect()), key=key
         )
 
+    def test_checkpoint_restart_processes_only_new_files(
+        self, spark, user_states, tmp_path
+    ):
+        """Stop/restart against the SAME checkpoint: the resumed query must
+        merge only the files added after the first run (exactly-once file
+        tracking) — replaying the first slice would double-apply it through
+        scd2_apply and corrupt the dimension."""
+        med = user_states.select(
+            F.percentile_approx("ts", 0.5, 10000).alias("m")
+        ).collect()[0].m
+        early = user_states.where(F.col("ts") <= med)
+        late = user_states.where(F.col("ts") > med)
+
+        src_dir = str(tmp_path / "chg_restart")
+        dim_path = str(tmp_path / "dim_restart")
+        ckpt = str(tmp_path / "ckpt_restart")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(user_states.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            run_scd2_upsert_stream(
+                stream, dim_path, "user_id", "ts", "event_type",
+                checkpoint_dir=ckpt,
+            )
+
+        early.coalesce(1).write.mode("append").parquet(src_dir)
+        run_once()  # first run consumes the early slice, then terminates
+        late.coalesce(1).write.mode("append").parquet(src_dir)
+        run_once()  # restart from checkpoint: must see ONLY the late file
+
+        got = spark.read.parquet(dim_path)
+        want = scd2_intervals(user_states, "user_id", "ts", "event_type")
+        key = lambda t: (t[0], t[2])
+        assert sorted(map(tuple, got.collect()), key=key) == sorted(
+            map(tuple, want.collect()), key=key
+        )
+
     def test_open_runs_are_current(self, spark, user_states, tmp_path):
         src_dir = str(tmp_path / "chg1")
         user_states.coalesce(1).write.parquet(src_dir)
