@@ -2793,6 +2793,47 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_monthly_price_rank",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+           o_orderkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_rank,
+           round(percent_rank() OVER w, 6) AS price_pr
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def orders_monthly_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ranking windows (dense_rank + percent_rank per month).
+
+    The scalable ranking shape: the window partitions by month, so rank
+    state is per-group and the plan is one hash shuffle — contrast with
+    the global-ORDER-BY ranking family, which needs the distributed
+    exact_ntile machinery (operators/quantiles.py) to avoid a
+    single-partition funnel. (o_totalprice DESC, o_orderkey) is a unique
+    total order within each month, making both rank functions
+    deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ym").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_custkey") <= 50)
+        .withColumn("ym", F.date_format("o_orderdate", "yyyy-MM"))
+    )
+    return o.select(
+        "ym",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("bigint").alias("price_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pr"),
+    )
+
+
+@register(
     "events_hopping_counts",
     """
     WITH k AS (SELECT unnest(range(4)) AS k),
