@@ -97,14 +97,16 @@ def sample_tree(
     sort_keys: bool = True,
     print_output: bool = True,
     writer=None,
+    _rows: list | None = None,
 ) -> str:
     """Tree of one sampled row's values (reference walk's data view).
 
     Containers beyond ``max_depth`` render as their type tag; sequences are
     truncated to ``max_items_per_container`` (mappings never are — reference
-    behavior, data_structures.py:360-466).
+    behavior, data_structures.py:360-466). ``_rows`` lets walk_sample pass
+    an already-collected sample so print and return describe the SAME row.
     """
-    rows = df.limit(1).collect()
+    rows = df.limit(1).collect() if _rows is None else _rows
     lines: list[str] = ["root"]
 
     def children(value: Any) -> list[tuple[str, Any]] | None:
@@ -242,6 +244,8 @@ def walk_sample(
     as ``data_structures.py:243-340``. Depth counting matches the
     reference (root container is depth 0, so ``max_depth=1`` keeps top-
     level keys and empties their child containers)."""
+    # collect ONCE: limit(1) after a shuffle is nondeterministic across
+    # jobs, so printing and returning must share the same sampled row
     rows = df.limit(1).collect()
     if print_output:
         sample_tree(
@@ -252,6 +256,7 @@ def walk_sample(
             sort_keys=sort_keys,
             print_output=True,
             writer=writer,
+            _rows=rows,
         )
     if not rows:
         return None

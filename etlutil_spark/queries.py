@@ -2868,7 +2868,7 @@ def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) >= 1800
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -2878,8 +2878,8 @@ def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
       FROM s)
     SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL '30 minutes') AS session_end_us,
            COUNT(*) AS n_events
     FROM sid GROUP BY user_id, seq
     """,
@@ -2891,17 +2891,21 @@ def events_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     Boundary semantics differ from gap-sessionization (sessionize_users)
     by exactly one edge: session_window opens a NEW session when the gap
     is >= the 30-minute window (two abutting half-open windows do not
-    overlap), while the gap rule splits only on gap > 30min — hence the
-    oracle's ``>= 1800``. session_end is max(ts) + gap (the merged
-    window's half-open end), not max(ts)."""
+    overlap), while the gap rule splits only on gap > 30min. Both the
+    oracle's gap test and the emitted bounds use EXACT integer epoch
+    MICROseconds (epoch_us / unix_micros): session_window compares full-
+    precision timestamps, so a floored-seconds oracle misclassifies any
+    real gap in [1799.000001, 1800) s that floors to 1800 (such pairs
+    exist at sf0.1), and integer micros hash identically across engines
+    regardless of timestamp stringification."""
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
             "n_events",
         )
     )

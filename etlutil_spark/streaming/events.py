@@ -24,21 +24,13 @@ from pyspark.sql import types as T
 # testdata generations: TIMESTAMP(NANOS) (readable only as long via the
 # legacy nanosAsLong conf) and tz-naive timestamp[us] (inferred as
 # TIMESTAMP_NTZ by Spark 4.x). File-source streams require a pinned
-# schema, so the stream sniffs the physical schema from a one-off static
-# read of the same directory and then normalizes ts to TIMESTAMP (LTZ)
-# right after the scan — the same single-timestamp-type policy as the
-# batch loader (sources/testdata.py), so stream and batch plans agree
-# bit-for-bit under the pinned UTC session TZ.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# schema, so stream_events_from_dir sniffs the physical schema from a
+# one-off static read of the same directory and then normalizes ts to
+# TIMESTAMP (LTZ) right after the scan — the same single-timestamp-type
+# policy as the batch loader (sources/testdata.py), so stream and batch
+# plans agree bit-for-bit under the pinned UTC session TZ. (There is
+# deliberately NO hardcoded schema constant here: one drifted from the
+# regenerated testdata once and silently broke the stream≡batch tests.)
 
 
 def windowed_counts(events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

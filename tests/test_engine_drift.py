@@ -67,7 +67,7 @@ class TestNTZCanary:
         """Precondition: Spark 4.x really does infer NTZ from tz-naive
         parquet — if an engine change flips this, the canary flags it."""
         raw = spark.read.parquet(ntz_events_path)
-        assert isinstance(raw.schema["ts"].dataType, (T.TimestampNTZType, T.TimestampType))
+        assert isinstance(raw.schema["ts"].dataType, T.TimestampNTZType)
 
     def test_normalize_pins_ltz(self, spark, ntz_events_path):
         from etlutil_spark.sources.testdata import _normalize_timestamps
