@@ -128,3 +128,61 @@ def frame_sample_plan(
         "frame_idx",
         (F.col("frame_idx") * every_n_bytes).cast("bigint").alias("byte_offset"),
     )
+
+
+_RESIZE_SCHEMA = (
+    "media_id bigint, payload binary, mime string, n_bytes bigint, "
+    "width int, height int, decoder string"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Arrow-batched media resize: binary in -> binary out with new
+    dimension metadata. The production shape for image normalization ahead
+    of feature extraction — payloads stay in the Arrow stream end to end,
+    never widening into Python objects row-by-row.
+
+    ``decode_stub=True`` produces a deterministic fake: the payload is
+    hashed-and-tiled to ``3 * width * height`` bytes (a plausible RGB
+    buffer size), so downstream size/metadata logic is fully testable;
+    ``decode_stub=False`` raises NotImplementedError where PIL/ffmpeg
+    would decode-resize-encode. Swapping the stub changes only the inner
+    function — schema, batching, and plan are identical."""
+    target = 3 * width * height
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        def fake_resize(payload: bytes | None) -> bytes:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resizing requires codec libraries "
+                    "(PIL/ffmpeg) not present in this environment"
+                )
+            seed = hashlib.sha256(payload or b"").digest()
+            reps = target // len(seed) + 1
+            return (seed * reps)[:target]
+
+        for pdf in batches:
+            out = [fake_resize(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) for p in out],
+                    "width": width,
+                    "height": height,
+                    "decoder": "stub" if decode_stub else "real",
+                }
+            )
+
+    return df.mapInPandas(run, schema=_RESIZE_SCHEMA)

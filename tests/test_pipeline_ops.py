@@ -229,6 +229,26 @@ class TestMultimodal:
         assert [r.frame_idx for r in rows] == list(range(len(rows)))
         assert all(r.byte_offset == r.frame_idx * 16 for r in rows)
 
+    def test_resize_stub_shapes_and_determinism(self, docs):
+        from etlutil_spark.operators.multimodal import resize_media
+
+        media = wrap_binary(
+            docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+            "doc_id",
+            "payload",
+        )
+        out = resize_media(media, 4, 3, decode_stub=True).collect()
+        assert len(out) == 5
+        # every fake-resized payload is exactly the 3*w*h RGB buffer size
+        assert all(r.n_bytes == 3 * 4 * 3 and len(r.payload) == 36 for r in out)
+        assert all((r.width, r.height, r.decoder) == (4, 3, "stub") for r in out)
+        again = resize_media(media, 4, 3, decode_stub=True).collect()
+        assert sorted((r.media_id, bytes(r.payload)) for r in out) == sorted(
+            (r.media_id, bytes(r.payload)) for r in again
+        )
+        with pytest.raises(Exception, match="NotImplementedError|real media"):
+            resize_media(media, 4, 3, decode_stub=False).collect()
+
 
 class TestSampling:
     def test_deterministic_and_stable_under_growth(self, spark):
