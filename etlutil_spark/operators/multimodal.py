@@ -154,6 +154,15 @@ def resize_media(
     ``decode_stub=False`` raises NotImplementedError where PIL/ffmpeg
     would decode-resize-encode. Swapping the stub changes only the inner
     function — schema, batching, and plan are identical."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"width/height must be positive, got {width}x{height}")
+    if not decode_stub:
+        # fail fast on the driver — not per-row inside an executor closure
+        # after a job has already launched
+        raise NotImplementedError(
+            "real media resizing requires codec libraries (PIL/ffmpeg) "
+            "not present in this environment"
+        )
     target = 3 * width * height
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -162,11 +171,6 @@ def resize_media(
         import pandas as pd
 
         def fake_resize(payload: bytes | None) -> bytes:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media resizing requires codec libraries "
-                    "(PIL/ffmpeg) not present in this environment"
-                )
             seed = hashlib.sha256(payload or b"").digest()
             reps = target // len(seed) + 1
             return (seed * reps)[:target]

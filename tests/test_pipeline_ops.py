@@ -246,8 +246,12 @@ class TestMultimodal:
         assert sorted((r.media_id, bytes(r.payload)) for r in out) == sorted(
             (r.media_id, bytes(r.payload)) for r in again
         )
-        with pytest.raises(Exception, match="NotImplementedError|real media"):
-            resize_media(media, 4, 3, decode_stub=False).collect()
+        # fail-fast contract: stub-off and bad dims raise at the call site,
+        # before any Spark job launches
+        with pytest.raises(NotImplementedError, match="real media"):
+            resize_media(media, 4, 3, decode_stub=False)
+        with pytest.raises(ValueError, match="positive"):
+            resize_media(media, 0, 3)
 
 
 class TestSampling:
