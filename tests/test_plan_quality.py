@@ -5,7 +5,7 @@ these tests catch it as a structural diff at sf0.001 — per-query shuffle
 budgets, broadcast expectations for the dimension joins, scan pruning and
 filter pushdown for the TPC-H trio, and two repo-wide guards (no
 row-at-a-time Python eval anywhere; no single-partition funnel in any
-headline plan). Budgets are the measured values of the plans we WANT
+headline or extended plan). Budgets are the measured values of the plans we WANT
 (see the shuffle-count rationale in each operator's docstring), so a new
 Exchange — e.g. a lost partitioning reuse between a window and the
 groupBy above it — fails here, not in the benchmark.
@@ -39,6 +39,19 @@ HEADLINE_BUDGETS = {
     "asof_purchase_attribution": (1, 0),  # union-marker single shuffle
     "scd2_apply_incremental": (5, 1),  # batch keys broadcast semi/anti
     "kmv_distinct_events": (2, 0),
+    # extended bench set (bench.py EXTENDED) — same invariants
+    "sessionize_users_salted": (2, 0),  # day-salt window + stitch window
+    "corpus_pipeline_e2e": (2, 0),  # dedup-by-text + pack-by-lang
+    "orders_price_quartiles": (2, 1),  # range repartition + rank offsets
+    "dedup_embedding_lsh": (2, 1),
+    "dedup_simhash": (3, 1),
+    "sim_ivf_topk": (0, 0),  # partition-pruned store probe: zero shuffles
+    "events_hopping_counts": (1, 0),
+    "events_session_window_30m": (1, 0),
+    "events_value_outliers": (1, 1),  # broadcast moments join
+    "pricing_cube": (1, 0),  # all grouping sets inside one shuffle
+    "lineitem_rollup_maintenance": (2, 0),
+    "orders_monthly_price_rank": (1, 0),
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
