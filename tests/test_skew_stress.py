@@ -101,3 +101,29 @@ class TestSkewedSessionization:
             .collect()
         }
         assert plain == salted
+
+    def test_salted_join_equals_plain_on_hot_key(self, spark, skewed_events):
+        from etlutil_spark.operators.skew import salted_join
+
+        dim = spark.createDataFrame(
+            [(i, f"seg{i % 5}") for i in range(200)], "user_id long, segment string"
+        )
+        plain = sorted(
+            (r["event_id"], r["segment"])
+            for r in skewed_events.join(dim, ["user_id"], "inner").collect()
+        )
+        salted = sorted(
+            (r["event_id"], r["segment"])
+            for r in salted_join(
+                skewed_events, dim, ["user_id"], n_salts=8
+            ).collect()
+        )
+        assert plain == salted
+        # left join: unmatched fact rows (user 0 missing from a pruned dim)
+        # survive exactly once with NULL payload
+        dim_no_hot = dim.where(F.col("user_id") != 0)
+        left = salted_join(
+            skewed_events, dim_no_hot, ["user_id"], n_salts=8, how="left"
+        )
+        hot = left.where(F.col("user_id") == 0).collect()
+        assert len(hot) == 20_000 and all(r["segment"] is None for r in hot)
