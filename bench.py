@@ -59,6 +59,14 @@ EXTENDED = [
     "events_value_outliers",
     "pricing_cube",
     "lineitem_rollup_maintenance",
+    # r5 additions
+    "docs_tfidf_topk",
+    "docs_bm25_search",
+    "docs_bigram_topk",
+    "docs_weighted_sample",
+    "orders_open_concurrency",
+    "hll_weekly_users",
+    "embeddings_dim_stats",
 ]
 
 
@@ -75,10 +83,13 @@ def main() -> None:
     # warmup: boot codegen + parquet reader paths
     Q.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
 
+    # a typo or rename must not silently drop a published perf row
+    unknown = [n for n in HEADLINE + EXTENDED if n not in Q.QUERIES]
+    if unknown:
+        raise KeyError(f"bench names not in query catalog: {unknown}")
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in Q.QUERIES:
-            continue
         t0 = time.perf_counter()
         Q.QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -87,8 +98,6 @@ def main() -> None:
 
     extended: dict[str, float] = {}
     for name in EXTENDED:
-        if name not in Q.QUERIES:
-            continue
         t0 = time.perf_counter()
         Q.QUERIES[name](spark, sf_dir).collect()
         extended[name] = round(time.perf_counter() - t0, 4)

@@ -181,11 +181,14 @@ def resize_media(
                 {
                     "media_id": pdf["media_id"],
                     "payload": out,
-                    "mime": pdf["mime"],
+                    # the payload is a hashed stub buffer, not a re-encoded
+                    # image — advertising the input mime would be lying to
+                    # downstream consumers
+                    "mime": "application/x-stub",
                     "n_bytes": [len(p) for p in out],
                     "width": width,
                     "height": height,
-                    "decoder": "stub" if decode_stub else "real",
+                    "decoder": "stub",
                 }
             )
 

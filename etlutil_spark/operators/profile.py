@@ -170,3 +170,48 @@ def group_zscores(
     return joined.withColumn(z_col, z).drop(
         "_n", "_sx", "_sxx", *[f"_g_{g}" for g in groups]
     )
+
+
+def embedding_dim_profile(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension moments of an embedding column: (dim, n, mean, std,
+    min_v, max_v) — the feature-normalization statistics (z-scoring,
+    clipping ranges) an embedding pipeline computes before training.
+
+    posexplode is map-side (rows x dim fan-out, no data movement); the
+    only shuffle is groupBy(dim) — at most ``dim`` groups, so the final
+    aggregate is tiny regardless of input size. Sums run EXACTLY as
+    DECIMAL (order-independent -> reproducible across partitionings and
+    engines); mean/std are then single IEEE double ops on those exact
+    sums, rounded to 6. Squares are computed in double BEFORE the decimal
+    cast — double multiply is correctly rounded and engine-portable."""
+    e = F.col("e").cast("double")
+    exploded = df.select(F.posexplode(vec_col).alias("dim", "e"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(e.cast("decimal(38,12)")).alias("_s"),
+            F.sum((e * e).cast("decimal(38,18)")).alias("_s2"),
+            F.round(F.min(e), 6).alias("min_v"),
+            F.round(F.max(e), 6).alias("max_v"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("_s").cast("double") / F.col("n"), 6).alias("mean"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("_s2").cast("double")
+                        - F.col("_s").cast("double")
+                        * F.col("_s").cast("double")
+                        / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                ),
+                6,
+            ).alias("std"),
+            "min_v",
+            "max_v",
+        )
+    )

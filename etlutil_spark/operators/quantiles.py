@@ -43,7 +43,21 @@ def exact_ntile(
     """Add ``bucket_col`` (int, 1-based) = ntile(n_buckets) over the total
     order given by ``order_cols``, computed without a single-partition
     sort. ``order_cols`` must be a unique total order for deterministic
-    (and ntile-identical) assignment."""
+    (and ntile-identical) assignment.
+
+    Reliability note: correctness depends on ``localCheckpoint(eager=
+    False)`` pinning the range partitioner's *sampled* boundaries so the
+    count job and the rank job see identical partitions. Local
+    checkpoints are not fault-tolerant — losing an executor between the
+    two jobs ABORTS the query (checkpointed blocks are unrecoverable;
+    Spark raises rather than silently recomputing with resampled, and
+    therefore different, boundaries). That is the correct failure mode
+    but a reliability gap for very long production runs: there, swap in
+    ``df.persist(StorageLevel.DISK_ONLY)`` + ``sc.setCheckpointDir`` /
+    ``checkpoint()`` to reliable storage at the cost of a write. The
+    per-partition-count ``collect()`` is one extra driver round-trip of
+    O(n_partitions) scalars per call — the trade that removes the
+    Exchange SinglePartition funnel a global ``F.ntile`` would need."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     spark = df.sparkSession

@@ -88,3 +88,54 @@ def point_in_interval_join(
         .where(F.to_date(F.col(point_col)).between(F.col(start_col), F.col(end_col)))
         .drop("_bucket")
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key PEAK concurrency of half-open intervals [start, end) by
+    sweep line: each interval emits (+1 at start, -1 at end) map-side; a
+    running sum ordered by (time, delta) — closes before opens at the
+    same instant, the half-open convention — traces the concurrency
+    curve, and the per-key max is the peak. Output: key, peak_concurrent,
+    peak_at (earliest instant the peak is reached).
+
+    Plan shape: the 2x event fan-out is a map-side explode; the only
+    shuffle is the per-key sort window. Keys are assumed bounded-
+    cardinality groups (priority, segment, tenant); for a GLOBAL sweep at
+    100 TB, range-partition by time and carry partition-boundary offsets
+    (the exact_ntile two-pass pattern) instead of one giant key."""
+    events = df.select(
+        F.col(key_col).alias("k"),
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("k", F.col("e.t").alias("t"), F.col("e.delta").alias("delta"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("delta").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = events.withColumn("concurrent", F.sum("delta").over(w))
+    return (
+        curve.groupBy("k")
+        .agg(
+            F.max("concurrent").alias("peak_concurrent"),
+            F.min_by("t", F.struct(F.negate(F.col("concurrent")), F.col("t"))).alias(
+                "peak_at"
+            ),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("peak_concurrent").cast("bigint").alias("peak_concurrent"),
+            "peak_at",
+        )
+    )

@@ -155,3 +155,45 @@ def assign_split(
     return df.withColumn(
         split_col, F.when(u.isNotNull(), out).otherwise(F.lit(None).cast("string"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    *,
+    seed: str = "wsample",
+) -> DataFrame:
+    """EXACTLY min(n, count) rows, weighted-without-replacement, chosen
+    deterministically (Efraimidis–Spirakis A-ES).
+
+    Each row gets priority u^(1/w) with u = the content-hash uniform in
+    (0,1); the top-n priorities ARE a weighted sample without replacement.
+    Because u is a pure function of (key, seed), the sample is
+    reproducible across retries, engines, and cluster layouts — the same
+    property deterministic_sample gives unweighted sampling, which is
+    what makes training mixtures auditable.
+
+    Plan shape: priorities are computed map-side; selection is a global
+    top-n = TakeOrderedAndProject (per-partition heap + driver merge of
+    n*n_partitions candidates) — no single-partition sort funnel, no
+    shuffle of the full table. Rows with NULL, zero, or negative weight
+    are dropped (they have zero selection probability; A-ES priorities
+    are undefined for them).
+
+    Ties (astronomically unlikely with 60-bit hashes) break on key ASC."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("double")
+    # clamp u away from exact 0 (pow(0, x) = 0 for every weight, which
+    # would make hash-value 0 unsampleable regardless of weight)
+    u = (md5_bigint(key_col, seed=seed) + 1) / F.lit(_HASH_SPACE + 2)
+    pri = F.pow(u, 1.0 / w)
+    return (
+        df.where(w > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("_pri")
+    )

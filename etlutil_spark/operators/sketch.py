@@ -231,3 +231,55 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out_col))
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group distinct-count estimate via the native Datasketches HLL
+    aggregate (``hll_sketch_agg``, Spark 3.5+) — the JVM-side,
+    whole-stage-codegen path for the same job KMV does portably.
+
+    Trade-off vs ``kmv_distinct``: HLL state is a fixed 2^lg_k registers
+    (lg_k=12 -> ~2.5 KB, ~1.6% rel. err.) vs KMV's k hashes, and the
+    binary sketch column is storable/mergeable across runs — but the
+    estimate is implementation-specific, so it can never hash-match a
+    cross-engine oracle (the driver records a rows-only check; pytest
+    asserts relative error vs exact instead). Use HLL when speed and
+    mergeability matter, KMV when cross-engine reproducibility does.
+
+    One shuffle on the group keys; partial sketches merge map-side."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch"))
+        .select(
+            *group_cols,
+            F.hll_sketch_estimate("hll_sketch").alias("est_distinct"),
+            "hll_sketch",
+        )
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    rollup_cols: list[str],
+    *,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Re-aggregate stored HLL sketches to a coarser grouping WITHOUT
+    touching the raw data — the mergeable-summary pattern that makes
+    per-day sketches answer any date-range distinct question at 100 TB:
+    union the daily sketches instead of re-scanning the fact table."""
+    return (
+        sketches.groupBy(*rollup_cols)
+        .agg(F.hll_union_agg(sketch_col).alias(sketch_col))
+        .select(
+            *rollup_cols,
+            F.hll_sketch_estimate(sketch_col).alias("est_distinct"),
+            sketch_col,
+        )
+    )

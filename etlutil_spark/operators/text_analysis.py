@@ -68,3 +68,166 @@ def quality_filter(
         (X.token_count(text_col) >= min_tokens)
         & (X.quality_score(text_col) >= min_quality)
     )
+
+
+def term_doc_freq(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_freq) over distinct (doc, term) pairs.
+
+    The inverted-index cardinality table TF-IDF/BM25 need. explode is
+    map-side; the distinct + count is one shuffle on term. At 100 TB the
+    term dictionary after aggregation is tiny relative to the corpus
+    (Heaps' law), so downstream joins against it broadcast."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(X.tokens(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (score = tf * ln(N/df)).
+
+    Plan shape: one explode->groupBy(doc,term) shuffle for term
+    frequencies, one groupBy(term) shuffle for document frequencies, then
+    a BROADCAST join of the small df dictionary back onto the tf pairs and
+    a per-doc window for top-k — no quadratic stage anywhere. N (corpus
+    size) rides along as a broadcast scalar via crossJoin of a 1-row
+    aggregate, which AQE turns into a BroadcastNestedLoopJoin of one row.
+
+    Scores are rounded to 6 decimals; ties break on term ASC so the
+    selection is total-ordered and engine-independent."""
+    tf = (
+        df.select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        # tf feeds BOTH the df dictionary and the scoring branch; a lazy
+        # local checkpoint computes the explode+aggregate once instead of
+        # per-branch (the minhash-LSH pattern — see dedup.py)
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf", "rnk")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against a bag of query terms.
+
+    Retrieval-shaped corpus search (dataset curation: "find docs about
+    X"): idf = ln(1 + (N - df + 0.5)/(df + 0.5)), per-term contribution
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Plan shape: the query-term filter lands BEFORE the tf aggregation
+    (explode -> filter isin -> groupBy), so only postings for the query
+    terms ever shuffle — at 100 TB that is the difference between
+    shuffling the whole inverted index and shuffling a few million
+    postings. N/avgdl are one broadcast scalar row; df comes from the
+    filtered postings themselves. Per-term contributions are quantized to
+    9 decimals and summed EXACTLY as DECIMAL so the final score does not
+    depend on partition addition order; final score rounds to 6. Ties
+    break on doc ASC."""
+    terms = [t.lower() for t in query_terms]
+    postings = (
+        df.select(
+            F.col(id_col),
+            X.token_count(text_col).alias("dl"),
+            F.explode(X.tokens(text_col)).alias("term"),
+        )
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        # postings feed both dfreq and scoring — compute once (see
+        # tfidf_top_terms)
+        .localCheckpoint(eager=False)
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    stats = df.select(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(X.token_count(text_col).cast("decimal(38,9)")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.round(contrib, 9).cast("decimal(38,9)"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("contrib").cast("double"), 6).alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bigram_counts(
+    df: DataFrame,
+    k: int = 50,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus-wide bigrams (n-gram language-model counts).
+
+    Bigrams are formed map-side with zip_with over two shifted slices of
+    the token array — no self-join, no UDF; the only shuffle is the
+    groupBy(bigram) count. Ties break on bigram ASC for a total order."""
+    tk = df.select(X.tokens(text_col).alias("tk")).where(F.size("tk") >= 2)
+    bigrams = tk.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )

@@ -2912,6 +2912,227 @@ def events_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: IR/scoring over the corpus (TF-IDF, BM25, n-gram LM
+# counts), deterministic weighted sampling, sweep-line interval
+# concurrency, native HLL sketches, embedding feature statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_tfidf_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM t, UNNEST(tk) AS u(term) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, doc_freq,
+             round(tf * ln(n_docs * 1.0 / doc_freq), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk
+          FROM scored)
+    SELECT doc_id, term, tf, doc_freq, tfidf, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text_analysis.py:
+    tfidf_top_terms): the keyword-extraction primitive for corpus
+    curation. Two keyed shuffles (tf pairs, term dictionary) + a broadcast
+    of the post-Heaps'-law-tiny df dictionary; ties total-ordered on
+    (score DESC, term ASC) so both engines select identical rows."""
+    from etlutil_spark.operators.text_analysis import tfidf_top_terms
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    out = tfidf_top_terms(d, 3)
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@register(
+    "docs_bm25_search",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    postings AS (
+      SELECT doc_id, len(tk) AS dl, term, COUNT(*) AS tf
+      FROM t, UNNEST(tk) AS u(term)
+      WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, len(tk), term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(len(tk) AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+              FROM t),
+    contribs AS (
+      SELECT doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               9) AS DECIMAL(38,9)) AS contrib
+      FROM postings JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT doc_id,
+           round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25,
+           COUNT(*) AS n_matched_terms
+    FROM contribs GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 corpus search for a 3-term query (operators/
+    text_analysis.py:bm25_search). The query-term filter sits BEFORE the
+    tf aggregation, so only matching postings shuffle; per-term
+    contributions are quantized and summed as DECIMAL so the score is
+    independent of partition addition order. Global top-k plans as
+    TakeOrderedAndProject — no full sort."""
+    from etlutil_spark.operators.text_analysis import bm25_search
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    return bm25_search(d, ["vector", "join", "stream"], k=20)
+
+
+@register(
+    "docs_bigram_topk",
+    f"""
+    WITH t AS (SELECT {_DUCK_TOKENS} AS tk FROM documents),
+    b AS (SELECT tk[i] || ' ' || tk[i + 1] AS bigram
+          FROM t, UNNEST(range(1, len(tk))) AS r(i)
+          WHERE len(tk) >= 2)
+    SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 50
+    """,
+)
+def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigram counts (operators/text_analysis.py:
+    bigram_counts) — n-gram LM statistics. Bigrams form map-side via
+    zip_with over shifted slices (no self-join, no UDF); one count
+    shuffle with map-side partial aggregation, then top-k."""
+    from etlutil_spark.operators.text_analysis import bigram_counts
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    return bigram_counts(d, 50)
+
+
+@register(
+    "docs_weighted_sample",
+    f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             pow((('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                   / 1152921504606846978.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS p
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars FROM pri
+    ORDER BY p DESC, doc_id ASC LIMIT 100
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 weighted-without-replacement sample, weight = n_chars
+    (operators/sampling.py:weighted_sample, Efraimidis-Spirakis A-ES with
+    the portable md5 hash as the uniform). Deterministic across engines,
+    retries, and layouts — auditable training mixtures. Priorities are
+    map-side; selection is TakeOrderedAndProject, no global sort."""
+    from etlutil_spark.operators.sampling import weighted_sample
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    return weighted_sample(d, 100, "n_chars", "doc_id", seed="wsample-v1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "orders_open_concurrency",
+    """
+    WITH ev AS (
+      SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS t, 1 AS delta
+      FROM orders
+      UNION ALL
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) + 30, -1 FROM orders),
+    c AS (SELECT k, t, delta,
+                 SUM(delta) OVER (PARTITION BY k ORDER BY t, delta
+                                  ROWS UNBOUNDED PRECEDING) AS concurrent
+          FROM ev),
+    peak AS (SELECT k, MAX(concurrent) AS peak_concurrent FROM c GROUP BY k)
+    SELECT c.k AS o_orderpriority,
+           CAST(peak.peak_concurrent AS BIGINT) AS peak_concurrent,
+           MIN(c.t) AS peak_at
+    FROM c JOIN peak ON c.k = peak.k AND c.concurrent = peak.peak_concurrent
+    GROUP BY c.k, peak.peak_concurrent
+    """,
+)
+def orders_open_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency (operators/rangejoin.py:
+    interval_concurrency): peak number of simultaneously-open orders per
+    priority class, each order open [orderdate, orderdate + 30d). The 2x
+    start/end event fan-out is a map-side explode; the only shuffle is
+    the per-key running-sum window."""
+    from etlutil_spark.operators.rangejoin import interval_concurrency
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("open_d"),
+        F.date_add("o_orderdate", 30).alias("close_d"),
+    )
+    return interval_concurrency(o, "o_orderpriority", "open_d", "close_d")
+
+
+@register("hll_weekly_users")  # no SQL oracle: HLL estimates are
+# implementation-specific (Datasketches); pytest asserts <5% error vs
+# exact COUNT DISTINCT instead, and the driver records a rows-only check.
+def hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Datasketches HLL (operators/sketch.py:hll_distinct +
+    hll_rollup): daily user sketches MERGED into weekly estimates without
+    re-scanning events — the mergeable-summary pattern that answers any
+    date-range distinct question at 100 TB from stored sketches. Compare
+    kmv_distinct_events for the engine-portable (oracle-checkable) twin."""
+    from etlutil_spark.operators.sketch import hll_distinct, hll_rollup
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "user_id",
+    )
+    daily = hll_distinct(ev, ["week", "day"], "user_id", lg_k=12)
+    return hll_rollup(daily, ["week"]).select(
+        "week", F.col("est_distinct").cast("bigint").alias("est_users")
+    )
+
+
+@register(
+    "embeddings_dim_stats",
+    """
+    WITH e AS (
+      SELECT CAST(r.i AS INTEGER) - 1 AS dim, CAST(embedding[r.i] AS DOUBLE) AS e
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i))
+    SELECT dim, COUNT(*) AS n,
+           round(CAST(SUM(CAST(e AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean,
+           round(sqrt((CAST(SUM(CAST(e * e AS DECIMAL(38,18))) AS DOUBLE)
+                       - CAST(SUM(CAST(e AS DECIMAL(38,12))) AS DOUBLE)
+                         * CAST(SUM(CAST(e AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+                      / (COUNT(*) - 1)), 6) AS std,
+           round(MIN(e), 6) AS min_v,
+           round(MAX(e), 6) AS max_v
+    FROM e GROUP BY dim
+    """,
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding column
+    (operators/profile.py:embedding_dim_profile) — the z-scoring /
+    clipping inputs an embedding pipeline computes before training.
+    Map-side posexplode; one groupBy(dim) shuffle with at most |dim|
+    groups; sums exact as DECIMAL so results are partition-order- and
+    engine-independent."""
+    from etlutil_spark.operators.profile import embedding_dim_profile
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    emb = ensure_min_partitions(load_table(spark, "embeddings", sf_dir))
+    return embedding_dim_profile(emb, "embedding")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
 # The correctness driver checks the FIRST 50 registered queries per round
@@ -2925,58 +3146,62 @@ def events_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # never driver-checked through r3 (registration positions 51-80 then)
-    "events_top_types_daily",
-    "sessionize_users_salted",
-    "pricing_rollup",
-    "parts_shipped_both_years",
-    "parts_1996_not_1997",
-    "orders_week_overlap",
-    "knn_join_topk",
-    "daily_active_users",
-    "salted_top_event_types",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "dedup_clusters",
-    "profile_lineitem",
-    "events_props_extract",
-    "revenue_percentiles",
-    "customer_order_moving_avg",
-    "asof_purchase_attribution",
-    "asof_attribution_tolerance",
-    "scd2_customer_priority",
-    "kmv_distinct_events",
-    "scd2_apply_incremental",
-    "events_pivot_daily_types",
-    "orders_unpivot_price_parts",
-    "events_gap_fill_daily",
-    "lineitem_price_histogram",
-    "pricing_cube",
-    "lineitem_rollup_maintenance",
-    "orders_price_quartiles",
-    "cms_user_frequency",
-    "events_value_outliers",
-    # red in r3, fixed this round (NTZ-safe sessionize + BIGINT oracles)
-    "sessionize_users",
-    "docs_pack_token_budget",
-    "corpus_pipeline_e2e",
+    # r5 window. Back-block re-proof: these 33 were green in r3 under the
+    # old ordering (or pytest-only) but have no driver row on the CURRENT
+    # engine — the r4 shared-infra changes (_normalize_timestamps on every
+    # load_table, sessions rewrite) landed after their last driver check.
+    "baseline_dedup_embedding_pairs",  # r3 green row predates the r4 rename
+    "orders_monthly_price_rank",  # new in r4, never driver-checked
+    "top_customers_per_segment",
+    "date_spine_days",
+    "date_spine_month_backward",
+    "events_monthly",
+    "events_weekly_buckets",
+    "events_relative_month_frame",
+    "events_8_8_8_rest",
+    "events_backfill_chunks",
+    "events_calendar_periods",
+    "op_flatten_struct",
+    "op_flatten_depth_limit",
+    "op_select_with_extras",
+    "op_convert_types",
+    "op_normalize_date_fields",
+    "op_normalize_dates_recursive",
+    "op_clean_hash_skip_rules",
+    "op_clean_replace_truncate",
+    "op_clean_fingerprint",
+    "op_prune_values",
+    "op_prune_keys_depth",
+    "op_jsonify",
+    "op_redact_pii",
+    "docs_quality_lang",
+    "docs_lang_histogram",
+    "docs_fingerprint",
+    "docs_repetition",
+    "docs_take_n_per_lang",
+    "docs_train_eval_split",
+    "docs_stratified_sample",
+    "dedup_ngram_jaccard",
+    "multimodal_media_stats",
+    # new in r5 (never driver-checked; hll_weekly_users is the one
+    # rows-only entry — HLL estimates are implementation-specific)
+    "docs_tfidf_topk",
+    "docs_bm25_search",
+    "docs_bigram_topk",
+    "docs_weighted_sample",
+    "orders_open_concurrency",
+    "hll_weekly_users",
+    "embeddings_dim_stats",
     # rotating green fill: one representative per family stays visible
+    # (all 10 were fully green in CORRECTNESS_r04 on the current engine)
     "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
     "sim_topk_bruteforce",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
     "docs_contamination",
-    "docs_token_stats",
     "events_tumbling_hourly",
     "orders_latest_per_customer",
     "multimodal_features",
-    # new in r4 (registered at the catalog tail): claim driver rows now
     "events_hopping_counts",
     "events_session_window_30m",
 ]

@@ -28,9 +28,27 @@ from pyspark.sql import types as T
 # one-off static read of the same directory and then normalizes ts to
 # TIMESTAMP (LTZ) right after the scan — the same single-timestamp-type
 # policy as the batch loader (sources/testdata.py), so stream and batch
-# plans agree bit-for-bit under the pinned UTC session TZ. (There is
-# deliberately NO hardcoded schema constant here: one drifted from the
-# regenerated testdata once and silently broke the stream≡batch tests.)
+# plans agree bit-for-bit under the pinned UTC session TZ. Sniffing is
+# preferred over a pinned constant because a hardcoded schema drifted
+# from regenerated testdata once and silently broke the stream≡batch
+# tests — but sniffing alone cannot start a stream over a directory the
+# first file hasn't landed in yet (a normal streaming deployment), so
+# EVENTS_SCHEMA below is the declared *fallback* contract used only when
+# the directory is empty (or passed explicitly via ``schema=``).
+
+# Logical events contract in normalized form (ts already LTZ). Used only
+# when there is nothing on disk to sniff; a populated directory always
+# wins so physical-encoding drift is still tracked automatically.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def windowed_counts(events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -52,16 +70,30 @@ def windowed_counts(events: DataFrame, *, window: str = "1 hour", watermark: str
 
 
 def stream_events_from_dir(
-    spark: SparkSession, events_dir: str, *, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-source stream over an events parquet directory (schema pinned —
     streaming requires it). The pinned schema is sniffed from a one-off
     static read of the footer so the stream tracks whichever physical ts
     encoding this testdata generation used; ts is normalized to TIMESTAMP
-    (LTZ, UTC session) right after the scan."""
+    (LTZ, UTC session) right after the scan.
+
+    An empty / not-yet-populated directory (the normal case when a stream
+    is deployed before its producer) falls back to the declared
+    ``EVENTS_SCHEMA`` contract; pass ``schema=`` to pin one explicitly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    physical = spark.read.parquet(events_dir).schema
+    if schema is not None:
+        physical = schema
+    else:
+        try:
+            physical = spark.read.parquet(events_dir).schema
+        except Exception:  # UNABLE_TO_INFER_SCHEMA: nothing on disk yet
+            physical = EVENTS_SCHEMA
     reader = spark.readStream.schema(physical).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )

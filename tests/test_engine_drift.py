@@ -158,21 +158,27 @@ class TestOracleGuards:
 
     def test_driver_front_window_covers_unproven_queries(self):
         """The driver checks registration positions 1-50; every query that
-        was red or unchecked in r3 must sit inside that window."""
+        lacks a green driver row on the CURRENT engine must sit inside
+        that window (r5: the two never-proven entries plus the r3-green
+        back block whose rows predate the r4 shared-infra changes)."""
         from etlutil_spark.queries import QUERIES, _DRIVER_FRONT
 
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            "sessionize_users",
-            "sessionize_users_salted",
-            "docs_pack_token_budget",
-            "corpus_pipeline_e2e",
-            "orders_price_quartiles",
-            "asof_purchase_attribution",
-            "scd2_apply_incremental",
-            "kmv_distinct_events",
-            "cms_user_frequency",
+            "baseline_dedup_embedding_pairs",
+            "orders_monthly_price_rank",
+            "top_customers_per_segment",
+            "date_spine_days",
+            "events_monthly",
+            "op_flatten_struct",
+            "op_convert_types",
+            "op_clean_fingerprint",
+            "op_redact_pii",
+            "docs_quality_lang",
+            "docs_train_eval_split",
+            "dedup_ngram_jaccard",
+            "multimodal_media_stats",
         }
         assert must_have <= set(front50)
 

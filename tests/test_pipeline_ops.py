@@ -242,6 +242,8 @@ class TestMultimodal:
         # every fake-resized payload is exactly the 3*w*h RGB buffer size
         assert all(r.n_bytes == 3 * 4 * 3 and len(r.payload) == 36 for r in out)
         assert all((r.width, r.height, r.decoder) == (4, 3, "stub") for r in out)
+        # stub payloads must not masquerade as the input mime
+        assert all(r.mime == "application/x-stub" for r in out)
         again = resize_media(media, 4, 3, decode_stub=True).collect()
         assert sorted((r.media_id, bytes(r.payload)) for r in out) == sorted(
             (r.media_id, bytes(r.payload)) for r in again
@@ -462,6 +464,41 @@ class TestStreamingDocuments:
 
 
 class TestStreamingStateful:
+    def test_stream_starts_on_empty_dir_with_fallback_schema(
+        self, spark, tmp_path
+    ):
+        """Deploy-before-producer: the stream must start over a directory
+        with no files yet (declared EVENTS_SCHEMA fallback) and pick up
+        rows that land after the first trigger."""
+        import pandas as pd
+
+        from etlutil_spark.streaming.events import (
+            EVENTS_SCHEMA,
+            run_stream_query,
+            stream_events_from_dir,
+        )
+
+        empty = tmp_path / "incoming"
+        empty.mkdir()
+        stream = stream_events_from_dir(spark, str(empty))
+        assert stream.schema == EVENTS_SCHEMA
+        pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 01:00:00"]
+                ).astype("datetime64[us]"),
+                "user_id": [10, 11],
+                "event_type": ["click", "view"],
+                "value": [1.0, 2.0],
+                "props": ["{}", "{}"],
+            }
+        ).to_parquet(empty / "part-0.parquet", index=False)
+        got = run_stream_query(
+            stream, query_name="t_empty_start", output_mode="append"
+        )
+        assert got.count() == 2
+
     def test_dedup_stream_matches_batch(self, spark, sf_dir):
         from etlutil_spark.streaming.events import (
             dedup_stream,

@@ -493,6 +493,11 @@ class TestCatalogPlanGuards:
 
     # exact all-pairs baselines by design (verification-scale only)
     ALLPAIRS_OK = {"baseline_dedup_embedding_pairs"}
+    # crossJoin(broadcast(<1-row global-scalar aggregate>)) plans as a
+    # BroadcastNestedLoopJoin of exactly one row — O(n), not O(n^2).
+    # Still a loop-join node, so list explicitly rather than weakening
+    # the quadratic guard for everyone.
+    SCALAR_BNLJ_OK = {"docs_tfidf_topk", "docs_bm25_search"}
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
         from etlutil_spark.plans.inspect import formatted_plan
@@ -503,11 +508,10 @@ class TestCatalogPlanGuards:
             if name in self.ALLPAIRS_OK:
                 continue
             plan = formatted_plan(fn(spark, sf_dir))
-            bad = [
-                op
-                for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
-                if op in plan
-            ]
+            ops = ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if name in self.SCALAR_BNLJ_OK:
+                ops = ("CartesianProduct",)
+            bad = [op for op in ops if op in plan]
             if bad:
                 offenders[name] = bad
         assert not offenders, f"quadratic join shapes: {offenders}"
