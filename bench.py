@@ -67,6 +67,9 @@ EXTENDED = [
     "orders_open_concurrency",
     "hll_weekly_users",
     "embeddings_dim_stats",
+    "events_rolling_7d",
+    "lineitem_price_drift",
+    "purchase_click_pairs",
 ]
 
 

@@ -215,3 +215,62 @@ def embedding_dim_profile(df: DataFrame, vec_col: str = "embedding") -> DataFram
             "max_v",
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    cohort_col: str,
+    base_cohort,
+    test_cohort,
+    *,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between two cohorts of ``value_col``
+    over ``bins`` fixed-width bins on [lo, hi] (values outside clamp to
+    the edge bins). One row per bin: (bin, n_base, n_test, p_base,
+    p_test, psi_term); total PSI = SUM(psi_term). Rule of thumb:
+    < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    The drift monitor for training-data distributions between snapshots
+    (is this month's corpus shaped like last month's?). Bin edges are
+    data-INdependent, so the whole computation is one groupBy(bin,
+    cohort) count — no quantile pass, no second scan. Proportions are
+    Laplace-smoothed ((n + 0.5) / (N + bins/2)) so empty bins never
+    produce ln(0). Counts are exact integers; each downstream double op
+    is a single IEEE-correctly-rounded step, so results are
+    engine-portable. The <= ``bins``-row final merge is a 1-figure
+    scalar aggregate, not a data funnel."""
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need bins >= 1 and hi > lo, got {bins}, [{lo}, {hi})")
+    width = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    bin_c = F.least(
+        F.greatest(F.floor((v - lo) / width), F.lit(0)), F.lit(bins - 1)
+    ).cast("int")
+    counted = (
+        df.where(F.col(cohort_col).isin([base_cohort, test_cohort]))
+        .groupBy(bin_c.alias("bin"))
+        .agg(
+            F.count(F.when(F.col(cohort_col) == base_cohort, 1)).alias("n_base"),
+            F.count(F.when(F.col(cohort_col) == test_cohort, 1)).alias("n_test"),
+        )
+    )
+    totals = counted.select(
+        F.sum("n_base").alias("t_base"), F.sum("n_test").alias("t_test")
+    )
+    p = (F.col("n_base") + 0.5) / (F.col("t_base") + bins * 0.5)
+    q = (F.col("n_test") + 0.5) / (F.col("t_test") + bins * 0.5)
+    return (
+        counted.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_base",
+            "n_test",
+            F.round(p, 6).alias("p_base"),
+            F.round(q, 6).alias("p_test"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

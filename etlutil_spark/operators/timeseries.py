@@ -109,3 +109,42 @@ def forward_fill(
     return df.withColumns(
         {c: F.last(F.col(c), ignorenulls=True).over(w) for c in vals}
     )
+
+
+def trailing_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    days: int = 7,
+) -> DataFrame:
+    """Append trailing time-based aggregates to every row: the sum and
+    count of ``value_col`` over the PRECEDING ``days`` (inclusive of the
+    current instant) within the same key.
+
+    This is the RANGE-frame sibling of the ROWS-frame moving average
+    (customer_order_moving_avg): ROWS frames count records, RANGE frames
+    count TIME — the right semantics for activity features ("7-day spend
+    before this event") where per-key event density varies. The frame is
+    anchored on exact integer epoch MICROseconds, so two engines agree on
+    membership bit-for-bit even for sub-second gaps; rows with equal
+    (key, ts) are frame peers, making the result tiebreak-independent.
+
+    One shuffle (the per-key window); the sum runs as DECIMAL inside the
+    frame, so the appended columns are partition-order-independent.
+    Columns added: ``trail_sum`` (double, rounded 6), ``trail_n``."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-days * 86_400_000_000, 0)
+    )
+    return df.withColumns(
+        {
+            "trail_sum": F.round(
+                F.sum(F.col(value_col).cast("decimal(18,6)")).over(w).cast("double"),
+                6,
+            ),
+            "trail_n": F.count(value_col).over(w),
+        }
+    )

@@ -3132,6 +3132,109 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dim_profile(emb, "embedding")
 
 
+@register(
+    "events_rolling_7d",
+    """
+    SELECT event_id, user_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+             AS trail_sum,
+           COUNT(value) OVER w AS trail_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-DAY activity features per event (operators/
+    timeseries.py:trailing_window) — the RANGE-frame (time-anchored)
+    sibling of the ROWS-frame moving average: frame membership counts
+    time, not records, so it is correct under varying event density.
+    Anchored on exact integer epoch micros; sums run as DECIMAL inside
+    the frame. One per-user window shuffle."""
+    from etlutil_spark.operators.timeseries import trailing_window
+
+    ev = load_table(spark, "events", sf_dir)
+    return trailing_window(ev, "user_id", "ts", "value", days=7).select(
+        "event_id", "user_id", "trail_sum", "trail_n"
+    )
+
+
+@register(
+    "lineitem_price_drift",
+    """
+    WITH c AS (
+      SELECT CAST(least(greatest(floor(CAST(l_extendedprice AS DOUBLE) / 10500.0),
+                                 0), 9) AS INTEGER) AS bin,
+             COUNT(CASE WHEN EXTRACT(year FROM CAST(l_shipdate AS DATE)) = 1996
+                        THEN 1 END) AS n_base,
+             COUNT(CASE WHEN EXTRACT(year FROM CAST(l_shipdate AS DATE)) = 1997
+                        THEN 1 END) AS n_test
+      FROM lineitem
+      WHERE EXTRACT(year FROM CAST(l_shipdate AS DATE)) IN (1996, 1997)
+      GROUP BY 1),
+    t AS (SELECT SUM(n_base) AS t_base, SUM(n_test) AS t_test FROM c)
+    SELECT bin, n_base, n_test,
+           round((n_base + 0.5) / (t_base + 5.0), 6) AS p_base,
+           round((n_test + 0.5) / (t_test + 5.0), 6) AS p_test,
+           round(((n_base + 0.5) / (t_base + 5.0) - (n_test + 0.5) / (t_test + 5.0))
+                 * ln(((n_base + 0.5) / (t_base + 5.0))
+                      / ((n_test + 0.5) / (t_test + 5.0))), 6) AS psi_term
+    FROM c CROSS JOIN t
+    """,
+)
+def lineitem_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1996 and 1997 shipping
+    cohorts of l_extendedprice (operators/profile.py:psi_drift) — the
+    distribution-drift monitor for corpus snapshots. Fixed (data-
+    independent) bin edges make it ONE groupBy(bin) counting pass; the
+    <= 10-row totals merge is a scalar aggregate, not a funnel."""
+    from etlutil_spark.operators.profile import psi_drift
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_extendedprice", F.year("l_shipdate").alias("ship_year")
+    )
+    return psi_drift(
+        li, "l_extendedprice", "ship_year", 1996, 1997,
+        bins=10, lo=0.0, hi=105000.0,
+    )
+
+
+@register(
+    "purchase_click_pairs",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.event_id AS click_id,
+           epoch_us(c.ts) AS click_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval attribution pairs: every click within the hour before a
+    same-user purchase (streaming/joins.py:clicks_before_purchases run on
+    batch frames). The SAME function is the watermarked stream-stream
+    join in streaming mode — state bounded by watermark + time bound —
+    and pytest proves stream == batch on multi-micro-batch input.
+    Timestamps emitted as exact integer epoch micros."""
+    from etlutil_spark.streaming.joins import clicks_before_purchases
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = clicks_before_purchases(purchases, clicks, tolerance="1 hour")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -3192,14 +3295,14 @@ _DRIVER_FRONT = [
     "orders_open_concurrency",
     "hll_weekly_users",
     "embeddings_dim_stats",
+    "events_rolling_7d",
+    "lineitem_price_drift",
+    "purchase_click_pairs",
     # rotating green fill: one representative per family stays visible
-    # (all 10 were fully green in CORRECTNESS_r04 on the current engine)
+    # (all 7 were fully green in CORRECTNESS_r04 on the current engine)
     "q1_pricing_summary",
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
     "docs_contamination",
-    "events_tumbling_hourly",
     "orders_latest_per_customer",
     "multimodal_features",
     "events_hopping_counts",

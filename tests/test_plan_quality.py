@@ -60,13 +60,16 @@ HEADLINE_BUDGETS = {
     "orders_open_concurrency": (1, 0),  # one per-key sweep window
     "hll_weekly_users": (2, 0),  # daily sketch + weekly union
     "embeddings_dim_stats": (2, 0),  # posexplode + groupBy(dim)
+    "events_rolling_7d": (1, 0),  # one per-user RANGE-frame window
+    "lineitem_price_drift": (3, 1),  # bin counts + tiny totals merge
+    "purchase_click_pairs": (2, 0),  # key equi-join, time-range refine
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
-# global-scalar aggregate (corpus size / avgdl) that is then broadcast —
-# 32 partial rows merging into one is not a data funnel. The funnel ban
-# still applies to every other query.
-SCALAR_OK = {"docs_tfidf_topk", "docs_bm25_search"}
+# global-scalar aggregate (corpus size / avgdl / bin totals) that is
+# then broadcast — 32 partial rows merging into one is not a data
+# funnel. The funnel ban still applies to every other query.
+SCALAR_OK = {"docs_tfidf_topk", "docs_bm25_search", "lineitem_price_drift"}
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
 # escape hatch for these; row-at-a-time BatchEvalPython is never OK.

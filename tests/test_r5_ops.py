@@ -236,3 +236,100 @@ class TestEmbeddingDimProfile:
             assert got[dim].std == pytest.approx(round(col.std(ddof=1), 6), abs=1e-6)
             assert got[dim].min_v == pytest.approx(col.min())
             assert got[dim].max_v == pytest.approx(col.max())
+
+
+class TestTrailingWindow:
+    def test_time_anchored_frame(self, spark):
+        from etlutil_spark.operators.timeseries import trailing_window
+
+        ts = dt.datetime
+        rows = [
+            # user 1: events on day 1, 3, 9, 11 — 7-day trailing frames
+            (1, 1, ts(2024, 1, 1, 12), 10.0),
+            (2, 1, ts(2024, 1, 3, 12), 20.0),   # includes day 1
+            (3, 1, ts(2024, 1, 9, 12), 40.0),   # includes day 3 (6d), not day 1 (8d)
+            (4, 1, ts(2024, 1, 11, 12), 80.0),  # includes day 9; day 3 is exactly 8d
+            # user 2 isolated
+            (5, 2, ts(2024, 1, 9, 12), 5.0),
+        ]
+        df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp, value double")
+        got = {r.event_id: r for r in trailing_window(df, "user_id", "ts", "value", days=7).collect()}
+        assert (got[1].trail_sum, got[1].trail_n) == (10.0, 1)
+        assert (got[2].trail_sum, got[2].trail_n) == (30.0, 2)
+        assert (got[3].trail_sum, got[3].trail_n) == (60.0, 2)
+        assert (got[4].trail_sum, got[4].trail_n) == (120.0, 2)
+        assert (got[5].trail_sum, got[5].trail_n) == (5.0, 1)
+
+    def test_exact_boundary_inclusive(self, spark):
+        from etlutil_spark.operators.timeseries import trailing_window
+
+        ts = dt.datetime
+        rows = [
+            (1, 1, ts(2024, 1, 1, 0, 0, 0), 1.0),
+            (2, 1, ts(2024, 1, 8, 0, 0, 0), 2.0),  # exactly 7d later: in frame
+        ]
+        df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp, value double")
+        got = {r.event_id: r for r in trailing_window(df, "user_id", "ts", "value", days=7).collect()}
+        assert (got[2].trail_sum, got[2].trail_n) == (3.0, 2)
+
+
+class TestPsiDrift:
+    def test_identical_cohorts_zero_psi(self, spark):
+        from etlutil_spark.operators.profile import psi_drift
+
+        rows = [(float(v), c) for v in range(100) for c in ("a", "b")]
+        df = spark.createDataFrame(rows, "v double, cohort string")
+        out = psi_drift(df, "v", "cohort", "a", "b", bins=5, lo=0.0, hi=100.0).collect()
+        assert len(out) == 5
+        assert all(r.psi_term == 0.0 for r in out)
+        assert all(r.n_base == r.n_test == 20 for r in out)
+
+    def test_shifted_cohort_flags_drift(self, spark):
+        from etlutil_spark.operators.profile import psi_drift
+
+        rows = [(float(v % 50), "a") for v in range(200)] + [
+            (float(50 + v % 50), "b") for v in range(200)
+        ]
+        df = spark.createDataFrame(rows, "v double, cohort string")
+        out = psi_drift(df, "v", "cohort", "a", "b", bins=4, lo=0.0, hi=100.0).collect()
+        total = sum(r.psi_term for r in out)
+        assert total > 0.25  # fully disjoint supports => strong drift
+        with pytest.raises(ValueError, match="bins"):
+            psi_drift(df, "v", "cohort", "a", "b", bins=0)
+
+    def test_outliers_clamp_to_edge_bins(self, spark):
+        from etlutil_spark.operators.profile import psi_drift
+
+        df = spark.createDataFrame(
+            [(-100.0, "a"), (1e9, "a"), (5.0, "b")], "v double, cohort string"
+        )
+        out = {r.bin: r for r in psi_drift(df, "v", "cohort", "a", "b", bins=3, lo=0.0, hi=9.0).collect()}
+        assert out[0].n_base == 1 and out[2].n_base == 1
+        assert out[1].n_test == 1
+
+
+class TestStreamStreamJoin:
+    def test_stream_matches_batch(self, spark):
+        from etlutil_spark.sources.testdata import load_table
+        from etlutil_spark.streaming.events import (
+            run_stream_query,
+            stream_events_from_dir,
+        )
+        from etlutil_spark.streaming.joins import clicks_before_purchases
+
+        src = f"{SF}/events.parquet"
+        sp = stream_events_from_dir(spark, src).where(F.col("event_type") == "purchase")
+        sc = stream_events_from_dir(spark, src).where(F.col("event_type") == "click")
+        got = run_stream_query(
+            clicks_before_purchases(sp, sc),
+            query_name="t_ss_join",
+            output_mode="append",
+        )
+        ev = load_table(spark, "events", SF)
+        batch = clicks_before_purchases(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "click"),
+        )
+        s = {tuple(r) for r in got.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert s == b and len(b) > 0
