@@ -70,6 +70,8 @@ EXTENDED = [
     "events_rolling_7d",
     "lineitem_price_drift",
     "purchase_click_pairs",
+    "dedup_screen_new_batch",
+    "docs_token_drift",
 ]
 
 

@@ -162,6 +162,37 @@ def minhash_signatures(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The STORABLE LSH index: (id, band_idx, band_hash), one row per
+    band per doc. Write it partitioned by band_idx once per corpus
+    snapshot and every future batch screens against it without
+    re-sketching the corpus (see ``screen_against_corpus``)."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            "named_struct('band_idx', {i}, 'band_hash', xxhash64({cols}))".format(
+                i=i,
+                cols=", ".join(f"signature[{i * rows + j}]" for j in range(rows)),
+            )
+            for i in range(bands)
+        ) + ")"
+    )
+    return sig.select(id_col, F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -180,20 +211,8 @@ def minhash_lsh_pairs(
     100 TB. Returns (id_a, id_b[, jaccard])."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-
-    band_structs = F.expr(
-        "array(" + ", ".join(
-            "named_struct('band_idx', {i}, 'band_hash', xxhash64({cols}))".format(
-                i=i,
-                cols=", ".join(f"signature[{i * rows + j}]" for j in range(rows)),
-            )
-            for i in range(bands)
-        ) + ")"
-    )
-    banded = sig.select(id_col, F.explode(band_structs).alias("band")).select(
-        id_col, "band.band_idx", "band.band_hash"
+    banded = minhash_band_index(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -251,6 +270,82 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def screen_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.7,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental dedup: which NEW docs are near-dups of the EXISTING
+    corpus? Returns (new_id, corpus_id[, jaccard]).
+
+    This is the production shape of LSH dedup at 100 TB — corpora are
+    curated incrementally, and re-deduping the whole corpus per batch
+    (minhash_lsh_pairs over the union) redoes O(corpus) work for an
+    O(batch) question. Here the corpus contributes only its stored band
+    INDEX (pass ``corpus_index`` from ``minhash_band_index``, written
+    partitioned by band_idx at snapshot time; computed on the fly when
+    omitted, e.g. in oracle twins), and the batch's bands — thousands of
+    rows, not billions — are BROADCAST against it, so the probe is a
+    map-side hash-join over the index scan: no corpus shuffle at all.
+    Verification then re-shingles only the (batch x matched-corpus)
+    candidate docs via broadcast semi-joins, exactly the
+    minhash_lsh_pairs candidate-only discipline.
+
+    Identity collisions are the caller's concern: ids must be unique
+    across both frames (output pairs are (new, corpus), not ordered)."""
+    new_bands = minhash_band_index(
+        new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    ).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+    )
+    if corpus_index is None:
+        corpus_index = minhash_band_index(
+            corpus_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+        )
+    corpus_bands = corpus_index.select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        corpus_bands.join(F.broadcast(new_bands), ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    # lazy checkpoint for the same two reasons as minhash_lsh_pairs:
+    # cands is referenced by both verify sides, and truncating the plan
+    # stops the banding subtree re-entering every downstream op
+    cands = cands.localCheckpoint(eager=False)
+
+    def shingle_sets(docs: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
+        keep = docs.join(F.broadcast(ids), id_col, "left_semi")
+        return ensure_min_partitions(keep).select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(word_shingles(text_col, n)).alias(f"s_{out_id}"),
+        )
+
+    sa = shingle_sets(new_docs, cands.select(F.col("new_id").alias(id_col)), "new_id")
+    sb = shingle_sets(
+        corpus_docs, cands.select(F.col("corpus_id").alias(id_col)), "corpus_id"
+    )
+    inter = F.size(F.array_intersect(F.col("s_new_id"), F.col("s_corpus_id")))
+    jac = F.round(inter / (F.size("s_new_id") + F.size("s_corpus_id") - inter), 6)
+    return (
+        cands.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 

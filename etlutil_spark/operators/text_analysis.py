@@ -231,3 +231,54 @@ def bigram_counts(
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def token_drift(
+    df: DataFrame,
+    cohort_col: str,
+    base_pred,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """KL-divergence decomposition of token-distribution drift between two
+    document cohorts (``base_pred`` boolean column splits base vs test).
+    One row per vocabulary term: (term, n_base, n_test, p_base, p_test,
+    kl_term) with kl_term = p_base * ln(p_base / p_test); total
+    KL(base || test) = SUM(kl_term). The token-level sibling of the
+    value-level PSI monitor (operators/profile.py:psi_drift): PSI says
+    THAT a numeric distribution moved, this says WHICH tokens moved.
+
+    Plan shape: explode -> ONE groupBy(term) with conditional counts
+    covering both cohorts in a single pass; vocabulary size and cohort
+    totals ride along as a 1-row broadcast scalar. Proportions are
+    Laplace-smoothed ((n + 0.5) / (N + V/2)) so a term absent from one
+    cohort contributes a finite, engine-portable value."""
+    counted = (
+        df.select(
+            base_pred.cast("int").alias("_is_base"),
+            F.explode(X.tokens(text_col)).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.when(F.col("_is_base") == 1, 1)).alias("n_base"),
+            F.count(F.when(F.col("_is_base") == 0, 1)).alias("n_test"),
+        )
+    )
+    totals = counted.select(
+        F.sum("n_base").alias("t_base"),
+        F.sum("n_test").alias("t_test"),
+        F.count("*").alias("vocab"),
+    )
+    p = (F.col("n_base") + 0.5) / (F.col("t_base") + F.col("vocab") * 0.5)
+    q = (F.col("n_test") + 0.5) / (F.col("t_test") + F.col("vocab") * 0.5)
+    return counted.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "n_base",
+        "n_test",
+        F.round(p, 9).alias("p_base"),
+        F.round(q, 9).alias("p_test"),
+        # 6 decimals, not 9: the ln is the one step where engines may
+        # differ in the last ulp — keep the quantization coarse enough to
+        # absorb it (p/q themselves are exact-int ratios, safe at 9)
+        F.round(p * F.log(p / q), 6).alias("kl_term"),
+    )

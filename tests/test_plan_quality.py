@@ -63,13 +63,20 @@ HEADLINE_BUDGETS = {
     "events_rolling_7d": (1, 0),  # one per-user RANGE-frame window
     "lineitem_price_drift": (3, 1),  # bin counts + tiny totals merge
     "purchase_click_pairs": (2, 0),  # key equi-join, time-range refine
+    "dedup_screen_new_batch": (3, 3),  # batch bands broadcast vs index
+    "docs_token_drift": (4, 1),  # one term-count pass + scalar totals
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
 # global-scalar aggregate (corpus size / avgdl / bin totals) that is
 # then broadcast — 32 partial rows merging into one is not a data
 # funnel. The funnel ban still applies to every other query.
-SCALAR_OK = {"docs_tfidf_topk", "docs_bm25_search", "lineitem_price_drift"}
+SCALAR_OK = {
+    "docs_tfidf_topk",
+    "docs_bm25_search",
+    "lineitem_price_drift",
+    "docs_token_drift",
+}
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
 # escape hatch for these; row-at-a-time BatchEvalPython is never OK.

@@ -333,3 +333,90 @@ class TestStreamStreamJoin:
         s = {tuple(r) for r in got.collect()}
         b = {tuple(r) for r in batch.collect()}
         assert s == b and len(b) > 0
+
+
+class TestScreenAgainstCorpus:
+    def test_flags_only_cross_split_dups(self, spark):
+        from etlutil_spark.operators.dedup import (
+            minhash_band_index,
+            screen_against_corpus,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog near the river"
+        rows = [
+            (1, base + " bank"),                      # corpus
+            (2, base + " bend"),                      # corpus near-dup of 1
+            (3, "completely different text about spark shuffle engines today"),
+            (10, base + " bank"),                     # NEW: dup of corpus 1/2
+            (11, "unrelated fresh content with no corpus overlap at all ok"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        new = df.where(F.col("doc_id") >= 10)
+        corpus = df.where(F.col("doc_id") < 10)
+        got = screen_against_corpus(
+            new, corpus, "doc_id", "text", verify_threshold=0.5
+        ).collect()
+        pairs = {(r.new_id, r.corpus_id) for r in got}
+        assert (10, 1) in pairs  # exact dup found
+        assert all(r.new_id >= 10 and r.corpus_id < 10 for r in got)
+        assert not any(r.new_id == 11 for r in got)  # clean doc stays clean
+        # corpus-internal pair (1,2) must NOT appear: screening is new-vs-
+        # corpus only, never corpus self-dedup
+        assert not any(p == (1, 2) or p == (2, 1) for p in pairs)
+        # prebuilt stored index gives the identical answer
+        idx = minhash_band_index(corpus, "doc_id", "text")
+        again = screen_against_corpus(
+            new, corpus, "doc_id", "text", verify_threshold=0.5, corpus_index=idx
+        ).collect()
+        assert {(r.new_id, r.corpus_id, r.jaccard) for r in again} == {
+            (r.new_id, r.corpus_id, r.jaccard) for r in got
+        }
+
+    def test_candidates_only_mode(self, spark):
+        from etlutil_spark.operators.dedup import screen_against_corpus
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (10, "a b c d e f g h")],
+            "doc_id bigint, text string",
+        )
+        out = screen_against_corpus(
+            df.where(F.col("doc_id") >= 10),
+            df.where(F.col("doc_id") < 10),
+            "doc_id",
+            "text",
+            verify_threshold=None,
+        )
+        assert out.columns == ["new_id", "corpus_id"]
+        assert [(r.new_id, r.corpus_id) for r in out.collect()] == [(10, 1)]
+
+
+class TestTokenDrift:
+    def test_identical_cohorts_zero_kl(self, spark):
+        from etlutil_spark.operators.text_analysis import token_drift
+
+        rows = [(c, "alpha beta gamma alpha") for c in ("a", "b")]
+        df = spark.createDataFrame(rows, "cohort string, text string")
+        out = token_drift(df, "cohort", F.col("cohort") == "a").collect()
+        assert {r.term for r in out} == {"alpha", "beta", "gamma"}
+        assert all(r.kl_term == 0.0 for r in out)
+        assert all(r.p_base == r.p_test for r in out)
+
+    def test_shifted_token_flags_positive_kl(self, spark):
+        from etlutil_spark.operators.text_analysis import token_drift
+
+        rows = [
+            ("a", "alpha alpha alpha alpha beta"),
+            ("b", "beta beta beta beta alpha"),
+        ]
+        df = spark.createDataFrame(rows, "cohort string, text string")
+        out = {r.term: r for r in token_drift(df, "cohort", F.col("cohort") == "a").collect()}
+        # alpha is over-represented in base -> positive kl contribution;
+        # beta under-represented -> negative; total KL > 0
+        assert out["alpha"].kl_term > 0
+        assert out["beta"].kl_term < 0
+        assert sum(r.kl_term for r in out.values()) > 0
+        # vocabulary-absent smoothing: a term only in base still finite
+        rows2 = [("a", "only base words"), ("b", "different test words")]
+        df2 = spark.createDataFrame(rows2, "cohort string, text string")
+        out2 = {r.term: r for r in token_drift(df2, "cohort", F.col("cohort") == "a").collect()}
+        assert out2["only"].n_test == 0 and out2["only"].p_test > 0

@@ -497,7 +497,12 @@ class TestCatalogPlanGuards:
     # BroadcastNestedLoopJoin of exactly one row — O(n), not O(n^2).
     # Still a loop-join node, so list explicitly rather than weakening
     # the quadratic guard for everyone.
-    SCALAR_BNLJ_OK = {"docs_tfidf_topk", "docs_bm25_search", "lineitem_price_drift"}
+    SCALAR_BNLJ_OK = {
+        "docs_tfidf_topk",
+        "docs_bm25_search",
+        "lineitem_price_drift",
+        "docs_token_drift",
+    }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
         from etlutil_spark.plans.inspect import formatted_plan
