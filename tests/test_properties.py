@@ -406,3 +406,99 @@ class TestExactNtileProperties:
             ).collect()
         }
         assert got == want
+
+
+class TestR5Properties:
+    @PROP
+    @given(
+        n=st.integers(1, 20),
+        rows=st.lists(
+            st.tuples(st.integers(0, 60), st.floats(0.1, 100.0)),
+            min_size=1,
+            max_size=30,
+        ),
+    )
+    def test_weighted_sample_matches_reference_aes(self, spark, n, rows):
+        """weighted_sample must select EXACTLY the top-n priorities of the
+        Efraimidis-Spirakis reference computed in plain Python from the
+        same portable hash."""
+        import hashlib
+
+        data = [(i, w) for i, (key, w) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id bigint, w double")
+        from etlutil_spark.operators.sampling import weighted_sample
+
+        got = sorted(r.id for r in weighted_sample(df, n, "w", "id", seed="p1").collect())
+
+        def unit(i: int) -> float:
+            h = int(hashlib.md5(f"p1{i}".encode()).hexdigest()[:15], 16)
+            return (h + 1) / (2**60 + 2)
+
+        pri = sorted(
+            ((unit(i) ** (1.0 / w), -i) for i, w in data), reverse=True
+        )
+        want = sorted(-negi for _, negi in pri[:n])
+        assert got == want
+
+    @PROP
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(1, 10)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_interval_concurrency_matches_brute_force(self, spark, rows):
+        """Sweep-line peak == brute-force point-scan peak over half-open
+        integer day intervals."""
+        import datetime as dt
+
+        base = dt.date(2024, 1, 1)
+        data = [
+            (str(k), base + dt.timedelta(days=s), base + dt.timedelta(days=s + d))
+            for k, s, d in rows
+        ]
+        df = spark.createDataFrame(data, "k string, s date, e date")
+        from etlutil_spark.operators.rangejoin import interval_concurrency
+
+        got = {r.k: (r.peak_concurrent, r.peak_at) for r in interval_concurrency(df, "k", "s", "e").collect()}
+        for key in {str(k) for k, _, _ in rows}:
+            ivs = [(s, e) for kk, s, e in data if kk == key]
+            days = sorted({d for s, e in ivs for d in (s, e)})
+            best, best_at = 0, None
+            for day in days:
+                c = sum(1 for s, e in ivs if s <= day < e)
+                if c > best:
+                    best, best_at = c, day
+            assert got[key][0] == best
+            assert got[key][1] == best_at
+
+    @PROP
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 20), st.floats(-5, 5)),
+            min_size=2,
+            max_size=30,
+        ).filter(lambda r: len({x[0] for x in r}) == 2)
+    )
+    def test_trailing_window_matches_brute_force(self, spark, rows):
+        """RANGE-frame trailing sums == O(n^2) reference over exact
+        timestamps (7-day window, inclusive boundary)."""
+        import datetime as dt
+
+        data = [
+            (i, u, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h * 13), round(v, 3))
+            for i, (u, h, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(data, "event_id bigint, user_id bigint, ts timestamp, value double")
+        from etlutil_spark.operators.timeseries import trailing_window
+
+        got = {r.event_id: (r.trail_sum, r.trail_n) for r in trailing_window(df, "user_id", "ts", "value", days=7).collect()}
+        span = dt.timedelta(days=7)
+        for i, u, ts, v in data:
+            frame = [vv for _, uu, tt, vv in data if uu == u and ts - span <= tt <= ts]
+            from decimal import Decimal
+
+            want = float(sum(Decimal(str(round(x, 6))) for x in frame))
+            assert got[i][1] == len(frame)
+            assert abs(got[i][0] - round(want, 6)) < 1e-9, (i, got[i], want)
