@@ -72,6 +72,8 @@ EXTENDED = [
     "purchase_click_pairs",
     "dedup_screen_new_batch",
     "docs_token_drift",
+    "events_funnel",
+    "user_retention_weekly",
 ]
 
 

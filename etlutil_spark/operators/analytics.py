@@ -1,0 +1,97 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The behavioral-analytics layer over the events table — the two query
+shapes every product/growth pipeline runs and the reference (a
+record-at-a-time dict toolkit) has no notion of: "how many users made it
+through view -> click -> purchase IN ORDER?" and "of the users who
+arrived in week W, how many were still active k weeks later?".
+
+Scale design: both operators are chains of per-user aggregations — every
+stage is a keyed shuffle on user_id (never a window over collected
+per-user event arrays, which at 100 TB would buffer whale users'
+histories in executor memory). The funnel's strictly-ordered semantics
+come from re-aggregating against the previous stage's timestamp, so
+stage k costs one join + one groupBy on the SAME user_id key — AQE
+reuses the partitioning across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: (step, step_idx, n_users) where a user
+    counts for step k only with an event of type steps[k] STRICTLY AFTER
+    their earliest qualifying chain through steps[0..k-1].
+
+    Semantics pin: each stage anchors on the EARLIEST qualifying
+    timestamp of the previous stage (the standard greedy funnel — a
+    later anchor can only lose conversions, never gain them, so greedy
+    is exact for "did the ordered sequence happen?").
+
+    One shuffle per step on the same user key; stage frames shrink
+    monotonically, and each carries one row per surviving user."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    stage = None
+    counts = []
+    for i, step in enumerate(steps):
+        matched = events.where(F.col(type_col) == step)
+        if stage is not None:
+            matched = matched.join(stage, user_col).where(
+                F.col(ts_col) > F.col("_anchor")
+            )
+        stage = matched.groupBy(user_col).agg(F.min(ts_col).alias("_anchor"))
+        counts.append(
+            stage.select(
+                F.lit(step).alias("step"),
+                F.lit(i + 1).alias("step_idx"),
+            ).groupBy("step", "step_idx").agg(F.count("*").alias("n_users"))
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: (cohort_period, period_offset, n_users) —
+    users whose FIRST event falls in cohort_period and who are active
+    again period_offset periods later (offset 0 = the cohort size).
+
+    Two keyed shuffles: distinct (user, period) activity, then min-period
+    per user; the join back is on user_id and the final matrix aggregate
+    is (cohorts x offsets)-sized, i.e. tiny. No windows over event
+    history, so whale users cost nothing extra."""
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    activity = events.select(F.col(user_col), p.alias("p")).distinct()
+    first = activity.groupBy(user_col).agg(F.min("p").alias("cohort_p"))
+    days = {"week": 7, "day": 1}.get(period)
+    if days is None:
+        raise ValueError(f"unsupported period {period!r} (use 'week' or 'day')")
+    return (
+        activity.join(first, user_col)
+        .select(
+            "cohort_p",
+            (F.datediff(F.col("p"), F.col("cohort_p")) / days)
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .groupBy("cohort_p", "period_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -3328,6 +3328,62 @@ def docs_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_drift(d, "source", F.length("source") == 4)
 
 
+@register(
+    "events_funnel",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'view' AS step, 1 AS step_idx, COUNT(*) AS n_users FROM s1
+      HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'click', 2, COUNT(*) FROM s2 HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'purchase', 3, COUNT(*) FROM s3 HAVING COUNT(*) > 0
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel view -> click -> purchase (operators/
+    analytics.py:funnel_counts): each stage re-anchors on the previous
+    stage's earliest qualifying timestamp (greedy = exact for ordered
+    reachability). One user-keyed shuffle per stage, no per-user event
+    arrays — whale-user-safe at 100 TB."""
+    from etlutil_spark.operators.analytics import funnel_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "user_retention_weekly",
+    """
+    WITH act AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('week', ts) AS DATE) AS p
+                 FROM events),
+    f AS (SELECT user_id, MIN(p) AS cohort_p FROM act GROUP BY user_id)
+    SELECT cohort_p,
+           CAST((p - cohort_p) // 7 AS INTEGER) AS period_offset,
+           COUNT(*) AS n_users
+    FROM act JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/analytics.py:
+    retention_cohorts): users first seen in week W still active at
+    W + offset. Two user-keyed shuffles + a (cohorts x offsets)-sized
+    final aggregate; no event-history windows."""
+    from etlutil_spark.operators.analytics import retention_cohorts
+
+    ev = load_table(spark, "events", sf_dir)
+    return retention_cohorts(ev, period="week")
+
+
 @register("dedup_screen_new_batch", _duck_minhash_screen_sql())
 def dedup_screen_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (operators/dedup.py:screen_against_corpus): the
@@ -3411,13 +3467,13 @@ _DRIVER_FRONT = [
     "purchase_click_pairs",
     "dedup_screen_new_batch",
     "docs_token_drift",
-    # rotating green fill: one representative per family stays visible
-    # (all 5 were fully green in CORRECTNESS_r04 on the current engine)
+    "events_funnel",
+    "user_retention_weekly",
+    # rotating green fill (all fully green in CORRECTNESS_r04 on the
+    # current engine)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
-    "docs_contamination",
     "multimodal_features",
-    "events_session_window_30m",
 ]
 
 

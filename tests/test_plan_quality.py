@@ -65,6 +65,8 @@ HEADLINE_BUDGETS = {
     "purchase_click_pairs": (2, 0),  # key equi-join, time-range refine
     "dedup_screen_new_batch": (3, 3),  # batch bands broadcast vs index
     "docs_token_drift": (4, 1),  # one term-count pass + scalar totals
+    "events_funnel": (8, 2),  # 3 stages on one user key; frames shrink
+    "user_retention_weekly": (3, 1),  # activity distinct + first + matrix
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

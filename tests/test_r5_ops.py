@@ -420,3 +420,64 @@ class TestTokenDrift:
         df2 = spark.createDataFrame(rows2, "cohort string, text string")
         out2 = {r.term: r for r in token_drift(df2, "cohort", F.col("cohort") == "a").collect()}
         assert out2["only"].n_test == 0 and out2["only"].p_test > 0
+
+
+class TestFunnelAndRetention:
+    def test_funnel_strict_order(self, spark):
+        import datetime as dtm
+
+        from etlutil_spark.operators.analytics import funnel_counts
+
+        t = lambda h: dtm.datetime(2024, 1, 1, h)  # noqa: E731
+        rows = [
+            # u1 completes in order
+            (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+            # u2 clicks BEFORE viewing: click must not count
+            (2, t(2), "click"), (2, t(3), "view"),
+            # u3 views only
+            (3, t(1), "view"),
+            # u4 purchase exactly AT the click time: strict > excludes it
+            (4, t(1), "view"), (4, t(2), "click"), (4, t(2), "purchase"),
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+        got = {r.step: r for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+        assert got["view"].n_users == 4
+        assert got["click"].n_users == 2  # u1 and u4
+        assert got["purchase"].n_users == 1  # u1 only
+        assert [got[s].step_idx for s in ("view", "click", "purchase")] == [1, 2, 3]
+        with pytest.raises(ValueError, match="non-empty"):
+            funnel_counts(df, [])
+
+    def test_funnel_empty_stage_emits_no_row(self, spark):
+        import datetime as dtm
+
+        from etlutil_spark.operators.analytics import funnel_counts
+
+        df = spark.createDataFrame(
+            [(1, dtm.datetime(2024, 1, 1), "view")],
+            "user_id bigint, ts timestamp, event_type string",
+        )
+        got = funnel_counts(df, ["view", "click"]).collect()
+        assert [(r.step, r.n_users) for r in got] == [("view", 1)]
+
+    def test_retention_matrix(self, spark):
+        import datetime as dtm
+
+        from etlutil_spark.operators.analytics import retention_cohorts
+
+        d = lambda day: dtm.datetime(2024, 1, day, 12)  # noqa: E731
+        rows = [
+            (1, d(1)), (1, d(8)), (1, d(22)),   # cohort W0, offsets 0,1,3
+            (2, d(1)), (2, d(2)),               # same week twice -> one offset-0
+            (3, d(8)),                          # cohort W1, offset 0 only
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        got = {(r.cohort_p.isoformat(), r.period_offset): r.n_users
+               for r in retention_cohorts(df).collect()}
+        assert got[("2024-01-01", 0)] == 2   # u1, u2
+        assert got[("2024-01-01", 1)] == 1   # u1
+        assert got[("2024-01-01", 3)] == 1   # u1
+        assert got[("2024-01-08", 0)] == 1   # u3
+        assert ("2024-01-01", 2) not in got
+        with pytest.raises(ValueError, match="period"):
+            retention_cohorts(df, period="month")
