@@ -74,6 +74,7 @@ EXTENDED = [
     "docs_token_drift",
     "events_funnel",
     "user_retention_weekly",
+    "events_transition_matrix",
 ]
 
 

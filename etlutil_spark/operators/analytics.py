@@ -95,3 +95,45 @@ def retention_cohorts(
         .groupBy("cohort_p", "period_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types within each user's timeline: (prev_type, next_type, n, p) with
+    p = n / SUM(n per prev_type), rounded to 6.
+
+    The sequence-statistics primitive (what follows what?) behind
+    next-action models and funnel hypothesis generation. One per-user
+    lag window (ordered by ts with an explicit unique tiebreak, so the
+    pair set is deterministic under timestamp ties) + a groupBy over the
+    |types|^2-sized matrix; the per-prev_type normalization runs on that
+    tiny aggregate, not the events."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot), 6).alias("p"),
+    )

@@ -3384,6 +3384,32 @@ def user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev, period="week")
 
 
+@register(
+    "events_transition_matrix",
+    """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events),
+    c AS (SELECT prev_type, next_type, COUNT(*) AS n
+          FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           round(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM c
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between consecutive event types per
+    user (operators/analytics.py:transition_matrix). One per-user lag
+    window with a unique (ts, event_id) order, then a |types|^2-sized
+    matrix aggregate — the normalization window runs on ~25 rows."""
+    from etlutil_spark.operators.analytics import transition_matrix
+
+    ev = load_table(spark, "events", sf_dir)
+    return transition_matrix(ev)
+
+
 @register("dedup_screen_new_batch", _duck_minhash_screen_sql())
 def dedup_screen_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (operators/dedup.py:screen_against_corpus): the
@@ -3469,11 +3495,11 @@ _DRIVER_FRONT = [
     "docs_token_drift",
     "events_funnel",
     "user_retention_weekly",
+    "events_transition_matrix",
     # rotating green fill (all fully green in CORRECTNESS_r04 on the
     # current engine)
     "q1_pricing_summary",
     "dedup_minhash_lsh",
-    "multimodal_features",
 ]
 
 

@@ -67,6 +67,7 @@ HEADLINE_BUDGETS = {
     "docs_token_drift": (4, 1),  # one term-count pass + scalar totals
     "events_funnel": (8, 2),  # 3 stages on one user key; frames shrink
     "user_retention_weekly": (3, 1),  # activity distinct + first + matrix
+    "events_transition_matrix": (3, 0),  # user window + matrix agg
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

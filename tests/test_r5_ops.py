@@ -481,3 +481,44 @@ class TestFunnelAndRetention:
         assert ("2024-01-01", 2) not in got
         with pytest.raises(ValueError, match="period"):
             retention_cohorts(df, period="month")
+
+
+class TestTransitionMatrix:
+    def test_counts_and_row_normalization(self, spark):
+        import datetime as dtm
+
+        from etlutil_spark.operators.analytics import transition_matrix
+
+        t = lambda h: dtm.datetime(2024, 1, 1, h)  # noqa: E731
+        rows = [
+            (1, 1, t(1), "a"), (2, 1, t(2), "b"), (3, 1, t(3), "a"),
+            (4, 1, t(4), "b"),
+            (5, 2, t(1), "a"), (6, 2, t(2), "a"),
+            # user boundary: no transition from u1's last to u2's first
+        ]
+        df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp, event_type string")
+        got = {(r.prev_type, r.next_type): r for r in transition_matrix(df).collect()}
+        assert got[("a", "b")].n == 2
+        assert got[("b", "a")].n == 1
+        assert got[("a", "a")].n == 1
+        assert ("b", "b") not in got
+        # rows normalize within prev_type: a -> {b: 2/3, a: 1/3}
+        assert got[("a", "b")].p == pytest.approx(0.666667)
+        assert got[("a", "a")].p == pytest.approx(0.333333)
+        assert got[("b", "a")].p == 1.0
+
+    def test_timestamp_tie_deterministic(self, spark):
+        import datetime as dtm
+
+        from etlutil_spark.operators.analytics import transition_matrix
+
+        ts = dtm.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 1, ts, "x"), (2, 1, ts, "y"), (3, 1, ts, "z")],
+            "event_id bigint, user_id bigint, ts timestamp, event_type string",
+        )
+        runs = [
+            {(r.prev_type, r.next_type) for r in transition_matrix(df).collect()}
+            for _ in range(2)
+        ]
+        assert runs[0] == runs[1] == {("x", "y"), ("y", "z")}
