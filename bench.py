@@ -75,6 +75,8 @@ EXTENDED = [
     "events_funnel",
     "user_retention_weekly",
     "events_transition_matrix",
+    "q4_late_orders",
+    "q14_promo_share",
 ]
 
 

@@ -3410,6 +3410,83 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(ev)
 
 
+@register(
+    "q4_late_orders",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) = 1996
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted to this schema (no commit/receipt dates): 1996
+    orders with at least one line shipped more than 60 days after the
+    order date, counted per priority. The plan shape under test is the
+    EXISTS -> LEFT SEMI join: the lineitem side never duplicates order
+    rows, and the year filter prunes the orders scan before the join."""
+    o = load_table(spark, "orders", sf_dir).where(F.year("o_orderdate") == 1996)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.to_date("l_shipdate") > F.date_add("o_orderdate", 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q14_promo_share",
+    """
+    WITH m AS (
+      SELECT p.p_type,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') = '1996-03'
+      GROUP BY p.p_type)
+    SELECT p_type, round(revenue, 4) AS revenue,
+           round(revenue / SUM(revenue) OVER (), 6) AS share
+    FROM m
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 generalized: March-1996 revenue by part type with each
+    type's share of the month (PROMO's share is Q14's answer). Part is
+    broadcast; revenue sums run as DECIMAL; the share window runs over
+    the 6-row aggregate, not the fact table."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.date_format("l_shipdate", "yyyy-MM") == "1996-03"
+    )
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,9)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "p_type",
+        F.round("revenue", 4).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
 @register("dedup_screen_new_batch", _duck_minhash_screen_sql())
 def dedup_screen_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (operators/dedup.py:screen_against_corpus): the
@@ -3496,10 +3573,11 @@ _DRIVER_FRONT = [
     "events_funnel",
     "user_retention_weekly",
     "events_transition_matrix",
-    # rotating green fill (all fully green in CORRECTNESS_r04 on the
-    # current engine)
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
+    "q4_late_orders",
+    "q14_promo_share",
+    # no rotating representatives this round: every fill slot is spent on
+    # never-checked queries; the rotated-out families all hold green
+    # CURRENT-engine rows from the r4 window (see COVERAGE.md)
 ]
 
 

@@ -68,6 +68,8 @@ HEADLINE_BUDGETS = {
     "events_funnel": (8, 2),  # 3 stages on one user key; frames shrink
     "user_retention_weekly": (3, 1),  # activity distinct + first + matrix
     "events_transition_matrix": (3, 0),  # user window + matrix agg
+    "q4_late_orders": (1, 1),  # EXISTS -> left-semi, year filter pruned
+    "q14_promo_share": (2, 1),  # broadcast part; share over 6-row agg
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -79,6 +81,7 @@ SCALAR_OK = {
     "docs_bm25_search",
     "lineitem_price_drift",
     "docs_token_drift",
+    "q14_promo_share",  # share window over the 6-row type aggregate
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
