@@ -77,6 +77,17 @@ EXTENDED = [
     "events_transition_matrix",
     "q4_late_orders",
     "q14_promo_share",
+    # late-r5 additions: stateful-twin + TPC-H plan-shape sweep
+    "events_user_running_totals",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
 ]
 
 

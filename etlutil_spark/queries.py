@@ -3506,6 +3506,458 @@ def dedup_screen_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions, part 2: the stateful-streaming batch twin plus a wider
+# sweep of TPC-H plan shapes this schema supports (min-by, nation-pair
+# volume, outer-join distribution, scalar-subquery max/avg, disjunctive
+# pushdown, distinct-pair counting, anti-join with scalar threshold).
+# Registered at the catalog tail: pytest oracle parity covers them now; the
+# r6 driver-window rotation gives them external rows (COVERAGE.md).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_running_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operators
+    (streaming/events.py:running_user_totals via applyInPandasWithState,
+    streaming/state_v2.py:running_user_totals_v2 via transformWithState).
+    The stateful operators' FINAL per-key emission equals this groupBy;
+    tests/test_pipeline_ops.py proves streaming==batch on the v1 path, so
+    a green driver row here transitively hard-verifies the stateful
+    semantics that the driver cannot execute directly (no streaming
+    sink in the gate). One keyed shuffle with partial aggregation."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_dec("value", 9)).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS unit_cost
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
+      GROUP BY l.l_partkey, l.l_suppkey),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey) AS rn
+      FROM cost)
+    SELECT p.p_partkey, p.p_name, s.s_name, r.unit_cost
+    FROM r
+    JOIN part p ON r.l_partkey = p.p_partkey
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rn = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape without partsupp: for every Brand#3 part, the
+    supplier with the lowest observed unit price (min-by via a per-part
+    row_number, ties broken by suppkey for determinism). The brand
+    filter runs FIRST as a broadcast inner join so the aggregate only
+    shuffles lineitems of ~1/25th of parts; supplier is broadcast."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey", "p_name"
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.sum(_dec("l_quantity")).cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "unit_cost",
+        )
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(38,4)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY sn.n_name, cn.n_name, ship_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair by year.
+    Supplier+nation and customer+nation are pre-joined driver-side-small
+    dims, both broadcast; the nation-pair disjunction is applied after
+    the second broadcast join so only the big fact ever shuffles (for
+    the final 6-row aggregate)."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    n = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(38,4)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in 1996-Q4. Quarter + returnflag filters push to the scans;
+    customer(+nation) broadcasts against the order-key join; the top-20
+    compiles to TakeOrderedAndProject (no global sort), with c_custkey
+    as the deterministic tiebreak."""
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of non-urgent order counts per
+    customer, INCLUDING zero-order customers (the left outer join is the
+    point — an inner join would silently drop them). Two keyed shuffles:
+    the outer join on custkey, then the tiny distribution aggregate."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))
+                      * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM rev
+    JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum Q1-1996 revenue.
+    The scalar subquery becomes a broadcast single-row join against the
+    per-supplier aggregate — NOT an unpartitioned window, which would
+    funnel every supplier through one task at scale. Decimal sums make
+    the max comparison exact on both engines."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape without partsupp: distinct suppliers per
+    (brand, size) bucket, derived from observed lineitem pairs. The
+    brand/size filter broadcasts BEFORE the distinct so the dedup
+    shuffle only carries qualifying parts' pairs; count(distinct)
+    then reuses the same keyed partitioning."""
+    p = load_table(spark, "part", sf_dir).where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    pairs = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_size", "l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    """
+    WITH pq AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+             / COUNT(*) AS avg_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#5'
+      GROUP BY l.l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN pq ON l.l_partkey = pq.l_partkey
+    WHERE l.l_quantity < 0.2 * pq.avg_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue forfeited by small-quantity orders of
+    Brand#5 parts. The correlated scalar subquery (per-part average
+    quantity) becomes an aggregate broadcast back against the fact —
+    the brand filter bounds it to ~1/25th of parts so the broadcast is
+    always small, and the fact table is scanned exactly twice with the
+    filter pushed both times."""
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_brand") == "Brand#5"
+    ).select("p_partkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    pq = brand_li.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "pq_partkey")
+    return (
+        brand_li.join(F.broadcast(pq), F.col("l_partkey") == F.col("pq_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(38,4)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-way disjunction of
+    (brand, size, quantity) conjuncts. The part-only disjuncts
+    (brand+size) are applied to the broadcast side BEFORE the join —
+    Catalyst extracts them from the OR as a common filter — and the
+    mixed predicate evaluates post-join inside codegen; no UDF, no
+    second scan."""
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(26, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+             / COUNT(*) AS threshold
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT n.n_name, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT threshold FROM avg_bal)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders,
+    grouped by nation. Three plan pieces that must each pick the right
+    physical form: the scalar average broadcasts as a 1-row join (never
+    a collect in the plan), the NOT EXISTS compiles to a LEFT ANTI join
+    on custkey, and nation broadcasts. Decimal-sum average keeps the
+    threshold bit-identical across engines."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    recent = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("threshold")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("threshold"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
 # The correctness driver checks the FIRST 50 registered queries per round
