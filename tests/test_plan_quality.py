@@ -70,6 +70,17 @@ HEADLINE_BUDGETS = {
     "events_transition_matrix": (3, 0),  # user window + matrix agg
     "q4_late_orders": (1, 1),  # EXISTS -> left-semi, year filter pruned
     "q14_promo_share": (2, 1),  # broadcast part; share over 6-row agg
+    # late-r5 additions (measured at sf0.001 with AQE final plans)
+    "events_user_running_totals": (1, 0),  # one keyed partial+final agg
+    "q2_min_cost_supplier": (2, 2),  # brand+supplier broadcast, top-1 pushdown
+    "q7_nation_volume": (2, 0),  # dims broadcast; AQE may fold all shuffles
+    "q10_returned_items": (1, 3),  # TakeOrderedAndProject, cust+nation bcast
+    "q13_customer_distribution": (2, 1),  # outer join + tiny distribution agg
+    "q15_top_supplier": (3, 2),  # supplier agg + 1-row max broadcast
+    "q16_part_supplier_counts": (2, 1),  # filtered bcast before distinct
+    "q17_small_quantity": (3, 2),  # per-part avg broadcast back to fact
+    "q19_disjunctive_revenue": (1, 1),  # OR extraction onto bcast part side
+    "q22_idle_customers": (2, 3),  # scalar threshold + anti-join + nation
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -82,6 +93,10 @@ SCALAR_OK = {
     "lineitem_price_drift",
     "docs_token_drift",
     "q14_promo_share",  # share window over the 6-row type aggregate
+    "q15_top_supplier",  # 1-row MAX(total_revenue) scalar
+    "q17_small_quantity",  # single-row avg_yearly output
+    "q19_disjunctive_revenue",  # single-row revenue output
+    "q22_idle_customers",  # 1-row acctbal-threshold scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
