@@ -88,6 +88,9 @@ EXTENDED = [
     "q17_small_quantity",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "docs_mixture_sample",
+    "docs_quality_model",
+    "sim_topk_filtered",
 ]
 
 

@@ -197,3 +197,79 @@ def weighted_sample(
         .limit(n)
         .drop("_pri")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    target_shares: dict[str, float],
+    *,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum keep-rates that rebalance the corpus to ``target_shares``
+    by downsampling only (never upsampling — duplication is a separate,
+    deliberate decision in a training pipeline).
+
+    Weight totals per stratum (rows when ``weight_col`` is None, else the
+    column's sum — chars/tokens for corpus mixtures) determine the largest
+    feasible resampled total ``T = min_s(W_s / share_s)``; each stratum then
+    keeps ``share_s * T / W_s`` of its weight. Strata absent from
+    ``target_shares`` get NO rate row (joining on the result drops them) —
+    an explicit 0.0 share is the auditable way to say "excluded".
+
+    Plan shape: one keyed aggregate over the corpus, then |strata|-row
+    arithmetic with a 1-row MIN broadcast — nothing here scales with data
+    volume. All sums run as DECIMAL then cast to double, so the rates are
+    bit-identical across engines and partition orders."""
+    bad = {s: v for s, v in target_shares.items() if v < 0}
+    if bad:
+        raise ValueError(f"negative target shares: {bad}")
+    if not any(v > 0 for v in target_shares.values()):
+        raise ValueError("at least one target share must be positive")
+    w = (
+        F.sum(F.col(weight_col).cast("decimal(38,4)")).cast("double")
+        if weight_col
+        else F.count("*").cast("double")
+    )
+    totals = df.groupBy(stratum_col).agg(w.alias("_w"))
+    tgt = df.sparkSession.createDataFrame(
+        [(s, float(v)) for s, v in target_shares.items() if v > 0],
+        f"{stratum_col} string, _share double",
+    )
+    j = totals.join(F.broadcast(tgt), stratum_col)
+    feasible = j.agg(F.min(F.col("_w") / F.col("_share")).alias("_total"))
+    return j.join(F.broadcast(feasible)).select(
+        stratum_col,
+        F.least(F.col("_share") * F.col("_total") / F.col("_w"), F.lit(1.0)).alias(
+            "_rate"
+        ),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    target_shares: dict[str, float],
+    key_col: str,
+    *,
+    weight_col: str | None = None,
+    seed: str = "mixture",
+) -> DataFrame:
+    """Deterministically resample the corpus toward a target mixture
+    (the Pile/Dolma-style source rebalancing step of a training-data
+    pipeline): compute :func:`mixture_rates`, broadcast them back, and keep
+    rows whose content-hash uniform falls under their stratum's rate.
+
+    A row's fate depends only on (key, seed, the stratum weight totals) —
+    reproducible across retries, engines, and cluster layouts, so the
+    mixture is auditable after the fact. The corpus itself is touched by
+    exactly one aggregate pass plus one map-side filtered pass; rates are a
+    broadcast, so no data-volume shuffle beyond the totals aggregate."""
+    rates = mixture_rates(
+        df, stratum_col, target_shares, weight_col=weight_col
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(_unit_hash(key_col, seed) < F.col("_rate"))
+        .drop("_rate")
+    )

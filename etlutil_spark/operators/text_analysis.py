@@ -282,3 +282,68 @@ def token_drift(
         # absorb it (p/q themselves are exact-int ratios, safe at 9)
         F.round(p * F.log(p / q), 6).alias("kl_term"),
     )
+
+
+# default weights for quality_model_score: hand-set to mimic a trained
+# fastText-style quality classifier's behavior on web text — rewarding
+# length/alphabetic/natural-stopword-density, punishing token repetition
+DEFAULT_QUALITY_WEIGHTS: dict[str, float] = {
+    "bias": 0.0,
+    "len_norm": 1.2,
+    "alpha": 1.0,
+    "stop_sat": 0.8,
+    "dup": -1.5,
+}
+
+
+def quality_model_score(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.55,
+) -> DataFrame:
+    """Linear quality-model scoring — the engine-side twin of running a
+    trained quality classifier (fastText / logreg) over the corpus, with
+    the model expressed as a weighted sum of engineered features so the
+    whole thing stays inside whole-stage codegen (no UDF, no model
+    server round-trip).
+
+    Features (each an exact ratio, rounded to 6 decimals BEFORE weighting
+    so the logit is bit-identical across engines): ``len_norm`` =
+    min(tokens/50, 1); ``alpha`` = alphabetic-char ratio; ``stop_sat`` =
+    min(5 * stopword ratio, 1); ``dup`` = repeated-token ratio. The logit
+    is NOT squashed — a sigmoid's ``exp`` can differ across engines in the
+    last ulp, and monotone decisions only need the linear score.
+
+    Adds ``model_score`` (rounded logit) and ``kept`` (0/1 int for
+    ``model_score >= threshold``). One shuffle-free projection; swap
+    ``weights`` to deploy a retrained model without touching the plan."""
+    w = {**DEFAULT_QUALITY_WEIGHTS, **(weights or {})}
+    unknown = set(w) - {"bias", "len_norm", "alpha", "stop_sat", "dup"}
+    if unknown:
+        raise ValueError(f"unknown feature weights: {sorted(unknown)}")
+    tk = X.tokens(text_col)
+    out = df.withColumn("_tk", tk)
+    n = F.size(F.col("_tk"))
+    len_norm = F.round(F.least(n / F.lit(50.0), F.lit(1.0)), 6)
+    alpha = F.round(F.coalesce(X.alpha_ratio(text_col), F.lit(0.0)), 6)
+    swr = X.stopword_ratio(text_col, pre_tokens="_tk")
+    stop_sat = F.round(
+        F.least(F.coalesce(swr, F.lit(0.0)) * F.lit(5.0), F.lit(1.0)), 6
+    )
+    dup = F.coalesce(X.dup_token_ratio(text_col, pre_tokens="_tk"), F.lit(0.0))
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["len_norm"]) * len_norm
+        + F.lit(w["alpha"]) * alpha
+        + F.lit(w["stop_sat"]) * stop_sat
+        + F.lit(w["dup"]) * dup
+    )
+    return (
+        out.withColumn("model_score", F.round(logit, 6))
+        .withColumn(
+            "kept", (F.col("model_score") >= F.lit(threshold)).cast("int")
+        )
+        .drop("_tk")
+    )

@@ -3957,6 +3957,113 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_mixture_sample",
+    f"""
+    WITH w AS (
+      SELECT source, CAST(SUM(CAST(n_chars AS DECIMAL(38,4))) AS DOUBLE) AS ws
+      FROM documents GROUP BY source),
+    t(source, share) AS (VALUES ('src0', 0.2), ('src1', 0.3), ('src2', 0.5)),
+    j AS (SELECT w.source, w.ws, t.share FROM w JOIN t ON w.source = t.source),
+    f AS (SELECT MIN(ws / share) AS total FROM j),
+    r AS (SELECT j.source, least(j.share * f.total / j.ws, 1.0) AS rate
+          FROM j, f)
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(d.n_chars AS DECIMAL(38,4))) AS DOUBLE) AS chars_kept
+    FROM documents d
+    JOIN r ON d.source = r.source
+    WHERE {_DUCK_UNIT_HASH.format(seed='mix-v2')} < r.rate
+    GROUP BY d.source
+    """,
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing (operators/sampling.py:mixture_sample):
+    resample three sources toward a 20/30/50 char-weighted mixture,
+    downsampling only. Rates derive from one keyed aggregate plus a 1-row
+    feasible-total broadcast; the kept set is decided by content hash, so
+    the mixture is reproducible across engines/retries — auditable
+    training data. Reported here as per-source kept totals."""
+    from etlutil_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, "documents", sf_dir)
+    kept = mixture_sample(
+        d,
+        "source",
+        {"src0": 0.2, "src1": 0.3, "src2": 0.5},
+        "doc_id",
+        weight_col="n_chars",
+        seed="mix-v2",
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_dec("n_chars")).cast("double").alias("chars_kept"),
+    )
+
+
+@register(
+    "docs_quality_model",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents),
+    s AS (
+      SELECT doc_id,
+             round(0.0
+               + 1.2 * round(least(len(tk) / 50.0, 1.0), 6)
+               + 1.0 * round(coalesce(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text), 0.0), 6)
+               + 0.8 * round(least(coalesce((len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) * 1.0 / len(tk)), 0.0) * 5.0, 1.0), 6)
+               - 1.5 * coalesce(CASE WHEN len(tk) > 0
+                                     THEN round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) END, 0.0)
+             , 6) AS model_score
+      FROM t)
+    SELECT doc_id, model_score,
+           CAST(model_score >= 0.55 AS INTEGER) AS kept
+    FROM s
+    """,
+)
+def docs_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-model scoring
+    (operators/text_analysis.py:quality_model_score): a trained-classifier
+    stand-in expressed as a weighted feature sum so corpus scoring stays
+    in whole-stage codegen. Features round to 6 decimals before weighting
+    (bit-identical logits cross-engine); the logit is unsquashed — no exp,
+    no last-ulp drift. Shuffle-free projection."""
+    from etlutil_spark.operators.text_analysis import quality_model_score
+
+    d = load_table(spark, "documents", sf_dir)
+    return quality_model_score(d, "text", threshold=0.55).select(
+        "doc_id", "model_score", "kept"
+    )
+
+
+@register(
+    "sim_topk_filtered",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE label IN (1, 3, 5))
+    SELECT e.vec_id AS vec_id,
+           round(list_dot_product(e.v, q.v) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: exact cosine top-10 restricted to
+    labels {1,3,5} — the filtered-ANN pattern every vector store needs
+    (filter BEFORE scoring, so selectivity cuts the scan, not the heap).
+    The label predicate pushes to the parquet scan; scoring stays
+    shuffle-free TakeOrderedAndProject as in sim_topk_bruteforce."""
+    from etlutil_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return cosine_topk(e.where(F.col("label").isin(1, 3, 5)), qvec, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

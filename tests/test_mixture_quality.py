@@ -1,0 +1,178 @@
+"""Late-r5 operators: training-mixture rebalancing (mixture_rates /
+mixture_sample) and linear quality-model scoring (quality_model_score).
+Catalog-level Spark-vs-DuckDB parity for their registered queries lives in
+test_oracle_parity.py; these tests pin the operator semantics on
+hand-built frames where the expected answer is computable in plain
+Python."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # three sources with very different weight totals: src_a 1000 rows of
+    # weight 10, src_b 100 rows of weight 10, src_c 50 rows of weight 2,
+    # plus a stratum that no target mentions
+    rows = (
+        [(i, "src_a", 10) for i in range(1000)]
+        + [(10_000 + i, "src_b", 10) for i in range(100)]
+        + [(20_000 + i, "src_c", 2) for i in range(50)]
+        + [(30_000 + i, "src_junk", 10) for i in range(25)]
+    )
+    return spark.createDataFrame(rows, "doc_id bigint, source string, w int")
+
+
+class TestMixtureRates:
+    def test_rates_match_closed_form(self, corpus):
+        from etlutil_spark.operators.sampling import mixture_rates
+
+        shares = {"src_a": 0.5, "src_b": 0.4, "src_c": 0.1}
+        rates = {
+            r["source"]: r["_rate"]
+            for r in mixture_rates(
+                corpus, "source", shares, weight_col="w"
+            ).collect()
+        }
+        # W_a=10000, W_b=1000, W_c=100 -> T = min(20000, 2500, 1000) = 1000
+        assert rates["src_a"] == pytest.approx(0.5 * 1000 / 10000)
+        assert rates["src_b"] == pytest.approx(0.4 * 1000 / 1000)
+        assert rates["src_c"] == pytest.approx(0.1 * 1000 / 100)
+        # the binding stratum (min W_s/share_s = src_c) keeps everything
+        assert rates["src_c"] == 1.0
+        assert all(v <= 1.0 for v in rates.values())
+        # strata outside the target get no rate row at all
+        assert "src_junk" not in rates
+
+    def test_row_weighted_when_no_weight_col(self, corpus):
+        from etlutil_spark.operators.sampling import mixture_rates
+
+        rates = {
+            r["source"]: r["_rate"]
+            for r in mixture_rates(
+                corpus, "source", {"src_a": 0.8, "src_c": 0.2}
+            ).collect()
+        }
+        # counts: a=1000, c=50 -> T = min(1250, 250) = 250
+        assert rates["src_a"] == pytest.approx(0.8 * 250 / 1000)
+        assert rates["src_c"] == 1.0
+
+    def test_invalid_shares_raise(self, corpus):
+        from etlutil_spark.operators.sampling import mixture_rates
+
+        with pytest.raises(ValueError, match="negative"):
+            mixture_rates(corpus, "source", {"src_a": -0.1})
+        with pytest.raises(ValueError, match="positive"):
+            mixture_rates(corpus, "source", {"src_a": 0.0})
+
+
+class TestMixtureSample:
+    def test_mixture_approaches_target_and_never_upsamples(self, corpus):
+        from etlutil_spark.operators.sampling import mixture_sample
+
+        shares = {"src_a": 0.5, "src_b": 0.4, "src_c": 0.1}
+        kept = mixture_sample(
+            corpus, "source", shares, "doc_id", weight_col="w", seed="t1"
+        )
+        got = {
+            r["source"]: (r["n"], r["wsum"])
+            for r in kept.groupBy("source")
+            .agg(F.count("*").alias("n"), F.sum("w").alias("wsum"))
+            .collect()
+        }
+        orig = {"src_a": (1000, 10000), "src_b": (100, 1000), "src_c": (50, 100)}
+        assert "src_junk" not in got
+        total_w = sum(w for _, w in got.values())
+        for s, (n, w) in got.items():
+            assert n <= orig[s][0] and w <= orig[s][1]  # downsample only
+            # hash sampling is binomial around the rate: 3 sigma of
+            # sqrt(p(1-p)N) on the row counts keeps this deterministic-ish
+            assert w / total_w == pytest.approx(shares[s], abs=0.06)
+        # the binding stratum (rate 1.0) is kept in full
+        assert got["src_c"] == orig["src_c"]
+
+    def test_deterministic_across_runs(self, corpus):
+        from etlutil_spark.operators.sampling import mixture_sample
+
+        shares = {"src_a": 0.3, "src_b": 0.7}
+        a = sorted(
+            r["doc_id"]
+            for r in mixture_sample(
+                corpus, "source", shares, "doc_id", seed="t2"
+            ).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in mixture_sample(
+                corpus, "source", shares, "doc_id", seed="t2"
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+
+class TestQualityModelScore:
+    def test_score_matches_hand_formula(self, spark):
+        from etlutil_spark.operators.text_analysis import (
+            DEFAULT_QUALITY_WEIGHTS as W,
+            quality_model_score,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        row = quality_model_score(df, "text").collect()[0]
+        toks = text.lower().split()
+        n = len(toks)
+        stop = {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"}
+        len_norm = round(min(n / 50.0, 1.0), 6)
+        alpha = round(
+            sum(c.isalpha() or c == " " for c in text) / len(text), 6
+        )
+        stop_sat = round(
+            min(sum(t in stop for t in toks) / n * 5.0, 1.0), 6
+        )
+        dup = round(1.0 - len(set(toks)) / n, 6)
+        expected = round(
+            W["bias"]
+            + W["len_norm"] * len_norm
+            + W["alpha"] * alpha
+            + W["stop_sat"] * stop_sat
+            + W["dup"] * dup,
+            6,
+        )
+        # 2e-6: Python round() is banker's, Spark's is HALF_UP — a logit
+        # landing on a .xxxxxx5 boundary rounds apart by one ulp-of-rounding
+        assert row["model_score"] == pytest.approx(expected, abs=2e-6)
+        assert row["kept"] == int(row["model_score"] >= 0.55)
+
+    def test_kept_flag_consistent_and_threshold_respected(self, spark):
+        from etlutil_spark.operators.text_analysis import quality_model_score
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog and runs"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in quality_model_score(df, "text").collect()}
+        for r in out.values():
+            assert r["kept"] == int(r["model_score"] >= 0.55)
+        # heavy repetition scores strictly below natural prose
+        assert out[2]["model_score"] < out[1]["model_score"]
+        # empty text degrades to the bias term
+        assert out[3]["model_score"] == pytest.approx(0.0)
+
+    def test_custom_weights_and_validation(self, spark):
+        from etlutil_spark.operators.text_analysis import quality_model_score
+
+        df = spark.createDataFrame(
+            [(1, "the dog naps in a park")], "doc_id bigint, text string"
+        )
+        harsher = quality_model_score(
+            df, "text", weights={"dup": -5.0}
+        ).collect()[0]
+        default = quality_model_score(df, "text").collect()[0]
+        assert harsher["model_score"] <= default["model_score"]
+        with pytest.raises(ValueError, match="unknown feature"):
+            quality_model_score(df, "text", weights={"nope": 1.0})

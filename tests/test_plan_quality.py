@@ -81,6 +81,9 @@ HEADLINE_BUDGETS = {
     "q17_small_quantity": (3, 2),  # per-part avg broadcast back to fact
     "q19_disjunctive_revenue": (1, 1),  # OR extraction onto bcast part side
     "q22_idle_customers": (2, 3),  # scalar threshold + anti-join + nation
+    "docs_mixture_sample": (5, 3),  # totals agg (ReusedExchange) + kept agg
+    "docs_quality_model": (0, 0),  # pure shuffle-free projection
+    "sim_topk_filtered": (1, 0),  # TakeOrderedAndProject after label filter
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -97,6 +100,7 @@ SCALAR_OK = {
     "q17_small_quantity",  # single-row avg_yearly output
     "q19_disjunctive_revenue",  # single-row revenue output
     "q22_idle_customers",  # 1-row acctbal-threshold scalar
+    "docs_mixture_sample",  # 1-row feasible-total MIN scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
