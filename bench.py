@@ -91,6 +91,8 @@ EXTENDED = [
     "docs_mixture_sample",
     "docs_quality_model",
     "sim_topk_filtered",
+    "sim_ann_recall",
+    "embeddings_quantize_err",
 ]
 
 

@@ -274,3 +274,62 @@ def psi_drift(
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
     )
+
+
+def quantization_error_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension reconstruction error of uniform min-max quantization —
+    the decide-before-you-compress step of shrinking an embedding store
+    (float32 -> int8 cuts it 4x; this reports what that costs, per
+    dimension, BEFORE any data is rewritten).
+
+    Quantization rule (mirror it when materializing codes):
+    ``scale_d = (max_d - min_d) / (2^bits - 1)``; code = ``floor((x -
+    min_d) / scale_d)`` clamped to the level count (floor, not round —
+    round's half-way behavior differs across engines); reconstruction =
+    ``min_d + code * scale_d``. A constant dimension (max == min)
+    quantizes to code 0 with zero error.
+
+    Plan shape: two map-side posexplode passes over the vectors — one for
+    the per-dim min/max (<= dim groups), one for the error pass with those
+    stats broadcast back — then a <= dim-group aggregate. Nothing shuffles
+    with data volume; error sums run as DECIMAL so the reported means are
+    partition-order-independent and engine-exact."""
+    if bits < 1 or bits > 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    levels = float(2**bits - 1)
+    x = df.select(
+        (F.posexplode(vec_col)).alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    s = x.groupBy("dim").agg(F.min("val").alias("_mn"), F.max("val").alias("_mx"))
+    scale = F.when(
+        F.col("_mx") > F.col("_mn"), (F.col("_mx") - F.col("_mn")) / F.lit(levels)
+    ).otherwise(F.lit(0.0))
+    joined = x.join(F.broadcast(s), "dim").withColumn("_scale", scale)
+    code = F.least(
+        F.floor((F.col("val") - F.col("_mn")) / F.col("_scale")).cast("double"),
+        F.lit(levels),
+    )
+    approx = F.when(
+        F.col("_scale") > 0, F.col("_mn") + code * F.col("_scale")
+    ).otherwise(F.col("_mn"))
+    err = F.abs(F.col("val") - approx)
+    return (
+        joined.withColumn("_err", err)
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.sum(F.col("_err").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_abs_err"),
+            F.round(F.max("_err"), 6).alias("max_abs_err"),
+            F.round((F.max("val") - F.min("val")) / F.lit(levels), 9).alias(
+                "scale"
+            ),
+        )
+    )

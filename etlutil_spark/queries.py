@@ -4064,6 +4064,106 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e.where(F.col("label").isin(1, 3, 5)), qvec, k=10)
 
 
+def _duck_ann_recall_sql(k: int = 10, n_planes: int = 8, dim: int = 64) -> str:
+    """Oracle for sim_ann_recall: exact top-k and LSH top-k as twin CTEs
+    (same plane literals and candidate rule as _duck_ann_lsh_sql), then
+    the semi-join hit count over k."""
+    from etlutil_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in pl)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv, ({bucket}) AS qb FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, v, ({bucket}) AS vb FROM e),
+    exact AS (
+      SELECT b.vec_id,
+             round(list_dot_product(b.v, q.qv) /
+                   (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+      FROM b, q
+      ORDER BY cs DESC, vec_id
+      LIMIT {k}),
+    ann AS (
+      SELECT b.vec_id,
+             round(list_dot_product(b.v, q.qv) /
+                   (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+      FROM b, q
+      WHERE bit_count(xor(vb::BIGINT, qb::BIGINT)) <= 1
+      ORDER BY cs DESC, vec_id
+      LIMIT {k})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+           COUNT(*) / {float(k)} AS recall_at_k
+    FROM exact JOIN ann ON exact.vec_id = ann.vec_id
+    """
+
+
+@register("sim_ann_recall", _duck_ann_recall_sql())
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the hyperplane-LSH index
+    against exact brute force for the vec_id=0 probe — the measurement
+    every approximate index needs before it replaces the exact path.
+    Both top-k sets are TakeOrderedAndProject plans over one scan each;
+    the hit count is a 10x10 semi-join. Deterministic because both
+    rankings order by (rounded cosine, vec_id)."""
+    from etlutil_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    exact = cosine_topk(e, qvec, k=10).select("vec_id")
+    ann = ann_lsh_topk(e, qvec, k=10, n_planes=8, multiprobe_hamming=1).select(
+        "vec_id"
+    )
+    return exact.join(ann, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(10.0)).alias("recall_at_k"),
+    )
+
+
+@register(
+    "embeddings_quantize_err",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, r.i - 1 AS dim, CAST(v[r.i] AS DOUBLE) AS val
+          FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
+    s AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM x GROUP BY dim),
+    j AS (SELECT x.dim, x.val, s.mn, s.mx,
+                 CASE WHEN s.mx > s.mn THEN (s.mx - s.mn) / 255.0
+                      ELSE 0.0 END AS sc
+          FROM x JOIN s ON x.dim = s.dim),
+    r AS (SELECT dim, val,
+                 CASE WHEN sc > 0
+                      THEN mn + least(floor((val - mn) / sc), 255.0) * sc
+                      ELSE mn END AS approx
+          FROM j)
+    SELECT dim,
+           round(CAST(SUM(CAST(abs(val - approx) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_abs_err,
+           round(MAX(abs(val - approx)), 6) AS max_abs_err,
+           round((MAX(val) - MIN(val)) / 255.0, 9) AS scale
+    FROM r
+    GROUP BY dim
+    """,
+)
+def embeddings_quantize_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization dry-run (operators/profile.py:
+    quantization_error_profile): per-dimension reconstruction error of
+    uniform min-max quantization — what compressing the embedding store
+    4x would cost, measured before any rewrite. Two map-side explode
+    passes + dim-bounded aggregates; floor-based codes keep the rule
+    engine-exact."""
+    from etlutil_spark.operators.profile import quantization_error_profile
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return quantization_error_profile(e, "embedding", bits=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

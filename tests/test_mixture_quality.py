@@ -176,3 +176,46 @@ class TestQualityModelScore:
         assert harsher["model_score"] <= default["model_score"]
         with pytest.raises(ValueError, match="unknown feature"):
             quality_model_score(df, "text", weights={"nope": 1.0})
+
+
+class TestQuantizationErrorProfile:
+    def test_exact_levels_and_constant_dims_have_zero_error(self, spark):
+        from etlutil_spark.operators.profile import quantization_error_profile
+
+        # dim 0 takes integer values 0..255 (exactly the 8-bit code points
+        # after min-max scaling -> zero reconstruction error); dim 1 is
+        # constant (scale 0, zero error by the documented rule)
+        rows = [(i, [float(i), 7.0]) for i in range(256)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = {r["dim"]: r for r in quantization_error_profile(df).collect()}
+        assert out[0]["scale"] == pytest.approx(1.0)
+        assert out[0]["mean_abs_err"] == 0.0 and out[0]["max_abs_err"] == 0.0
+        assert out[1]["scale"] == 0.0
+        assert out[1]["mean_abs_err"] == 0.0 and out[1]["max_abs_err"] == 0.0
+
+    def test_error_matches_hand_computation(self, spark):
+        from etlutil_spark.operators.profile import quantization_error_profile
+
+        vals = [0.0, 0.3, 0.5, 1.0]
+        df = spark.createDataFrame(
+            [(i, [v]) for i, v in enumerate(vals)],
+            "vec_id bigint, embedding array<double>",
+        )
+        row = quantization_error_profile(df, bits=2).collect()[0]
+        # bits=2 -> 3 levels, scale = 1/3; codes floor(v*3) clamped to 3
+        scale = 1.0 / 3.0
+        errs = [abs(v - min(int(v / scale), 3) * scale) for v in vals]
+        assert row["scale"] == pytest.approx(scale, abs=1e-9)
+        assert row["max_abs_err"] == pytest.approx(round(max(errs), 6), abs=1e-6)
+        assert row["mean_abs_err"] == pytest.approx(
+            round(sum(errs) / len(errs), 6), abs=2e-6
+        )
+
+    def test_bits_validated(self, spark):
+        from etlutil_spark.operators.profile import quantization_error_profile
+
+        df = spark.createDataFrame(
+            [(1, [0.0])], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="bits"):
+            quantization_error_profile(df, bits=0)

@@ -84,6 +84,8 @@ HEADLINE_BUDGETS = {
     "docs_mixture_sample": (5, 3),  # totals agg (ReusedExchange) + kept agg
     "docs_quality_model": (0, 0),  # pure shuffle-free projection
     "sim_topk_filtered": (1, 0),  # TakeOrderedAndProject after label filter
+    "sim_ann_recall": (2, 1),  # two top-k heaps + 10x10 semi-join
+    "embeddings_quantize_err": (2, 1),  # dim stats broadcast to error pass
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
