@@ -93,6 +93,8 @@ EXTENDED = [
     "sim_topk_filtered",
     "sim_ann_recall",
     "embeddings_quantize_err",
+    "q8_market_share",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -4164,6 +4164,141 @@ def embeddings_quantize_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_error_profile(e, "embedding", bits=8)
 
 
+@register(
+    "q8_market_share",
+    """
+    WITH rev AS (
+      SELECT EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(38,4))
+               * (1 - CAST(l.l_discount AS DECIMAL(38,4))) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+    FROM rev
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of ASIA-customer revenue per
+    order year. Every dimension (customer->nation->region filter chain,
+    supplier->nation) broadcasts; the share is a conditional aggregate
+    inside the SAME groupBy as the total — one pass, one tiny shuffle,
+    no self-join of the fact table."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+    WHERE CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: NATION_3 suppliers whose late line was the ONLY
+    late one on a completed multi-supplier order. The oracle states it as
+    the classic double-correlated EXISTS / NOT EXISTS; the Spark plan
+    rewrites both subqueries into ONE per-order aggregate — distinct
+    suppliers and distinct LATE suppliers per order — joined back on the
+    order key. Since l1's own supplier is late, "no other late supplier"
+    is exactly distinct-late-suppliers == 1, and "some other supplier" is
+    distinct-suppliers > 1. The aggregate and the join-back reuse the
+    fact-orders partitioning, so the whole correlation costs ZERO
+    exchanges beyond the first keyed join; the naive form re-scans
+    lineitem twice more."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    n = load_table(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_3")
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "_late", F.to_date("l_shipdate") > F.date_add("o_orderdate", 90)
+    )
+    ord_stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    ).withColumnRenamed("l_orderkey", "_stats_okey")
+    return (
+        lo.where(F.col("_late"))
+        .join(ord_stats, F.col("l_orderkey") == F.col("_stats_okey"))
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

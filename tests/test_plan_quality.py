@@ -86,6 +86,8 @@ HEADLINE_BUDGETS = {
     "sim_topk_filtered": (1, 0),  # TakeOrderedAndProject after label filter
     "sim_ann_recall": (2, 1),  # two top-k heaps + 10x10 semi-join
     "embeddings_quantize_err": (2, 1),  # dim stats broadcast to error pass
+    "q8_market_share": (1, 4),  # full dim chain broadcast, one-pass share
+    "q21_waiting_suppliers": (4, 2),  # per-order distinct aggs + join-back
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
