@@ -219,3 +219,53 @@ class TestQuantizationErrorProfile:
         )
         with pytest.raises(ValueError, match="bits"):
             quantization_error_profile(df, bits=0)
+
+
+class TestMixtureRatesProperty:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    strata = st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.tuples(
+            st.integers(1, 40),  # row count
+            st.floats(0.05, 1.0),  # target share (unnormalized)
+        ),
+        min_size=2,
+        max_size=5,
+    )
+
+    @given(spec=strata)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    def test_rates_are_feasible_proportional_and_tight(self, spark, spec):
+        from etlutil_spark.operators.sampling import mixture_rates
+
+        data = []
+        uid = 0
+        for s, (n, _) in sorted(spec.items()):
+            for _i in range(n):
+                data.append((uid, s))
+                uid += 1
+        df = spark.createDataFrame(data, "doc_id bigint, source string")
+        shares = {s: share for s, (_, share) in spec.items()}
+        rates = {
+            r["source"]: r["_rate"]
+            for r in mixture_rates(df, "source", shares).collect()
+        }
+        counts = {s: n for s, (n, _) in spec.items()}
+        t = min(counts[s] / shares[s] for s in spec)
+        assert set(rates) == set(spec)
+        for s, rate in rates.items():
+            assert 0.0 < rate <= 1.0
+            # achieved weight is proportional to the target share with
+            # constant of proportionality T (the feasible total)
+            assert counts[s] * rate == pytest.approx(shares[s] * t, rel=1e-9)
+        # the plan is tight: some stratum is kept in full
+        assert any(r == pytest.approx(1.0, abs=1e-12) for r in rates.values())
