@@ -269,3 +269,29 @@ class TestMixtureRatesProperty:
             assert counts[s] * rate == pytest.approx(shares[s] * t, rel=1e-9)
         # the plan is tight: some stratum is kept in full
         assert any(r == pytest.approx(1.0, abs=1e-12) for r in rates.values())
+
+
+class TestQualityModelStreaming:
+    def test_quality_model_stream_matches_batch(self, spark, sf_dir):
+        """quality_model_score is a stateless projection, so its streaming
+        twin must be bit-identical per micro-batch — the property that
+        lets live corpus scoring share the backfill code path."""
+        from etlutil_spark.operators.text_analysis import quality_model_score
+        from etlutil_spark.sources.testdata import load_table
+        from etlutil_spark.streaming.documents import stream_documents_from_dir
+        from etlutil_spark.streaming.events import run_stream_query
+
+        stream = stream_documents_from_dir(spark, f"{sf_dir}/documents.parquet")
+        streamed = run_stream_query(
+            quality_model_score(stream, "text").select(
+                "doc_id", "model_score", "kept"
+            ),
+            query_name="t_quality_stream",
+            output_mode="append",
+        )
+        batch = quality_model_score(load_table(spark, "documents", sf_dir), "text").select(
+            "doc_id", "model_score", "kept"
+        )
+        s = {tuple(r) for r in streamed.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert s == b and len(b) > 0
