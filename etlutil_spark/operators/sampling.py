@@ -215,34 +215,43 @@ def mixture_rates(
     feasible resampled total ``T = min_s(W_s / share_s)``; each stratum then
     keeps ``share_s * T / W_s`` of its weight. Strata absent from
     ``target_shares`` get NO rate row (joining on the result drops them) —
-    an explicit 0.0 share is the auditable way to say "excluded".
+    an explicit 0.0 share is the auditable way to say "excluded". A
+    positive-share stratum with NO corpus rows raises: that is almost
+    always a typo'd name, and silently renormalizing around it would
+    deliver a mixture nobody asked for.
 
-    Plan shape: one keyed aggregate over the corpus, then |strata|-row
-    arithmetic with a 1-row MIN broadcast — nothing here scales with data
-    volume. All sums run as DECIMAL then cast to double, so the rates are
-    bit-identical across engines and partition orders."""
+    Plan shape: ONE keyed aggregate over the corpus (the only thing that
+    scales with data volume), whose |strata|-row result is collected to
+    the driver for the closed-form rate arithmetic — the same O(groups)
+    collect trade quantiles.py makes. Weight sums run as DECIMAL then
+    cast to double, and the driver-side arithmetic is plain IEEE ops on
+    those exact sums, so the rates are bit-identical across engines and
+    partition orders."""
     bad = {s: v for s, v in target_shares.items() if v < 0}
     if bad:
         raise ValueError(f"negative target shares: {bad}")
-    if not any(v > 0 for v in target_shares.values()):
+    pos = {s: float(v) for s, v in target_shares.items() if v > 0}
+    if not pos:
         raise ValueError("at least one target share must be positive")
     w = (
         F.sum(F.col(weight_col).cast("decimal(38,4)")).cast("double")
         if weight_col
         else F.count("*").cast("double")
     )
-    totals = df.groupBy(stratum_col).agg(w.alias("_w"))
-    tgt = df.sparkSession.createDataFrame(
-        [(s, float(v)) for s, v in target_shares.items() if v > 0],
-        f"{stratum_col} string, _share double",
-    )
-    j = totals.join(F.broadcast(tgt), stratum_col)
-    feasible = j.agg(F.min(F.col("_w") / F.col("_share")).alias("_total"))
-    return j.join(F.broadcast(feasible)).select(
-        stratum_col,
-        F.least(F.col("_share") * F.col("_total") / F.col("_w"), F.lit(1.0)).alias(
-            "_rate"
-        ),
+    totals = {
+        r[stratum_col]: r["_w"]
+        for r in df.groupBy(stratum_col).agg(w.alias("_w")).collect()
+        if r[stratum_col] in pos
+    }
+    missing = sorted(set(pos) - set(totals))
+    if missing:
+        raise ValueError(
+            f"target strata absent from the corpus (typo?): {missing}"
+        )
+    t = min(totals[s] / pos[s] for s in pos)
+    rates = [(s, min(pos[s] * t / totals[s], 1.0)) for s in sorted(pos)]
+    return df.sparkSession.createDataFrame(
+        rates, f"{stratum_col} string, _rate double"
     )
 
 

@@ -1391,10 +1391,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, qvec, k=10)
 
 
-def _duck_ann_lsh_sql(k: int = 10, n_planes: int = 8, dim: int = 64) -> str:
-    """DuckDB replica of ann_lsh_topk: the seeded hyperplanes are inlined
-    as literal arrays, and the 1-bit multiprobe set is exactly
-    hamming(bucket, query_bucket) <= 1."""
+def _duck_ann_cte(n_planes: int, dim: int) -> str:
+    """Shared WITH-prefix for the ANN oracles: embeddings as DOUBLE[]
+    (``e``), the vec_id=0 probe with its LSH bucket (``q``), and every
+    vector with its bucket (``b``). The seeded hyperplanes are inlined as
+    literal arrays, so index and recall oracles can NEVER drift apart on
+    the plane table or bucket rule."""
     from etlutil_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_planes, seed=42)
@@ -1406,10 +1408,20 @@ def _duck_ann_lsh_sql(k: int = 10, n_planes: int = 8, dim: int = 64) -> str:
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT v AS qv, ({bucket}) AS qb FROM e WHERE vec_id = 0),
-    b AS (SELECT vec_id, v, ({bucket}) AS vb FROM e)
-    SELECT b.vec_id AS vec_id,
-           round(list_dot_product(b.v, q.qv) /
-                 (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    b AS (SELECT vec_id, v, ({bucket}) AS vb FROM e)"""
+
+
+_DUCK_ANN_COS = (
+    "round(list_dot_product(b.v, q.qv) /"
+    " (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
+
+
+def _duck_ann_lsh_sql(k: int = 10, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB replica of ann_lsh_topk: the 1-bit multiprobe set is
+    exactly hamming(bucket, query_bucket) <= 1."""
+    return f"""{_duck_ann_cte(n_planes, dim)}
+    SELECT b.vec_id AS vec_id, {_DUCK_ANN_COS} AS cos_sim
     FROM b, q
     WHERE bit_count(xor(vb::BIGINT, qb::BIGINT)) <= 1
     ORDER BY cos_sim DESC, vec_id
@@ -3529,11 +3541,14 @@ def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the custom stateful streaming operators
     (streaming/events.py:running_user_totals via applyInPandasWithState,
     streaming/state_v2.py:running_user_totals_v2 via transformWithState).
-    The stateful operators' FINAL per-key emission equals this groupBy;
-    tests/test_pipeline_ops.py proves streaming==batch on the v1 path, so
-    a green driver row here transitively hard-verifies the stateful
-    semantics that the driver cannot execute directly (no streaming
-    sink in the gate). One keyed shuffle with partial aggregation."""
+    The stateful operators' FINAL per-key emission matches this groupBy
+    up to float-accumulation tolerance — the streaming state carries an
+    order-dependent double sum while the twin sums DECIMAL exactly;
+    tests/test_pipeline_ops.py asserts streaming==batch at 6 decimals on
+    the v1 path. A green driver row here therefore verifies the stateful
+    semantics to that tolerance band, which is as hard as the gate can
+    check without a streaming sink. One keyed shuffle with partial
+    aggregation."""
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
@@ -4064,33 +4079,24 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e.where(F.col("label").isin(1, 3, 5)), qvec, k=10)
 
 
-def _duck_ann_recall_sql(k: int = 10, n_planes: int = 8, dim: int = 64) -> str:
-    """Oracle for sim_ann_recall: exact top-k and LSH top-k as twin CTEs
-    (same plane literals and candidate rule as _duck_ann_lsh_sql), then
-    the semi-join hit count over k."""
-    from etlutil_spark.operators.similarity import hyperplanes
+_ANN_RECALL_K = 10
 
-    planes = hyperplanes(dim, n_planes, seed=42)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in pl)}]) >= 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i, pl in enumerate(planes)
-    )
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT v AS qv, ({bucket}) AS qb FROM e WHERE vec_id = 0),
-    b AS (SELECT vec_id, v, ({bucket}) AS vb FROM e),
+
+def _duck_ann_recall_sql(
+    k: int = _ANN_RECALL_K, n_planes: int = 8, dim: int = 64
+) -> str:
+    """Oracle for sim_ann_recall: exact top-k and LSH top-k as twin CTEs
+    over the SAME shared prefix as the index oracle (_duck_ann_cte —
+    plane literals and candidate rule cannot drift apart), then the
+    semi-join hit count over k."""
+    return f"""{_duck_ann_cte(n_planes, dim)},
     exact AS (
-      SELECT b.vec_id,
-             round(list_dot_product(b.v, q.qv) /
-                   (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+      SELECT b.vec_id, {_DUCK_ANN_COS} AS cs
       FROM b, q
       ORDER BY cs DESC, vec_id
       LIMIT {k}),
     ann AS (
-      SELECT b.vec_id,
-             round(list_dot_product(b.v, q.qv) /
-                   (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+      SELECT b.vec_id, {_DUCK_ANN_COS} AS cs
       FROM b, q
       WHERE bit_count(xor(vb::BIGINT, qb::BIGINT)) <= 1
       ORDER BY cs DESC, vec_id
@@ -4116,13 +4122,14 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    exact = cosine_topk(e, qvec, k=10).select("vec_id")
-    ann = ann_lsh_topk(e, qvec, k=10, n_planes=8, multiprobe_hamming=1).select(
+    k = _ANN_RECALL_K
+    exact = cosine_topk(e, qvec, k=k).select("vec_id")
+    ann = ann_lsh_topk(e, qvec, k=k, n_planes=8, multiprobe_hamming=1).select(
         "vec_id"
     )
     return exact.join(ann, "vec_id", "left_semi").agg(
         F.count("*").alias("n_hits"),
-        (F.count("*") / F.lit(10.0)).alias("recall_at_k"),
+        (F.count("*") / F.lit(float(k))).alias("recall_at_k"),
     )
 
 

@@ -67,6 +67,14 @@ class TestMixtureRates:
         with pytest.raises(ValueError, match="positive"):
             mixture_rates(corpus, "source", {"src_a": 0.0})
 
+    def test_typoed_stratum_raises_instead_of_renormalizing(self, corpus):
+        from etlutil_spark.operators.sampling import mixture_rates
+
+        # 'src_bb' (meant 'src_b') has no corpus rows: silently dropping
+        # it would deliver a 100%-src_a "mixture" nobody asked for
+        with pytest.raises(ValueError, match="src_bb"):
+            mixture_rates(corpus, "source", {"src_a": 0.2, "src_bb": 0.8})
+
 
 class TestMixtureSample:
     def test_mixture_approaches_target_and_never_upsamples(self, corpus):

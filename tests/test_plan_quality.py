@@ -81,7 +81,7 @@ HEADLINE_BUDGETS = {
     "q17_small_quantity": (3, 2),  # per-part avg broadcast back to fact
     "q19_disjunctive_revenue": (1, 1),  # OR extraction onto bcast part side
     "q22_idle_customers": (2, 3),  # scalar threshold + anti-join + nation
-    "docs_mixture_sample": (5, 3),  # totals agg (ReusedExchange) + kept agg
+    "docs_mixture_sample": (1, 1),  # literal rates broadcast + kept agg
     "docs_quality_model": (0, 0),  # pure shuffle-free projection
     "sim_topk_filtered": (1, 0),  # TakeOrderedAndProject after label filter
     "sim_ann_recall": (2, 1),  # two top-k heaps + 10x10 semi-join
@@ -104,7 +104,6 @@ SCALAR_OK = {
     "q17_small_quantity",  # single-row avg_yearly output
     "q19_disjunctive_revenue",  # single-row revenue output
     "q22_idle_customers",  # 1-row acctbal-threshold scalar
-    "docs_mixture_sample",  # 1-row feasible-total MIN scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

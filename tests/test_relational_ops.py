@@ -502,7 +502,6 @@ class TestCatalogPlanGuards:
         "docs_bm25_search",
         "lineitem_price_drift",
         "docs_token_drift",
-        "docs_mixture_sample",  # 1-row feasible-total MIN broadcast
         "q22_idle_customers",  # 1-row acctbal-threshold broadcast
     }
 
