@@ -95,6 +95,7 @@ EXTENDED = [
     "embeddings_quantize_err",
     "q8_market_share",
     "q21_waiting_suppliers",
+    "sim_quantized_rerank",
 ]
 
 

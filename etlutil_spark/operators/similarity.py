@@ -295,3 +295,93 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_rerank_topk(
+    docs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    rerank_k: int = 50,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage vector search: score candidates against int-quantized
+    vectors first, then rerank the survivors with exact floats — the
+    IVF/PQ-style architecture every large vector store uses, where stage
+    one reads a 4x-smaller representation and stage two touches only
+    ``rerank_k`` rows.
+
+    Quantization follows operators/profile.py:quantization_error_profile
+    exactly (per-dim min-max, floor codes, clamp to 2^bits - 1), decoded
+    inline as a flat one-parse SQL expression so stage one stays in
+    whole-stage codegen with zero array allocation. Per-dim stats come
+    from one tiny aggregate job (O(dim) collect, like the query-vector
+    probe). Both cutoffs order by (rounded score, id) — deterministic
+    across engines.
+
+    At this demo scale both stages read the same parquet; in a real
+    deployment stage one reads the materialized code columns (store the
+    codes with ``mn + code * scale`` reproducible from this rule) and the
+    full-precision vectors live in a colder tier only the rerank
+    touches."""
+    import math
+
+    from etlutil_spark.functions.vectors import _sql_double
+
+    if k < 1 or rerank_k < k:
+        raise ValueError(f"need 1 <= k <= rerank_k, got k={k} rerank_k={rerank_k}")
+    if bits < 1 or bits > 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    levels = float(2**bits - 1)
+    stats = (
+        docs.select(F.posexplode(vec_col).alias("_dim", "_val"))
+        .groupBy("_dim")
+        .agg(
+            F.min(F.col("_val").cast("double")).alias("mn"),
+            F.max(F.col("_val").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    by_dim = {r["_dim"]: (r["mn"], r["mx"]) for r in stats}
+    dims = len(query_vec)
+    if set(by_dim) != set(range(dims)):
+        raise ValueError(
+            f"query dim {dims} does not match corpus dims {sorted(by_dim)[:3]}..."
+        )
+    c = f"`{vec_col}`"
+    terms = []
+    for i in range(dims):
+        mn, mx = by_dim[i]
+        sc = (mx - mn) / levels if mx > mn else 0.0
+        if sc > 0:
+            terms.append(
+                f"({_sql_double(mn)} + LEAST(CAST(FLOOR(({c}[{i}] - "
+                f"{_sql_double(mn)}) / {_sql_double(sc)}) AS DOUBLE), "
+                f"{_sql_double(levels)}) * {_sql_double(sc)})"
+            )
+        else:
+            terms.append(_sql_double(mn))
+    adot = "(" + " + ".join(
+        f"{t} * {_sql_double(float(q))}" for t, q in zip(terms, query_vec)
+    ) + ")"
+    asq = "(" + " + ".join(f"{t} * {t}" for t in terms) + ")"
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    approx = F.expr(adot) / (F.sqrt(F.expr(asq)) * F.lit(qn))
+    cands = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col), F.round(approx, 6).alias("approx_sim"))
+        .orderBy(F.col("approx_sim").desc(), F.col(id_col))
+        .limit(rerank_k)
+        .select(id_col)
+    )
+    return (
+        docs.join(F.broadcast(cands), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine_lit(vec_col, query_vec), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

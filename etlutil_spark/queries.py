@@ -4306,6 +4306,62 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_quantized_rerank",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT r.i AS i, CAST(v[r.i] AS DOUBLE) AS val
+          FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
+    st AS (SELECT i, MIN(val) AS mn, MAX(val) AS mx FROM x GROUP BY i),
+    arrs AS (SELECT list(mn ORDER BY i) AS mns,
+                    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                         ELSE 0.0 END ORDER BY i) AS scs
+             FROM st),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    a AS (SELECT e.vec_id, e.v,
+                 list_transform(range(1, len(e.v) + 1),
+                   i -> CASE WHEN arrs.scs[i] > 0
+                        THEN arrs.mns[i]
+                             + least(floor((e.v[i] - arrs.mns[i]) / arrs.scs[i]),
+                                     255.0) * arrs.scs[i]
+                        ELSE arrs.mns[i] END) AS av
+          FROM e, arrs),
+    cand AS (
+      SELECT a.vec_id
+      FROM a, q
+      ORDER BY round(list_dot_product(a.av, q.qv) /
+                     (sqrt(list_dot_product(a.av, a.av))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+               a.vec_id
+      LIMIT 50)
+    SELECT e.vec_id AS vec_id,
+           round(list_dot_product(e.v, q.qv) /
+                 (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage vector search (operators/similarity.py:
+    quantize_rerank_topk): int8-quantized approximate scoring picks 50
+    candidates, exact cosine reranks them to the top 10 — the IVF/PQ
+    architecture where stage one reads the 4x-smaller representation and
+    full-precision floats stay in a colder tier only the rerank touches.
+    The quantization rule is shared verbatim with
+    embeddings_quantize_err, so the error profile predicts exactly what
+    this search loses."""
+    from etlutil_spark.operators.similarity import quantize_rerank_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return quantize_rerank_topk(e, qvec, k=10, rerank_k=50, bits=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

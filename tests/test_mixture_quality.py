@@ -303,3 +303,43 @@ class TestQualityModelStreaming:
         s = {tuple(r) for r in streamed.collect()}
         b = {tuple(r) for r in batch.collect()}
         assert s == b and len(b) > 0
+
+
+class TestQuantizeRerankTopk:
+    def test_recovers_exact_topk_when_rerank_covers_corpus(self, spark):
+        from etlutil_spark.operators.similarity import (
+            cosine_topk,
+            quantize_rerank_topk,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        q = rows[0][1]
+        exact = [tuple(r) for r in cosine_topk(df, q, k=5).collect()]
+        two_stage = [
+            tuple(r)
+            for r in quantize_rerank_topk(
+                df, q, k=5, rerank_k=60, bits=8
+            ).collect()
+        ]
+        # rerank_k covers the whole corpus -> stage one cannot lose the
+        # true top-k, and stage two scores are the exact cosines
+        assert two_stage == exact
+
+    def test_validation(self, spark):
+        from etlutil_spark.operators.similarity import quantize_rerank_topk
+
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2])], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="rerank_k"):
+            quantize_rerank_topk(df, [0.1, 0.2], k=10, rerank_k=5)
+        with pytest.raises(ValueError, match="bits"):
+            quantize_rerank_topk(df, [0.1, 0.2], bits=0)
+        with pytest.raises(ValueError, match="does not match"):
+            quantize_rerank_topk(df, [0.1, 0.2, 0.3])

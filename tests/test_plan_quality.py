@@ -88,6 +88,7 @@ HEADLINE_BUDGETS = {
     "embeddings_quantize_err": (2, 1),  # dim stats broadcast to error pass
     "q8_market_share": (1, 4),  # full dim chain broadcast, one-pass share
     "q21_waiting_suppliers": (4, 2),  # per-order distinct aggs + join-back
+    "sim_quantized_rerank": (1, 1),  # codegen decode + candidate broadcast
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
