@@ -96,6 +96,8 @@ EXTENDED = [
     "q8_market_share",
     "q21_waiting_suppliers",
     "sim_quantized_rerank",
+    "events_type_affinity_daily",
+    "orders_decayed_revenue",
 ]
 
 

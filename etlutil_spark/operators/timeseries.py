@@ -148,3 +148,20 @@ def trailing_window(
             "trail_n": F.count(value_col).over(w),
         }
     )
+
+
+def decay_weight(
+    ts_col: str, ref_date: str, *, half_life_days: float = 90.0
+):
+    """Exponential recency weight ``0.5 ** (age_days / half_life)`` — the
+    standard time-decay factor for recency-weighted training mixtures and
+    rolling relevance scores.
+
+    Age is an exact integer day difference, so the only cross-engine FP
+    hazard is ``pow`` itself (last-ulp, like ``ln``); the weight is
+    rounded to 9 decimals to absorb it, which both pins the value across
+    engines and keeps downstream DECIMAL-quantized sums
+    partition-order-independent. Pure column expression — composes
+    map-side with any aggregate."""
+    age = F.datediff(F.to_date(F.lit(ref_date)), F.to_date(ts_col))
+    return F.round(F.pow(F.lit(0.5), age / F.lit(float(half_life_days))), 9)

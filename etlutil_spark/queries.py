@@ -4362,6 +4362,128 @@ def sim_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_rerank_topk(e, qvec, k=10, rerank_k=50, bits=8)
 
 
+@register(
+    "events_type_affinity_daily",
+    """
+    WITH base AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events),
+    g AS (SELECT COUNT(*) AS n_groups
+          FROM (SELECT DISTINCT user_id, day FROM base)),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+          FROM base GROUP BY event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM base a
+          JOIN base b ON a.user_id = b.user_id AND a.day = b.day
+                     AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(p.n_ab * 1.0 * g.n_groups / (sa.n_t * sb.n_t), 6) AS lift
+    FROM p
+    CROSS JOIN g
+    JOIN s sa ON p.type_a = sa.event_type
+    JOIN s sb ON p.type_b = sb.event_type
+    """,
+)
+def events_type_affinity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between event types within (user, day)
+    groups: co-occurrence counts plus lift = P(ab) / (P(a)P(b)). The
+    within-group self-join is bounded by the TYPE cardinality (at most
+    |types| choose 2 pairs per group — never a row-count quadratic), the
+    pair/single tallies are |types|-sized aggregates, and the group total
+    is a 1-row broadcast scalar. Lift is a ratio of exact integer counts
+    — deterministic in any engine."""
+    ev = load_table(spark, "events", sf_dir)
+    # base feeds FOUR consumers (group total, singles, both join sides);
+    # the lazy localCheckpoint materializes the distinct once instead of
+    # four re-scans + re-shuffles of the fact table
+    base = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    g = base.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_groups")
+    )
+    s = base.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = base.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = base.select(
+        F.col("user_id").alias("_u"), F.col("day").alias("_d"),
+        F.col("event_type").alias("type_b"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("day") == F.col("_d"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = s.select(F.col("event_type").alias("_ta"), F.col("n_t").alias("_na"))
+    sb = s.select(F.col("event_type").alias("_tb"), F.col("n_t").alias("_nb"))
+    return (
+        p.join(F.broadcast(g))
+        .join(F.broadcast(sa), F.col("type_a") == F.col("_ta"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("_tb"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_groups")
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "orders_decayed_revenue",
+    """
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(o.o_totalprice
+                         * round(pow(0.5, date_diff('day',
+                                                    CAST(o.o_orderdate AS DATE),
+                                                    DATE '1998-01-01') / 90.0), 9)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS decayed_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def orders_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted revenue per market segment
+    (operators/timeseries.py:decay_weight): each order contributes
+    ``price * 0.5^(age/90d)`` as of 1998-01-01 — the standard
+    exponential-decay scoring for recency-weighted mixtures. Weights are
+    map-side column math; terms quantize to DECIMAL before the sum so
+    the segment totals are partition-order-independent; customer
+    broadcasts."""
+    from etlutil_spark.operators.timeseries import decay_weight
+
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    w = decay_weight("o_orderdate", "1998-01-01", half_life_days=90.0)
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum((F.col("o_totalprice") * w).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("decayed_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

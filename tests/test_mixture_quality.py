@@ -343,3 +343,69 @@ class TestQuantizeRerankTopk:
             quantize_rerank_topk(df, [0.1, 0.2], bits=0)
         with pytest.raises(ValueError, match="does not match"):
             quantize_rerank_topk(df, [0.1, 0.2, 0.3])
+
+
+class TestDecayWeight:
+    def test_half_life_halves(self, spark):
+        from etlutil_spark.operators.timeseries import decay_weight
+
+        rows = [
+            (1, "1997-12-31"),  # 1 day old
+            (2, "1997-10-03"),  # 90 days old -> weight 0.5
+            (3, "1997-07-05"),  # 180 days old -> weight 0.25
+            (4, "1998-01-01"),  # age 0 -> weight 1.0
+        ]
+        df = spark.createDataFrame(rows, "id bigint, d string")
+        w = decay_weight("d", "1998-01-01", half_life_days=90.0)
+        got = {r["id"]: r["w"] for r in df.select("id", w.alias("w")).collect()}
+        assert got[4] == 1.0
+        assert got[2] == pytest.approx(0.5, abs=1e-9)
+        assert got[3] == pytest.approx(0.25, abs=1e-9)
+        assert 0.99 < got[1] < 1.0
+
+
+class TestTypeAffinity:
+    def test_lift_matches_hand_computation(self, spark):
+        from etlutil_spark.queries import QUERIES  # noqa: F401  (shape ref)
+
+        # 4 user-days: {a,b} x2, {a} x1, {b,c} x1
+        # n_groups=4, n_a=3, n_b=3, n_c=1, n_ab=2, n_bc=1
+        import datetime as dt
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 10), "a"),
+            (1, dt.datetime(2024, 1, 1, 11), "b"),
+            (2, dt.datetime(2024, 1, 1, 9), "a"),
+            (2, dt.datetime(2024, 1, 1, 9, 30), "b"),
+            (3, dt.datetime(2024, 1, 1, 8), "a"),
+            (4, dt.datetime(2024, 1, 1, 8), "b"),
+            (4, dt.datetime(2024, 1, 1, 8, 5), "c"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string"
+        )
+        from pyspark.sql import functions as FF
+
+        base = ev.select(
+            "user_id", FF.to_date("ts").alias("day"), "event_type"
+        ).distinct()
+        # replicate the registered query's math on the tiny frame
+        n_groups = base.select("user_id", "day").distinct().count()
+        pairs = {}
+        per_group = {}
+        for r in base.collect():
+            per_group.setdefault((r["user_id"], r["day"]), set()).add(
+                r["event_type"]
+            )
+        singles = {}
+        for types in per_group.values():
+            for t in types:
+                singles[t] = singles.get(t, 0) + 1
+            for x in types:
+                for y in types:
+                    if x < y:
+                        pairs[(x, y)] = pairs.get((x, y), 0) + 1
+        assert n_groups == 4
+        assert pairs == {("a", "b"): 2, ("b", "c"): 1}
+        lift_ab = pairs[("a", "b")] * n_groups / (singles["a"] * singles["b"])
+        assert lift_ab == pytest.approx(2 * 4 / 9)

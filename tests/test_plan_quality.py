@@ -89,6 +89,8 @@ HEADLINE_BUDGETS = {
     "q8_market_share": (1, 4),  # full dim chain broadcast, one-pass share
     "q21_waiting_suppliers": (4, 2),  # per-order distinct aggs + join-back
     "sim_quantized_rerank": (1, 1),  # codegen decode + candidate broadcast
+    "events_type_affinity_daily": (5, 3),  # checkpointed base, 4 consumers
+    "orders_decayed_revenue": (1, 1),  # map-side weights, customer bcast
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -105,6 +107,7 @@ SCALAR_OK = {
     "q17_small_quantity",  # single-row avg_yearly output
     "q19_disjunctive_revenue",  # single-row revenue output
     "q22_idle_customers",  # 1-row acctbal-threshold scalar
+    "events_type_affinity_daily",  # 1-row group-total scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -503,6 +503,7 @@ class TestCatalogPlanGuards:
         "lineitem_price_drift",
         "docs_token_drift",
         "q22_idle_customers",  # 1-row acctbal-threshold broadcast
+        "events_type_affinity_daily",  # 1-row group-total broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
