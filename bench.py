@@ -98,6 +98,7 @@ EXTENDED = [
     "sim_quantized_rerank",
     "events_type_affinity_daily",
     "orders_decayed_revenue",
+    "docs_chunks",
 ]
 
 

@@ -347,3 +347,49 @@ def quality_model_score(
         )
         .drop("_tk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    context-window preparation step between corpus curation and
+    tokenization (long documents become training sequences; the overlap
+    preserves cross-boundary context).
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; each carries
+    its 0-based ``chunk_idx``, its reassembled ``chunk_text``, and its
+    exact ``n_chunk_tokens`` (the final chunk may be short — a partial
+    tail is kept, never dropped, because dropping it silently loses
+    corpus). Empty documents yield zero chunks.
+
+    Plan shape: tokenize once, generate the start offsets as a
+    ``sequence`` column, and ``posexplode`` — all map-side expression
+    work; output rows ~= total_tokens / stride, with no shuffle at all.
+    At 100 TB this is the embarrassingly parallel stage it should be."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}"
+        )
+    stride = chunk_tokens - overlap
+    tk = df.withColumn("_tk", X.tokens(text_col))
+    n = F.size(F.col("_tk"))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = tk.withColumn("_starts", starts).select(
+        "*", F.posexplode("_starts").alias("chunk_idx", "_start")
+    )
+    piece = F.slice(F.col("_tk"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        *[c for c in df.columns if c != text_col],
+        F.col("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

@@ -4484,6 +4484,34 @@ def orders_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, tk, UNNEST(range(0, len(tk), 48)) AS st
+          FROM t WHERE len(tk) > 0)
+    SELECT doc_id,
+           CAST(st // 48 AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(tk, st + 1, st + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(tk, st + 1, st + 64)) AS INTEGER)
+             AS n_chunk_tokens
+    FROM s
+    """,
+)
+def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text_analysis.py:
+    chunk_documents): 64-token chunks with 16-token overlap (stride 48),
+    partial tails kept. Tokenize-once + sequence + posexplode — pure
+    map-side expression work, zero shuffles, the embarrassingly parallel
+    stage it should be at 100 TB."""
+    from etlutil_spark.operators.text_analysis import chunk_documents
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return chunk_documents(d, "text", chunk_tokens=64, overlap=16).select(
+        "doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

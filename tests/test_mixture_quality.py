@@ -409,3 +409,42 @@ class TestTypeAffinity:
         assert pairs == {("a", "b"): 2, ("b", "c"): 1}
         lift_ab = pairs[("a", "b")] * n_groups / (singles["a"] * singles["b"])
         assert lift_ab == pytest.approx(2 * 4 / 9)
+
+
+class TestChunkDocuments:
+    def test_overlap_and_full_coverage(self, spark):
+        from etlutil_spark.operators.text_analysis import chunk_documents
+
+        words = [f"w{i}" for i in range(25)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words)), (2, "short doc"), (3, "")],
+            "doc_id bigint, text string",
+        )
+        out = chunk_documents(df, "text", chunk_tokens=10, overlap=4)
+        rows = sorted(
+            ((r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect())
+        )
+        by_doc = {}
+        for d, i, t in rows:
+            by_doc.setdefault(d, []).append((i, t.split()))
+        # doc 1: 25 tokens, stride 6 -> starts 0,6,12,18,24 (tail kept)
+        chunks = [t for _, t in sorted(by_doc[1])]
+        assert [len(c) for c in chunks] == [10, 10, 10, 7, 1]
+        # consecutive chunks share exactly `overlap` tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-4:] == b[:4] or len(b) < 4
+        # reassembling with the overlap removed recovers the original
+        rebuilt = chunks[0] + [w for c in chunks[1:] for w in c[4:]]
+        assert rebuilt == words
+        # short doc -> one partial chunk; empty doc -> no chunks
+        assert [len(c) for _, c in sorted(by_doc[2])] == [2]
+        assert 3 not in by_doc
+
+    def test_validation(self, spark):
+        from etlutil_spark.operators.text_analysis import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            chunk_documents(df, "text", chunk_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, "text", chunk_tokens=8, overlap=8)

@@ -91,6 +91,7 @@ HEADLINE_BUDGETS = {
     "sim_quantized_rerank": (1, 1),  # codegen decode + candidate broadcast
     "events_type_affinity_daily": (5, 3),  # checkpointed base, 4 consumers
     "orders_decayed_revenue": (1, 1),  # map-side weights, customer bcast
+    "docs_chunks": (0, 0),  # tokenize + sequence + posexplode, zero shuffle
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
