@@ -99,6 +99,7 @@ EXTENDED = [
     "events_type_affinity_daily",
     "orders_decayed_revenue",
     "docs_chunks",
+    "docs_negative_pairs",
 ]
 
 

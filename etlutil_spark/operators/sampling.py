@@ -282,3 +282,44 @@ def mixture_sample(
         .where(_unit_hash(key_col, seed) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 2,
+    *,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: ``k``
+    pseudo-random partner ids per anchor row, drawn by content hash —
+    reproducible across retries, engines, and cluster layouts, so the
+    training pairs are auditable exactly like the sampling operators.
+
+    Candidates are ``hash(anchor, j) mod (max_id + 1)`` with a +1 skip
+    when the draw hits the anchor itself (sampling WITH replacement
+    across ``j`` — duplicate negatives for one anchor are possible and
+    acceptable for this use). An inner join back to the id set keeps
+    only ids that exist, so sparse id spaces simply yield fewer pairs;
+    dense 0..N-1 spaces (the common case for curated corpora) keep all
+    ``k``. Plan shape: map-side k-way expansion, a 1-row max broadcast,
+    and ONE keyed join against the (id-only) table — no global sort, no
+    collect."""
+    if k < 1:
+        raise ValueError(f"k must be positive, got {k}")
+    n = df.agg((F.max(id_col) + 1).alias("_n"))
+    a = df.select(id_col).withColumn(
+        "neg_rank", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    )
+    key = F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("neg_rank"))
+    cand = md5_bigint(key, seed=seed) % F.col("_n")
+    with_cand = a.join(F.broadcast(n)).withColumn("_cand", cand)
+    neg = F.when(
+        F.col("_cand") == F.col(id_col), (F.col("_cand") + 1) % F.col("_n")
+    ).otherwise(F.col("_cand"))
+    ids = df.select(F.col(id_col).alias("_exists"))
+    return (
+        with_cand.withColumn("neg_id", neg)
+        .join(ids, F.col("neg_id") == F.col("_exists"), "left_semi")
+        .select(id_col, "neg_rank", "neg_id")
+    )

@@ -4512,6 +4512,37 @@ def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_negative_pairs",
+    """
+    WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    a AS (SELECT doc_id, UNNEST(range(0, 2)) AS j FROM documents),
+    c AS (SELECT a.doc_id, a.j,
+                 (('0x' || substr(md5('neg-v1' || CAST(a.doc_id AS VARCHAR)
+                                   || '#' || CAST(a.j AS VARCHAR)), 1, 15))::BIGINT
+                  % nn.n) AS cand
+          FROM a, nn),
+    f AS (SELECT c.doc_id, c.j,
+                 CASE WHEN c.cand = c.doc_id THEN (c.cand + 1) % nn.n
+                      ELSE c.cand END AS neg_id
+          FROM c, nn)
+    SELECT f.doc_id, CAST(f.j AS INTEGER) AS neg_rank, f.neg_id
+    FROM f
+    JOIN (SELECT DISTINCT doc_id AS eid FROM documents) e ON f.neg_id = e.eid
+    """,
+)
+def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling
+    (operators/sampling.py:negative_pairs): 2 content-hash-drawn partner
+    docs per anchor for contrastive training — reproducible across
+    engines and retries like every sampling operator here. Map-side
+    expansion, 1-row max broadcast, one keyed existence join."""
+    from etlutil_spark.operators.sampling import negative_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    return negative_pairs(d, "doc_id", k=2, seed="neg-v1")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -448,3 +448,52 @@ class TestChunkDocuments:
             chunk_documents(df, "text", chunk_tokens=0)
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, "text", chunk_tokens=8, overlap=8)
+
+
+class TestNegativePairs:
+    def test_dense_ids_get_k_valid_negatives(self, spark):
+        from etlutil_spark.operators.sampling import negative_pairs
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(40)], "doc_id bigint"
+        )
+        out = negative_pairs(df, "doc_id", k=3, seed="t").collect()
+        assert len(out) == 40 * 3  # dense space: every draw exists
+        for r in out:
+            assert r["neg_id"] != r["doc_id"]  # never a self-pair
+            assert 0 <= r["neg_id"] < 40
+        ranks = {}
+        for r in out:
+            ranks.setdefault(r["doc_id"], set()).add(r["neg_rank"])
+        assert all(v == {0, 1, 2} for v in ranks.values())
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from etlutil_spark.operators.sampling import negative_pairs
+
+        df = spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint")
+        a = sorted(map(tuple, negative_pairs(df, "doc_id", seed="s1").collect()))
+        b = sorted(map(tuple, negative_pairs(df, "doc_id", seed="s1").collect()))
+        c = sorted(map(tuple, negative_pairs(df, "doc_id", seed="s2").collect()))
+        assert a == b
+        assert a != c
+
+    def test_sparse_ids_drop_missing_draws(self, spark):
+        from etlutil_spark.operators.sampling import negative_pairs
+
+        # ids 0..9 and 90..99: draws land anywhere in [0, 100) and only
+        # existing ids survive the join
+        df = spark.createDataFrame(
+            [(i,) for i in list(range(10)) + list(range(90, 100))],
+            "doc_id bigint",
+        )
+        out = negative_pairs(df, "doc_id", k=2, seed="t").collect()
+        ids = set(range(10)) | set(range(90, 100))
+        assert 0 < len(out) <= 20 * 2
+        assert all(r["neg_id"] in ids for r in out)
+
+    def test_validation(self, spark):
+        from etlutil_spark.operators.sampling import negative_pairs
+
+        df = spark.createDataFrame([(1,)], "doc_id bigint")
+        with pytest.raises(ValueError, match="k must be positive"):
+            negative_pairs(df, "doc_id", k=0)

@@ -92,6 +92,7 @@ HEADLINE_BUDGETS = {
     "events_type_affinity_daily": (5, 3),  # checkpointed base, 4 consumers
     "orders_decayed_revenue": (1, 1),  # map-side weights, customer bcast
     "docs_chunks": (0, 0),  # tokenize + sequence + posexplode, zero shuffle
+    "docs_negative_pairs": (1, 2),  # 1-row max bcast + existence semi-join
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -109,6 +110,7 @@ SCALAR_OK = {
     "q19_disjunctive_revenue",  # single-row revenue output
     "q22_idle_customers",  # 1-row acctbal-threshold scalar
     "events_type_affinity_daily",  # 1-row group-total scalar
+    "docs_negative_pairs",  # 1-row max-id scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

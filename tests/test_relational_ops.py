@@ -504,6 +504,7 @@ class TestCatalogPlanGuards:
         "docs_token_drift",
         "q22_idle_customers",  # 1-row acctbal-threshold broadcast
         "events_type_affinity_daily",  # 1-row group-total broadcast
+        "docs_negative_pairs",  # 1-row max-id broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
