@@ -100,6 +100,7 @@ EXTENDED = [
     "orders_decayed_revenue",
     "docs_chunks",
     "docs_negative_pairs",
+    "docs_split_leakage",
 ]
 
 

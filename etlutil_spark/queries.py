@@ -4543,6 +4543,62 @@ def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(d, "doc_id", k=2, seed="neg-v1")
 
 
+@register(
+    "docs_split_leakage",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN {_DUCK_UNIT_HASH.format(seed='split-v1')} < 0.9 THEN 'train'
+                  WHEN {_DUCK_UNIT_HASH.format(seed='split-v1')} < 0.95 THEN 'eval'
+                  ELSE 'test' END AS split,
+             CAST(list_aggregate(list_transform(list_distinct({_DUCK_TOKENS}),
+                    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT), 'sum')
+                  % 1152921504606846976 AS BIGINT) AS fp
+      FROM documents),
+    m AS (SELECT fp, COUNT(DISTINCT split) AS nsplits FROM f GROUP BY fp)
+    SELECT f.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN m.nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked_docs
+    FROM f JOIN m ON f.fp = m.fp
+    GROUP BY f.split
+    """,
+)
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: per split, how many docs share a
+    content fingerprint with ANOTHER split — the end-to-end check of the
+    property assign_split exists to provide (a frozen eval set that
+    training data cannot leak into through near-identical copies).
+    Fingerprint counts are per-fp aggregates; the join back reuses the
+    fingerprint partitioning, so the audit costs two keyed shuffles
+    regardless of corpus size."""
+    from etlutil_spark.functions.text import doc_fingerprint
+    from etlutil_spark.operators.sampling import assign_split
+
+    d = assign_split(
+        load_table(spark, "documents", sf_dir),
+        "doc_id",
+        splits={"train": 0.9, "eval": 0.05, "test": 0.05},
+        seed="split-v1",
+    )
+    f = d.select(
+        "doc_id", "split", doc_fingerprint("text").alias("fp")
+    ).localCheckpoint(eager=False)
+    m = f.groupBy("fp").agg(F.countDistinct("split").alias("nsplits"))
+    return (
+        f.join(m, "fp")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.sum(F.when(F.col("nsplits") > 1, 1).otherwise(0)).alias(
+                "n_leaked_docs"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -93,6 +93,7 @@ HEADLINE_BUDGETS = {
     "orders_decayed_revenue": (1, 1),  # map-side weights, customer bcast
     "docs_chunks": (0, 0),  # tokenize + sequence + posexplode, zero shuffle
     "docs_negative_pairs": (1, 2),  # 1-row max bcast + existence semi-join
+    "docs_split_leakage": (4, 1),  # fp agg + join-back reuse + split agg
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
