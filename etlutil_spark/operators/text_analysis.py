@@ -365,7 +365,10 @@ def chunk_documents(
     its 0-based ``chunk_idx``, its reassembled ``chunk_text``, and its
     exact ``n_chunk_tokens`` (the final chunk may be short — a partial
     tail is kept, never dropped, because dropping it silently loses
-    corpus). Empty documents yield zero chunks.
+    corpus). Starts stop at ``n - overlap``: a later chunk would contain
+    ONLY overlap tokens already present in its predecessor — pure
+    duplication in the training set. Empty documents yield zero chunks;
+    documents shorter than ``chunk_tokens`` yield exactly one.
 
     Plan shape: tokenize once, generate the start offsets as a
     ``sequence`` column, and ``posexplode`` — all map-side expression
@@ -380,8 +383,14 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     tk = df.withColumn("_tk", X.tokens(text_col))
     n = F.size(F.col("_tk"))
+    # last useful start is < n - overlap (a start beyond that emits only
+    # tokens the previous chunk already carried); greatest(..., 0) keeps
+    # exactly one chunk for docs shorter than the overlap
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        n > 0,
+        F.sequence(
+            F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+        ),
     ).otherwise(F.array().cast("array<int>"))
     exploded = tk.withColumn("_starts", starts).select(
         "*", F.posexplode("_starts").alias("chunk_idx", "_start")

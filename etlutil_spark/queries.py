@@ -4488,7 +4488,8 @@ def orders_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_chunks",
     f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
-    s AS (SELECT doc_id, tk, UNNEST(range(0, len(tk), 48)) AS st
+    s AS (SELECT doc_id, tk,
+                 UNNEST(range(0, GREATEST(len(tk) - 16, 1), 48)) AS st
           FROM t WHERE len(tk) > 0)
     SELECT doc_id,
            CAST(st // 48 AS INTEGER) AS chunk_idx,

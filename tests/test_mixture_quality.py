@@ -427,9 +427,10 @@ class TestChunkDocuments:
         by_doc = {}
         for d, i, t in rows:
             by_doc.setdefault(d, []).append((i, t.split()))
-        # doc 1: 25 tokens, stride 6 -> starts 0,6,12,18,24 (tail kept)
+        # doc 1: 25 tokens, stride 6 -> starts 0,6,12,18 (a start at 24
+        # would emit only overlap tokens chunk 3 already carries)
         chunks = [t for _, t in sorted(by_doc[1])]
-        assert [len(c) for c in chunks] == [10, 10, 10, 7, 1]
+        assert [len(c) for c in chunks] == [10, 10, 10, 7]
         # consecutive chunks share exactly `overlap` tokens
         for a, b in zip(chunks, chunks[1:]):
             assert a[-4:] == b[:4] or len(b) < 4
@@ -497,3 +498,50 @@ class TestNegativePairs:
         df = spark.createDataFrame([(1,)], "doc_id bigint")
         with pytest.raises(ValueError, match="k must be positive"):
             negative_pairs(df, "doc_id", k=0)
+
+
+class TestChunkProperty:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n_tokens=st.integers(0, 120),
+        chunk=st.integers(2, 40),
+        overlap_frac=st.floats(0.0, 0.9),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    def test_reassembly_and_bounds(self, spark, n_tokens, chunk, overlap_frac):
+        from etlutil_spark.operators.text_analysis import chunk_documents
+
+        overlap = min(int(chunk * overlap_frac), chunk - 1)
+        words = [f"t{i}" for i in range(n_tokens)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id bigint, text string"
+        )
+        rows = sorted(
+            (r["chunk_idx"], r["chunk_text"].split() if r["chunk_text"] else [])
+            for r in chunk_documents(
+                df, "text", chunk_tokens=chunk, overlap=overlap
+            ).collect()
+        )
+        chunks = [c for _, c in rows]
+        if n_tokens == 0:
+            assert chunks == []
+            return
+        # chunk_idx is dense from 0
+        assert [i for i, _ in rows] == list(range(len(rows)))
+        # every chunk within size bounds; only the last may be short
+        assert all(1 <= len(c) <= chunk for c in chunks)
+        assert all(len(c) == chunk for c in chunks[:-1]) or len(chunks) == 1
+        # de-overlapped reassembly recovers the document exactly
+        rebuilt = list(chunks[0]) + [
+            w for c in chunks[1:] for w in c[overlap:]
+        ]
+        assert rebuilt == words
