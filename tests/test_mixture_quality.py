@@ -545,3 +545,37 @@ class TestChunkProperty:
             w for c in chunks[1:] for w in c[overlap:]
         ]
         assert rebuilt == words
+
+
+class TestQuantizationProperty:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        vals=st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+            min_size=2,
+            max_size=30,
+        ),
+        bits=st.integers(2, 10),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    def test_error_bounded_by_scale(self, spark, vals, bits):
+        from etlutil_spark.operators.profile import quantization_error_profile
+
+        df = spark.createDataFrame(
+            [(i, [v]) for i, v in enumerate(vals)],
+            "vec_id bigint, embedding array<double>",
+        )
+        row = quantization_error_profile(df, bits=bits).collect()[0]
+        # floor quantization over [mn, mx]: reconstruction error is
+        # strictly below one code step (the scale), up to fp slack
+        assert row["max_abs_err"] <= row["scale"] * (1 + 1e-9) + 1e-9
+        assert 0.0 <= row["mean_abs_err"] <= row["max_abs_err"] + 1e-9
