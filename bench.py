@@ -101,6 +101,7 @@ EXTENDED = [
     "docs_chunks",
     "docs_negative_pairs",
     "docs_split_leakage",
+    "docs_lm_score",
 ]
 
 

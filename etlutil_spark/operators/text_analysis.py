@@ -402,3 +402,70 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
     )
+
+
+def lm_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under a Laplace-smoothed
+    LM estimated from the SAME corpus — the CCNet-style language-model
+    quality signal (fluent text scores near the corpus mode; gibberish
+    and boilerplate score far below it).
+
+    ``p(b|a) = (C(a,b) + alpha) / (C(a,.) + alpha * V)`` with V the
+    corpus vocabulary; the score is the mean of ``ln p`` over a doc's
+    bigrams (docs with fewer than 2 tokens have no bigrams and are
+    absent from the output — score them via :func:`quality_model_score`
+    instead). Each ``ln`` term is rounded to 6 decimals (the one
+    cross-engine ulp hazard) and summed as DECIMAL, so scores are
+    partition-order-independent and engine-exact.
+
+    Plan shape: one map-side bigram explode (checkpointed — it feeds the
+    count tables AND the scoring join), two count aggregates, keyed
+    joins back on the bigram/prefix, a 1-row vocabulary broadcast, and
+    the per-doc mean. Count tables are corpus-level aggregates (Heaps'
+    law small relative to the corpus); nothing is quadratic."""
+    tk = df.select(F.col(id_col), X.tokens(text_col).alias("_tk"))
+    n = F.size(F.col("_tk"))
+    db = (
+        tk.where(n >= 2)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.slice(F.col("_tk"), 1, n - 1)).alias("_i", "w1"),
+            F.col("_tk"),
+        )
+        .select(
+            F.col(id_col),
+            "w1",
+            F.element_at(F.col("_tk"), F.col("_i") + 2).alias("w2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cab = db.groupBy("w1", "w2").agg(F.count("*").alias("_c_ab"))
+    ca = db.groupBy("w1").agg(F.count("*").alias("_c_a")).withColumnRenamed(
+        "w1", "_pw1"
+    )
+    v = tk.select(F.explode("_tk").alias("_t")).agg(
+        F.countDistinct("_t").alias("_vocab")
+    )
+    p = (F.col("_c_ab") + F.lit(alpha)) / (
+        F.col("_c_a") + F.lit(alpha) * F.col("_vocab")
+    )
+    scored = (
+        db.join(cab, ["w1", "w2"])
+        .join(ca, F.col("w1") == F.col("_pw1"))
+        .join(F.broadcast(v))
+        .withColumn("_lp", F.round(F.log(p), 6))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("_lp").cast("decimal(38,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("lm_score"),
+    )

@@ -4600,6 +4600,43 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    db AS (SELECT doc_id, tk[r.i] AS w1, tk[r.i + 1] AS w2
+           FROM t, UNNEST(range(1, len(tk))) AS r(i)
+           WHERE len(tk) >= 2),
+    cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM db GROUP BY 1, 2),
+    ca AS (SELECT w1, COUNT(*) AS c_a FROM db GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT x) AS vocab
+          FROM (SELECT UNNEST(tk) AS x FROM t)),
+    sc AS (SELECT db.doc_id,
+                  round(ln((cab.c_ab + 0.5) / (ca.c_a + 0.5 * v.vocab)), 6)
+                    AS lp
+           FROM db
+           JOIN cab ON db.w1 = cab.w1 AND db.w2 = cab.w2
+           JOIN ca ON db.w1 = ca.w1, v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(lp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+             AS lm_score
+    FROM sc GROUP BY doc_id
+    """,
+)
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring
+    (operators/text_analysis.py:lm_score): per-doc mean log-likelihood
+    under a Laplace-smoothed LM estimated from the same corpus — the
+    CCNet-style fluency signal. One checkpointed bigram explode feeds
+    the count tables and the scoring join; ln terms round to 6 and sum
+    as DECIMAL so scores are engine- and partition-order-exact."""
+    from etlutil_spark.operators.text_analysis import lm_score
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return lm_score(d)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

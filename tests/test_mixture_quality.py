@@ -579,3 +579,43 @@ class TestQuantizationProperty:
         # strictly below one code step (the scale), up to fp slack
         assert row["max_abs_err"] <= row["scale"] * (1 + 1e-9) + 1e-9
         assert 0.0 <= row["mean_abs_err"] <= row["max_abs_err"] + 1e-9
+
+
+class TestLmScore:
+    def test_matches_hand_lm_and_ranks_fluency(self, spark):
+        from etlutil_spark.operators.text_analysis import lm_score
+
+        import math
+        from collections import Counter
+
+        docs = {1: "a b a b a b", 2: "a b c d e f", 3: "x"}
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r for r in lm_score(df).collect()}
+        toks = {d: t.split() for d, t in docs.items()}
+        bigrams = [
+            (w1, w2)
+            for t in toks.values()
+            for w1, w2 in zip(t, t[1:])
+        ]
+        cab = Counter(bigrams)
+        ca = Counter(w1 for w1, _ in bigrams)
+        vocab = len({w for t in toks.values() for w in t})
+        for d in (1, 2):
+            expect_terms = [
+                round(
+                    math.log(
+                        (cab[bg] + 0.5) / (ca[bg[0]] + 0.5 * vocab)
+                    ),
+                    6,
+                )
+                for bg in zip(toks[d], toks[d][1:])
+            ]
+            expected = round(sum(expect_terms) / len(expect_terms), 6)
+            assert out[d]["lm_score"] == pytest.approx(expected, abs=2e-6)
+            assert out[d]["n_bigrams"] == len(toks[d]) - 1
+        # repeated common bigrams score above one-off sequences
+        assert out[1]["lm_score"] > out[2]["lm_score"]
+        # single-token doc has no bigrams -> absent
+        assert 3 not in out

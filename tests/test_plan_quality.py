@@ -94,6 +94,7 @@ HEADLINE_BUDGETS = {
     "docs_chunks": (0, 0),  # tokenize + sequence + posexplode, zero shuffle
     "docs_negative_pairs": (1, 2),  # 1-row max bcast + existence semi-join
     "docs_split_leakage": (4, 1),  # fp agg + join-back reuse + split agg
+    "docs_lm_score": (5, 3),  # checkpointed bigrams, count joins, vocab bcast
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -112,6 +113,7 @@ SCALAR_OK = {
     "q22_idle_customers",  # 1-row acctbal-threshold scalar
     "events_type_affinity_daily",  # 1-row group-total scalar
     "docs_negative_pairs",  # 1-row max-id scalar
+    "docs_lm_score",  # 1-row vocabulary scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -505,6 +505,7 @@ class TestCatalogPlanGuards:
         "q22_idle_customers",  # 1-row acctbal-threshold broadcast
         "events_type_affinity_daily",  # 1-row group-total broadcast
         "docs_negative_pairs",  # 1-row max-id broadcast
+        "docs_lm_score",  # 1-row vocabulary broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
