@@ -102,6 +102,7 @@ EXTENDED = [
     "docs_negative_pairs",
     "docs_split_leakage",
     "docs_lm_score",
+    "docs_fertility_by_lang",
 ]
 
 

@@ -4637,6 +4637,54 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d)
 
 
+@register(
+    "docs_fertility_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang, length(text) AS n_chars_text,
+             CAST(list_aggregate(list_transform({_DUCK_TOKENS},
+                    x -> CAST(ceil(length(x) / 4.0) AS INTEGER)), 'sum')
+                  + length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                  AS INTEGER) AS est_bpe
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars_text AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(est_bpe AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
+           round(CAST(SUM(CAST(n_chars_text AS BIGINT)) AS DOUBLE)
+                 / CAST(SUM(CAST(est_bpe AS BIGINT)) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM t
+    GROUP BY lang
+    """,
+)
+def docs_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per (estimated BPE)
+    token — the statistic that decides whether a tokenizer under- or
+    over-fragments a language (high fertility = cheap tokens, low =
+    expensive). Integer sums over one scan; the ratio is a division of
+    exact integers cast to double — engine-exact."""
+    from etlutil_spark.functions import text as X
+
+    d = load_table(spark, "documents", sf_dir)
+    tk = d.withColumn("_tk", X.tokens("text"))
+    per_doc = tk.select(
+        "lang",
+        X.char_count("text").alias("n_chars_text"),
+        X.bpe_ish_token_count("text", pre_tokens="_tk").alias("est_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars_text").cast("bigint")).alias("total_chars"),
+        F.sum(F.col("est_bpe").cast("bigint")).alias("total_bpe_tokens"),
+        F.round(
+            F.sum(F.col("n_chars_text").cast("bigint")).cast("double")
+            / F.sum(F.col("est_bpe").cast("bigint")).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

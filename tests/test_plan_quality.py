@@ -95,6 +95,7 @@ HEADLINE_BUDGETS = {
     "docs_negative_pairs": (1, 2),  # 1-row max bcast + existence semi-join
     "docs_split_leakage": (4, 1),  # fp agg + join-back reuse + split agg
     "docs_lm_score": (5, 3),  # checkpointed bigrams, count joins, vocab bcast
+    "docs_fertility_by_lang": (1, 0),  # one scan, one lang-keyed aggregate
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
