@@ -317,8 +317,13 @@ def quality_model_score(
     last ulp, and monotone decisions only need the linear score.
 
     Adds ``model_score`` (rounded logit) and ``kept`` (0/1 int for
-    ``model_score >= threshold``). One shuffle-free projection; swap
-    ``weights`` to deploy a retrained model without touching the plan."""
+    ``model_score >= threshold``). NULL text gets a NULL score and NULL
+    kept — NOT a passing score: ``least`` silently skips NULL operands,
+    so an unguarded logit would hand unscoreable rows full length credit
+    and wave them through the filter (the assign_split NULL philosophy:
+    never silently route junk into the kept set). One shuffle-free
+    projection; swap ``weights`` to deploy a retrained model without
+    touching the plan."""
     w = {**DEFAULT_QUALITY_WEIGHTS, **(weights or {})}
     unknown = set(w) - {"bias", "len_norm", "alpha", "stop_sat", "dup"}
     if unknown:
@@ -340,8 +345,9 @@ def quality_model_score(
         + F.lit(w["stop_sat"]) * stop_sat
         + F.lit(w["dup"]) * dup
     )
+    guarded = F.when(F.col(text_col).isNotNull(), F.round(logit, 6))
     return (
-        out.withColumn("model_score", F.round(logit, 6))
+        out.withColumn("model_score", guarded)
         .withColumn(
             "kept", (F.col("model_score") >= F.lit(threshold)).cast("int")
         )

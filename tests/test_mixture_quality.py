@@ -619,3 +619,25 @@ class TestLmScore:
         assert out[1]["lm_score"] > out[2]["lm_score"]
         # single-token doc has no bigrams -> absent
         assert 3 not in out
+
+
+class TestNullTextHandling:
+    def test_null_text_is_not_silently_kept(self, spark):
+        """least() skips NULL operands, so an unguarded logit would give
+        NULL-text rows full length credit (score 1.2, kept) — they must
+        surface as NULL score / NULL kept instead."""
+        from etlutil_spark.operators.text_analysis import (
+            chunk_documents,
+            lm_score,
+            quality_model_score,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "the dog runs fast")], "doc_id bigint, text string"
+        )
+        scored = {r["doc_id"]: r for r in quality_model_score(df, "text").collect()}
+        assert scored[1]["model_score"] is None and scored[1]["kept"] is None
+        assert scored[2]["model_score"] is not None
+        # chunking and LM scoring simply emit nothing for NULL text
+        assert {r["doc_id"] for r in chunk_documents(df, "text").collect()} == {2}
+        assert {r["doc_id"] for r in lm_score(df).collect()} == {2}
