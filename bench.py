@@ -103,6 +103,7 @@ EXTENDED = [
     "docs_split_leakage",
     "docs_lm_score",
     "docs_fertility_by_lang",
+    "docs_shard_plan",
 ]
 
 

@@ -4685,6 +4685,36 @@ def docs_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_shard_plan",
+    """
+    SELECT (('0x' || substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 16) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def docs_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard assignment plan: every doc hashes to one of 16
+    shards (content hash, so the layout is reproducible across engines
+    and reruns — data loaders can rely on shard membership), reported as
+    per-shard doc and char totals so imbalance is visible BEFORE any
+    data is written. Map-side shard id + one 16-group aggregate."""
+    from etlutil_spark.functions.hashing import md5_bigint
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.withColumn("shard", md5_bigint("doc_id", seed="shard-v1") % 16)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

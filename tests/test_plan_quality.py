@@ -96,6 +96,7 @@ HEADLINE_BUDGETS = {
     "docs_split_leakage": (4, 1),  # fp agg + join-back reuse + split agg
     "docs_lm_score": (5, 3),  # checkpointed bigrams, count joins, vocab bcast
     "docs_fertility_by_lang": (1, 0),  # one scan, one lang-keyed aggregate
+    "docs_shard_plan": (1, 0),  # map-side shard id + 16-group aggregate
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
