@@ -641,3 +641,31 @@ class TestNullTextHandling:
         # chunking and LM scoring simply emit nothing for NULL text
         assert {r["doc_id"] for r in chunk_documents(df, "text").collect()} == {2}
         assert {r["doc_id"] for r in lm_score(df).collect()} == {2}
+
+
+class TestNullKeyHandling:
+    def test_null_keys_drop_rather_than_corrupt(self, spark):
+        """The sampling family's NULL policy (drop, never misroute) must
+        hold for the late-r5 operators too."""
+        from etlutil_spark.operators.sampling import (
+            mixture_sample,
+            negative_pairs,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None), (None, "b"), (4, "b")],
+            "doc_id bigint, source string",
+        )
+        kept = mixture_sample(
+            corpus, "source", {"a": 0.5, "b": 0.5}, "doc_id", seed="t"
+        ).collect()
+        # NULL stratum joins nothing; NULL key hashes to NULL and filters
+        assert all(r["source"] is not None and r["doc_id"] is not None for r in kept)
+
+        ids = spark.createDataFrame(
+            [(0,), (1,), (2,), (None,)], "doc_id bigint"
+        )
+        pairs = negative_pairs(ids, "doc_id", k=2, seed="t").collect()
+        assert all(
+            r["doc_id"] is not None and r["neg_id"] is not None for r in pairs
+        )
