@@ -67,13 +67,18 @@ def bpe_ish_token_count(
     Counts alphanumeric runs split into 4-char pieces plus standalone
     punctuation — a deterministic, engine-portable stand-in for a BPE
     tokenizer's token count (ceil(len(run)/4) per word + punct marks).
+    The punctuation class excludes UNICODE letters/digits (``\\p{L}``,
+    ``\\p{N}``), not just ASCII ``\\w`` — ASCII-only would double-count
+    every non-ASCII letter (a CJK doc's characters are already word
+    pieces AND would all re-count as "punctuation", inverting the
+    per-language fertility signal).
     """
     word_pieces = F.aggregate(
         _t(col, pre_tokens),
         F.lit(0),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
     )
-    punct = F.length(F.regexp_replace(_c(col), r"[\w\s]", ""))
+    punct = F.length(F.regexp_replace(_c(col), r"[\p{L}\p{N}_\s]", ""))
     return word_pieces + punct
 
 
@@ -202,10 +207,19 @@ def redact_pii(
 
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-invariant 60-bit content fingerprint: xor-free additive mix of
-    distinct-token hashes (portable: same formula runs in DuckDB)."""
+    distinct-token hashes (portable: same formula runs in DuckDB).
+
+    Token-free text (empty/punctuation-only) fingerprints to NULL, not 0:
+    a shared fp=0 would collide every contentless doc into one "identical
+    content" bucket (false dedup/leakage hits), and DuckDB's
+    ``list_aggregate([], 'sum')`` is NULL — so NULL is also the
+    engine-portable value."""
     t = F.array_distinct(tokens(col))
-    return F.aggregate(
-        t,
-        F.lit(0).cast("bigint"),
-        lambda acc, x: (acc + md5_bigint(x)) % F.lit(2**60).cast("bigint"),
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(
+            t,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc + md5_bigint(x)) % F.lit(2**60).cast("bigint"),
+        ),
     )

@@ -299,7 +299,10 @@ def negative_pairs(
     Candidates are ``hash(anchor, j) mod (max_id + 1)`` with a +1 skip
     when the draw hits the anchor itself (sampling WITH replacement
     across ``j`` — duplicate negatives for one anchor are possible and
-    acceptable for this use). An inner join back to the id set keeps
+    acceptable for this use); a final self-pair filter guards the
+    degenerate id spaces where the skip wraps back onto the anchor (a
+    1-id corpus has no valid negatives and yields zero pairs). An inner
+    join back to the id set keeps
     only ids that exist, so sparse id spaces simply yield fewer pairs;
     dense 0..N-1 spaces (the common case for curated corpora) keep all
     ``k``. Plan shape: map-side k-way expansion, a 1-row max broadcast,
@@ -320,6 +323,7 @@ def negative_pairs(
     ids = df.select(F.col(id_col).alias("_exists"))
     return (
         with_cand.withColumn("neg_id", neg)
+        .where(F.col("neg_id") != F.col(id_col))
         .join(ids, F.col("neg_id") == F.col("_exists"), "left_semi")
         .select(id_col, "neg_rank", "neg_id")
     )

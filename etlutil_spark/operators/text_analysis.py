@@ -435,7 +435,12 @@ def lm_score(
     joins back on the bigram/prefix, a 1-row vocabulary broadcast, and
     the per-doc mean. Count tables are corpus-level aggregates (Heaps'
     law small relative to the corpus); nothing is quadratic."""
-    tk = df.select(F.col(id_col), X.tokens(text_col).alias("_tk"))
+    # tk feeds BOTH the bigram explode and the vocabulary scalar — the
+    # checkpoint makes them share one tokenization pass instead of
+    # re-scanning and re-tokenizing the corpus per consumer
+    tk = df.select(
+        F.col(id_col), X.tokens(text_col).alias("_tk")
+    ).localCheckpoint(eager=False)
     n = F.size(F.col("_tk"))
     db = (
         tk.where(n >= 2)

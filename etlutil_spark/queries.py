@@ -812,8 +812,8 @@ def _duck_lang_case(toks_expr: str) -> str:
     SELECT doc_id,
            len(tk) AS n_tokens,
            length(text) AS n_chars_text,
-           CAST(list_aggregate(list_transform(tk, x -> CAST(ceil(length(x) / 4.0) AS INTEGER)), 'sum')
-                + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INTEGER) AS est_bpe_tokens,
+           CAST(coalesce(list_aggregate(list_transform(tk, x -> CAST(ceil(length(x) / 4.0) AS INTEGER)), 'sum'), 0)
+                + length(regexp_replace(text, '[\\p{{L}}\\p{{N}}_\\s]', '', 'g')) AS INTEGER) AS est_bpe_tokens,
            round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
            round(list_aggregate(list_transform(tk, x -> length(x)), 'sum') * 1.0 / len(tk), 6) AS mean_word_len
     FROM t
@@ -4021,13 +4021,14 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents),
     s AS (
       SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL ELSE
              round(0.0
                + 1.2 * round(least(len(tk) / 50.0, 1.0), 6)
                + 1.0 * round(coalesce(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text), 0.0), 6)
                + 0.8 * round(least(coalesce((len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) * 1.0 / len(tk)), 0.0) * 5.0, 1.0), 6)
                - 1.5 * coalesce(CASE WHEN len(tk) > 0
                                      THEN round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) END, 0.0)
-             , 6) AS model_score
+             , 6) END AS model_score
       FROM t)
     SELECT doc_id, model_score,
            CAST(model_score >= 0.55 AS INTEGER) AS kept
@@ -4379,7 +4380,7 @@ def sim_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND a.event_type < b.event_type
           GROUP BY 1, 2)
     SELECT p.type_a, p.type_b, p.n_ab,
-           round(p.n_ab * 1.0 * g.n_groups / (sa.n_t * sb.n_t), 6) AS lift
+           round(p.n_ab * 1.0 * g.n_groups / (sa.n_t * 1.0 * sb.n_t), 6) AS lift
     FROM p
     CROSS JOIN g
     JOIN s sa ON p.type_a = sa.event_type
@@ -4432,9 +4433,12 @@ def events_type_affinity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "n_ab",
+            # promote to double BEFORE multiplying the two counts: a
+            # bigint product overflows (silently in Spark, an error in
+            # DuckDB) once per-type counts pass ~3e9
             F.round(
                 F.col("n_ab") * 1.0 * F.col("n_groups")
-                / (F.col("_na") * F.col("_nb")),
+                / (F.col("_na") * 1.0 * F.col("_nb")),
                 6,
             ).alias("lift"),
         )
@@ -4530,6 +4534,7 @@ def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.doc_id, CAST(f.j AS INTEGER) AS neg_rank, f.neg_id
     FROM f
     JOIN (SELECT DISTINCT doc_id AS eid FROM documents) e ON f.neg_id = e.eid
+    WHERE f.neg_id <> f.doc_id
     """,
 )
 def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4642,9 +4647,9 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (
       SELECT lang, length(text) AS n_chars_text,
-             CAST(list_aggregate(list_transform({_DUCK_TOKENS},
-                    x -> CAST(ceil(length(x) / 4.0) AS INTEGER)), 'sum')
-                  + length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+             CAST(coalesce(list_aggregate(list_transform({_DUCK_TOKENS},
+                    x -> CAST(ceil(length(x) / 4.0) AS INTEGER)), 'sum'), 0)
+                  + length(regexp_replace(text, '[\\p{{L}}\\p{{N}}_\\s]', '', 'g'))
                   AS INTEGER) AS est_bpe
       FROM documents)
     SELECT lang,
