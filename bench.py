@@ -151,6 +151,22 @@ def main() -> None:
             }
         )
     )
+    # The driver's artifact capture keeps only the last ~2,000 chars of
+    # stdout; the full line above (57+ per-query entries) overflows that,
+    # truncating its head and leaving the artifact unparseable (r3/r5 both
+    # hit this). Print a compact summary LAST so the tail always ends with
+    # a complete JSON line carrying the headline number.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
     spark.stop()
 
 

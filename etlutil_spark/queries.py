@@ -4734,65 +4734,62 @@ def docs_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # r5 window. Back-block re-proof: these 33 were green in r3 under the
-    # old ordering (or pytest-only) but have no driver row on the CURRENT
-    # engine — the r4 shared-infra changes (_normalize_timestamps on every
-    # load_table, sessions rewrite) landed after their last driver check.
-    "baseline_dedup_embedding_pairs",  # r3 green row predates the r4 rename
-    "orders_monthly_price_rank",  # new in r4, never driver-checked
-    "top_customers_per_segment",
-    "date_spine_days",
-    "date_spine_month_backward",
-    "events_monthly",
-    "events_weekly_buckets",
-    "events_relative_month_frame",
-    "events_8_8_8_rest",
-    "events_backfill_chunks",
-    "events_calendar_periods",
-    "op_flatten_struct",
-    "op_flatten_depth_limit",
-    "op_select_with_extras",
-    "op_convert_types",
-    "op_normalize_date_fields",
-    "op_normalize_dates_recursive",
-    "op_clean_hash_skip_rules",
-    "op_clean_replace_truncate",
-    "op_clean_fingerprint",
-    "op_prune_values",
-    "op_prune_keys_depth",
-    "op_jsonify",
-    "op_redact_pii",
-    "docs_quality_lang",
-    "docs_lang_histogram",
-    "docs_fingerprint",
-    "docs_repetition",
-    "docs_take_n_per_lang",
-    "docs_train_eval_split",
-    "docs_stratified_sample",
-    "dedup_ngram_jaccard",
-    "multimodal_media_stats",
-    # new in r5 (never driver-checked; hll_weekly_users is the one
-    # rows-only entry — HLL estimates are implementation-specific)
-    "docs_tfidf_topk",
-    "docs_bm25_search",
-    "docs_bigram_topk",
-    "docs_weighted_sample",
-    "orders_open_concurrency",
-    "hll_weekly_users",
-    "embeddings_dim_stats",
-    "events_rolling_7d",
-    "lineitem_price_drift",
-    "purchase_click_pairs",
-    "dedup_screen_new_batch",
-    "docs_token_drift",
-    "events_funnel",
-    "user_retention_weekly",
-    "events_transition_matrix",
-    "q4_late_orders",
-    "q14_promo_share",
-    # no rotating representatives this round: every fill slot is spent on
-    # never-checked queries; the rotated-out families all hold green
-    # CURRENT-engine rows from the r4 window (see COVERAGE.md)
+    # r6 window. (1) The 26 late-r5 tail queries — registered at catalog
+    # positions 101-126 in r5 and therefore never driver-checked (pytest
+    # oracle parity only); see COVERAGE.md "Round-6 rotation plan".
+    "events_user_running_totals",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "docs_mixture_sample",
+    "docs_quality_model",
+    "sim_topk_filtered",
+    "sim_ann_recall",
+    "embeddings_quantize_err",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "sim_quantized_rerank",
+    "events_type_affinity_daily",
+    "orders_decayed_revenue",
+    "docs_chunks",
+    "docs_negative_pairs",
+    "docs_split_leakage",
+    "docs_lm_score",
+    "docs_fertility_by_lang",
+    "docs_shard_plan",
+    # (2) rotating green representatives, one per operator family, biased
+    # toward the r4-window block (oldest current-engine green rows). Slots
+    # here are swapped out for new r6 queries as they land.
+    "events_top_types_daily",
+    "sessionize_users",
+    "docs_pack_token_budget",
+    "corpus_pipeline_e2e",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "knn_join_topk",
+    "docs_contamination",
+    "docs_token_stats",
+    "scd2_apply_incremental",
+    "asof_purchase_attribution",
+    "pricing_cube",
+    "kmv_distinct_events",
+    "events_gap_fill_daily",
+    "orders_latest_per_customer",
+    "multimodal_features",
+    "events_tumbling_hourly",
 ]
 
 
