@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etlutil_spark.functions.hashing import md5_bigint
 
@@ -248,11 +249,30 @@ def mixture_rates(
         raise ValueError(
             f"target strata absent from the corpus (typo?): {missing}"
         )
+    # A stratum whose rows exist but whose weight is NULL (all-NULL
+    # weight_col) or <= 0 would otherwise surface as a bare
+    # ZeroDivisionError / TypeError below — name the stratum instead.
+    degenerate = sorted(
+        s for s in pos if totals[s] is None or totals[s] <= 0.0
+    )
+    if degenerate:
+        raise ValueError(
+            "target strata with zero/NULL total "
+            f"{'weight' if weight_col else 'rows'}: {degenerate}"
+        )
     t = min(totals[s] / pos[s] for s in pos)
     rates = [(s, min(pos[s] * t / totals[s], 1.0)) for s in sorted(pos)]
-    return df.sparkSession.createDataFrame(
-        rates, f"{stratum_col} string, _rate double"
+    # Derive the stratum field's type from the input so non-string
+    # stratum keys (e.g. an int source id) round-trip and the rate join
+    # in mixture_sample stays type-aligned.
+    stratum_field = df.schema[stratum_col]
+    schema = T.StructType(
+        [
+            T.StructField(stratum_col, stratum_field.dataType, True),
+            T.StructField("_rate", T.DoubleType(), False),
+        ]
     )
+    return df.sparkSession.createDataFrame(rates, schema)
 
 
 def mixture_sample(

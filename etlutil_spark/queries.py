@@ -4565,9 +4565,9 @@ def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_fingerprints,
-           CAST(SUM(CASE WHEN m.nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_leaked_docs
-    FROM f JOIN m ON f.fp = m.fp
+           CAST(SUM(CASE WHEN COALESCE(m.nsplits, 1) > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_docs
+    FROM f LEFT JOIN m ON f.fp = m.fp
     GROUP BY f.split
     """,
 )
@@ -4578,7 +4578,11 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     training data cannot leak into through near-identical copies).
     Fingerprint counts are per-fp aggregates; the join back reuses the
     fingerprint partitioning, so the audit costs two keyed shuffles
-    regardless of corpus size."""
+    regardless of corpus size. Token-free docs have a NULL fingerprint
+    (doc_fingerprint's NULL rule): the LEFT join keeps them so n_docs is
+    the true split size, and they count as unleakable singletons
+    (nsplits coalesced to 1); n_fingerprints counts fingerprintable
+    distinct fps only."""
     from etlutil_spark.functions.text import doc_fingerprint
     from etlutil_spark.operators.sampling import assign_split
 
@@ -4593,14 +4597,14 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     m = f.groupBy("fp").agg(F.countDistinct("split").alias("nsplits"))
     return (
-        f.join(m, "fp")
+        f.join(m, "fp", "left")
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("fp").alias("n_fingerprints"),
-            F.sum(F.when(F.col("nsplits") > 1, 1).otherwise(0)).alias(
-                "n_leaked_docs"
-            ),
+            F.sum(
+                F.when(F.coalesce("nsplits", F.lit(1)) > 1, 1).otherwise(0)
+            ).alias("n_leaked_docs"),
         )
     )
 

@@ -75,6 +75,39 @@ class TestMixtureRates:
         with pytest.raises(ValueError, match="src_bb"):
             mixture_rates(corpus, "source", {"src_a": 0.2, "src_bb": 0.8})
 
+    def test_degenerate_weight_total_raises_with_stratum_name(self, spark):
+        from etlutil_spark.operators.sampling import mixture_rates
+
+        # src_z has rows but all-NULL weights; src_y sums to 0 — both
+        # previously died in the rate arithmetic (TypeError /
+        # ZeroDivisionError) without naming the offending stratum
+        df = spark.createDataFrame(
+            [(1, "src_x", 10), (2, "src_z", None), (3, "src_y", 0)],
+            "doc_id bigint, source string, w int",
+        )
+        with pytest.raises(ValueError, match="src_z"):
+            mixture_rates(
+                df, "source", {"src_x": 0.5, "src_z": 0.5}, weight_col="w"
+            )
+        with pytest.raises(ValueError, match="src_y"):
+            mixture_rates(
+                df, "source", {"src_x": 0.5, "src_y": 0.5}, weight_col="w"
+            )
+
+    def test_non_string_stratum_column(self, spark):
+        from etlutil_spark.operators.sampling import mixture_rates
+
+        # int source ids must round-trip through the rates frame with
+        # their own type (the schema was previously hardcoded to string)
+        df = spark.createDataFrame(
+            [(i, i % 2, 1) for i in range(100)],
+            "doc_id bigint, source_id bigint, w int",
+        )
+        rates = mixture_rates(df, "source_id", {0: 0.5, 1: 0.5})
+        assert dict(rates.dtypes)["source_id"] == "bigint"
+        got = {r["source_id"]: r["_rate"] for r in rates.collect()}
+        assert got == {0: 1.0, 1: 1.0}
+
 
 class TestMixtureSample:
     def test_mixture_approaches_target_and_never_upsamples(self, corpus):
