@@ -104,6 +104,11 @@ EXTENDED = [
     "docs_lm_score",
     "docs_fertility_by_lang",
     "docs_shard_plan",
+    # r6 additions
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q20_potential_promotion",
 ]
 
 

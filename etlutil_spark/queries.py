@@ -4724,6 +4724,248 @@ def docs_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(38,4)))
+                    - CAST(p.p_retailprice * 0.6 AS DECIMAL(38,4))
+                      * CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; parity
+    target /root/reference test surface has no partsupp table, so supply
+    cost is proxied as 60% of p_retailprice). The star shape is the
+    point: every dimension (filtered part, supplier+nation) broadcasts
+    so the fact is scanned once with the part filter applied at the
+    join, and the only data-volume shuffle is the lineitem-orders keyed
+    join — the plan you want when lineitem is 100 TB and dims are GBs.
+    Retailprice*0.6 is computed in DOUBLE per-row (bit-identical IEEE in
+    both engines) before the exact DECIMAL accumulation."""
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = _dec("l_extendedprice") * (1 - _dec("l_discount")) - (
+        F.col("p_retailprice") * 0.6
+    ).cast("decimal(38,4)") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(38,4)))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+                   AND n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(SUM(value_dec) AS DOUBLE) * 2.0 / COUNT(*) FROM val)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: parts whose NATION_3-supplied
+    value exceeds a multiple of the nation's average part value): the
+    scalar-aggregate HAVING (the TPC-H fraction is SF-dependent, so the
+    threshold is stated scale-free: parts worth more than 2x the average
+    part value). The threshold is a 1-row broadcast back against the
+    per-part aggregate — never a global window, which would funnel every
+    part through one task. Value sums stay DECIMAL (exact,
+    partition-order-independent) until the final double comparison, and
+    both the per-part value and the threshold derive from the same
+    aggregate, so the frame is checkpointed to plan the subtree once."""
+    n = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name") == "NATION_3"
+    )
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    val = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias(
+                "value_dec"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    thr = val.agg(
+        (F.sum("value_dec").cast("double") * 2.0 / F.count("*")).alias(
+            "_threshold"
+        )
+    )
+    return (
+        val.join(F.broadcast(thr))
+        .where(F.col("value_dec").cast("double") > F.col("_threshold"))
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode priority split; l_linestatus stands in
+    for the shipmode column the parity schema lacks): the two-level
+    conditional aggregation — one pass over the joined fact computing
+    both the high- and low-priority counts as branch-free conditional
+    sums, never two scans or a pivot. The ship-date range pushes to the
+    lineitem parquet scan; the late-shipment predicate (shipped >30 days
+    after order) evaluates post-join inside codegen."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(38,4))) AS total_qty,
+             SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN CAST(l.l_quantity AS DECIMAL(38,4))
+                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS qty_1997
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+      GROUP BY l.l_suppkey, l.l_partkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                 AND n.n_name IN ('NATION_3', 'NATION_4')
+    WHERE EXISTS (
+      SELECT 1 FROM shipped sh
+      WHERE sh.l_suppkey = s.s_suppkey
+        AND CAST(sh.qty_1997 AS DOUBLE) > 0.5 * CAST(sh.total_qty AS DOUBLE))
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of promotable parts;
+    without partsupp the availability test becomes: more than half the
+    supplier's all-time shipped quantity of 'small%' parts shipped in
+    1997): the nested semi-join chain. The part filter broadcasts into
+    the fact scan, the per-(supplier, part) aggregate computes both the
+    windowed and all-time quantities in ONE pass as conditional sums,
+    and the qualifying-supplier set — at most |suppliers| rows —
+    broadcasts back as a LEFT SEMI join, so no row of the fact ever
+    reaches the supplier table. Nation filters the dim side first."""
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_1997 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    shipped = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("total_qty"),
+            F.sum(
+                F.when(in_1997, _dec("l_quantity")).otherwise(
+                    F.lit(0).cast("decimal(38,4)")
+                )
+            ).alias("qty_1997"),
+        )
+    )
+    qualifying = (
+        shipped.where(
+            F.col("qty_1997").cast("double")
+            > 0.5 * F.col("total_qty").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    )
+    return (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -4767,9 +5009,13 @@ _DRIVER_FRONT = [
     "docs_lm_score",
     "docs_fertility_by_lang",
     "docs_shard_plan",
-    # (2) rotating green representatives, one per operator family, biased
-    # toward the r4-window block (oldest current-engine green rows). Slots
-    # here are swapped out for new r6 queries as they land.
+    # (2) new r6 queries — never driver-checked by construction
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q20_potential_promotion",
+    # (3) rotating green representatives, one per operator family, biased
+    # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
     "sessionize_users",
     "docs_pack_token_budget",
@@ -4790,10 +5036,6 @@ _DRIVER_FRONT = [
     "asof_purchase_attribution",
     "pricing_cube",
     "kmv_distinct_events",
-    "events_gap_fill_daily",
-    "orders_latest_per_customer",
-    "multimodal_features",
-    "events_tumbling_hourly",
 ]
 
 

@@ -194,6 +194,11 @@ class TestOracleGuards:
             "docs_lm_score",
             "docs_fertility_by_lang",
             "docs_shard_plan",
+            # new in r6 — never driver-checked by construction
+            "q9_product_profit",
+            "q11_important_stock",
+            "q12_shipmode_priority",
+            "q20_potential_promotion",
         }
         assert must_have <= set(front50)
 

@@ -97,6 +97,13 @@ HEADLINE_BUDGETS = {
     "docs_lm_score": (5, 3),  # checkpointed bigrams, count joins, vocab bcast
     "docs_fertility_by_lang": (1, 0),  # one scan, one lang-keyed aggregate
     "docs_shard_plan": (1, 0),  # map-side shard id + 16-group aggregate
+    # r6 additions: the four remaining TPC-H plan shapes
+    "q9_product_profit": (3, 2),  # star: all dims broadcast, orders keyed join
+    # checkpointed per-part agg hides the dim broadcasts; the visible one
+    # is the 1-row threshold broadcast
+    "q11_important_stock": (3, 1),
+    "q12_shipmode_priority": (3, 0),  # one joined pass, conditional sums
+    "q20_potential_promotion": (3, 2),  # agg -> qualifying-set semi-join chain
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -116,6 +123,7 @@ SCALAR_OK = {
     "events_type_affinity_daily",  # 1-row group-total scalar
     "docs_negative_pairs",  # 1-row max-id scalar
     "docs_lm_score",  # 1-row vocabulary scalar
+    "q11_important_stock",  # 1-row value-threshold scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

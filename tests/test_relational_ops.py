@@ -506,6 +506,7 @@ class TestCatalogPlanGuards:
         "events_type_affinity_daily",  # 1-row group-total broadcast
         "docs_negative_pairs",  # 1-row max-id broadcast
         "docs_lm_score",  # 1-row vocabulary broadcast
+        "q11_important_stock",  # 1-row value-threshold broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
