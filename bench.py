@@ -109,6 +109,7 @@ EXTENDED = [
     "q11_important_stock",
     "q12_shipmode_priority",
     "q20_potential_promotion",
+    "dedup_paragraphs",
 ]
 
 

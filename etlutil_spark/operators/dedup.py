@@ -46,6 +46,90 @@ def exact_dedup(df: DataFrame, subset: list[str], id_col: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep_regex: str = r"\n{2,}",
+    segment_tokens: int | None = None,
+    joiner: str | None = None,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the Gopher/MassiveText
+    curation stage between doc-level fingerprint dedup and near-dup):
+    split every document into paragraphs, keep the FIRST occurrence of
+    each distinct paragraph corpus-wide (lowest ``(id, position)`` —
+    deterministic, so reruns and engines agree), and reassemble each
+    document from its surviving paragraphs in original order.
+
+    Two segmentation modes:
+      - ``sep_regex`` (default blank-line): real paragraph markers;
+      - ``segment_tokens=k``: fixed k-token pseudo-paragraphs for text
+        whose structure markers were stripped upstream (also the
+        standard cap for pathologically long paragraphs).
+
+    Returns ``(id_col, text_col, n_paras, n_kept)``; a fully-duplicate
+    document stays visible with ``n_kept = 0`` and empty text.
+
+    Scale notes: the survivor is ``min(struct(id, pos))`` per paragraph
+    — a hash aggregate with MAP-SIDE partial combine, so a boilerplate
+    paragraph duplicated a billion times costs each task one row, where
+    the equivalent ``row_number`` window would funnel every copy through
+    a single hot reducer. Reassembly and totals are both keyed by id,
+    and AQE aligns their partitioning for the final join. The exploded
+    frame feeds both aggregates, so it is checkpointed to plan the
+    explode once."""
+    if segment_tokens is not None:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        k = int(segment_tokens)
+        nseg = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+        paras = F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        )
+        joiner = " " if joiner is None else joiner
+    else:
+        paras = F.split(F.col(text_col), sep_regex)
+        joiner = "\n\n" if joiner is None else joiner
+    exploded = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(paras).alias("para_idx", "para"))
+        .withColumn("para", F.trim("para"))
+        .where(F.length("para") > 0)
+        .localCheckpoint(eager=False)
+    )
+    winners = exploded.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_w")
+    )
+    rebuilt = (
+        winners.select(
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w.para_idx").alias("para_idx"),
+            "para",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                joiner,
+            ).alias("_text_kept"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+    )
+    totals = exploded.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_paras")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("_text_kept", F.lit("")).alias(text_col),
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

@@ -4966,6 +4966,52 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_paragraphs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    norm AS (
+      SELECT doc_id, r.i AS para_idx,
+             trim(array_to_string(t[((r.i)*8+1):((r.i)*8+8)], ' ')) AS para
+      FROM toks,
+           UNNEST(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS r(i)
+      WHERE length(trim(array_to_string(t[((r.i)*8+1):((r.i)*8+8)], ' '))) > 0),
+    kept AS (
+      SELECT doc_id, para_idx, para FROM (
+        SELECT doc_id, para_idx, para,
+               ROW_NUMBER() OVER (PARTITION BY para
+                                  ORDER BY doc_id, para_idx) AS rn
+        FROM norm) WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM norm GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(r.text, '') AS text,
+           CAST(t.n_paras AS BIGINT) AS n_paras,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (operators/dedup.py:paragraph_dedup)
+    — the Gopher/MassiveText curation stage between doc-level
+    fingerprint dedup and near-dup: each distinct paragraph survives
+    once corpus-wide (first occurrence by (doc, position) wins) and
+    documents are reassembled from their surviving paragraphs in order.
+    The synthetic corpus carries no paragraph markers, so this runs the
+    operator's fixed-8-token segmentation mode. The survivor is a
+    map-side-combining min-aggregate per paragraph — boilerplate
+    duplicated a billion times costs each task one row, not one hot
+    reducer — and the oracle states the same rule as a window."""
+    from etlutil_spark.operators.dedup import paragraph_dedup
+
+    d = load_table(spark, "documents", sf_dir)
+    return paragraph_dedup(d, "doc_id", "text", segment_tokens=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -5014,6 +5060,7 @@ _DRIVER_FRONT = [
     "q11_important_stock",
     "q12_shipmode_priority",
     "q20_potential_promotion",
+    "dedup_paragraphs",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5035,7 +5082,6 @@ _DRIVER_FRONT = [
     "scd2_apply_incremental",
     "asof_purchase_attribution",
     "pricing_cube",
-    "kmv_distinct_events",
 ]
 
 

@@ -199,6 +199,7 @@ class TestOracleGuards:
             "q11_important_stock",
             "q12_shipmode_priority",
             "q20_potential_promotion",
+            "dedup_paragraphs",
         }
         assert must_have <= set(front50)
 

@@ -1,0 +1,120 @@
+"""paragraph_dedup (operators/dedup.py): corpus-wide paragraph-level
+exact dedup with document reassembly. Catalog-level Spark-vs-DuckDB
+parity for the registered `dedup_paragraphs` query (fixed-token
+segmentation mode) lives in test_oracle_parity.py; these tests pin the
+operator semantics — including the blank-line marker mode the synthetic
+corpus can't exercise — on hand-built frames, plus a hypothesis property
+sweep over random corpora."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etlutil_spark.operators.dedup import paragraph_dedup
+
+
+def _run(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = paragraph_dedup(df, "doc_id", "text", **kw)
+    return {r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"]) for r in out.collect()}
+
+
+class TestMarkerMode:
+    def test_first_occurrence_wins_and_order_is_preserved(self, spark):
+        got = _run(
+            spark,
+            [
+                (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+                (2, "shared boilerplate\n\ndelta"),
+            ],
+        )
+        # doc 1 saw the boilerplate first (lower doc_id) and keeps it
+        assert got[1] == ("alpha beta\n\nshared boilerplate\n\ngamma", 3, 3)
+        # doc 2 loses its copy; its remaining paragraph keeps its place
+        assert got[2] == ("delta", 2, 1)
+
+    def test_within_doc_duplicate_keeps_earliest_position(self, spark):
+        got = _run(spark, [(1, "x\n\ny\n\nx")])
+        assert got[1] == ("x\n\ny", 3, 2)
+
+    def test_fully_duplicate_doc_stays_visible_with_zero_kept(self, spark):
+        got = _run(spark, [(1, "same\n\nthing"), (2, "same\n\nthing")])
+        assert got[1] == ("same\n\nthing", 2, 2)
+        assert got[2] == ("", 2, 0)
+
+    def test_no_duplicates_roundtrips_normalized_text(self, spark):
+        got = _run(spark, [(1, "one two\n\n\n\nthree"), (2, "four")])
+        # \n{2,} splits collapse; paragraphs are trimmed then rejoined
+        assert got[1] == ("one two\n\nthree", 2, 2)
+        assert got[2] == ("four", 1, 1)
+
+    def test_empty_and_null_text_drop_out(self, spark):
+        df = spark.createDataFrame(
+            [(1, "real\n\npara"), (2, ""), (3, None), (4, "   ")],
+            "doc_id bigint, text string",
+        )
+        out = paragraph_dedup(df, "doc_id", "text")
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestSegmentMode:
+    def test_fixed_token_segments(self, spark):
+        got = _run(
+            spark,
+            [(1, "a b c d e f g"), (2, "c d x")],
+            segment_tokens=2,
+        )
+        # doc 1: [a b][c d][e f][g]; doc 2: [c d][x] — doc 2 loses 'c d'
+        assert got[1] == ("a b c d e f g", 4, 4)
+        assert got[2] == ("x", 2, 1)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_property_each_paragraph_survives_exactly_once(spark_session_global, corpus):
+    """Over random corpora drawn from a tiny paragraph vocabulary (high
+    collision rate): (1) every distinct paragraph appearing anywhere
+    survives exactly once corpus-wide; (2) it survives at its earliest
+    (doc_id, position); (3) each doc's kept paragraphs preserve the
+    original relative order; (4) n_paras/n_kept ledger adds up."""
+    spark = spark_session_global
+    docs = [(i, "\n\n".join(paras)) for i, paras in enumerate(corpus)]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(docs, "doc_id bigint, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    # expected survivors via the same first-occurrence rule in plain python
+    first_owner: dict[str, tuple[int, int]] = {}
+    for i, paras in enumerate(corpus):
+        for j, p in enumerate(paras):
+            first_owner.setdefault(p, (i, j))
+    all_kept: list[str] = []
+    for i, paras in enumerate(corpus):
+        expected = [p for j, p in enumerate(paras) if first_owner[p] == (i, j)]
+        got_paras = out[i]["text"].split("\n\n") if out[i]["text"] else []
+        assert got_paras == expected, f"doc {i}: {got_paras} != {expected}"
+        assert out[i]["n_paras"] == len(paras)
+        assert out[i]["n_kept"] == len(expected)
+        all_kept += got_paras
+    assert sorted(all_kept) == sorted(set(p for paras in corpus for p in paras))
+
+
+@pytest.fixture(scope="module")
+def spark_session_global(spark):
+    return spark

@@ -104,6 +104,8 @@ HEADLINE_BUDGETS = {
     "q11_important_stock": (3, 1),
     "q12_shipmode_priority": (3, 0),  # one joined pass, conditional sums
     "q20_potential_promotion": (3, 2),  # agg -> qualifying-set semi-join chain
+    # min-struct winners agg + id-keyed rebuild/totals join; no hot-key window
+    "dedup_paragraphs": (4, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
