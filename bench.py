@@ -110,6 +110,7 @@ EXTENDED = [
     "q12_shipmode_priority",
     "q20_potential_promotion",
     "dedup_paragraphs",
+    "docs_contamination_bloom",
 ]
 
 

@@ -55,3 +55,100 @@ def contaminated_docs(
         .agg(F.count_distinct("shingle").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def bloom_contaminated_docs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+    bits_per_element: int = 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-screened decontamination: same answer as
+    :func:`contaminated_docs` (the exact-verify stage guarantees zero
+    false positives, and a Bloom filter has no false negatives by
+    construction), but built for the scale where even the distinct eval
+    shingle set is too big to broadcast comfortably.
+
+    Two stages, the LSH candidate-only pattern:
+
+      1. SCREEN (map-side): broadcast a bitset of ``bits_per_element``
+         bits per eval shingle (~2 bytes/element at the default 16 —
+         10-50x smaller than broadcasting the shingle strings) and keep
+         only train shingles whose ``n_hashes`` salted-xxhash64 bits are
+         all set. Everything here is whole-stage-codegen column
+         arithmetic (shift/AND on an array<bigint>); clean train
+         shingles — the overwhelming majority — die in place, shuffling
+         nothing.
+      2. VERIFY (tiny shuffle): equi-join the surviving candidates
+         (true hits + the ~0.2% Bloom false positives at 16 bits/elem,
+         k=4) against the exact eval shingle set. Because stage 1
+         already shrank the train side, neither join input needs a
+         broadcast — the shuffle carries candidates only.
+
+    The eval shingle frame feeds both the filter build and the verify
+    join, so it is checkpointed and its count (one bounded action on the
+    small-by-design eval side) sizes the bitset."""
+    e_sh = (
+        shingle_table(eval_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_elems = max(e_sh.count(), 1)
+    m_words = max((n_elems * bits_per_element + 63) // 64, 1)
+    m_bits = m_words * 64
+
+    def bit_pos(i: int) -> F.Column:
+        return F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(m_bits))
+
+    words = (
+        e_sh.select(
+            F.explode(
+                F.array(*[bit_pos(i) for i in range(n_hashes)])
+            ).alias("bit")
+        )
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    filt = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_words - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+        ).alias("bf")
+    )
+
+    def might_contain(i: int) -> F.Column:
+        pos = bit_pos(i)
+        word = F.element_at(F.col("bf"), (pos / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(1L, cast(pmod(xxhash64({i}, shingle), {m_bits})"
+            " % 64 as int))"
+        )
+        return word.bitwiseAND(mask) != 0
+
+    cond = might_contain(0)
+    for i in range(1, n_hashes):
+        cond = cond & might_contain(i)
+    candidates = (
+        shingle_table(train, id_col, text_col, n)
+        .crossJoin(F.broadcast(filt))
+        .where(cond)
+        .select(id_col, "shingle")
+    )
+    return (
+        candidates.join(e_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1052,9 +1052,10 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_contamination",
-    f"""
+# Shared by docs_contamination AND docs_contamination_bloom: the Bloom
+# variant is exact-verified, so its contract is "identical answer to the
+# exact path" — one oracle text keeps the two registrations from drifting.
+_DUCK_CONTAMINATION_SQL = f"""
     WITH tr AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
                 WHERE source NOT IN ('src0', 'src1')),
     ev AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
@@ -1072,8 +1073,10 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, COUNT(DISTINCT tsh.shingle) AS n_shared
     FROM tsh JOIN esh USING (shingle)
     GROUP BY doc_id HAVING COUNT(DISTINCT tsh.shingle) >= 2
-    """,
-)
+    """
+
+
+@register("docs_contamination", _DUCK_CONTAMINATION_SQL)
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): training
     docs (source src2..) sharing >= 2 distinct 3-gram shingles with the
@@ -1086,6 +1089,25 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = d.where(F.col("source").isin("src0", "src1"))
     train = d.where(~F.col("source").isin("src0", "src1"))
     return contaminated_docs(train, eval_df, n=3, min_shared=2)
+
+
+@register("docs_contamination_bloom", _DUCK_CONTAMINATION_SQL)
+def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination
+    (operators/decontaminate.py:bloom_contaminated_docs) — the scale
+    alternative when even the distinct eval shingle set is too big to
+    broadcast: a ~2-byte/shingle bitset broadcasts instead, clean train
+    shingles die map-side in codegen, and only the surviving candidates
+    (true hits + ~0.2% false positives) reach the exact-verify join.
+    The oracle is the SAME SQL as docs_contamination: a Bloom filter has
+    no false negatives and the verify stage removes its false
+    positives, so the two paths must agree row-for-row."""
+    from etlutil_spark.operators.decontaminate import bloom_contaminated_docs
+
+    d = load_table(spark, "documents", sf_dir)
+    eval_df = d.where(F.col("source").isin("src0", "src1"))
+    train = d.where(~F.col("source").isin("src0", "src1"))
+    return bloom_contaminated_docs(train, eval_df, n=3, min_shared=2)
 
 
 @register(
@@ -5061,6 +5083,7 @@ _DRIVER_FRONT = [
     "q12_shipmode_priority",
     "q20_potential_promotion",
     "dedup_paragraphs",
+    "docs_contamination_bloom",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5081,7 +5104,6 @@ _DRIVER_FRONT = [
     "docs_token_stats",
     "scd2_apply_incremental",
     "asof_purchase_attribution",
-    "pricing_cube",
 ]
 
 

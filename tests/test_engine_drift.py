@@ -200,6 +200,7 @@ class TestOracleGuards:
             "q12_shipmode_priority",
             "q20_potential_promotion",
             "dedup_paragraphs",
+            "docs_contamination_bloom",
         }
         assert must_have <= set(front50)
 

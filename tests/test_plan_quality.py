@@ -106,6 +106,8 @@ HEADLINE_BUDGETS = {
     "q20_potential_promotion": (3, 2),  # agg -> qualifying-set semi-join chain
     # min-struct winners agg + id-keyed rebuild/totals join; no hot-key window
     "dedup_paragraphs": (4, 0),
+    # eval distinct + bitset build + candidate verify join + doc agg
+    "docs_contamination_bloom": (5, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -126,6 +128,7 @@ SCALAR_OK = {
     "docs_negative_pairs",  # 1-row max-id scalar
     "docs_lm_score",  # 1-row vocabulary scalar
     "q11_important_stock",  # 1-row value-threshold scalar
+    "docs_contamination_bloom",  # 1-row bitset-array scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

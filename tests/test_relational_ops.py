@@ -507,6 +507,7 @@ class TestCatalogPlanGuards:
         "docs_negative_pairs",  # 1-row max-id broadcast
         "docs_lm_score",  # 1-row vocabulary broadcast
         "q11_important_stock",  # 1-row value-threshold broadcast
+        "docs_contamination_bloom",  # 1-row bitset-array broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
