@@ -83,6 +83,23 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     ).cast("bigint")
 
 
+def probe_buckets(qbits: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance ``radius`` of the query's
+    bucket — the multiprobe candidate set. Driver-side combinatorics
+    (sum of C(n_planes, r) ids, tiny for the radii that make sense);
+    previously radius >= 2 was silently treated as 1."""
+    from itertools import combinations
+
+    probe = []
+    for r in range(0, max(radius, 0) + 1):
+        for bits in combinations(range(n_planes), r):
+            b = qbits
+            for i in bits:
+                b ^= 1 << i
+            probe.append(b)
+    return probe
+
+
 def cosine_topk(
     docs: DataFrame,
     query_vec: list[float],
@@ -132,9 +149,7 @@ def ann_lsh_topk(
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             qbits |= 1 << i
-    probe = [qbits]
-    if multiprobe_hamming >= 1:
-        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+    probe = probe_buckets(qbits, n_planes, multiprobe_hamming)
 
     bucket = lsh_bucket(vec_col, planes)
     return (
@@ -282,9 +297,7 @@ def ivf_topk(
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             qbits |= 1 << i
-    probe = [qbits]
-    if multiprobe_hamming >= 1:
-        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+    probe = probe_buckets(qbits, n_planes, multiprobe_hamming)
     return (
         spark.read.parquet(path)
         .where(F.col("bucket").isin(probe))

@@ -4106,12 +4106,15 @@ _ANN_RECALL_K = 10
 
 
 def _duck_ann_recall_sql(
-    k: int = _ANN_RECALL_K, n_planes: int = 8, dim: int = 64
+    k: int = _ANN_RECALL_K, n_planes: int = 8, dim: int = 64,
+    hamming: int = 2,
 ) -> str:
     """Oracle for sim_ann_recall: exact top-k and LSH top-k as twin CTEs
     over the SAME shared prefix as the index oracle (_duck_ann_cte —
     plane literals and candidate rule cannot drift apart), then the
-    semi-join hit count over k."""
+    semi-join hit count over k. ``hamming`` mirrors the Spark side's
+    multiprobe radius (2 here: the radius-1 candidate set is too small
+    for usable recall on isotropic vectors — see test_ann_quality)."""
     return f"""{_duck_ann_cte(n_planes, dim)},
     exact AS (
       SELECT b.vec_id, {_DUCK_ANN_COS} AS cs
@@ -4121,7 +4124,7 @@ def _duck_ann_recall_sql(
     ann AS (
       SELECT b.vec_id, {_DUCK_ANN_COS} AS cs
       FROM b, q
-      WHERE bit_count(xor(vb::BIGINT, qb::BIGINT)) <= 1
+      WHERE bit_count(xor(vb::BIGINT, qb::BIGINT)) <= {hamming}
       ORDER BY cs DESC, vec_id
       LIMIT {k})
     SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
@@ -4147,7 +4150,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     k = _ANN_RECALL_K
     exact = cosine_topk(e, qvec, k=k).select("vec_id")
-    ann = ann_lsh_topk(e, qvec, k=k, n_planes=8, multiprobe_hamming=1).select(
+    ann = ann_lsh_topk(e, qvec, k=k, n_planes=8, multiprobe_hamming=2).select(
         "vec_id"
     )
     return exact.join(ann, "vec_id", "left_semi").agg(
