@@ -111,6 +111,7 @@ EXTENDED = [
     "q20_potential_promotion",
     "dedup_paragraphs",
     "docs_contamination_bloom",
+    "docs_contamination_coverage",
 ]
 
 

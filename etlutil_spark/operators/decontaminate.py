@@ -57,6 +57,82 @@ def contaminated_docs(
     )
 
 
+def contamination_coverage(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Span-coverage contamination (the Llama-style refinement of the
+    shared-shingle count): for each contaminated training doc, the
+    FRACTION of its token positions covered by at least one n-gram that
+    appears anywhere in the eval corpus. A doc that shares two
+    incidental trigrams and a doc that embeds a whole eval answer both
+    pass ``min_shared=2``; coverage separates them (0.02 vs 0.9), which
+    is what a removal threshold should key on.
+
+    Returns ``(id_col, n_tokens, n_covered, coverage)`` for docs with
+    any coverage. Same asymmetry as :func:`contaminated_docs`: eval
+    shingles broadcast, the train side is never shuffled before the
+    match. A matched n-gram explodes into its n covered positions
+    (bounded n-fold blowup of MATCHES only, not of the corpus), the
+    per-doc distinct-position count is one aggregate keyed by train doc
+    id. At the scale where even eval shingles strain the broadcast,
+    screen first with the Bloom bitset (:func:`bloom_contaminated_docs`
+    stage 1) and feed the candidates here."""
+    from etlutil_spark.functions.text import tokens
+
+    e_sh = (
+        shingle_table(eval_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    t = (
+        train.select(F.col(id_col), tokens(text_col).alias("_tk"))
+        .where(F.size("_tk") > 0)
+        .localCheckpoint(eager=False)
+    )
+    grams = (
+        t.where(F.size("_tk") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("_tk", i + 1, n)).alias(
+                            "shingle"
+                        ),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, "_g.pos", "_g.shingle")
+    )
+    covered = (
+        grams.join(F.broadcast(e_sh), "shingle")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "_cp"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_covered"))
+    )
+    totals = t.select(F.col(id_col), F.size("_tk").cast("bigint").alias("n_tokens"))
+    return totals.join(covered, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_covered",
+        (F.col("n_covered") / F.col("n_tokens")).alias("coverage"),
+    )
+
+
 def bloom_contaminated_docs(
     train: DataFrame,
     eval_df: DataFrame,

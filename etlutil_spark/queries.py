@@ -1091,6 +1091,53 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_docs(train, eval_df, n=3, min_shared=2)
 
 
+@register(
+    "docs_contamination_coverage",
+    f"""
+    WITH tr AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+                WHERE source NOT IN ('src0', 'src1')),
+    ev AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+           WHERE source IN ('src0', 'src1')),
+    esh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      FROM ev WHERE len(tk) >= 3),
+    grams AS (
+      SELECT doc_id, r.i - 1 AS pos,
+             tk[r.i] || ' ' || tk[r.i+1] || ' ' || tk[r.i+2] AS shingle
+      FROM tr, UNNEST(range(1, len(tk) - 1)) AS r(i)
+      WHERE len(tk) >= 3),
+    cov AS (
+      SELECT DISTINCT g.doc_id, p.j AS cp
+      FROM grams g JOIN esh USING (shingle),
+           UNNEST(range(g.pos, g.pos + 3)) AS p(j)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(tk) AS n_tokens FROM tr WHERE len(tk) > 0)
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.n_covered AS BIGINT) AS n_covered,
+           CAST(c.n_covered AS DOUBLE) / t.n_tokens AS coverage
+    FROM tot t JOIN cnt c ON t.doc_id = c.doc_id
+    """,
+)
+def docs_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-coverage contamination
+    (operators/decontaminate.py:contamination_coverage): for each
+    contaminated training doc, the fraction of its token positions
+    covered by an eval-corpus trigram — the metric a removal threshold
+    should key on (two incidental shared trigrams vs an embedded eval
+    answer). Eval shingles broadcast; matches explode into their n
+    covered positions (match-bounded, not corpus-bounded); one distinct
+    + one aggregate keyed by train doc id."""
+    from etlutil_spark.operators.decontaminate import contamination_coverage
+
+    d = load_table(spark, "documents", sf_dir)
+    eval_df = d.where(F.col("source").isin("src0", "src1"))
+    train = d.where(~F.col("source").isin("src0", "src1"))
+    return contamination_coverage(train, eval_df, n=3)
+
+
 @register("docs_contamination_bloom", _DUCK_CONTAMINATION_SQL)
 def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-screened decontamination
@@ -5087,6 +5134,7 @@ _DRIVER_FRONT = [
     "q20_potential_promotion",
     "dedup_paragraphs",
     "docs_contamination_bloom",
+    "docs_contamination_coverage",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5106,7 +5154,6 @@ _DRIVER_FRONT = [
     "docs_contamination",
     "docs_token_stats",
     "scd2_apply_incremental",
-    "asof_purchase_attribution",
 ]
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from etlutil_spark.operators.decontaminate import (
     bloom_contaminated_docs,
     contaminated_docs,
+    contamination_coverage,
 )
 from etlutil_spark.sources.testdata import load_table
 
@@ -51,6 +52,46 @@ class TestBloomEqualsExact:
         )
         empty = docs.where(F.lit(False))
         assert bloom_contaminated_docs(docs, empty).collect() == []
+
+    def test_coverage_separates_embedded_from_incidental(self, spark):
+        """Span coverage is the removal signal: a doc embedding a whole
+        eval sentence scores near 1.0; one sharing a single incidental
+        trigram scores 3/n_tokens; clean docs don't appear."""
+        tr = spark.createDataFrame(
+            [
+                # 6 tokens, all covered by eval trigrams
+                (1, "the secret eval answer is here"),
+                # 8 tokens, one shared trigram covers 3 positions
+                (2, "unrelated stuff the secret eval padding words here"),
+                (3, "totally clean document with no overlap at all"),
+            ],
+            "doc_id bigint, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "the secret eval answer is here obviously")],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_covered"], r["coverage"])
+            for r in contamination_coverage(tr, ev, n=3).collect()
+        }
+        assert set(got) == {1, 2}
+        assert got[1] == (6, 6, 1.0)
+        assert got[2] == (8, 3, 3 / 8)
+
+    def test_coverage_overlapping_matches_count_positions_once(self, spark):
+        """Two overlapping matched trigrams share positions; the distinct
+        keeps each covered position single-counted."""
+        tr = spark.createDataFrame(
+            [(1, "a b c d zz")], "doc_id bigint, text string"
+        )
+        ev = spark.createDataFrame(
+            [(100, "a b c d")], "doc_id bigint, text string"
+        )
+        got = contamination_coverage(tr, ev, n=3).collect()[0]
+        # matches 'a b c' (0-2) and 'b c d' (1-3): 4 distinct positions
+        assert (got["n_tokens"], got["n_covered"]) == (5, 4)
+        assert got["coverage"] == 4 / 5
 
     def test_handmade_overlap(self, spark):
         tr = spark.createDataFrame(

@@ -201,6 +201,7 @@ class TestOracleGuards:
             "q20_potential_promotion",
             "dedup_paragraphs",
             "docs_contamination_bloom",
+            "docs_contamination_coverage",
         }
         assert must_have <= set(front50)
 

@@ -108,6 +108,8 @@ HEADLINE_BUDGETS = {
     "dedup_paragraphs": (4, 0),
     # eval distinct + bitset build + candidate verify join + doc agg
     "docs_contamination_bloom": (5, 2),
+    # eval bcast match + position distinct + doc agg + totals join
+    "docs_contamination_coverage": (4, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
