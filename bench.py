@@ -112,6 +112,7 @@ EXTENDED = [
     "dedup_paragraphs",
     "docs_contamination_bloom",
     "docs_contamination_coverage",
+    "docs_gopher_filter",
 ]
 
 

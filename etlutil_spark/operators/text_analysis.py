@@ -287,6 +287,58 @@ def token_drift(
 # default weights for quality_model_score: hand-set to mimic a trained
 # fastText-style quality classifier's behavior on web text — rewarding
 # length/alphabetic/natural-stopword-density, punishing token repetition
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 30,
+    max_tokens: int = 10000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_ratio: float = 0.03,
+    max_dup_token_ratio: float = 0.6,
+) -> DataFrame:
+    """Rule-based document filter (Gopher/MassiveText-style), the
+    complement of :func:`quality_model_score`: instead of one learned
+    score, each doc gets an explicit, auditable list of WHICH rules it
+    failed — the form a curation pipeline needs to report drop reasons
+    and tune thresholds per-rule.
+
+    Rules (fixed order, names are the contract): ``too_short`` /
+    ``too_long`` (token count), ``word_len_low`` / ``word_len_high``
+    (mean word length — gibberish and minified-code signals),
+    ``low_stopwords`` (natural language has function words),
+    ``repetitive`` (repeated-token ratio). NULL/token-free text is
+    ``empty``. Adds ``n_tokens``, ``reasons`` (comma-joined, '' = clean)
+    and ``keep``.
+
+    Pure map-side column expressions over a single tokenize — zero
+    shuffles at any corpus size, and every ratio is an exact-integer
+    quotient so the verdicts are engine-reproducible."""
+    d = df.withColumn("_tk", X.tokens(text_col))
+    n = F.size("_tk")
+    mwl = X.mean_word_len(text_col, pre_tokens="_tk")
+    swr = X.stopword_ratio(text_col, pre_tokens="_tk")
+    dup = X.dup_token_ratio(text_col, pre_tokens="_tk")
+    rules = F.array(
+        F.when(n < min_tokens, F.lit("too_short")),
+        F.when(n > max_tokens, F.lit("too_long")),
+        F.when(mwl < min_mean_word_len, F.lit("word_len_low")),
+        F.when(mwl > max_mean_word_len, F.lit("word_len_high")),
+        F.when(swr < min_stopword_ratio, F.lit("low_stopwords")),
+        F.when(dup > max_dup_token_ratio, F.lit("repetitive")),
+    )
+    reasons = F.when(n.isNull() | (n == 0), F.lit("empty")).otherwise(
+        F.array_join(F.filter(rules, lambda x: x.isNotNull()), ",")
+    )
+    return (
+        d.withColumn("n_tokens", F.coalesce(n, F.lit(0)).cast("bigint"))
+        .withColumn("reasons", reasons)
+        .withColumn("keep", F.col("reasons") == "")
+        .drop("_tk")
+    )
+
+
 DEFAULT_QUALITY_WEIGHTS: dict[str, float] = {
     "bias": 0.0,
     "len_norm": 1.2,

@@ -1158,6 +1158,56 @@ def docs_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_gopher_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    m AS (SELECT doc_id, len(tk) AS n,
+            CASE WHEN len(tk) > 0 THEN
+              list_aggregate(list_transform(tk, x -> len(x)), 'sum')
+                / CAST(len(tk) AS DOUBLE) END AS mwl,
+            CASE WHEN len(tk) > 0 THEN
+              len(list_filter(tk, x -> x IN ('the','and','of','to','a',
+                                             'in','is','it','that','for')))
+                / CAST(len(tk) AS DOUBLE) END AS swr,
+            CASE WHEN len(tk) > 0 THEN
+              round(1.0 - len(list_distinct(tk))
+                          / CAST(len(tk) AS DOUBLE), 6) END AS dup
+          FROM t),
+    r AS (SELECT doc_id, n,
+            CASE WHEN n IS NULL OR n = 0 THEN 'empty'
+            -- array_to_string([]) is NULL in DuckDB ('' in Spark)
+            ELSE COALESCE(array_to_string(list_filter([
+              CASE WHEN n < 30 THEN 'too_short' END,
+              CASE WHEN n > 10000 THEN 'too_long' END,
+              CASE WHEN mwl < 3.0 THEN 'word_len_low' END,
+              CASE WHEN mwl > 10.0 THEN 'word_len_high' END,
+              CASE WHEN swr < 0.03 THEN 'low_stopwords' END,
+              CASE WHEN dup > 0.6 THEN 'repetitive' END],
+              x -> x IS NOT NULL), ','), '')
+            END AS reasons
+          FROM m)
+    SELECT doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens,
+           reasons, reasons = '' AS keep
+    FROM r
+    """,
+)
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based curation filter
+    (operators/text_analysis.py:gopher_quality_filter): every doc gets
+    an auditable comma-joined list of failed rules (token-count bounds,
+    mean-word-length band, stopword floor, repetition ceiling) and a
+    keep verdict — the drop-reason report a curation pipeline publishes
+    next to its kept corpus. Single tokenize, pure codegen expressions,
+    zero shuffles."""
+    from etlutil_spark.operators.text_analysis import gopher_quality_filter
+
+    d = load_table(spark, "documents", sf_dir)
+    return gopher_quality_filter(d, "text").select(
+        "doc_id", "n_tokens", "reasons", "keep"
+    )
+
+
+@register(
     "op_redact_pii",
     r"""
     WITH raw AS (
@@ -5135,6 +5185,7 @@ _DRIVER_FRONT = [
     "dedup_paragraphs",
     "docs_contamination_bloom",
     "docs_contamination_coverage",
+    "docs_gopher_filter",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5153,7 +5204,6 @@ _DRIVER_FRONT = [
     "knn_join_topk",
     "docs_contamination",
     "docs_token_stats",
-    "scd2_apply_incremental",
 ]
 
 

@@ -202,6 +202,7 @@ class TestOracleGuards:
             "dedup_paragraphs",
             "docs_contamination_bloom",
             "docs_contamination_coverage",
+            "docs_gopher_filter",
         }
         assert must_have <= set(front50)
 

@@ -110,6 +110,7 @@ HEADLINE_BUDGETS = {
     "docs_contamination_bloom": (5, 2),
     # eval bcast match + position distinct + doc agg + totals join
     "docs_contamination_coverage": (4, 2),
+    "docs_gopher_filter": (0, 0),  # tokenize-once map-side rules, no shuffle
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
