@@ -113,6 +113,7 @@ EXTENDED = [
     "docs_contamination_bloom",
     "docs_contamination_coverage",
     "docs_gopher_filter",
+    "events_debounce",
 ]
 
 

@@ -54,6 +54,31 @@ def with_session_id(
     return df.withColumn(session_col, F.sum(is_new).over(run))
 
 
+def debounce(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    gap_seconds: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Burst collapse: keep only the FIRST row of each burst per key — a
+    burst being a run of rows each within ``gap_seconds`` of the
+    previous one (the batch twin of a streaming debounce; collapses
+    double-clicks, retry storms, sensor chatter before counting).
+
+    Ordering inside a key is (ts, *order_cols) — pass a unique column
+    (event id) so ties are deterministic across engines and reruns.
+    One window shuffle on the keys; the filter is map-side after it."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    return df.withColumn(
+        "_first", prev_ts.isNull() | (gap_s > gap_seconds)
+    ).where(F.col("_first")).drop("_first")
+
+
 def session_stats(
     df: DataFrame,
     key_col: str,

@@ -1208,6 +1208,47 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_debounce",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 21600
+                  THEN 1 ELSE 0 END AS first
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(first) AS BIGINT) AS n_kept
+    FROM d GROUP BY event_type
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst collapse (operators/sessions.py:debounce): keep only the
+    first event of each per-user burst (runs of events each within 6h of
+    the previous), reported per type as total vs surviving counts — the
+    retry-storm / double-fire dedup a telemetry pipeline applies before
+    counting anything. One window shuffle keyed by user (uniform), the
+    burst filter is map-side behind it; ties broken by event_id so the
+    survivor set is engine-reproducible."""
+    from etlutil_spark.operators.sessions import debounce
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    kept = debounce(
+        e, ["user_id"], "ts", gap_seconds=21600, order_cols=["event_id"]
+    )
+    totals = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    kept_counts = kept.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_kept")
+    )
+    return totals.join(kept_counts, "event_type")
+
+
+@register(
     "op_redact_pii",
     r"""
     WITH raw AS (
@@ -5186,6 +5227,7 @@ _DRIVER_FRONT = [
     "docs_contamination_bloom",
     "docs_contamination_coverage",
     "docs_gopher_filter",
+    "events_debounce",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5203,7 +5245,6 @@ _DRIVER_FRONT = [
     "sim_ivf_topk",
     "knn_join_topk",
     "docs_contamination",
-    "docs_token_stats",
 ]
 
 

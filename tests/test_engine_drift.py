@@ -203,6 +203,7 @@ class TestOracleGuards:
             "docs_contamination_bloom",
             "docs_contamination_coverage",
             "docs_gopher_filter",
+            "events_debounce",
         }
         assert must_have <= set(front50)
 

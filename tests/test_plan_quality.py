@@ -111,6 +111,7 @@ HEADLINE_BUDGETS = {
     # eval bcast match + position distinct + doc agg + totals join
     "docs_contamination_coverage": (4, 2),
     "docs_gopher_filter": (0, 0),  # tokenize-once map-side rules, no shuffle
+    "events_debounce": (3, 1),  # user window + two type aggs, tiny bcast join
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

@@ -50,6 +50,39 @@ class TestSessions:
         rows = with_session_id(df, "user_id", "ts", gap_minutes=30).collect()
         assert {r.session_seq for r in rows} == {1}  # gap == limit is same session
 
+    def test_debounce_bursts_chain(self, spark):
+        """Debounce is CHAINED: each row within gap of its predecessor
+        extends the burst, even past gap-from-the-burst-head — so
+        t0, t0+4m, t0+8m at a 5m gap is ONE burst, one survivor."""
+        from etlutil_spark.operators.sessions import debounce
+
+        df = spark.createDataFrame(
+            [
+                (1, 1, ts("2024-01-01 10:00:00")),
+                (2, 1, ts("2024-01-01 10:04:00")),
+                (3, 1, ts("2024-01-01 10:08:00")),  # chains via row 2
+                (4, 1, ts("2024-01-01 10:20:00")),  # new burst
+                (5, 2, ts("2024-01-01 10:00:00")),  # other key unaffected
+            ],
+            "event_id int, user_id int, ts timestamp",
+        )
+        kept = debounce(
+            df, ["user_id"], "ts", gap_seconds=300, order_cols=["event_id"]
+        )
+        assert sorted(r.event_id for r in kept.collect()) == [1, 4, 5]
+
+    def test_debounce_tie_order_is_deterministic(self, spark):
+        from etlutil_spark.operators.sessions import debounce
+
+        df = spark.createDataFrame(
+            [(i, 1, ts("2024-01-01 10:00:00")) for i in (3, 1, 2)],
+            "event_id int, user_id int, ts timestamp",
+        )
+        kept = debounce(
+            df, ["user_id"], "ts", gap_seconds=60, order_cols=["event_id"]
+        )
+        assert [r.event_id for r in kept.collect()] == [1]  # lowest id wins
+
 
 class TestIntervalJoin:
     def _frames(self, spark):
