@@ -297,6 +297,7 @@ def gopher_quality_filter(
     max_mean_word_len: float = 10.0,
     min_stopword_ratio: float = 0.03,
     max_dup_token_ratio: float = 0.6,
+    stopword_lang: str = "en",
 ) -> DataFrame:
     """Rule-based document filter (Gopher/MassiveText-style), the
     complement of :func:`quality_model_score`: instead of one learned
@@ -310,7 +311,10 @@ def gopher_quality_filter(
     ``low_stopwords`` (natural language has function words),
     ``repetitive`` (repeated-token ratio). NULL/token-free text is
     ``empty``. Adds ``n_tokens``, ``reasons`` (comma-joined, '' = clean)
-    and ``keep``.
+    and ``keep``. The stopword rule is lexicon-based and per-language
+    (``stopword_lang``, default English — the Gopher setting); for a
+    multilingual corpus, partition by detected language and run with
+    each language's lexicon, or lower the floor.
 
     Pure map-side column expressions over a single tokenize — zero
     shuffles at any corpus size, and every ratio is an exact-integer
@@ -318,7 +322,7 @@ def gopher_quality_filter(
     d = df.withColumn("_tk", X.tokens(text_col))
     n = F.size("_tk")
     mwl = X.mean_word_len(text_col, pre_tokens="_tk")
-    swr = X.stopword_ratio(text_col, pre_tokens="_tk")
+    swr = X.stopword_ratio(text_col, stopword_lang, pre_tokens="_tk")
     dup = X.dup_token_ratio(text_col, pre_tokens="_tk")
     rules = F.array(
         F.when(n < min_tokens, F.lit("too_short")),
@@ -385,7 +389,7 @@ def quality_model_score(
     n = F.size(F.col("_tk"))
     len_norm = F.round(F.least(n / F.lit(50.0), F.lit(1.0)), 6)
     alpha = F.round(F.coalesce(X.alpha_ratio(text_col), F.lit(0.0)), 6)
-    swr = X.stopword_ratio(text_col, pre_tokens="_tk")
+    swr = X.stopword_ratio(text_col, stopword_lang, pre_tokens="_tk")
     stop_sat = F.round(
         F.least(F.coalesce(swr, F.lit(0.0)) * F.lit(5.0), F.lit(1.0)), 6
     )
