@@ -389,7 +389,7 @@ def quality_model_score(
     n = F.size(F.col("_tk"))
     len_norm = F.round(F.least(n / F.lit(50.0), F.lit(1.0)), 6)
     alpha = F.round(F.coalesce(X.alpha_ratio(text_col), F.lit(0.0)), 6)
-    swr = X.stopword_ratio(text_col, stopword_lang, pre_tokens="_tk")
+    swr = X.stopword_ratio(text_col, pre_tokens="_tk")
     stop_sat = F.round(
         F.least(F.coalesce(swr, F.lit(0.0)) * F.lit(5.0), F.lit(1.0)), 6
     )
