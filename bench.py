@@ -114,6 +114,7 @@ EXTENDED = [
     "docs_contamination_coverage",
     "docs_gopher_filter",
     "events_debounce",
+    "docs_strip_boilerplate",
 ]
 
 

@@ -287,6 +287,78 @@ def token_drift(
 # default weights for quality_model_score: hand-set to mimic a trained
 # fastText-style quality classifier's behavior on web text — rewarding
 # length/alphabetic/natural-stopword-density, punishing token repetition
+def strip_boilerplate_prefixes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    probe_tokens: int = 8,
+    min_count: int = 2,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Template/boilerplate prefix removal (the header-stripping stage of
+    web-corpus curation): find token prefixes repeated verbatim across
+    documents of the same ``group_col`` (site, source, crawl) and strip
+    them, keeping the distinctive remainder. A prefix is boilerplate
+    when at least ``min_count`` docs of the group share it and its group
+    share is >= ``min_share``.
+
+    Adds ``_prefix_stripped`` (bool) and rewrites ``text_col`` for
+    flagged docs (token-rejoined — whitespace normalizes on the stripped
+    path). Docs shorter than ``probe_tokens`` are exempt.
+
+    Scale shape: the prefix census is ONE (group, prefix) aggregate with
+    map-side combine; the boilerplate set that survives the thresholds
+    is tiny (it is the point of the thresholds) and broadcasts back, so
+    the corpus itself is never shuffled."""
+    d = df.withColumn("_tk", X.tokens(text_col)).withColumn(
+        "_pfx",
+        F.when(
+            F.size("_tk") >= probe_tokens,
+            F.concat_ws(" ", F.slice("_tk", 1, probe_tokens)),
+        ),
+    )
+    census = (
+        d.where(F.col("_pfx").isNotNull())
+        .groupBy(group_col, "_pfx")
+        .agg(F.count("*").alias("_n"))
+    )
+    totals = census.groupBy(group_col).agg(
+        F.sum("_n").cast("double").alias("_nt")
+    )
+    boiler = (
+        census.join(totals, group_col)
+        .where(
+            (F.col("_n") >= min_count)
+            & (F.col("_n") / F.col("_nt") >= min_share)
+        )
+        .select(
+            F.col(group_col).alias("_boiler_grp"),
+            F.col("_pfx").alias("_boiler_pfx"),
+        )
+    )
+    out = d.join(
+        F.broadcast(boiler),
+        (F.col(group_col) == F.col("_boiler_grp"))
+        & (F.col("_pfx") == F.col("_boiler_pfx")),
+        "left",
+    ).drop("_boiler_grp")
+    stripped_text = F.concat_ws(
+        " ", F.slice("_tk", probe_tokens + 1, F.size("_tk"))
+    )
+    return (
+        out.withColumn("_prefix_stripped", F.col("_boiler_pfx").isNotNull())
+        .withColumn(
+            text_col,
+            F.when(F.col("_prefix_stripped"), stripped_text).otherwise(
+                F.col(text_col)
+            ),
+        )
+        .drop("_tk", "_pfx", "_boiler_pfx")
+    )
+
+
 def gopher_quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -1208,6 +1208,47 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_strip_boilerplate",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents),
+    p AS (SELECT doc_id, source,
+                 CASE WHEN len(tk) >= 8
+                      THEN array_to_string(tk[1:8], ' ') END AS pfx
+          FROM t),
+    b AS (SELECT source, pfx FROM p WHERE pfx IS NOT NULL
+          GROUP BY source, pfx HAVING COUNT(*) >= 2)
+    SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN b.pfx IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stripped
+    FROM p LEFT JOIN b ON p.source = b.source AND p.pfx = b.pfx
+    GROUP BY p.source
+    """,
+)
+def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate prefix removal
+    (operators/text_analysis.py:strip_boilerplate_prefixes) — the
+    header/template-stripping stage of web-corpus curation: 8-token
+    prefixes repeated verbatim across docs of the same source are
+    stripped, reported per source as total vs stripped doc counts. The
+    prefix census is one map-side-combining aggregate; the surviving
+    boilerplate set broadcasts back, so the corpus is never shuffled."""
+    from etlutil_spark.operators.text_analysis import (
+        strip_boilerplate_prefixes,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    res = strip_boilerplate_prefixes(
+        d, "doc_id", "text", "source", probe_tokens=8, min_count=2
+    )
+    return res.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("_prefix_stripped").cast("int"))
+        .cast("bigint")
+        .alias("n_stripped"),
+    )
+
+
+@register(
     "events_debounce",
     """
     WITH d AS (
@@ -5228,6 +5269,7 @@ _DRIVER_FRONT = [
     "docs_contamination_coverage",
     "docs_gopher_filter",
     "events_debounce",
+    "docs_strip_boilerplate",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5244,7 +5286,6 @@ _DRIVER_FRONT = [
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "knn_join_topk",
-    "docs_contamination",
 ]
 
 

@@ -204,6 +204,7 @@ class TestOracleGuards:
             "docs_contamination_coverage",
             "docs_gopher_filter",
             "events_debounce",
+            "docs_strip_boilerplate",
         }
         assert must_have <= set(front50)
 

@@ -67,3 +67,49 @@ class TestRules:
     def test_thresholds_are_parameters(self, spark):
         got = _run(spark, [(1, "five words in this doc")], min_tokens=3)
         assert got[1][2]  # passes with a relaxed floor
+
+
+class TestStripBoilerplate:
+    def _frames(self, spark):
+        head = "welcome to example dot com all rights reserved"  # 8 tokens
+        return spark.createDataFrame(
+            [
+                (1, "a", f"{head} unique article one"),
+                (2, "a", f"{head} another piece entirely"),
+                (3, "a", "organic document with no shared header at all"),
+                (4, "b", f"{head} same prefix but different source"),
+                (5, "a", "tiny"),  # shorter than the probe: exempt
+            ],
+            "doc_id bigint, source string, text string",
+        )
+
+    def test_strips_repeated_prefix_within_group_only(self, spark):
+        from etlutil_spark.operators.text_analysis import (
+            strip_boilerplate_prefixes,
+        )
+
+        out = {
+            r["doc_id"]: (r["text"], r["_prefix_stripped"])
+            for r in strip_boilerplate_prefixes(
+                self._frames(spark), "doc_id", "text", "source"
+            ).collect()
+        }
+        assert out[1] == ("unique article one", True)
+        assert out[2] == ("another piece entirely", True)
+        # doc 3's prefix is unique; doc 4 shares the prefix but is the
+        # only doc of source b; doc 5 is shorter than the probe window
+        assert out[3][1] is False and "organic" in out[3][0]
+        assert out[4][1] is False and out[4][0].startswith("welcome to")
+        assert out[5] == ("tiny", False)
+
+    def test_min_share_threshold(self, spark):
+        from etlutil_spark.operators.text_analysis import (
+            strip_boilerplate_prefixes,
+        )
+
+        # the repeated prefix covers 2 of source-a's 3 probe-eligible
+        # docs: share 2/3 < 0.7 -> nothing stripped
+        out = strip_boilerplate_prefixes(
+            self._frames(spark), "doc_id", "text", "source", min_share=0.7
+        )
+        assert out.where("_prefix_stripped").count() == 0

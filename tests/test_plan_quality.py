@@ -112,6 +112,8 @@ HEADLINE_BUDGETS = {
     "docs_contamination_coverage": (4, 2),
     "docs_gopher_filter": (0, 0),  # tokenize-once map-side rules, no shuffle
     "events_debounce": (3, 1),  # user window + two type aggs, tiny bcast join
+    # prefix census agg + tiny boiler broadcast + source summary agg
+    "docs_strip_boilerplate": (4, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
