@@ -115,6 +115,7 @@ EXTENDED = [
     "docs_gopher_filter",
     "events_debounce",
     "docs_strip_boilerplate",
+    "multimodal_header_parse",
 ]
 
 

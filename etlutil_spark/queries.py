@@ -1208,6 +1208,52 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_header_parse",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+           CAST(n_chars % 640 + 16 AS INT) AS width,
+           CAST(doc_id % 480 + 16 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (not stubbed) image-container header parsing
+    (operators/multimodal.py:parse_media_headers): payloads are built
+    engine-side as valid PNG/GIF/BMP/JPEG headers (format cycling by
+    doc id, dimensions derived from doc columns), then the pure-Python
+    Arrow-batched parser reads the dims back — fixed-offset fields for
+    PNG/GIF/BMP, the marker walk for JPEG. The oracle computes the
+    expected dims directly from the table, so a green row proves the
+    binary construct->parse roundtrip is lossless. No codec library is
+    involved: header parsing touches only the first bytes of each blob,
+    which is exactly the decode-free metadata pass a 100 TB ingest runs
+    before routing blobs to decoders."""
+    from etlutil_spark.operators.multimodal import (
+        make_bmp,
+        make_gif,
+        make_jpeg,
+        make_png,
+        parse_media_headers,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    w = F.col("n_chars") % 640 + 16
+    h = F.col("doc_id") % 480 + 16
+    kind = (F.col("doc_id") % 4).cast("int")
+    payload = (
+        F.when(kind == 0, make_png(w, h))
+        .when(kind == 1, make_gif(w, h))
+        .when(kind == 2, make_bmp(w, h))
+        .otherwise(make_jpeg(w, h))
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return parse_media_headers(media)
+
+
+@register(
     "docs_strip_boilerplate",
     f"""
     WITH t AS (SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents),
@@ -5270,6 +5316,7 @@ _DRIVER_FRONT = [
     "docs_gopher_filter",
     "events_debounce",
     "docs_strip_boilerplate",
+    "multimodal_header_parse",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5285,7 +5332,6 @@ _DRIVER_FRONT = [
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
-    "knn_join_topk",
 ]
 
 

@@ -205,6 +205,7 @@ class TestOracleGuards:
             "docs_gopher_filter",
             "events_debounce",
             "docs_strip_boilerplate",
+            "multimodal_header_parse",
         }
         assert must_have <= set(front50)
 

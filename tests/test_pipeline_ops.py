@@ -229,6 +229,69 @@ class TestMultimodal:
         assert [r.frame_idx for r in rows] == list(range(len(rows)))
         assert all(r.byte_offset == r.frame_idx * 16 for r in rows)
 
+    def test_header_parser_is_real_not_stubbed(self, spark):
+        """parse_header_bytes reads actual container headers — pinned on
+        handcrafted bytes of each format, including a JPEG whose SOF0
+        sits behind an extra COM segment (the marker walk is the point)
+        and a top-down BMP (negative height)."""
+        from etlutil_spark.operators.multimodal import parse_header_bytes
+
+        png = (
+            bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+            + (800).to_bytes(4, "big")
+            + (600).to_bytes(4, "big")
+            + bytes.fromhex("0806000000")
+        )
+        gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+        bmp = (
+            b"BM"
+            + b"\x00" * 12
+            + (40).to_bytes(4, "little")
+            + (1024).to_bytes(4, "little")
+            + (-768).to_bytes(4, "little", signed=True)  # top-down rows
+        )
+        jpeg = (
+            bytes.fromhex("FFD8")
+            + bytes.fromhex("FFFE0004") + b"ab"  # COM segment first
+            + bytes.fromhex("FFC0001108")
+            + (222).to_bytes(2, "big")  # height
+            + (333).to_bytes(2, "big")  # width
+            + bytes.fromhex("03012200021101031101")
+        )
+        assert parse_header_bytes(png) == ("png", 800, 600)
+        assert parse_header_bytes(gif) == ("gif", 320, 200)
+        assert parse_header_bytes(bmp) == ("bmp", 1024, 768)
+        assert parse_header_bytes(jpeg) == ("jpeg", 333, 222)
+        # corrupt/truncated inputs degrade, never raise
+        assert parse_header_bytes(None) == ("unknown", None, None)
+        assert parse_header_bytes(b"xx") == ("unknown", None, None)
+        assert parse_header_bytes(b"\xff\xd8\x00\x00") == ("jpeg", None, None)
+        assert parse_header_bytes(png[:12]) == ("unknown", None, None)
+
+    def test_png_dimensions_column_expression(self, spark):
+        """The JVM fast path: PNG dims via substring+conv, no Python."""
+        from etlutil_spark.operators.multimodal import make_png, png_dimensions
+
+        df = spark.createDataFrame(
+            [(1, 640, 480), (2, 65535, 1)], "media_id bigint, w int, h int"
+        ).select("media_id", make_png(F.col("w"), F.col("h")).alias("payload"))
+        wcol, hcol = png_dimensions("payload")
+        got = {
+            r["media_id"]: (r["pw"], r["ph"])
+            for r in df.select(
+                "media_id", wcol.alias("pw"), hcol.alias("ph")
+            ).collect()
+        }
+        assert got == {1: (640, 480), 2: (65535, 1)}
+        # non-PNG payloads yield NULLs, not garbage
+        other = spark.createDataFrame(
+            [(3, bytearray(b"BMnotapng000000000000000000"))],
+            "media_id bigint, payload binary",
+        )
+        w2, h2 = png_dimensions("payload")
+        r = other.select(w2.alias("pw"), h2.alias("ph")).collect()[0]
+        assert (r["pw"], r["ph"]) == (None, None)
+
     def test_resize_stub_shapes_and_determinism(self, docs):
         from etlutil_spark.operators.multimodal import resize_media
 

@@ -114,6 +114,7 @@ HEADLINE_BUDGETS = {
     "events_debounce": (3, 1),  # user window + two type aggs, tiny bcast join
     # prefix census agg + tiny boiler broadcast + source summary agg
     "docs_strip_boilerplate": (4, 1),
+    "multimodal_header_parse": (0, 0),  # map-side build + Arrow parse
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -139,7 +140,11 @@ SCALAR_OK = {
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
 # escape hatch for these; row-at-a-time BatchEvalPython is never OK.
-ARROW_OK = {"multimodal_features", "multimodal_media_stats"}
+ARROW_OK = {
+    "multimodal_features",
+    "multimodal_media_stats",
+    "multimodal_header_parse",
+}
 
 SF = "/root/testdata/sf0.001"
 
