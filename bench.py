@@ -116,6 +116,7 @@ EXTENDED = [
     "events_debounce",
     "docs_strip_boilerplate",
     "multimodal_header_parse",
+    "audit_fk_orphans",
 ]
 
 

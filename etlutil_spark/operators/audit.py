@@ -1,0 +1,80 @@
+"""Data-quality audits: the checks a pipeline runs BEFORE trusting a
+batch — referential integrity (orphaned foreign keys), NULL keys,
+primary-key uniqueness. All expressed as aggregates over joins so they
+run at any scale; results are tiny per-relation summary rows that feed
+an alerting sink, never row-level dumps.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fk_orphan_counts(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Per-relation referential-integrity summary.
+
+    ``relations``: (name, child_df, child_key, parent_df, parent_key)
+    tuples, where ``parent_key`` is unique in the parent (a primary
+    key — duplicates would double-count children). For each relation,
+    ONE pass over the child: a left join against the parent's key
+    column (Catalyst broadcasts dimension-sized parents; AQE handles
+    the fact-fact cases), then conditional counts — total children,
+    NULL child keys (can never match; reported separately, not as
+    orphans), and orphans (non-NULL keys with no parent).
+
+    Returns (relation, n_children, n_null_keys, n_orphans) — a bounded
+    |relations|-row frame regardless of data volume."""
+    parts = []
+    for name, child, child_key, parent, parent_key in relations:
+        k = F.col("_k")
+        joined = child.select(F.col(child_key).alias("_k")).join(
+            parent.select(F.col(parent_key).alias("_p")),
+            F.col("_k") == F.col("_p"),
+            "left",
+        )
+        parts.append(
+            joined.agg(
+                F.lit(name).alias("relation"),
+                F.count("*").cast("bigint").alias("n_children"),
+                F.sum(k.isNull().cast("int")).cast("bigint").alias(
+                    "n_null_keys"
+                ),
+                F.sum(
+                    (k.isNotNull() & F.col("_p").isNull()).cast("int")
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def key_uniqueness(
+    tables: list[tuple[str, DataFrame, str]],
+) -> DataFrame:
+    """Per-table primary-key audit: (table, n_rows, n_distinct_keys,
+    n_duplicate_rows, n_null_keys). One aggregate per table; NULL keys
+    are excluded from the distinct count (SQL COUNT(DISTINCT) semantics
+    in both engines)."""
+    parts = []
+    for name, df, key in tables:
+        c: Column = F.col(key)
+        parts.append(
+            df.agg(
+                F.lit(name).alias("table_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct_keys"),
+                (F.count(c) - F.countDistinct(c))
+                .cast("bigint")
+                .alias("n_duplicate_rows"),
+                F.sum(c.isNull().cast("int")).cast("bigint").alias(
+                    "n_null_keys"
+                ),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)

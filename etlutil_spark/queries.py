@@ -1208,6 +1208,99 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_fk_orphans",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_children,
+           CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_keys,
+           CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL
+                          AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN l.l_partkey IS NOT NULL
+                          AND p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN l.l_suppkey IS NOT NULL
+                          AND s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL
+                          AND c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_nationkey IS NOT NULL
+                          AND n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators/audit.py:fk_orphan_counts)
+    over the star schema's five foreign keys — the pre-trust check a
+    pipeline runs on every arriving batch. Each relation is one pass
+    over the child with the parent's key column joined in (dims
+    broadcast; AQE covers fact-fact) and three conditional counts;
+    the result is five summary rows at any data volume. The clean
+    synthetic corpus audits to zero orphans — the detection semantics
+    are pinned on handmade orphans in tests/test_audit.py."""
+    from etlutil_spark.operators.audit import fk_orphan_counts
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return fk_orphan_counts(
+        [
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            (
+                "lineitem->part",
+                li,
+                "l_partkey",
+                load_table(spark, "part", sf_dir),
+                "p_partkey",
+            ),
+            (
+                "lineitem->supplier",
+                li,
+                "l_suppkey",
+                load_table(spark, "supplier", sf_dir),
+                "s_suppkey",
+            ),
+            (
+                "orders->customer",
+                o,
+                "o_custkey",
+                load_table(spark, "customer", sf_dir),
+                "c_custkey",
+            ),
+            (
+                "customer->nation",
+                load_table(spark, "customer", sf_dir),
+                "c_nationkey",
+                load_table(spark, "nation", sf_dir),
+                "n_nationkey",
+            ),
+        ]
+    )
+
+
+@register(
     "multimodal_header_parse",
     """
     SELECT doc_id AS media_id,
@@ -5317,6 +5410,7 @@ _DRIVER_FRONT = [
     "events_debounce",
     "docs_strip_boilerplate",
     "multimodal_header_parse",
+    "audit_fk_orphans",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5331,7 +5425,6 @@ _DRIVER_FRONT = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
-    "sim_ivf_topk",
 ]
 
 

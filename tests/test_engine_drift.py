@@ -206,6 +206,7 @@ class TestOracleGuards:
             "events_debounce",
             "docs_strip_boilerplate",
             "multimodal_header_parse",
+            "audit_fk_orphans",
         }
         assert must_have <= set(front50)
 

@@ -115,6 +115,8 @@ HEADLINE_BUDGETS = {
     # prefix census agg + tiny boiler broadcast + source summary agg
     "docs_strip_boilerplate": (4, 1),
     "multimodal_header_parse": (0, 0),  # map-side build + Arrow parse
+    # five 1-row audit aggregates over broadcast-parent left joins
+    "audit_fk_orphans": (5, 4),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -136,6 +138,7 @@ SCALAR_OK = {
     "docs_lm_score",  # 1-row vocabulary scalar
     "q11_important_stock",  # 1-row value-threshold scalar
     "docs_contamination_bloom",  # 1-row bitset-array scalar
+    "audit_fk_orphans",  # five 1-row per-relation audit summaries
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
