@@ -117,6 +117,7 @@ EXTENDED = [
     "docs_strip_boilerplate",
     "multimodal_header_parse",
     "audit_fk_orphans",
+    "docs_source_report",
 ]
 
 

@@ -1208,6 +1208,68 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_source_report",
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_DUCK_TOKENS} AS tk
+               FROM documents),
+    p AS (SELECT source, text, len(tk) AS n_tokens,
+             round((least(len(tk) / 50.0, 1.0)
+                    + coalesce(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text), 0.0)
+                    + least(len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) * 5.0 / len(tk), 1.0)
+                   ) / 3.0, 6) AS quality,
+             {_duck_lang_case('tk')} AS lang_pred
+          FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+           round(1.0 - COUNT(DISTINCT text) * 1.0 / COUNT(*), 6)
+             AS dup_text_ratio,
+           CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             AS avg_quality
+    FROM p GROUP BY source
+    """,
+)
+def docs_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-stop corpus report a data
+    release ships (docs, token/char volume, language spread, exact-dup
+    rate, mean heuristic quality), composing the text-analysis functions
+    in a SINGLE tokenize-once projection plus ONE source-keyed
+    aggregate. At 100 TB this is one pass over the corpus; every
+    statistic is an exact integer/DECIMAL aggregate, so the card is
+    bit-reproducible across engines and partition orders."""
+    from etlutil_spark.functions import text as X
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    p = d.withColumn("_tk", X.tokens("text")).select(
+        "source",
+        "text",
+        X.token_count("text", pre_tokens="_tk").alias("_n_tokens"),
+        X.quality_score("text", pre_tokens="_tk").alias("_quality"),
+        X.lang_id("text", pre_tokens="_tk").alias("_lang_pred"),
+    )
+    return p.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("_n_tokens").cast("bigint")).cast("bigint").alias(
+            "total_tokens"
+        ),
+        F.sum(F.length("text").cast("bigint")).cast("bigint").alias(
+            "total_chars"
+        ),
+        F.countDistinct("_lang_pred").cast("bigint").alias("n_langs"),
+        F.round(
+            1.0 - F.countDistinct("text") / F.count("*"), 6
+        ).alias("dup_text_ratio"),
+        (
+            F.sum(F.col("_quality").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_quality"),
+    )
+
+
+@register(
     "audit_fk_orphans",
     """
     SELECT 'lineitem->orders' AS relation,
@@ -5411,6 +5473,7 @@ _DRIVER_FRONT = [
     "docs_strip_boilerplate",
     "multimodal_header_parse",
     "audit_fk_orphans",
+    "docs_source_report",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "events_top_types_daily",
@@ -5424,7 +5487,6 @@ _DRIVER_FRONT = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
 ]
 
 

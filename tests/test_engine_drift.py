@@ -207,6 +207,7 @@ class TestOracleGuards:
             "docs_strip_boilerplate",
             "multimodal_header_parse",
             "audit_fk_orphans",
+            "docs_source_report",
         }
         assert must_have <= set(front50)
 

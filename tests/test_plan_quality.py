@@ -117,6 +117,7 @@ HEADLINE_BUDGETS = {
     "multimodal_header_parse": (0, 0),  # map-side build + Arrow parse
     # five 1-row audit aggregates over broadcast-parent left joins
     "audit_fk_orphans": (5, 4),
+    "docs_source_report": (3, 0),  # tokenize-once scan + source agg
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
