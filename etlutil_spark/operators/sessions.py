@@ -69,7 +69,10 @@ def debounce(
 
     Ordering inside a key is (ts, *order_cols) — pass a unique column
     (event id) so ties are deterministic across engines and reruns.
-    One window shuffle on the keys; the filter is map-side after it."""
+    Rows with a NULL ``ts_col`` sort engine-specifically (Spark NULLS
+    FIRST vs SQL NULLS LAST) — filter them out upstream if the source
+    can produce them. One window shuffle on the keys; the filter is
+    map-side after it."""
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
