@@ -79,7 +79,10 @@ _HEADER_SCHEMA = "media_id bigint, format string, width int, height int"
 
 
 def _u16be_hex(col: "F.Column") -> "F.Column":
-    return F.lpad(F.hex(col.cast("bigint")), 4, "0")
+    # pmod guards the u16 range: lpad TRUNCATES a longer hex string
+    # (keeping the high digits), which would silently corrupt the
+    # header for out-of-range dims instead of wrapping predictably
+    return F.lpad(F.hex(F.pmod(col.cast("bigint"), F.lit(65536))), 4, "0")
 
 
 def _u32be_hex(col: "F.Column") -> "F.Column":
@@ -115,6 +118,7 @@ def make_png(width, height) -> "F.Column":
 
 
 def make_gif(width, height) -> "F.Column":
+    """GIF89a header. Dims wrap modulo 65536 (the format's u16 limit)."""
     return F.unhex(
         F.concat(
             F.lit("474946383961"),  # 'GIF89a'
