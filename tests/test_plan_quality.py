@@ -175,6 +175,15 @@ class TestHeadlinePlanBudgets:
         read = P.scan_columns(df)
         assert "l_comment" not in read and "l_shipinstruct" not in read
 
+    def test_q12_shipdate_range_is_pushed(self, spark):
+        """The 1997 ship-date range must reach the lineitem parquet scan
+        — at 100 TB this is the difference between scanning one year and
+        scanning the table; the late-shipment predicate (vs o_orderdate)
+        correctly stays post-join."""
+        df = QUERIES["q12_shipmode_priority"](spark, SF)
+        df.collect()
+        assert any("l_shipdate" in f for f in P.pushed_filters(df))
+
 
 class TestCatalogPythonEval:
     def test_no_row_at_a_time_python_in_catalog(self, spark, sf_dir):
