@@ -115,6 +115,31 @@ def test_property_each_paragraph_survives_exactly_once(spark_session_global, cor
     assert sorted(all_kept) == sorted(set(p for paras in corpus for p in paras))
 
 
+class TestBoilerplateSkew:
+    def test_hot_paragraph_key_survives_at_volume(self, spark):
+        """The scale claim behind the min-struct survivor: one paragraph
+        duplicated across 20k docs (the boilerplate hot key that melts a
+        row_number window's single reducer) — map-side partial combine
+        keeps it one row per task, the answer stays exact."""
+        from etlutil_spark.operators.dedup import paragraph_dedup
+
+        hot = "all rights reserved contact us for details"
+        rows = [(i, f"{hot}\n\nunique body {i}") for i in range(20_000)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = paragraph_dedup(df, "doc_id", "text")
+        agg = out.selectExpr(
+            "sum(n_kept) as kept", "sum(n_paras) as total", "count(*) as docs"
+        ).collect()[0]
+        assert agg["docs"] == 20_000
+        assert agg["total"] == 40_000
+        # every unique body survives + exactly ONE copy of the hot para
+        assert agg["kept"] == 20_001
+        first = out.where("doc_id = 0").collect()[0]
+        assert first["text"] == f"{hot}\n\nunique body 0"
+        later = out.where("doc_id = 19999").collect()[0]
+        assert later["text"] == "unique body 19999"
+
+
 @pytest.fixture(scope="module")
 def spark_session_global(spark):
     return spark
