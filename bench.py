@@ -118,6 +118,8 @@ EXTENDED = [
     "multimodal_header_parse",
     "audit_fk_orphans",
     "docs_source_report",
+    # late-r6 additions
+    "embeddings_kmeans",
 ]
 
 

@@ -5417,6 +5417,64 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(d, "doc_id", "text", segment_tokens=8)
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as pure SQL (see operators/clustering.py
+    for the determinism contract: quantize floor(double*1e6), integer
+    squared-L2, ties to the smaller cluster, floor-div centroid update,
+    empty cluster keeps its previous centroid)."""
+    rng = f"range(1, {dim + 1})"
+    dist = "CAST(list_sum([ (q.v[i] - {c}.c[i]) * (q.v[i] - {c}.c[i]) for i in {rng} ]) AS BIGINT)"
+
+    def assign(name: str, cents: str, keep_v: bool) -> str:
+        d = dist.format(c=cents, rng=rng)
+        cols = "vec_id, v, cluster, dist" if keep_v else "vec_id, cluster, dist"
+        return f"""
+    {name} AS (SELECT {cols} FROM (
+        SELECT q.vec_id, q.v, {cents}.cluster, {d} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d}, {cents}.cluster) AS rn
+        FROM q CROSS JOIN {cents}) WHERE rn = 1)"""
+
+    parts = [
+        f"""WITH q AS (
+      SELECT vec_id,
+             [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS v
+      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+           FROM q ORDER BY vec_id LIMIT {k}),
+    dims AS (SELECT UNNEST({rng}) AS d)"""
+    ]
+    prev = "c0"
+    for it in range(1, iters):
+        parts.append(assign(f"a{it}", prev, keep_v=True))
+        parts.append(f"""
+    s{it} AS (SELECT cluster, d,
+                     CAST(FLOOR(CAST(SUM(v[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+              FROM a{it} CROSS JOIN dims GROUP BY cluster, d),
+    c{it} AS (SELECT p.cluster, COALESCE(n.c, p.c) AS c
+              FROM {prev} p LEFT JOIN (SELECT cluster, list(cd ORDER BY d) AS c
+                                       FROM s{it} GROUP BY cluster) n USING (cluster))""")
+        prev = f"c{it}"
+    parts.append(assign("afinal", prev, keep_v=False))
+    return ",".join(parts) + "\n    SELECT vec_id, cluster, dist FROM afinal"
+
+
+@register("embeddings_kmeans", _kmeans_oracle_sql(k=8, iters=3, dim=64))
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus
+    (operators/clustering.py:kmeans_assign) — the curation clustering
+    stage (SemDeDup-style corpus bucketing, IVF coarse-quantizer
+    training). All post-quantization arithmetic is exact 64-bit integer
+    math, so the unrolled-SQL oracle matches bit for bit: same seeds,
+    same argmin tie-breaks, same floor-div centroid updates. The
+    returned plan is scan -> project (centroids ride along as literals);
+    each of the two update rounds behind it is one k-row aggregate."""
+    from etlutil_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return kmeans_assign(e, "vec_id", "embedding", k=8, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -5474,9 +5532,11 @@ _DRIVER_FRONT = [
     "multimodal_header_parse",
     "audit_fk_orphans",
     "docs_source_report",
+    # (2b) late-r6 queries added after the window was first staged — also
+    # never driver-checked; each displaces one rotating green slot below.
+    "embeddings_kmeans",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
-    "events_top_types_daily",
     "sessionize_users",
     "docs_pack_token_budget",
     "corpus_pipeline_e2e",

@@ -1,0 +1,85 @@
+"""k-means operator invariants (the oracle parity test covers exact
+cross-engine agreement; these pin the operator's own contract)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.clustering import kmeans_assign
+
+
+def _load(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestKmeansAssign:
+    def test_partition_layout_invariance(self, spark, sf_dir):
+        """Assignments must not depend on how the input is partitioned —
+        the cross-engine determinism contract implies cross-layout
+        determinism too."""
+        e = _load(spark, sf_dir)
+        a = {r["vec_id"]: (r["cluster"], r["dist"]) for r in kmeans_assign(e, "vec_id", "embedding", k=4, iters=2).collect()}
+        b = {
+            r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans_assign(e.repartition(7), "vec_id", "embedding", k=4, iters=2).collect()
+        }
+        assert a == b
+
+    def test_assignment_is_nearest_centroid(self, spark, sf_dir):
+        """Brute-force check in Python: each point's reported (cluster,
+        dist) is the argmin over the final centroids, ties to the
+        smaller cluster id. Recovers the centroids by re-running the
+        quantization + update steps independently."""
+        e = _load(spark, sf_dir).limit(64)
+        k, iters, scale = 3, 2, 1_000_000
+        rows = e.where(F.col("embedding").isNotNull()).select("vec_id", "embedding").collect()
+        qvecs = {r["vec_id"]: [math.floor(float(x) * scale) for x in r["embedding"]] for r in rows}
+        cents = [qvecs[v] for v in sorted(qvecs)[:k]]
+
+        def nearest(v, cs):
+            return min(
+                (sum((a - b) * (a - b) for a, b in zip(v, c)), j) for j, c in enumerate(cs)
+            )
+
+        for _ in range(iters - 1):
+            groups: dict[int, list[list[int]]] = {}
+            for v in qvecs.values():
+                _, j = nearest(v, cents)
+                groups.setdefault(j, []).append(v)
+            cents = [
+                [math.floor(float(sum(col)) / len(g)) for col in zip(*g)] if (g := groups.get(j)) else cents[j]
+                for j in range(k)
+            ]
+
+        got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in kmeans_assign(e, "vec_id", "embedding", k=k, iters=iters).collect()}
+        for vid, v in qvecs.items():
+            d, j = nearest(v, cents)
+            assert got[vid] == (j, d), f"vec {vid}: expected ({j},{d}), got {got[vid]}"
+
+    def test_iterations_do_not_increase_inertia(self, spark, sf_dir):
+        e = _load(spark, sf_dir)
+        inertia = {
+            it: kmeans_assign(e, "vec_id", "embedding", k=8, iters=it)
+            .agg(F.sum("dist").alias("s"))
+            .collect()[0]["s"]
+            for it in (1, 3)
+        }
+        assert inertia[3] <= inertia[1]
+
+    def test_uses_multiple_clusters(self, spark, sf_dir):
+        e = _load(spark, sf_dir)
+        n = kmeans_assign(e, "vec_id", "embedding", k=8, iters=3).select("cluster").distinct().count()
+        assert n >= 2
+
+    def test_too_few_rows_raises(self, spark, sf_dir):
+        e = _load(spark, sf_dir).limit(3)
+        with pytest.raises(ValueError, match="at least k"):
+            kmeans_assign(e, "vec_id", "embedding", k=5, iters=1)
+
+    def test_bad_params_raise(self, spark, sf_dir):
+        e = _load(spark, sf_dir)
+        with pytest.raises(ValueError, match="k and iters"):
+            kmeans_assign(e, "vec_id", "embedding", k=0, iters=1)

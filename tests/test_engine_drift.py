@@ -208,6 +208,8 @@ class TestOracleGuards:
             "multimodal_header_parse",
             "audit_fk_orphans",
             "docs_source_report",
+            # late-r6 additions — never driver-checked by construction
+            "embeddings_kmeans",
         }
         assert must_have <= set(front50)
 

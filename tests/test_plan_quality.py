@@ -118,6 +118,8 @@ HEADLINE_BUDGETS = {
     # five 1-row audit aggregates over broadcast-parent left joins
     "audit_fk_orphans": (5, 4),
     "docs_source_report": (3, 0),  # tokenize-once scan + source agg
+    # late-r6: final assignment is scan -> project, centroids are literals
+    "embeddings_kmeans": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
