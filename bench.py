@@ -120,6 +120,7 @@ EXTENDED = [
     "docs_source_report",
     # late-r6 additions
     "embeddings_kmeans",
+    "events_value_mad_outliers",
 ]
 
 

@@ -333,3 +333,63 @@ def quantization_error_profile(
             ),
         )
     )
+
+
+def group_mad_outliers(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    *,
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier summary via median/MAD (the modified
+    z-score of Iglewicz-Hoberg): per group emit n, the exact median, the
+    median absolute deviation, and how many rows satisfy
+    ``0.6745 * |x - med| > cutoff * MAD``.
+
+    Why median/MAD next to group_zscores' moments: one whale value per
+    group drags mean AND stddev, masking itself; the breakdown point of
+    the median is 50%, so telemetry spikes stay visible. The predicate
+    is written multiplied-out (no division), so MAD = 0 groups flag
+    every off-median row instead of dividing by zero — and no engine's
+    inf/NULL-on-zero-division behavior leaks into the count.
+
+    Determinism: Spark's median is the exact percentile-0.5 (lower +
+    (upper - lower) * 0.5) and DuckDB's quantile_cont interpolates the
+    same way — empirically bit-identical on this data — and every
+    downstream comparison uses those identical doubles, so the flagged
+    SET is stable cross-engine and cross-partitioning.
+
+    Cost: two keyed aggregates over the rows plus two broadcast joins of
+    per-group summaries (|groups| rows). No window over the raw rows, no
+    sort — at 100 TB each pass is one partial+final agg; exact medians
+    do buffer per-group values on the reducer (Spark's percentile
+    aggregate), so groups are assumed cardinality-bounded (event types,
+    not user ids); use approx_percentile for unbounded keys.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        *groups, F.col(value_col).cast("double").alias("_v")
+    )
+    med = rows.groupBy(*groups).agg(F.median("_v").alias("med"))
+    dev = rows.join(F.broadcast(med), on=groups).withColumn(
+        "_adev", F.abs(F.col("_v") - F.col("med"))
+    )
+    # carry med THROUGH the MAD aggregate: the per-group summary row then
+    # holds both statistics, so one broadcast serves the final count and
+    # the med subtree is planned exactly once (a med-then-mad join would
+    # duplicate the whole median aggregate — one extra pass over the rows)
+    summary = dev.groupBy(*groups).agg(
+        F.median("_adev").alias("mad"), F.first("med").alias("med")
+    )
+    flagged = rows.join(F.broadcast(summary), on=groups)
+    return flagged.groupBy(*groups).agg(
+        F.count("*").alias("n"),
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.sum(
+            (F.lit(0.6745) * F.abs(F.col("_v") - F.col("med")) > F.lit(float(cutoff)) * F.col("mad")).cast(
+                "bigint"
+            )
+        ).alias("n_outliers"),
+    )

@@ -5475,6 +5475,42 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(e, "vec_id", "embedding", k=8, iters=3)
 
 
+@register(
+    "events_value_mad_outliers",
+    """
+    WITH rows_ AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT event_type, median(v) AS med FROM rows_ GROUP BY event_type),
+    dev AS (
+      SELECT r.event_type, r.v, m.med, abs(r.v - m.med) AS adev
+      FROM rows_ r JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           any_value(d.med) AS med,
+           any_value(s.mad) AS mad,
+           CAST(SUM(CASE WHEN 0.6745 * d.adev > 3.5 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad s USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly summary (operators/profile.py:group_mad_outliers):
+    median/MAD modified z-scores per event type — the whale-resistant
+    twin of events_value_outliers' moment z-scores. Exact medians are
+    bit-identical cross-engine (lower + (upper-lower)*0.5 interpolation
+    in both), and the outlier predicate is multiplied out so MAD = 0
+    never divides by zero. Two keyed aggregates + two broadcast
+    summary joins; no raw-row window anywhere."""
+    from etlutil_spark.operators.profile import group_mad_outliers
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return group_mad_outliers(ev, "event_type", "value", cutoff=3.5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -5535,9 +5571,9 @@ _DRIVER_FRONT = [
     # (2b) late-r6 queries added after the window was first staged — also
     # never driver-checked; each displaces one rotating green slot below.
     "embeddings_kmeans",
+    "events_value_mad_outliers",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
-    "sessionize_users",
     "docs_pack_token_budget",
     "corpus_pipeline_e2e",
     "q1_pricing_summary",

@@ -210,6 +210,7 @@ class TestOracleGuards:
             "docs_source_report",
             # late-r6 additions — never driver-checked by construction
             "embeddings_kmeans",
+            "events_value_mad_outliers",
         }
         assert must_have <= set(front50)
 

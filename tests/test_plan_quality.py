@@ -120,6 +120,8 @@ HEADLINE_BUDGETS = {
     "docs_source_report": (3, 0),  # tokenize-once scan + source agg
     # late-r6: final assignment is scan -> project, centroids are literals
     "embeddings_kmeans": (0, 0),
+    # median agg + MAD agg + final count agg; two broadcast summary joins
+    "events_value_mad_outliers": (3, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

@@ -1,0 +1,47 @@
+"""group_mad_outliers edge cases the oracle-parity sweep can't reach
+(the synthetic events table has no zero-MAD or whale-dominated group)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.profile import group_mad_outliers, group_zscores
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "grp string, value double")
+
+
+class TestGroupMadOutliers:
+    def test_whale_resistant(self, spark):
+        """One whale in a tight group: the MAD flag catches it. The
+        moment z-score of the same data is dragged by the whale itself
+        (its |z| stays under sqrt(n), ~3.3 here), demonstrating why the
+        robust twin exists."""
+        data = [("a", float(v)) for v in [10, 11, 10, 12, 11, 10, 11, 12, 10, 11, 1000.0]]
+        out = group_mad_outliers(_rows(spark, data), "grp", "value").collect()[0]
+        assert out["n_outliers"] == 1
+        z = group_zscores(_rows(spark, data), "grp", "value")
+        whale_z = z.where(F.col("value") == 1000.0).collect()[0]["zscore"]
+        assert abs(whale_z) < 3.5  # classic z-score misses its own whale
+
+    def test_zero_mad_counts_off_median_rows(self, spark):
+        """MAD = 0 (majority identical): no division, every off-median
+        row flags."""
+        data = [("a", 5.0)] * 6 + [("a", 7.0), ("a", 3.0)]
+        out = group_mad_outliers(_rows(spark, data), "grp", "value").collect()[0]
+        assert out["mad"] == 0.0
+        assert out["n_outliers"] == 2
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0)], "grp string, value double"
+        )
+        out = group_mad_outliers(df, "grp", "value").collect()[0]
+        assert out["n"] == 3 and out["med"] == 2.0
+
+    def test_partition_layout_invariance(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "value")
+        a = sorted(map(tuple, group_mad_outliers(ev, "event_type", "value").collect()))
+        b = sorted(map(tuple, group_mad_outliers(ev.repartition(13), "event_type", "value").collect()))
+        assert a == b
