@@ -121,6 +121,7 @@ EXTENDED = [
     # late-r6 additions
     "embeddings_kmeans",
     "events_value_mad_outliers",
+    "lineitem_corr_matrix",
 ]
 
 

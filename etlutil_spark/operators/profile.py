@@ -393,3 +393,67 @@ def group_mad_outliers(
             )
         ).alias("n_outliers"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    scale: int = 4,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns, one row per
+    unordered pair: (col_x, col_y, n, pearson_r).
+
+    Determinism: Spark's corr() aggregate merges co-moment partials in
+    partition order, drifting last bits between runs. Here every input
+    to the closed form n*Sxy - Sx*Sy over sqrt(n*Sxx - Sx^2)*... is an
+    exact DECIMAL sum (order-independent), cast to double once; the
+    remaining double arithmetic and the correctly-rounded IEEE sqrt are
+    bit-identical in any engine. Zero-variance columns yield NULL r.
+
+    Cost: ONE aggregate computes all k sums, k sum-of-squares and
+    k*(k-1)/2 cross-sums map-side (a single reduced row), then a k^2-row
+    unpivot — the cheapest possible plan at any scale.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    df = df.na.drop(subset=cols)  # complete-case: n must match every sum's row set
+    d = {c: F.col(c).cast(f"decimal(38,{scale})") for c in cols}
+    # products are computed in DOUBLE (correctly rounded, engine-portable)
+    # and THEN cast to decimal so the SUM is exact and order-independent —
+    # decimal*decimal would hit Spark's precision-loss rescale and
+    # DuckDB's width-18 multiply overflow (same trade as
+    # embedding_dim_profile's squares)
+    p = {c: F.col(c).cast("double") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"_s_{c}"))
+        aggs.append(F.sum((p[c] * p[c]).cast("decimal(38,8)")).cast("double").alias(f"_ss_{c}"))
+    for i in range(k):
+        for j in range(i + 1, k):
+            aggs.append(
+                F.sum((p[cols[i]] * p[cols[j]]).cast("decimal(38,8)"))
+                .cast("double")
+                .alias(f"_sx_{cols[i]}_{cols[j]}")
+            )
+    base = df.agg(*aggs)
+
+    n = F.col("_n").cast("double")
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            x, y = cols[i], cols[j]
+            cov = n * F.col(f"_sx_{x}_{y}") - F.col(f"_s_{x}") * F.col(f"_s_{y}")
+            vx = n * F.col(f"_ss_{x}") - F.col(f"_s_{x}") * F.col(f"_s_{x}")
+            vy = n * F.col(f"_ss_{y}") - F.col(f"_s_{y}") * F.col(f"_s_{y}")
+            r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+            pairs.append(
+                F.struct(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    F.col("_n").alias("n"),
+                    r.alias("pearson_r"),
+                )
+            )
+    return base.select(F.explode(F.array(*pairs)).alias("_p")).select("_p.*")

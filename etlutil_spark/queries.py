@@ -5511,6 +5511,57 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_mad_outliers(ev, "event_type", "value", cutoff=3.5)
 
 
+def _corr_matrix_oracle_sql(table: str, cols: list[str], scale: int = 4) -> str:
+    """Closed-form Pearson r from exact decimal sums, mirroring
+    operators/profile.py:corr_matrix op-for-op (same multiply order, so
+    the doubles agree bitwise)."""
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        aggs.append(f"CAST(SUM(CAST({c} AS DECIMAL(38,{scale}))) AS DOUBLE) AS s_{c}")
+        aggs.append(
+            f"CAST(SUM(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x, y = cols[i], cols[j]
+            aggs.append(
+                f"CAST(SUM(CAST(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) AS sx_{x}_{y}"
+            )
+            nd = "CAST(n AS DOUBLE)"
+            cov = f"({nd} * sx_{x}_{y} - s_{x} * s_{y})"
+            vx = f"({nd} * ss_{x} - s_{x} * s_{x})"
+            vy = f"({nd} * ss_{y} - s_{y} * s_{y})"
+            pairs.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, n, "
+                f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN {cov} / sqrt({vx} * {vy}) END AS pearson_r "
+                "FROM base"
+            )
+    return (
+        f"WITH base AS (SELECT {', '.join(aggs)} FROM {table} WHERE {notnull})\n    "
+        + "\n    UNION ALL ".join(pairs)
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register("lineitem_corr_matrix", _corr_matrix_oracle_sql("lineitem", _CORR_COLS))
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (operators/profile.py:corr_matrix)
+    over the lineitem measures — the feature-redundancy screen a
+    training pipeline runs before fitting anything. One aggregate
+    computes every sum / square / cross-product map-side into a single
+    reduced row; Spark's own corr() would merge co-moment partials in
+    partition order and drift last bits, so the closed form runs on
+    exact decimal sums instead (bit-identical at any partitioning)."""
+    from etlutil_spark.operators.profile import corr_matrix
+
+    li = load_table(spark, "lineitem", sf_dir).select(*_CORR_COLS)
+    return corr_matrix(li, _CORR_COLS)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -5572,9 +5623,9 @@ _DRIVER_FRONT = [
     # never driver-checked; each displaces one rotating green slot below.
     "embeddings_kmeans",
     "events_value_mad_outliers",
+    "lineitem_corr_matrix",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
-    "docs_pack_token_budget",
     "corpus_pipeline_e2e",
     "q1_pricing_summary",
     "q3_top_orders",

@@ -211,6 +211,7 @@ class TestOracleGuards:
             # late-r6 additions — never driver-checked by construction
             "embeddings_kmeans",
             "events_value_mad_outliers",
+            "lineitem_corr_matrix",
         }
         assert must_have <= set(front50)
 

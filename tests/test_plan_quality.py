@@ -122,6 +122,8 @@ HEADLINE_BUDGETS = {
     "embeddings_kmeans": (0, 0),
     # median agg + MAD agg + final count agg; two broadcast summary joins
     "events_value_mad_outliers": (3, 2),
+    # single global aggregate -> 6-row unpivot
+    "lineitem_corr_matrix": (1, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -144,6 +146,7 @@ SCALAR_OK = {
     "q11_important_stock",  # 1-row value-threshold scalar
     "docs_contamination_bloom",  # 1-row bitset-array scalar
     "audit_fk_orphans",  # five 1-row per-relation audit summaries
+    "lineitem_corr_matrix",  # 1-row moments scalar, unpivoted to 6 rows
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -45,3 +45,35 @@ class TestGroupMadOutliers:
         a = sorted(map(tuple, group_mad_outliers(ev, "event_type", "value").collect()))
         b = sorted(map(tuple, group_mad_outliers(ev.repartition(13), "event_type", "value").collect()))
         assert a == b
+
+
+class TestCorrMatrix:
+    def test_known_correlations(self, spark):
+        from etlutil_spark.operators.profile import corr_matrix
+
+        data = [(float(i), float(2 * i), float(-i), 7.0) for i in range(1, 21)]
+        df = spark.createDataFrame(data, "a double, b double, c double, d double")
+        out = {(r["col_x"], r["col_y"]): r for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+        assert abs(out[("a", "b")]["pearson_r"] - 1.0) < 1e-12  # perfectly linear
+        assert abs(out[("a", "c")]["pearson_r"] + 1.0) < 1e-12  # anti-correlated
+        assert out[("a", "d")]["pearson_r"] is None  # zero variance -> NULL
+        assert all(r["n"] == 20 for r in out.values())
+
+    def test_null_rows_dropped_complete_case(self, spark):
+        from etlutil_spark.operators.profile import corr_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, None), (3.0, 3.0), (None, 4.0), (5.0, 5.0)],
+            "a double, b double",
+        )
+        out = corr_matrix(df, ["a", "b"]).collect()[0]
+        assert out["n"] == 3 and abs(out["pearson_r"] - 1.0) < 1e-12
+
+    def test_single_column_raises(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.profile import corr_matrix
+
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with _pytest.raises(ValueError, match="at least two"):
+            corr_matrix(df, ["a"])
