@@ -122,6 +122,7 @@ EXTENDED = [
     "embeddings_kmeans",
     "events_value_mad_outliers",
     "lineitem_corr_matrix",
+    "docs_curriculum",
 ]
 
 

@@ -347,3 +347,55 @@ def negative_pairs(
         .join(ids, F.col("neg_id") == F.col("_exists"), "left_semi")
         .select(id_col, "neg_rank", "neg_id")
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    score_col: str,
+    *,
+    weight_col: str | None = None,
+    phases: int = 4,
+) -> DataFrame:
+    """Quantile-cut curriculum plan: bucket rows into ``phases`` ordered
+    training phases by a quality score (phase 0 = top quantile, served
+    first) and emit one summary row per phase: (phase, n_docs, n_weight,
+    min_score, max_score).
+
+    Why not ntile: a global NTILE is a single-partition window — the
+    exact funnel the plan guards ban. Instead the cut points come from
+    ONE exact percentile aggregate (a 1-row scalar, broadcast back), and
+    phase assignment is a map-side CASE — the same closed-form-scalar
+    pattern as mixture_rates, so the only data shuffle is the final
+    per-phase aggregate. Quantile interpolation (lower + (upper-lower) *
+    frac) is bit-identical in Spark and DuckDB on identical doubles, so
+    boundary docs land in the same phase in both engines.
+
+    Rows with a NULL score are excluded (they cannot be ordered; filter
+    or score them upstream).
+    """
+    if phases < 2:
+        raise ValueError(f"phases must be >= 2, got {phases}")
+    fracs = [i / phases for i in range(1, phases)]
+    scored = df.where(F.col(score_col).isNotNull())
+    cuts = scored.agg(
+        F.expr(
+            f"percentile({score_col}, array({', '.join(f'{f}D' for f in fracs)}))"
+        ).alias("_qs")
+    )
+    j = scored.join(F.broadcast(cuts))
+    # phase 0 = scores >= the top cut, descending from there
+    expr = F.when(F.col(score_col) >= F.element_at("_qs", phases - 1), F.lit(0))
+    for p in range(1, phases - 1):
+        expr = expr.when(F.col(score_col) >= F.element_at("_qs", phases - 1 - p), F.lit(p))
+    phase = expr.otherwise(F.lit(phases - 1))
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        j.withColumn("phase", phase)
+        .groupBy("phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(w).cast("bigint").alias("n_weight"),
+            F.min(score_col).alias("min_score"),
+            F.max(score_col).alias("max_score"),
+        )
+    )

@@ -5544,6 +5544,54 @@ def _corr_matrix_oracle_sql(table: str, cols: list[str], scale: int = 4) -> str:
     )
 
 
+_DUCK_QUALITY_SCORE = """
+             CASE WHEN text IS NULL THEN NULL ELSE
+             round(0.0
+               + 1.2 * round(least(len(tk) / 50.0, 1.0), 6)
+               + 1.0 * round(coalesce(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text), 0.0), 6)
+               + 0.8 * round(least(coalesce((len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) * 1.0 / len(tk)), 0.0) * 5.0, 1.0), 6)
+               - 1.5 * coalesce(CASE WHEN len(tk) > 0
+                                     THEN round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) END, 0.0)
+             , 6) END"""
+
+
+@register(
+    "docs_curriculum",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, len(tk) AS n_tokens, {_DUCK_QUALITY_SCORE} AS model_score FROM t),
+    f AS (SELECT * FROM s WHERE model_score IS NOT NULL),
+    q AS (SELECT quantile_cont(model_score, [0.25, 0.5, 0.75]) AS qs FROM f)
+    SELECT CASE WHEN f.model_score >= q.qs[3] THEN 0
+                WHEN f.model_score >= q.qs[2] THEN 1
+                WHEN f.model_score >= q.qs[1] THEN 2
+                ELSE 3 END AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f.n_tokens) AS BIGINT) AS n_weight,
+           min(f.model_score) AS min_score,
+           max(f.model_score) AS max_score
+    FROM f, q
+    GROUP BY 1
+    """,
+)
+def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum plan (operators/sampling.py:curriculum_phases): bucket
+    the corpus into four quality-ordered training phases by exact score
+    quartiles — phase 0 is the cleanest quartile a curriculum schedule
+    serves first. The cut points are ONE 1-row percentile scalar
+    broadcast back (no global NTILE window funnel); phase assignment is
+    a map-side CASE; the only data shuffle is the per-phase summary
+    aggregate. Quantile interpolation is bit-identical cross-engine on
+    the rounded score doubles."""
+    from etlutil_spark.operators.sampling import curriculum_phases
+    from etlutil_spark.operators.text_analysis import quality_model_score
+    from etlutil_spark.functions.text import token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    scored = quality_model_score(d, "text").withColumn("n_tokens", token_count("text"))
+    return curriculum_phases(scored, "model_score", weight_col="n_tokens", phases=4)
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -5624,9 +5672,9 @@ _DRIVER_FRONT = [
     "embeddings_kmeans",
     "events_value_mad_outliers",
     "lineitem_corr_matrix",
+    "docs_curriculum",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
-    "corpus_pipeline_e2e",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",

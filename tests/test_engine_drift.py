@@ -212,6 +212,7 @@ class TestOracleGuards:
             "embeddings_kmeans",
             "events_value_mad_outliers",
             "lineitem_corr_matrix",
+            "docs_curriculum",
         }
         assert must_have <= set(front50)
 

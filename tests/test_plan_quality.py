@@ -124,6 +124,8 @@ HEADLINE_BUDGETS = {
     "events_value_mad_outliers": (3, 2),
     # single global aggregate -> 6-row unpivot
     "lineitem_corr_matrix": (1, 0),
+    # 1-row percentile scalar broadcast + per-phase summary agg
+    "docs_curriculum": (2, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -147,6 +149,7 @@ SCALAR_OK = {
     "docs_contamination_bloom",  # 1-row bitset-array scalar
     "audit_fk_orphans",  # five 1-row per-relation audit summaries
     "lineitem_corr_matrix",  # 1-row moments scalar, unpivoted to 6 rows
+    "docs_curriculum",  # 1-row quartile-cuts scalar broadcast
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

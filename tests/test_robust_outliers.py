@@ -77,3 +77,37 @@ class TestCorrMatrix:
         df = spark.createDataFrame([(1.0,)], "a double")
         with _pytest.raises(ValueError, match="at least two"):
             corr_matrix(df, ["a"])
+
+
+class TestCurriculumPhases:
+    def test_balanced_phases_and_ordering(self, spark):
+        from etlutil_spark.operators.sampling import curriculum_phases
+
+        df = spark.createDataFrame(
+            [(i, float(i), 10) for i in range(100)], "doc_id long, score double, w int"
+        )
+        out = {r["phase"]: r for r in curriculum_phases(df, "score", weight_col="w").collect()}
+        assert set(out) == {0, 1, 2, 3}
+        # phase 0 holds the TOP scores and phases are contiguous, descending
+        assert out[0]["min_score"] > out[1]["max_score"] or out[0]["min_score"] >= out[1]["max_score"]
+        assert out[0]["max_score"] == 99.0 and out[3]["min_score"] == 0.0
+        assert sum(r["n_docs"] for r in out.values()) == 100
+        assert all(r["n_weight"] == r["n_docs"] * 10 for r in out.values())
+
+    def test_null_scores_excluded(self, spark):
+        from etlutil_spark.operators.sampling import curriculum_phases
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 2.0), (4, 3.0), (5, 4.0)], "doc_id long, score double"
+        )
+        out = curriculum_phases(df, "score", phases=2).collect()
+        assert sum(r["n_docs"] for r in out) == 4
+
+    def test_bad_phases_raise(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.sampling import curriculum_phases
+
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+        with _pytest.raises(ValueError, match="phases"):
+            curriculum_phases(df, "score", phases=1)
