@@ -123,6 +123,7 @@ EXTENDED = [
     "events_value_mad_outliers",
     "lineitem_corr_matrix",
     "docs_curriculum",
+    "docs_mixture_epoch_plan",
 ]
 
 

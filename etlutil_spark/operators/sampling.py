@@ -399,3 +399,68 @@ def curriculum_phases(
             F.max(score_col).alias("max_score"),
         )
     )
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    *,
+    budget_tokens: int,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """Epoch-capped mixture feasibility plan: for each stratum, how many
+    tokens the target mixture wants (``budget * weight``), how many the
+    corpus can supply under a repetition cap (``n_tokens * max_epochs``),
+    and the shortfall. The pre-flight audit before mixture_sample: a
+    mixture is only trainable if every deficit is zero — otherwise you
+    either raise max_epochs (more repetition) or shrink the budget.
+
+    One keyed aggregate (stratum cardinality rows) + a map-side CASE for
+    the literal weights; integer token arithmetic after explicit floors,
+    so every engine agrees exactly. Strata present in the data but absent
+    from ``weights`` get weight 0 (desired 0, surplus corpus); weights
+    naming absent strata raise — a typo'd mixture must fail loudly, not
+    silently under-train a domain (the mixture_rates contract).
+    """
+    if budget_tokens <= 0 or max_epochs <= 0:
+        raise ValueError(
+            f"budget_tokens and max_epochs must be > 0, got {budget_tokens}, {max_epochs}"
+        )
+    present = {
+        r[0] for r in df.select(stratum_col).distinct().collect()  # |strata| rows
+    }
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise ValueError(f"weights name strata absent from the data: {missing}")
+
+    agg = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("n_tokens"),
+    )
+    w = F.lit(0.0)
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == s, F.lit(float(wt))).otherwise(w)
+    desired = F.floor(F.lit(float(budget_tokens)) * F.col("weight")).cast("bigint")
+    supply = F.floor(F.col("n_tokens").cast("double") * F.lit(float(max_epochs))).cast("bigint")
+    return (
+        agg.withColumn("weight", w)
+        .withColumn("desired_tokens", desired)
+        .withColumn("achievable_tokens", F.least(F.col("desired_tokens"), supply))
+        .withColumn("deficit_tokens", F.col("desired_tokens") - F.col("achievable_tokens"))
+        .withColumn(
+            "epochs_needed",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("desired_tokens").cast("double") / F.col("n_tokens").cast("double"), 6),
+            ),
+        )
+        .withColumn(
+            "epochs_planned",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.least(F.lit(float(max_epochs)), F.col("epochs_needed")),
+            ),
+        )
+    )

@@ -5592,6 +5592,58 @@ def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_phases(scored, "model_score", weight_col="n_tokens", phases=4)
 
 
+_MIXTURE_EPOCH_WEIGHTS = {"en": 0.5, "zh": 0.15, "de": 0.12, "fr": 0.12, "es": 0.11}
+
+
+@register(
+    "docs_mixture_epoch_plan",
+    f"""
+    WITH t AS (SELECT lang, {_DUCK_TOKENS} AS tk FROM documents),
+    a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(tk)) AS BIGINT) AS n_tokens
+          FROM t GROUP BY lang),
+    b AS (SELECT lang, n_docs, n_tokens,
+                 CASE lang WHEN 'de' THEN CAST(0.12 AS DOUBLE)
+                           WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                           WHEN 'es' THEN CAST(0.11 AS DOUBLE)
+                           WHEN 'fr' THEN CAST(0.12 AS DOUBLE)
+                           WHEN 'zh' THEN CAST(0.15 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS weight
+          FROM a),
+    c AS (SELECT *,
+                 CAST(FLOOR(CAST(100000 AS DOUBLE) * weight) AS BIGINT) AS desired_tokens,
+                 CAST(FLOOR(CAST(n_tokens AS DOUBLE) * CAST(1.5 AS DOUBLE)) AS BIGINT) AS supply
+          FROM b)
+    SELECT lang, n_docs, n_tokens, weight, desired_tokens,
+           LEAST(desired_tokens, supply) AS achievable_tokens,
+           desired_tokens - LEAST(desired_tokens, supply) AS deficit_tokens,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(desired_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END
+             AS epochs_needed,
+           CASE WHEN n_tokens > 0
+                THEN LEAST(CAST(1.5 AS DOUBLE),
+                           round(CAST(desired_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)) END
+             AS epochs_planned
+    FROM c
+    """,
+)
+def docs_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture feasibility audit (operators/sampling.py:mixture_epoch_plan):
+    token budget * per-language weight vs corpus supply under a 1.5-epoch
+    repetition cap — the pre-flight check before mixture_sample commits
+    to a training mix. One per-language aggregate plus map-side literal
+    arithmetic with explicit floors, so both engines agree to the bit."""
+    from etlutil_spark.functions.text import token_count
+    from etlutil_spark.operators.sampling import mixture_epoch_plan
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "lang", token_count("text").alias("n_tokens")
+    )
+    return mixture_epoch_plan(
+        d, "lang", "n_tokens", _MIXTURE_EPOCH_WEIGHTS, budget_tokens=100_000, max_epochs=1.5
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -5673,9 +5725,9 @@ _DRIVER_FRONT = [
     "events_value_mad_outliers",
     "lineitem_corr_matrix",
     "docs_curriculum",
+    "docs_mixture_epoch_plan",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
-    "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
     "dedup_exact",

@@ -213,6 +213,7 @@ class TestOracleGuards:
             "events_value_mad_outliers",
             "lineitem_corr_matrix",
             "docs_curriculum",
+            "docs_mixture_epoch_plan",
         }
         assert must_have <= set(front50)
 

@@ -126,6 +126,8 @@ HEADLINE_BUDGETS = {
     "lineitem_corr_matrix": (1, 0),
     # 1-row percentile scalar broadcast + per-phase summary agg
     "docs_curriculum": (2, 1),
+    # one per-language aggregate + literal arithmetic
+    "docs_mixture_epoch_plan": (1, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

@@ -111,3 +111,45 @@ class TestCurriculumPhases:
         df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
         with _pytest.raises(ValueError, match="phases"):
             curriculum_phases(df, "score", phases=1)
+
+
+class TestMixtureEpochPlan:
+    def test_deficit_math(self, spark):
+        from etlutil_spark.operators.sampling import mixture_epoch_plan
+
+        df = spark.createDataFrame(
+            [("en", 100)] * 10 + [("zh", 100)] * 2, "lang string, n_tokens int"
+        )
+        out = {
+            r["lang"]: r
+            for r in mixture_epoch_plan(
+                df, "lang", "n_tokens", {"en": 0.5, "zh": 0.5}, budget_tokens=4000, max_epochs=2.0
+            ).collect()
+        }
+        # en: wants 2000, has 1000, cap 2.0 -> supply 2000, no deficit
+        assert out["en"]["achievable_tokens"] == 2000 and out["en"]["deficit_tokens"] == 0
+        assert out["en"]["epochs_planned"] == 2.0
+        # zh: wants 2000, has 200, cap 2.0 -> supply 400, deficit 1600
+        assert out["zh"]["achievable_tokens"] == 400 and out["zh"]["deficit_tokens"] == 1600
+        assert out["zh"]["epochs_needed"] == 10.0 and out["zh"]["epochs_planned"] == 2.0
+
+    def test_unweighted_stratum_gets_zero_desired(self, spark):
+        from etlutil_spark.operators.sampling import mixture_epoch_plan
+
+        df = spark.createDataFrame([("en", 10), ("xx", 10)], "lang string, n_tokens int")
+        out = {
+            r["lang"]: r
+            for r in mixture_epoch_plan(
+                df, "lang", "n_tokens", {"en": 1.0}, budget_tokens=100
+            ).collect()
+        }
+        assert out["xx"]["weight"] == 0.0 and out["xx"]["desired_tokens"] == 0
+
+    def test_typo_stratum_raises(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.sampling import mixture_epoch_plan
+
+        df = spark.createDataFrame([("en", 10)], "lang string, n_tokens int")
+        with _pytest.raises(ValueError, match="absent"):
+            mixture_epoch_plan(df, "lang", "n_tokens", {"enn": 1.0}, budget_tokens=100)
