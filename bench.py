@@ -124,6 +124,7 @@ EXTENDED = [
     "lineitem_corr_matrix",
     "docs_curriculum",
     "docs_mixture_epoch_plan",
+    "docs_url_normalize",
 ]
 
 

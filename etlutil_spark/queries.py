@@ -5644,6 +5644,73 @@ def docs_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_URL_CONSTRUCT = """
+      CASE CAST(doc_id % 5 AS INTEGER)
+        WHEN 0 THEN 'https://www.' || source || '.example.com/articles/' || doc_id || '?utm_source=feed&id=' || doc_id
+        WHEN 1 THEN 'http://' || source || '.example.org/post/' || doc_id || '/'
+        WHEN 2 THEN 'https://cdn.' || source || '.example.net:443/a/b/c/' || doc_id || '?ref=tw&utm_campaign=x#frag'
+        WHEN 3 THEN 'HTTPS://' || upper(source) || '.Example.COM/Path/' || doc_id || '?q=hello+world&utm_medium=email'
+        ELSE 'https://blog.' || source || '.example.com/' || doc_id || '?page=2&id=' || doc_id || '&utm_content=abc'
+      END"""
+
+
+@register(
+    "docs_url_normalize",
+    f"""
+    WITH u AS (SELECT doc_id, {_DUCK_URL_CONSTRUCT} AS url FROM documents),
+    p AS (SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_replace(regexp_replace(
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                     '^[^@]*@', ''), ':[0-9]*$', '')) AS rawhost,
+                 regexp_replace(
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                     '^(.+?)/+$', '\\1') AS path,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM u),
+    n AS (SELECT doc_id, scheme, path,
+                 regexp_replace(rawhost, '^www\\.', '') AS host,
+                 list_filter(string_split(query, '&'),
+                             x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=')) AS params
+          FROM p)
+    SELECT doc_id,
+           scheme || '://' || host || path ||
+             CASE WHEN COALESCE(array_to_string(params, '&'), '') <> ''
+                  THEN '?' || array_to_string(params, '&') ELSE '' END AS url_norm,
+           host,
+           regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+           CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) AS INTEGER) AS path_depth,
+           CAST(len(params) AS INTEGER) AS n_params
+    FROM n
+    """,
+)
+def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py:with_url_features) — the
+    crawl-curation key derivation: scheme/host case, ports, fragments,
+    tracking params and trailing slashes normalized away; host,
+    registered domain, path depth and surviving param count derived.
+    The synthetic corpus has no URL column, so deterministic URLs in
+    five shapes (tracking params, ports, fragments, mixed case, trailing
+    slash) are constructed from (source, doc_id) and the oracle
+    re-implements the whole normalization independently in SQL — the
+    construct->parse roundtrip pattern of multimodal_header_parse. Pure
+    regex/array expressions, shuffle-free."""
+    from etlutil_spark.functions.urls import with_url_features
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/articles/"), F.col("doc_id"), F.lit("?utm_source=feed&id="), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("http://"), F.col("source"), F.lit(".example.org/post/"), F.col("doc_id"), F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://cdn."), F.col("source"), F.lit(".example.net:443/a/b/c/"), F.col("doc_id"), F.lit("?ref=tw&utm_campaign=x#frag")))
+        .when(m == 3, F.concat(F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM/Path/"), F.col("doc_id"), F.lit("?q=hello+world&utm_medium=email")))
+        .otherwise(F.concat(F.lit("https://blog."), F.col("source"), F.lit(".example.com/"), F.col("doc_id"), F.lit("?page=2&id="), F.col("doc_id"), F.lit("&utm_content=abc")))
+    )
+    return with_url_features(d.withColumn("url", url), "url").select(
+        "doc_id", "url_norm", "host", "registered_domain", "path_depth", "n_params"
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -5726,9 +5793,9 @@ _DRIVER_FRONT = [
     "lineitem_corr_matrix",
     "docs_curriculum",
     "docs_mixture_epoch_plan",
+    "docs_url_normalize",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
-    "q3_top_orders",
     "q5_region_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -214,6 +214,7 @@ class TestOracleGuards:
             "lineitem_corr_matrix",
             "docs_curriculum",
             "docs_mixture_epoch_plan",
+            "docs_url_normalize",
         }
         assert must_have <= set(front50)
 

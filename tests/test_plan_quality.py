@@ -128,6 +128,8 @@ HEADLINE_BUDGETS = {
     "docs_curriculum": (2, 1),
     # one per-language aggregate + literal arithmetic
     "docs_mixture_epoch_plan": (1, 0),
+    # pure regex/array projection
+    "docs_url_normalize": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
