@@ -125,6 +125,7 @@ EXTENDED = [
     "docs_curriculum",
     "docs_mixture_epoch_plan",
     "docs_url_normalize",
+    "events_hourly_anomaly",
 ]
 
 

@@ -165,3 +165,68 @@ def decay_weight(
     map-side with any aggregate."""
     age = F.datediff(F.to_date(F.lit(ref_date)), F.to_date(ts_col))
     return F.round(F.pow(F.lit(0.5), age / F.lit(float(half_life_days))), 9)
+
+
+def trailing_baseline_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    *,
+    bucket_seconds: int = 3600,
+    trailing_buckets: int = 24,
+    factor: float = 2.0,
+    min_baseline_buckets: int = 6,
+) -> DataFrame:
+    """Rate-spike detection on a bucketed event series: per group and
+    time bucket, compare the event count against the average of the
+    trailing ``trailing_buckets`` buckets (current bucket excluded) and
+    flag buckets above ``factor`` times that baseline.
+
+    The RANGE frame runs over epoch seconds of the bucket start, so
+    EMPTY buckets correctly age out of the baseline (a ROWS frame would
+    silently stretch the lookback across gaps — after a quiet night,
+    yesterday's counts would still count as "recent"). Missing buckets
+    contribute nothing rather than zero: the baseline is the average
+    over ACTIVE buckets, the conventional traffic-anomaly choice (a
+    zero-filled baseline needs gap_fill + time_spine upstream, which
+    composes with this operator unchanged).
+
+    Determinism: counts are exact ints; the baseline is SUM(bigint) /
+    COUNT — one IEEE division on exact operands — so the flagged set is
+    engine- and layout-stable. Buckets with fewer than
+    ``min_baseline_buckets`` active trailing buckets get a NULL baseline
+    and never flag (cold-start suppression).
+
+    Cost: one keyed count aggregate collapses the raw events to
+    |groups| x |buckets| rows; the window then runs over that collapsed
+    series — at 100 TB the window input is metadata-sized, so the
+    per-group sort inside it is trivial."""
+    if trailing_buckets < 1 or bucket_seconds < 1:
+        raise ValueError("trailing_buckets and bucket_seconds must be >= 1")
+    bucket = F.from_unixtime(
+        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint") * bucket_seconds
+    ).cast("timestamp")
+    counts = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.unix_timestamp("bucket"))
+        .rangeBetween(-trailing_buckets * bucket_seconds, -bucket_seconds)
+    )
+    base_sum = F.sum("n_events").over(w)
+    base_n = F.count("n_events").over(w)
+    baseline = F.when(
+        base_n >= min_baseline_buckets, base_sum.cast("double") / base_n.cast("double")
+    )
+    return counts.select(
+        *group_cols,
+        "bucket",
+        "n_events",
+        F.round(baseline, 6).alias("baseline"),
+        F.when(baseline.isNotNull(), (F.col("n_events").cast("double") > F.lit(float(factor)) * baseline).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("is_spike"),
+    )

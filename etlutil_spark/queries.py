@@ -5711,6 +5711,51 @@ def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hourly_anomaly",
+    """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket, n_events,
+             CAST(SUM(n_events) OVER win AS BIGINT) AS bs,
+             COUNT(n_events) OVER win AS bn
+      FROM c
+      WINDOW win AS (PARTITION BY event_type
+                     ORDER BY CAST(epoch(bucket) AS BIGINT)
+                     RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+    SELECT event_type, bucket, n_events,
+           CASE WHEN bn >= 6
+                THEN round(CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE), 6) END AS baseline,
+           CASE WHEN bn >= 6
+                THEN CAST(CAST(n_events AS DOUBLE) >
+                          CAST(2.0 AS DOUBLE) * (CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))
+                     AS INTEGER)
+                ELSE 0 END AS is_spike
+    FROM w
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-spike detection
+    (operators/timeseries.py:trailing_baseline_anomaly): hourly counts
+    per event type vs the average of the trailing 24 ACTIVE hours
+    (RANGE frame over epoch seconds, so quiet gaps age out instead of
+    stretching the lookback), flag hours above 2x baseline, suppress
+    cold starts under 6 baseline hours. The window runs over the
+    collapsed (type, hour) series — metadata-sized at any corpus
+    scale."""
+    from etlutil_spark.operators.timeseries import trailing_baseline_anomaly
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "ts")
+    return trailing_baseline_anomaly(
+        ev, "ts", ["event_type"], bucket_seconds=3600, trailing_buckets=24,
+        factor=2.0, min_baseline_buckets=6,
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -5794,9 +5839,9 @@ _DRIVER_FRONT = [
     "docs_curriculum",
     "docs_mixture_epoch_plan",
     "docs_url_normalize",
+    "events_hourly_anomaly",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
-    "q5_region_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -215,6 +215,7 @@ class TestOracleGuards:
             "docs_curriculum",
             "docs_mixture_epoch_plan",
             "docs_url_normalize",
+            "events_hourly_anomaly",
         }
         assert must_have <= set(front50)
 

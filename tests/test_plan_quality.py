@@ -130,6 +130,8 @@ HEADLINE_BUDGETS = {
     "docs_mixture_epoch_plan": (1, 0),
     # pure regex/array projection
     "docs_url_normalize": (0, 0),
+    # hourly count agg + trailing-baseline window over the collapsed series
+    "events_hourly_anomaly": (2, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

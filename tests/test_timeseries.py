@@ -133,3 +133,41 @@ class TestGroupZscores:
         df = spark.createDataFrame([("a", float(i)) for i in range(10)], "g string, v double")
         plan = group_zscores(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestTrailingBaselineAnomaly:
+    def _run(self, spark, rows, **kw):
+        from datetime import datetime, timedelta
+
+        from etlutil_spark.operators.timeseries import trailing_baseline_anomaly
+
+        base = datetime(2024, 1, 10, 0, 0, 0)
+        data = [("t", base + timedelta(hours=h), i) for h, n in rows for i in range(n)]
+        df = spark.createDataFrame(data, "g string, ts timestamp, i int")
+        out = trailing_baseline_anomaly(df, "ts", ["g"], **kw)
+        return {r["bucket"].hour + (r["bucket"].day - 10) * 24: r for r in out.collect()}
+
+    def test_spike_over_trailing_average(self, spark):
+        rows = [(h, 10) for h in range(8)] + [(8, 50)]
+        out = self._run(spark, rows, min_baseline_buckets=6)
+        assert out[8]["baseline"] == 10.0 and out[8]["is_spike"] == 1
+        assert out[7]["is_spike"] == 0
+
+    def test_cold_start_suppressed(self, spark):
+        rows = [(0, 10), (1, 100)]
+        out = self._run(spark, rows, min_baseline_buckets=6)
+        assert out[1]["baseline"] is None and out[1]["is_spike"] == 0
+
+    def test_gaps_age_out_of_range_frame(self, spark):
+        """Six busy hours, a 30-hour silence, then a tiny hour: a ROWS
+        frame would flag nothing (stale big counts still 'recent'); the
+        RANGE frame has an empty baseline -> cold-start NULL."""
+        rows = [(h, 50) for h in range(6)] + [(36, 1)]
+        out = self._run(spark, rows, min_baseline_buckets=2)
+        assert out[36]["baseline"] is None and out[36]["is_spike"] == 0
+
+    def test_baseline_averages_active_buckets_only(self, spark):
+        # hours 0..3 active, hour 4 missing, hour 5 checked: avg over 4 active
+        rows = [(0, 8), (1, 12), (2, 8), (3, 12), (5, 21)]
+        out = self._run(spark, rows, min_baseline_buckets=2)
+        assert out[5]["baseline"] == 10.0 and out[5]["is_spike"] == 1
