@@ -126,6 +126,7 @@ EXTENDED = [
     "docs_mixture_epoch_plan",
     "docs_url_normalize",
     "events_hourly_anomaly",
+    "dedup_containment",
 ]
 
 

@@ -702,3 +702,58 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs — the excerpt/quote detector
+    Jaccard structurally misses: a 50-token passage copied into a
+    5000-token page has Jaccard ~0.01 but containment ~1.0 from the
+    short side. For each unordered pair (id_a < id_b) sharing shingles,
+    emit both directions — ``containment(X in Y) = |shingles(X) n
+    shingles(Y)| / |shingles(X)|`` — and keep pairs where either
+    direction reaches ``threshold``.
+
+    Same scale posture as ngram_jaccard_pairs (same shingle equi-join,
+    same quadratic-group risk): ``max_shingle_freq`` drops the
+    stop-shingle head to bound every join group, and containment is then
+    measured over the surviving shingle universe on both sides so the
+    numerator and denominators describe the same sets.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .where(F.col("df_") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    cont_ab = F.round(F.col("n_common") / F.col("n_a"), 6)
+    cont_ba = F.round(F.col("n_common") / F.col("n_b"), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("cont_a_in_b", cont_ab)
+        .withColumn("cont_b_in_a", cont_ba)
+        .where(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "n_common", "cont_a_in_b", "cont_b_in_a")
+    )

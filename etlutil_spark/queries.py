@@ -5712,6 +5712,45 @@ def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    _DUCK_SHINGLES
+    + """
+    , freq_ok AS (
+      SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 50),
+    exf AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN freq_ok USING (shingle)),
+    szf AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id),
+    interf AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM exf a JOIN exf b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(c AS BIGINT) AS n_common,
+           round(c * 1.0 / sa.n, 6) AS cont_a_in_b,
+           round(c * 1.0 / sb.n, 6) AS cont_b_in_a
+    FROM interf
+    JOIN szf sa ON sa.doc_id = id_a
+    JOIN szf sb ON sb.doc_id = id_b
+    WHERE greatest(round(c * 1.0 / sa.n, 6), round(c * 1.0 / sb.n, 6)) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py:containment_pairs)
+    at threshold 0.5 — the excerpt/quote detector: a short doc copied
+    into a long one has near-zero Jaccard but containment ~1 from the
+    short side. Same bounded shingle equi-join as dedup_ngram_jaccard
+    (stop-shingle cap 50 keeps every join group finite); emits both
+    directions so the curation policy can keep the longer original and
+    drop the excerpt."""
+    from etlutil_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    return containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=50
+    )
+
+
+@register(
     "events_hourly_anomaly",
     """
     WITH c AS (
@@ -5840,9 +5879,9 @@ _DRIVER_FRONT = [
     "docs_mixture_epoch_plan",
     "docs_url_normalize",
     "events_hourly_anomaly",
+    "dedup_containment",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",

@@ -216,6 +216,7 @@ class TestOracleGuards:
             "docs_mixture_epoch_plan",
             "docs_url_normalize",
             "events_hourly_anomaly",
+            "dedup_containment",
         }
         assert must_have <= set(front50)
 

@@ -132,6 +132,10 @@ HEADLINE_BUDGETS = {
     "docs_url_normalize": (0, 0),
     # hourly count agg + trailing-baseline window over the collapsed series
     "events_hourly_anomaly": (2, 0),
+    # bounded shingle equi-join — identical AQE-final shape to
+    # dedup_ngram_jaccard (shingle subtree feeds freq-cap, sizes, and
+    # both join sides; AQE folds the tiny summary joins to broadcasts)
+    "dedup_containment": (10, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

@@ -153,3 +153,27 @@ class TestMixtureEpochPlan:
         df = spark.createDataFrame([("en", 10)], "lang string, n_tokens int")
         with _pytest.raises(ValueError, match="absent"):
             mixture_epoch_plan(df, "lang", "n_tokens", {"enn": 1.0}, budget_tokens=100)
+
+
+class TestContainmentPairs:
+    def test_excerpt_detected_where_jaccard_misses(self, spark):
+        from etlutil_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+        short = "alpha beta gamma delta epsilon zeta"
+        long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+        df = spark.createDataFrame([(1, short), (2, long_)], "doc_id long, text string")
+        cont = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        assert len(cont) == 1
+        r = cont[0]
+        assert r["cont_a_in_b"] == 1.0  # the short doc is fully contained
+        assert r["cont_b_in_a"] < 0.1
+        # symmetric Jaccard at the same bar finds nothing
+        assert ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).count() == 0
+
+    def test_unrelated_docs_no_pair(self, spark):
+        from etlutil_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")], "doc_id long, text string"
+        )
+        assert containment_pairs(df, "doc_id", "text", n=3, threshold=0.1).count() == 0
