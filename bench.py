@@ -127,6 +127,7 @@ EXTENDED = [
     "docs_url_normalize",
     "events_hourly_anomaly",
     "dedup_containment",
+    "docs_pii_report",
 ]
 
 

@@ -608,3 +608,40 @@ def lm_score(
             6,
         ).alias("lm_score"),
     )
+
+
+def pii_scan_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+) -> DataFrame:
+    """Corpus PII-prevalence audit: per group, how many documents carry
+    each PII kind and at what rate — the release-gate report a corpus
+    publisher runs BEFORE redact_pii rewrites anything (redaction is a
+    policy decision; this measures the exposure that motivates it).
+
+    One scan, per-kind regexp_count columns (the same engine-portable
+    patterns redact_pii rewrites, so the report predicts exactly what
+    redaction will touch), one group-keyed aggregate of exact integer
+    counts. NULL text counts as zero matches, not NULL-poisoned sums.
+    """
+    from etlutil_spark.functions.text import PII_PATTERNS
+
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    counts = {
+        k: F.coalesce(F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])), F.lit(0))
+        for k in kinds
+    }
+    any_pii = sum(counts.values(), F.lit(0)) > 0
+    aggs = [F.count("*").alias("n_docs")]
+    for k in kinds:
+        aggs.append(F.sum(counts[k]).cast("bigint").alias(f"n_{k}"))
+    aggs.append(F.sum(any_pii.cast("int")).cast("bigint").alias("docs_with_pii"))
+    out = df.groupBy(group_col).agg(*aggs)
+    return out.withColumn(
+        "pii_rate", F.round(F.col("docs_with_pii") / F.col("n_docs"), 6)
+    )

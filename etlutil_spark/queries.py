@@ -5711,6 +5711,56 @@ def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_PII_CONSTRUCT = """
+      text || CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 1 THEN ' contact alice.' || doc_id || '@mail.example.com now'
+        WHEN 2 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or mail bob@ex.example.org'
+        WHEN 3 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged'
+        ELSE '' END"""
+
+
+@register(
+    "docs_pii_report",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_PII_CONSTRUCT} AS text FROM documents),
+    c AS (SELECT source,
+                 COALESCE(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')), 0) AS e,
+                 COALESCE(len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]')), 0) AS p,
+                 COALESCE(len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')), 0) AS i
+          FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e) AS BIGINT) AS n_email,
+           CAST(SUM(p) AS BIGINT) AS n_phone,
+           CAST(SUM(i) AS BIGINT) AS n_ipv4,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           round(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pii_rate
+    FROM c GROUP BY source
+    """,
+)
+def docs_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure audit (operators/text_analysis.py:pii_scan_report):
+    per-source counts and rates of emails / phone numbers / IPv4
+    addresses — the release gate run BEFORE redact_pii rewrites
+    anything, using the SAME portable patterns so the report predicts
+    redaction's reach exactly. The synthetic corpus is PII-free, so
+    deterministic PII is injected for doc_id % 4 != 0 (the
+    construct->scan roundtrip pattern of docs_url_normalize). One scan +
+    one source-keyed aggregate of exact integer counts."""
+    from etlutil_spark.operators.text_analysis import pii_scan_report
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    m = (F.col("doc_id") % 4).cast("int")
+    injected = F.concat(
+        F.col("text"),
+        F.when(m == 1, F.concat(F.lit(" contact alice."), F.col("doc_id"), F.lit("@mail.example.com now")))
+        .when(m == 2, F.concat(F.lit(" call +1 (555) 010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" or mail bob@ex.example.org")))
+        .when(m == 3, F.concat(F.lit(" server 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"), F.lit(" logged")))
+        .otherwise(F.lit("")),
+    )
+    return pii_scan_report(d.withColumn("text", injected), "text", "source")
+
+
 @register(
     "dedup_containment",
     _DUCK_SHINGLES
@@ -5880,10 +5930,10 @@ _DRIVER_FRONT = [
     "docs_url_normalize",
     "events_hourly_anomaly",
     "dedup_containment",
+    "docs_pii_report",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_lsh",
 ]
 

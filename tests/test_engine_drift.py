@@ -217,6 +217,7 @@ class TestOracleGuards:
             "docs_url_normalize",
             "events_hourly_anomaly",
             "dedup_containment",
+            "docs_pii_report",
         }
         assert must_have <= set(front50)
 

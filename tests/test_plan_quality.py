@@ -136,6 +136,8 @@ HEADLINE_BUDGETS = {
     # dedup_ngram_jaccard (shingle subtree feeds freq-cap, sizes, and
     # both join sides; AQE folds the tiny summary joins to broadcasts)
     "dedup_containment": (10, 1),
+    # one scan + one source-keyed aggregate
+    "docs_pii_report": (1, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

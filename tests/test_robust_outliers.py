@@ -177,3 +177,48 @@ class TestContainmentPairs:
             [(1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")], "doc_id long, text string"
         )
         assert containment_pairs(df, "doc_id", "text", n=3, threshold=0.1).count() == 0
+
+
+class TestPiiScanReport:
+    def test_counts_per_kind(self, spark):
+        from etlutil_spark.operators.text_analysis import pii_scan_report
+
+        df = spark.createDataFrame(
+            [
+                ("a", "mail me at x@y.example.com or z@w.example.org"),
+                ("a", "call +1 (555) 123-4567 please"),
+                ("a", "clean document text"),
+                ("b", "host 192.168.0.1 and 10.0.0.2"),
+                ("b", None),
+            ],
+            "source string, text string",
+        )
+        out = {r["source"]: r for r in pii_scan_report(df, "text", "source").collect()}
+        assert out["a"]["n_email"] == 2 and out["a"]["n_phone"] == 1 and out["a"]["n_ipv4"] == 0
+        assert out["a"]["docs_with_pii"] == 2 and abs(out["a"]["pii_rate"] - 2 / 3) < 1e-6
+        assert out["b"]["n_ipv4"] == 2 and out["b"]["n_docs"] == 2  # NULL text = clean, still counted
+        assert out["b"]["docs_with_pii"] == 1
+
+    def test_unknown_kind_raises(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.text_analysis import pii_scan_report
+
+        df = spark.createDataFrame([("a", "x")], "source string, text string")
+        with _pytest.raises(ValueError, match="unknown PII kinds"):
+            pii_scan_report(df, "text", "source", kinds=("email", "ssn"))
+
+    def test_report_predicts_redaction_reach(self, spark):
+        """docs_with_pii == docs redact_pii would modify."""
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.functions.text import redact_pii
+        from etlutil_spark.operators.text_analysis import pii_scan_report
+
+        df = spark.createDataFrame(
+            [("a", "x@y.example.com here"), ("a", "no pii"), ("a", "ip 1.2.3.4")],
+            "source string, text string",
+        )
+        report = pii_scan_report(df, "text", "source").collect()[0]
+        changed = df.where(redact_pii("text") != F.col("text")).count()
+        assert report["docs_with_pii"] == changed == 2
