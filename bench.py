@@ -128,6 +128,7 @@ EXTENDED = [
     "events_hourly_anomaly",
     "dedup_containment",
     "docs_pii_report",
+    "docs_domain_quality",
 ]
 
 

@@ -5711,6 +5711,68 @@ def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_domain_quality",
+    f"""
+    WITH u AS (SELECT doc_id, text, {_DUCK_URL_CONSTRUCT} AS url FROM documents),
+    h AS (SELECT doc_id, text,
+                 regexp_replace(lower(regexp_replace(regexp_replace(
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                     '^[^@]*@', ''), ':[0-9]*$', '')), '^www\\.', '') AS host
+          FROM u),
+    t AS (SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+                 text, {_DUCK_TOKENS} AS tk
+          FROM h),
+    s AS (SELECT registered_domain, {_DUCK_QUALITY_SCORE} AS model_score FROM t)
+    SELECT registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(model_score) AS BIGINT) AS n_scored,
+           CAST(CAST(SUM(CAST(model_score AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(model_score) AS DOUBLE) AS mean_score,
+           CASE WHEN CAST(CAST(SUM(CAST(model_score AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(model_score) AS DOUBLE) >= CAST(1.45 AS DOUBLE)
+                THEN 'keep' ELSE 'review' END AS verdict
+    FROM s GROUP BY registered_domain
+    """,
+)
+def docs_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gating — the crawl-curation decision layer:
+    canonical registered domain (functions/urls.py) x mean quality-model
+    score (operators/text_analysis.py), with a keep/review verdict per
+    domain. Domain blocklisting is how web corpora actually prune (a
+    page-level filter can't see that a whole domain is template spam).
+    Scores are rounded-6 doubles cast to DECIMAL for an
+    order-independent mean; one map-side projection + one domain-keyed
+    aggregate."""
+    from etlutil_spark.functions.text import token_count  # noqa: F401  (parity docs)
+    from etlutil_spark.functions.urls import with_url_features
+    from etlutil_spark.operators.text_analysis import quality_model_score
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/articles/"), F.col("doc_id"), F.lit("?utm_source=feed&id="), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("http://"), F.col("source"), F.lit(".example.org/post/"), F.col("doc_id"), F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://cdn."), F.col("source"), F.lit(".example.net:443/a/b/c/"), F.col("doc_id"), F.lit("?ref=tw&utm_campaign=x#frag")))
+        .when(m == 3, F.concat(F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM/Path/"), F.col("doc_id"), F.lit("?q=hello+world&utm_medium=email")))
+        .otherwise(F.concat(F.lit("https://blog."), F.col("source"), F.lit(".example.com/"), F.col("doc_id"), F.lit("?page=2&id="), F.col("doc_id"), F.lit("&utm_content=abc")))
+    )
+    scored = quality_model_score(
+        with_url_features(d.withColumn("url", url), "url"), "text"
+    )
+    mean_score = F.sum(F.col("model_score").cast("decimal(18,6)")).cast("double") / F.count(
+        "model_score"
+    )
+    return scored.groupBy("registered_domain").agg(
+        F.count("*").alias("n_docs"),
+        F.count("model_score").alias("n_scored"),
+        mean_score.cast("double").alias("mean_score"),
+        F.when(mean_score.cast("double") >= F.lit(1.45), F.lit("keep"))
+        .otherwise(F.lit("review"))
+        .alias("verdict"),
+    )
+
+
 _DUCK_PII_CONSTRUCT = """
       text || CASE CAST(doc_id % 4 AS INTEGER)
         WHEN 1 THEN ' contact alice.' || doc_id || '@mail.example.com now'
@@ -5931,10 +5993,10 @@ _DRIVER_FRONT = [
     "events_hourly_anomaly",
     "dedup_containment",
     "docs_pii_report",
+    "docs_domain_quality",
     # (3) rotating green representatives, one per operator family, biased
     # toward the r4-window block (oldest current-engine green rows).
     "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
 ]
 
 

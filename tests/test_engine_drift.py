@@ -218,6 +218,7 @@ class TestOracleGuards:
             "events_hourly_anomaly",
             "dedup_containment",
             "docs_pii_report",
+            "docs_domain_quality",
         }
         assert must_have <= set(front50)
 

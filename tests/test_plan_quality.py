@@ -138,6 +138,8 @@ HEADLINE_BUDGETS = {
     "dedup_containment": (10, 1),
     # one scan + one source-keyed aggregate
     "docs_pii_report": (1, 0),
+    # url + quality projection, one domain-keyed aggregate
+    "docs_domain_quality": (1, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
