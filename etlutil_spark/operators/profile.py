@@ -395,11 +395,15 @@ def group_mad_outliers(
     )
 
 
+_HILO_SHIFT = 20  # split scaled-int products into (p >> 20, p & 0xFFFFF)
+
+
 def corr_matrix(
     df: DataFrame,
     cols: list[str],
     *,
     scale: int = 4,
+    int_scale: int | None = None,
 ) -> DataFrame:
     """Pairwise Pearson correlations over numeric columns, one row per
     unordered pair: (col_x, col_y, n, pearson_r).
@@ -407,37 +411,80 @@ def corr_matrix(
     Determinism: Spark's corr() aggregate merges co-moment partials in
     partition order, drifting last bits between runs. Here every input
     to the closed form n*Sxy - Sx*Sy over sqrt(n*Sxx - Sx^2)*... is an
-    exact DECIMAL sum (order-independent), cast to double once; the
-    remaining double arithmetic and the correctly-rounded IEEE sqrt are
+    exact order-independent sum, cast to double once; the remaining
+    double arithmetic and the correctly-rounded IEEE sqrt are
     bit-identical in any engine. Zero-variance columns yield NULL r.
 
-    Cost: ONE aggregate computes all k sums, k sum-of-squares and
-    k*(k-1)/2 cross-sums map-side (a single reduced row), then a k^2-row
-    unpivot — the cheapest possible plan at any scale.
+    Two exact-sum strategies:
+
+    * default — products multiply in DOUBLE (correctly rounded,
+      engine-portable) and SUM as DECIMAL(38,8). Works for any doubles,
+      but precision-38 sums fall off Spark's compact-long aggregation
+      path onto JVM Decimal objects (~0.2 s per sum per 600k rows).
+    * ``int_scale`` — for fixed-point data (money, quantities): values
+      quantize EXACTLY to ints via nearest(x * int_scale) (pure IEEE
+      floor(x*s + 0.5); the true value is never half-way, so every
+      engine agrees), products are exact int64, and each product sum is
+      TWO plain long sums (hi = p >> 20, lo = p & 0xFFFFF — the hi/lo
+      split keeps n*p_max under 2^63 out to billions of rows),
+      recombined exactly in DECIMAL at the end. All-long aggregation
+      buffers -> whole-stage codegen, ~4x faster, still bit-exact.
+      Pearson r is shift/scale-invariant, so r is unchanged. Caller
+      asserts values fit: |x| * int_scale < ~1e7 keeps products < 2^47.
+
+    Cost: ONE aggregate computes every sum map-side (a single reduced
+    row), then a k^2-row unpivot — the cheapest possible plan at any
+    scale.
     """
     k = len(cols)
     if k < 2:
         raise ValueError("corr_matrix needs at least two columns")
     df = df.na.drop(subset=cols)  # complete-case: n must match every sum's row set
-    d = {c: F.col(c).cast(f"decimal(38,{scale})") for c in cols}
-    # products are computed in DOUBLE (correctly rounded, engine-portable)
-    # and THEN cast to decimal so the SUM is exact and order-independent —
-    # decimal*decimal would hit Spark's precision-loss rescale and
-    # DuckDB's width-18 multiply overflow (same trade as
-    # embedding_dim_profile's squares)
-    p = {c: F.col(c).cast("double") for c in cols}
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.sum(d[c]).cast("double").alias(f"_s_{c}"))
-        aggs.append(F.sum((p[c] * p[c]).cast("decimal(38,8)")).cast("double").alias(f"_ss_{c}"))
-    for i in range(k):
-        for j in range(i + 1, k):
-            aggs.append(
-                F.sum((p[cols[i]] * p[cols[j]]).cast("decimal(38,8)"))
-                .cast("double")
-                .alias(f"_sx_{cols[i]}_{cols[j]}")
+    prods = [(cols[i], cols[j]) for i in range(k) for j in range(i, k)]
+
+    if int_scale is not None:
+        q = {
+            c: F.floor(F.col(c).cast("double") * F.lit(float(int_scale)) + F.lit(0.5)).cast(
+                "bigint"
             )
-    base = df.agg(*aggs)
+            for c in cols
+        }
+        half = 1 << _HILO_SHIFT
+        for c in cols:
+            aggs.append(F.sum(q[c]).cast("double").alias(f"_s_{c}"))
+        for (x, y) in prods:
+            p = q[x] * q[y]
+            name = f"_ss_{x}" if x == y else f"_sx_{x}_{y}"
+            aggs.append(F.sum(F.shiftright(p, _HILO_SHIFT)).alias(f"{name}__hi"))
+            aggs.append(F.sum(p.bitwiseAND(F.lit(half - 1))).alias(f"{name}__lo"))
+        base = df.agg(*aggs)
+        # exact recombination: hi * 2^20 + lo in DECIMAL (a double would
+        # lose bits past 2^53), then one cast to double
+        for (x, y) in prods:
+            name = f"_ss_{x}" if x == y else f"_sx_{x}_{y}"
+            exact = (
+                F.col(f"{name}__hi").cast("decimal(38,0)") * F.lit(half)
+                + F.col(f"{name}__lo").cast("decimal(38,0)")
+            )
+            base = base.withColumn(name, exact.cast("double"))
+    else:
+        d = {c: F.col(c).cast(f"decimal(38,{scale})") for c in cols}
+        # products are computed in DOUBLE (correctly rounded, engine-portable)
+        # and THEN cast to decimal so the SUM is exact and order-independent —
+        # decimal*decimal would hit Spark's precision-loss rescale and
+        # DuckDB's width-18 multiply overflow (same trade as
+        # embedding_dim_profile's squares)
+        for c in cols:
+            aggs.append(F.sum(d[c]).cast("double").alias(f"_s_{c}"))
+        for (x, y) in prods:
+            name = f"_ss_{x}" if x == y else f"_sx_{x}_{y}"
+            aggs.append(
+                F.sum((F.col(x).cast("double") * F.col(y).cast("double")).cast("decimal(38,8)"))
+                .cast("double")
+                .alias(name)
+            )
+        base = df.agg(*aggs)
 
     n = F.col("_n").cast("double")
     pairs = []

@@ -5511,24 +5511,25 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_mad_outliers(ev, "event_type", "value", cutoff=3.5)
 
 
-def _corr_matrix_oracle_sql(table: str, cols: list[str], scale: int = 4) -> str:
-    """Closed-form Pearson r from exact decimal sums, mirroring
-    operators/profile.py:corr_matrix op-for-op (same multiply order, so
-    the doubles agree bitwise)."""
+def _corr_matrix_oracle_sql(table: str, cols: list[str], int_scale: int = 100) -> str:
+    """Closed-form Pearson r in exact scaled-int space, mirroring
+    operators/profile.py:corr_matrix's int_scale mode (Spark's hi/lo
+    long-sum split and DuckDB's HUGEINT SUM both produce the exact
+    integer sum, so the doubles agree bitwise; r is scale-invariant)."""
     notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    qexpr = {
+        c: f"CAST(FLOOR(CAST({c} AS DOUBLE) * CAST({int_scale} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        for c in cols
+    }
     aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
     for c in cols:
-        aggs.append(f"CAST(SUM(CAST({c} AS DECIMAL(38,{scale}))) AS DOUBLE) AS s_{c}")
-        aggs.append(
-            f"CAST(SUM(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) AS ss_{c}"
-        )
+        aggs.append(f"CAST(SUM({qexpr[c]}) AS DOUBLE) AS s_{c}")
+        aggs.append(f"CAST(SUM({qexpr[c]} * {qexpr[c]}) AS DOUBLE) AS ss_{c}")
     pairs = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             x, y = cols[i], cols[j]
-            aggs.append(
-                f"CAST(SUM(CAST(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) AS sx_{x}_{y}"
-            )
+            aggs.append(f"CAST(SUM({qexpr[x]} * {qexpr[y]}) AS DOUBLE) AS sx_{x}_{y}")
             nd = "CAST(n AS DOUBLE)"
             cov = f"({nd} * sx_{x}_{y} - s_{x} * s_{y})"
             vx = f"({nd} * ss_{x} - s_{x} * s_{x})"
@@ -5918,11 +5919,14 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes every sum / square / cross-product map-side into a single
     reduced row; Spark's own corr() would merge co-moment partials in
     partition order and drift last bits, so the closed form runs on
-    exact decimal sums instead (bit-identical at any partitioning)."""
+    exact sums instead. These are fixed-point money/quantity columns, so
+    the int_scale=100 mode applies: exact int64 products summed as plain
+    longs via the hi/lo split — all-long codegen buffers, ~4x the
+    decimal-sum path, still bit-identical at any partitioning."""
     from etlutil_spark.operators.profile import corr_matrix
 
     li = load_table(spark, "lineitem", sf_dir).select(*_CORR_COLS)
-    return corr_matrix(li, _CORR_COLS)
+    return corr_matrix(li, _CORR_COLS, int_scale=100)
 
 
 # ---------------------------------------------------------------------------

@@ -222,3 +222,15 @@ class TestPiiScanReport:
         report = pii_scan_report(df, "text", "source").collect()[0]
         changed = df.where(redact_pii("text") != F.col("text")).count()
         assert report["docs_with_pii"] == changed == 2
+
+    def test_int_scale_mode_matches_decimal_mode(self, spark):
+        """On fixed-point data the fast hi/lo long-sum path and the
+        decimal-sum path must produce the same correlations."""
+        from etlutil_spark.operators.profile import corr_matrix
+
+        data = [(round(i * 0.07, 2), round(100 - i * 1.31, 2)) for i in range(200)]
+        df = spark.createDataFrame(data, "a double, b double")
+        slow = {(r["col_x"], r["col_y"]): r["pearson_r"] for r in corr_matrix(df, ["a", "b"]).collect()}
+        fast = {(r["col_x"], r["col_y"]): r["pearson_r"] for r in corr_matrix(df, ["a", "b"], int_scale=100).collect()}
+        for k in slow:
+            assert abs(slow[k] - fast[k]) < 1e-12, (k, slow[k], fast[k])
