@@ -363,12 +363,17 @@ def curriculum_phases(
 
     Why not ntile: a global NTILE is a single-partition window — the
     exact funnel the plan guards ban. Instead the cut points come from
-    ONE exact percentile aggregate (a 1-row scalar, broadcast back), and
-    phase assignment is a map-side CASE — the same closed-form-scalar
-    pattern as mixture_rates, so the only data shuffle is the final
-    per-phase aggregate. Quantile interpolation (lower + (upper-lower) *
-    frac) is bit-identical in Spark and DuckDB on identical doubles, so
-    boundary docs land in the same phase in both engines.
+    ONE exact percentile aggregate whose single row is collected to the
+    driver (|phases|-1 doubles — the mixture_rates closed-form-scalar
+    idiom) and re-embedded as literals, so the scoring projection is
+    planned ONCE and the only data shuffle is the final per-phase
+    aggregate. (A broadcast-join formulation would keep everything
+    lazy but duplicate the upstream scoring subtree into both the
+    scalar branch and the join branch — at corpus scale that is a
+    second full tokenize-and-score pass.) Quantile interpolation
+    (lower + (upper-lower) * frac) is bit-identical in Spark and DuckDB
+    on identical doubles, so boundary docs land in the same phase in
+    both engines.
 
     Rows with a NULL score are excluded (they cannot be ordered; filter
     or score them upstream).
@@ -381,16 +386,15 @@ def curriculum_phases(
         F.expr(
             f"percentile({score_col}, array({', '.join(f'{f}D' for f in fracs)}))"
         ).alias("_qs")
-    )
-    j = scored.join(F.broadcast(cuts))
+    ).collect()[0]["_qs"]  # 1 row, phases-1 doubles
     # phase 0 = scores >= the top cut, descending from there
-    expr = F.when(F.col(score_col) >= F.element_at("_qs", phases - 1), F.lit(0))
+    expr = F.when(F.col(score_col) >= F.lit(cuts[phases - 2]), F.lit(0))
     for p in range(1, phases - 1):
-        expr = expr.when(F.col(score_col) >= F.element_at("_qs", phases - 1 - p), F.lit(p))
+        expr = expr.when(F.col(score_col) >= F.lit(cuts[phases - 2 - p]), F.lit(p))
     phase = expr.otherwise(F.lit(phases - 1))
     w = F.col(weight_col) if weight_col else F.lit(1)
     return (
-        j.withColumn("phase", phase)
+        scored.withColumn("phase", phase)
         .groupBy("phase")
         .agg(
             F.count("*").alias("n_docs"),

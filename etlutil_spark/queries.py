@@ -5579,9 +5579,11 @@ def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum plan (operators/sampling.py:curriculum_phases): bucket
     the corpus into four quality-ordered training phases by exact score
     quartiles — phase 0 is the cleanest quartile a curriculum schedule
-    serves first. The cut points are ONE 1-row percentile scalar
-    broadcast back (no global NTILE window funnel); phase assignment is
-    a map-side CASE; the only data shuffle is the per-phase summary
+    serves first. The cut points are ONE 1-row percentile aggregate
+    collected as literals (no global NTILE window funnel, and the
+    scoring projection is planned once — a broadcast formulation would
+    tokenize and score the corpus twice); phase assignment is a
+    map-side CASE; the only data shuffle is the per-phase summary
     aggregate. Quantile interpolation is bit-identical cross-engine on
     the rounded score doubles."""
     from etlutil_spark.operators.sampling import curriculum_phases

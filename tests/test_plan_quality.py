@@ -124,8 +124,8 @@ HEADLINE_BUDGETS = {
     "events_value_mad_outliers": (3, 2),
     # single global aggregate -> 6-row unpivot
     "lineitem_corr_matrix": (1, 0),
-    # 1-row percentile scalar broadcast + per-phase summary agg
-    "docs_curriculum": (2, 1),
+    # cut points collected as literals -> score once + per-phase agg
+    "docs_curriculum": (1, 0),
     # one per-language aggregate + literal arithmetic
     "docs_mixture_epoch_plan": (1, 0),
     # pure regex/array projection
@@ -163,7 +163,6 @@ SCALAR_OK = {
     "docs_contamination_bloom",  # 1-row bitset-array scalar
     "audit_fk_orphans",  # five 1-row per-relation audit summaries
     "lineitem_corr_matrix",  # 1-row moments scalar, unpivoted to 6 rows
-    "docs_curriculum",  # 1-row quartile-cuts scalar broadcast
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -541,7 +541,6 @@ class TestCatalogPlanGuards:
         "docs_lm_score",  # 1-row vocabulary broadcast
         "q11_important_stock",  # 1-row value-threshold broadcast
         "docs_contamination_bloom",  # 1-row bitset-array broadcast
-        "docs_curriculum",  # 1-row quartile-cuts broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
