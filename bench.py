@@ -129,6 +129,8 @@ EXTENDED = [
     "dedup_containment",
     "docs_pii_report",
     "docs_domain_quality",
+    "docs_dedup_url",
+    "docs_ngram_topk_per_lang",
 ]
 
 

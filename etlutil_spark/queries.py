@@ -5715,6 +5715,107 @@ def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_dedup_url",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example.com/page/' || CAST(doc_id % 7 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || '?utm_campaign=c' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    p AS (SELECT doc_id,
+                 lower(regexp_replace(regexp_replace(
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                     '^[^@]*@', ''), ':[0-9]*$', '')) AS rawhost,
+                 regexp_replace(
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                     '^(.+?)/+$', '\\1') AS path,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM u),
+    n AS (SELECT doc_id,
+                 'https://' || regexp_replace(rawhost, '^www\\.', '') || path ||
+                   CASE WHEN COALESCE(array_to_string(
+                          list_filter(string_split(query, '&'),
+                                      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=')),
+                          '&'), '') <> ''
+                        THEN '?' || array_to_string(
+                          list_filter(string_split(query, '&'),
+                                      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=')),
+                          '&')
+                        ELSE '' END AS url_norm
+          FROM p)
+    SELECT url_norm,
+           CAST(MAX(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions
+    FROM n GROUP BY url_norm
+    """,
+)
+def docs_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed crawl dedup — the re-fetch collapse every web corpus
+    runs before content dedup: canonicalize (functions/urls.py strips
+    the per-fetch utm params and trailing-slash variants the construct
+    injects), then keep the newest capture per canonical URL
+    (deterministic max-id survivor) with the version count for audit.
+    One map-side normalization + ONE keyed aggregate — no window, no
+    join; identical raw-URL spellings collapse at combiner time."""
+    from etlutil_spark.functions.urls import with_url_features
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/page/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_campaign=c"), F.col("doc_id").cast("string"),
+    )
+    normed = with_url_features(d.withColumn("url", url), "url")
+    return normed.groupBy("url_norm").agg(
+        F.max("doc_id").alias("kept_doc_id"),
+        F.count("*").alias("n_versions"),
+    )
+
+
+@register(
+    "docs_ngram_topk_per_lang",
+    f"""
+    WITH toks AS (SELECT lang, {_DUCK_TOKENS} AS tk FROM documents),
+    tri AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, len(tk) - 2),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS trigram
+      FROM toks WHERE len(tk) >= 3),
+    counts AS (
+      SELECT lang, trigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tri GROUP BY lang, trigram),
+    ranked AS (
+      SELECT lang, trigram, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS INTEGER) AS rnk
+      FROM counts)
+    SELECT lang, trigram, n, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def docs_ngram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 trigrams per language by corpus frequency — the phrase-level
+    profile (boilerplate hunting, language fingerprinting) of the corpus
+    the token-level reports can't see. Occurrences count per appearance
+    (no per-doc distinct). The rank window runs over the AGGREGATED
+    (lang, trigram) counts, never the raw explosion, with a total-order
+    tie-break (count desc, trigram asc) so top lists are reproducible."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.functions.text import word_shingles
+
+    d = load_table(spark, "documents", sf_dir).select("lang", "text")
+    tri = d.select("lang", F.explode(word_shingles("text", 3)).alias("trigram"))
+    counts = tri.groupBy("lang", "trigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("trigram").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "trigram", "n", "rnk")
+    )
+
+
+@register(
     "docs_domain_quality",
     f"""
     WITH u AS (SELECT doc_id, text, {_DUCK_URL_CONSTRUCT} AS url FROM documents),

@@ -140,6 +140,10 @@ HEADLINE_BUDGETS = {
     "docs_pii_report": (1, 0),
     # url + quality projection, one domain-keyed aggregate
     "docs_domain_quality": (1, 0),
+    # map-side canonicalization + one url-keyed aggregate
+    "docs_dedup_url": (1, 0),
+    # trigram explode + count agg + rank window over aggregated counts
+    "docs_ngram_topk_per_lang": (2, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
