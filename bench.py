@@ -131,6 +131,7 @@ EXTENDED = [
     "docs_domain_quality",
     "docs_dedup_url",
     "docs_ngram_topk_per_lang",
+    "events_dau_wau_mau",
 ]
 
 

@@ -5715,6 +5715,62 @@ def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dau_wau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    e7 AS (SELECT user_id, day + CAST(t.i AS INTEGER) AS rday
+           FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) t),
+    wau AS (SELECT e7.rday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM e7 JOIN days ON e7.rday = days.day GROUP BY 1),
+    e30 AS (SELECT user_id, day + CAST(t.i AS INTEGER) AS rday
+            FROM ud CROSS JOIN (SELECT unnest(range(0, 30)) AS i) t),
+    mau AS (SELECT e30.rday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+            FROM e30 JOIN days ON e30.rday = days.day GROUP BY 1)
+    SELECT d.day, dau.dau, wau.wau, mau.mau
+    FROM days d JOIN dau USING (day) JOIN wau USING (day) JOIN mau USING (day)
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct actives: DAU / 7-day WAU / 30-day MAU per day —
+    the sliding-window DISTINCT shape ordinary windows can't express
+    (distinct doesn't decompose over frames). The scale recipe: collapse
+    raw events to distinct (user, day) FIRST (one keyed shuffle bounds
+    everything after by |users| x |days|, not event volume), then fan
+    each user-day out to the report days it supports (map-side explode,
+    x7 / x30 on the COLLAPSED table) and count distinct per report day.
+    Report days are clipped to observed days via a broadcast semi-join.
+    At extreme scale swap the exact count for the HLL sketch family
+    (hll_weekly_users) — same fan-out, mergeable state."""
+    d = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ud = d.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+
+    def rolling(n: int, name: str) -> DataFrame:
+        exp = ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), n - 1))).alias("day"),
+        )
+        return (
+            exp.join(F.broadcast(days), "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+    )
+
+
+@register(
     "docs_dedup_url",
     """
     WITH u AS (

@@ -144,6 +144,10 @@ HEADLINE_BUDGETS = {
     "docs_dedup_url": (1, 0),
     # trigram explode + count agg + rank window over aggregated counts
     "docs_ngram_topk_per_lang": (2, 0),
+    # user-day distinct + three per-day aggregates + day joins; 6 of the
+    # counted exchanges are ReusedExchange (the collapsed user-day table
+    # is computed ONCE and reused — exchange_count includes reuse nodes)
+    "events_dau_wau_mau": (11, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
