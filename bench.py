@@ -132,6 +132,7 @@ EXTENDED = [
     "docs_dedup_url",
     "docs_ngram_topk_per_lang",
     "events_dau_wau_mau",
+    "orders_zorder_extents",
 ]
 
 

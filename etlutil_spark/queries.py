@@ -5714,6 +5714,74 @@ def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql(bits: int = 8, shards: int = 16) -> str:
+    """Mirror of sources/io.py:zorder_key quantization + Morton
+    interleave (same op order, so identical doubles and identical
+    keys), sharded by NTILE over the unique (zkey, o_orderkey) order —
+    the semantics operators/quantiles.py:exact_ntile reproduces without
+    a single-partition sort."""
+    scale = (1 << bits) - 1
+    cols = [("o_custkey", 0), ("o_totalprice", 1)]
+    qdefs = []
+    for c, j in cols:
+        span = f"(CASE WHEN b.mx{j} - b.mn{j} = 0 THEN CAST(1.0 AS DOUBLE) ELSE b.mx{j} - b.mn{j} END)"
+        qdefs.append(
+            f"CAST(LEAST(CAST({scale} AS DOUBLE), FLOOR((CAST({c} AS DOUBLE) - b.mn{j}) / {span} * {scale})) AS BIGINT) AS q{j}"
+        )
+    inter = " + ".join(
+        f"(((q{j} >> {i}) & 1) << {i * 2 + j})" for i in range(bits) for _, j in cols
+    )
+    return f"""
+    WITH b AS (SELECT MIN(CAST(o_custkey AS DOUBLE)) AS mn0, MAX(CAST(o_custkey AS DOUBLE)) AS mx0,
+                      MIN(CAST(o_totalprice AS DOUBLE)) AS mn1, MAX(CAST(o_totalprice AS DOUBLE)) AS mx1
+               FROM orders),
+    q AS (SELECT o_orderkey, o_custkey, o_totalprice, {', '.join(qdefs)}
+          FROM orders CROSS JOIN b),
+    z AS (SELECT o_orderkey, o_custkey, o_totalprice, {inter} AS zkey FROM q),
+    s AS (SELECT o_custkey, o_totalprice,
+                 NTILE({shards}) OVER (ORDER BY zkey, o_orderkey) AS shard
+          FROM z)
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_custkey,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM s GROUP BY shard
+    """
+
+
+@register("orders_zorder_extents", _zorder_oracle_sql(bits=8, shards=16))
+def orders_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (sources/io.py:zorder_key +
+    operators/quantiles.py:exact_ntile): Morton-interleave
+    (o_custkey, o_totalprice), cut the interleaved order into 16
+    equal shards with the distributed exact ntile (no single-partition
+    sort), and report each shard's min/max extent in BOTH dimensions —
+    the file-level statistics a z-ordered write hands the reader for
+    multi-column pruning (narrow extents in every clustered column is
+    the whole point vs a lexicographic sort). The pytest twin
+    (tests/test_zorder.py) proves the same property from real parquet
+    footers; this query puts the layout math under the driver's
+    cross-engine gate."""
+    from etlutil_spark.operators.quantiles import exact_ntile
+    from etlutil_spark.sources.io import zorder_key
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    key, _ = zorder_key(o, ["o_custkey", "o_totalprice"], bits=8)
+    z = o.withColumn("zkey", key)
+    s = exact_ntile(z, 16, ["zkey", "o_orderkey"], bucket_col="shard")
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
 @register(
     "events_dau_wau_mau",
     """

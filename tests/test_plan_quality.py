@@ -148,6 +148,8 @@ HEADLINE_BUDGETS = {
     # counted exchanges are ReusedExchange (the collapsed user-day table
     # is computed ONCE and reused — exchange_count includes reuse nodes)
     "events_dau_wau_mau": (11, 2),
+    # range repartition (exact ntile) + rank offsets + shard extents agg
+    "orders_zorder_extents": (3, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
