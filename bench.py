@@ -133,6 +133,7 @@ EXTENDED = [
     "docs_ngram_topk_per_lang",
     "events_dau_wau_mau",
     "orders_zorder_extents",
+    "sim_ivf_kmeans_topk",
 ]
 
 

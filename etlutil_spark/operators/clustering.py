@@ -62,21 +62,19 @@ def _best_cluster(centroids: list[list[int]]) -> Column:
     return F.array_min(F.array(*candidates))
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 3,
     scale: int = DEFAULT_SCALE,
-) -> DataFrame:
-    """Run ``iters`` assignment rounds (``iters - 1`` centroid updates)
-    and return the final assignment: (id, cluster, dist).
-
-    ``dist`` is the exact integer squared-L2 distance in quantized
-    space. The returned plan is scan -> project: the final centroids are
-    literals, so a consumer pays zero shuffles.
-    """
+) -> list[list[int]]:
+    """Train centroids (``iters - 1`` Lloyd's updates after the
+    deterministic smallest-id seeding) and return them as quantized
+    integer vectors — the coarse-quantizer training step an IVF index
+    consumes. Each update is one k-row aggregate; the driver only ever
+    holds k*d ints."""
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
     q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
@@ -101,6 +99,85 @@ def kmeans_assign(
             else centroids[j]  # empty cluster keeps its previous centroid
             for j in range(k)
         ]
+    return centroids
 
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Run ``iters`` assignment rounds (``iters - 1`` centroid updates)
+    and return the final assignment: (id, cluster, dist).
+
+    ``dist`` is the exact integer squared-L2 distance in quantized
+    space. The returned plan is scan -> project: the final centroids are
+    literals, so a consumer pays zero shuffles.
+    """
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, scale=scale)
+    q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(vec_col, scale).alias("_qv")
+    )
     best = _best_cluster(centroids)
     return q.select(F.col(id_col), best["c"].alias("cluster"), best["d"].alias("dist"))
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    k: int = 8,
+    iters: int = 3,
+    nprobe: int = 3,
+    topk: int = 10,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """IVF search with a k-means-trained coarse quantizer: train k
+    centroids (kmeans_fit), probe the ``nprobe`` cells nearest the
+    query, and rank only those cells' vectors by exact integer squared
+    L2 — the FAISS IVF-Flat architecture expressed as one DataFrame
+    plan.
+
+    Scale shape: the probe decision is pure driver arithmetic on k
+    quantized centroids; the returned plan is scan -> project (cell
+    assignment AND query distance both ride as literal-centroid
+    expressions) -> filter (cell in probes) -> TakeOrderedAndProject.
+    Zero shuffles, zero joins; with the assignment persisted as a
+    partition column (sim_ivf_topk's store layout) the filter becomes
+    directory pruning and the scan itself shrinks to nprobe/k of the
+    corpus.
+
+    Everything after quantization is exact integer math, so an unrolled
+    SQL oracle reproduces the result bit for bit — including WHICH cells
+    are probed (ties break to the smaller cluster id everywhere).
+    """
+    if not 1 <= nprobe <= k:
+        raise ValueError(f"nprobe must be in [1, k], got nprobe={nprobe} k={k}")
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, scale=scale)
+    qv = [math.floor(float(x) * scale) for x in query_vec]
+    by_dist = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qv, c)), j) for j, c in enumerate(centroids)
+    )
+    probes = [j for _, j in by_dist[:nprobe]]
+
+    q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(vec_col, scale).alias("_qv")
+    )
+    cell = _best_cluster(centroids)["c"]
+    qdist = F.aggregate(
+        F.zip_with("_qv", F.lit(qv).cast("array<bigint>"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.withColumn("_cell", cell)
+        .where(F.col("_cell").isin([int(p) for p in probes]))
+        .select(F.col(id_col), qdist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

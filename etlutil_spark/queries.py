@@ -5417,19 +5417,20 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(d, "doc_id", "text", segment_tokens=8)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Unrolled Lloyd's iterations as pure SQL (see operators/clustering.py
-    for the determinism contract: quantize floor(double*1e6), integer
+def _kmeans_cte_parts(k: int = 8, iters: int = 3, dim: int = 64) -> tuple[list[str], str]:
+    """Shared unrolled-Lloyd's CTE chain (see operators/clustering.py for
+    the determinism contract: quantize floor(double*1e6), integer
     squared-L2, ties to the smaller cluster, floor-div centroid update,
-    empty cluster keeps its previous centroid)."""
+    empty cluster keeps its previous centroid). Returns (parts, name of
+    the final-centroid CTE); the final assignment CTE ``afinal`` keeps
+    (vec_id, v, cluster, dist)."""
     rng = f"range(1, {dim + 1})"
     dist = "CAST(list_sum([ (q.v[i] - {c}.c[i]) * (q.v[i] - {c}.c[i]) for i in {rng} ]) AS BIGINT)"
 
-    def assign(name: str, cents: str, keep_v: bool) -> str:
+    def assign(name: str, cents: str) -> str:
         d = dist.format(c=cents, rng=rng)
-        cols = "vec_id, v, cluster, dist" if keep_v else "vec_id, cluster, dist"
         return f"""
-    {name} AS (SELECT {cols} FROM (
+    {name} AS (SELECT vec_id, v, cluster, dist FROM (
         SELECT q.vec_id, q.v, {cents}.cluster, {d} AS dist,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY {d}, {cents}.cluster) AS rn
@@ -5446,7 +5447,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     ]
     prev = "c0"
     for it in range(1, iters):
-        parts.append(assign(f"a{it}", prev, keep_v=True))
+        parts.append(assign(f"a{it}", prev))
         parts.append(f"""
     s{it} AS (SELECT cluster, d,
                      CAST(FLOOR(CAST(SUM(v[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
@@ -5455,8 +5456,64 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
               FROM {prev} p LEFT JOIN (SELECT cluster, list(cd ORDER BY d) AS c
                                        FROM s{it} GROUP BY cluster) n USING (cluster))""")
         prev = f"c{it}"
-    parts.append(assign("afinal", prev, keep_v=False))
+    parts.append(assign("afinal", prev))
+    return parts, prev
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    parts, _ = _kmeans_cte_parts(k, iters, dim)
     return ",".join(parts) + "\n    SELECT vec_id, cluster, dist FROM afinal"
+
+
+def _ivf_kmeans_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 3, topk: int = 10
+) -> str:
+    """IVF tail over the shared Lloyd's chain: probe the nprobe cells
+    nearest the query vector (vec_id 0), rank only those cells' vectors
+    by exact integer squared-L2 to the query."""
+    parts, cents = _kmeans_cte_parts(k, iters, dim)
+    rng = f"range(1, {dim + 1})"
+    parts.append("""
+    qv AS (SELECT v FROM q WHERE vec_id = 0)""")
+    parts.append(f"""
+    probes AS (SELECT {cents}.cluster FROM {cents} CROSS JOIN qv
+               ORDER BY CAST(list_sum([ (qv.v[i] - {cents}.c[i]) * (qv.v[i] - {cents}.c[i])
+                                        for i in {rng} ]) AS BIGINT),
+                        {cents}.cluster
+               LIMIT {nprobe})""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT a.vec_id,
+           CAST(list_sum([ (a.v[i] - qv.v[i]) * (a.v[i] - qv.v[i]) for i in {rng} ]) AS BIGINT) AS dist
+    FROM afinal a JOIN probes USING (cluster) CROSS JOIN qv
+    ORDER BY dist, a.vec_id
+    LIMIT {topk}"""
+    )
+
+
+@register(
+    "sim_ivf_kmeans_topk", _ivf_kmeans_oracle_sql(k=8, iters=3, dim=64, nprobe=3, topk=10)
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat search with a TRAINED coarse quantizer
+    (operators/clustering.py:ivf_kmeans_topk): k-means centroids
+    (kmeans_fit) define the cells, the 3 cells nearest the query are
+    probed, and only their vectors are ranked by exact integer squared
+    L2 — the FAISS architecture, with the probe decision made
+    driver-side on k quantized centroids. The returned plan is
+    scan -> project -> filter -> TakeOrderedAndProject: zero shuffles,
+    zero joins; persisted as a cell-partitioned store the filter becomes
+    directory pruning (sim_ivf_topk shows that layout). Bit-exact
+    against the unrolled-SQL oracle including WHICH cells probe."""
+    from etlutil_spark.operators.clustering import ivf_kmeans_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return ivf_kmeans_topk(e, "vec_id", "embedding", qvec, k=8, iters=3, nprobe=3, topk=10)
 
 
 @register("embeddings_kmeans", _kmeans_oracle_sql(k=8, iters=3, dim=64))

@@ -83,3 +83,52 @@ class TestKmeansAssign:
         e = _load(spark, sf_dir)
         with pytest.raises(ValueError, match="k and iters"):
             kmeans_assign(e, "vec_id", "embedding", k=0, iters=1)
+
+
+class TestIvfKmeansTopk:
+    def test_full_probe_equals_brute_force(self, spark, sf_dir):
+        """nprobe = k probes every cell, so the result must equal the
+        global exact top-k in quantized space."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.clustering import ivf_kmeans_topk
+
+        e = _load(spark, sf_dir)
+        qvec = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        got = [
+            (r["vec_id"], r["dist"])
+            for r in ivf_kmeans_topk(e, "vec_id", "embedding", qvec, k=4, iters=2, nprobe=4, topk=5).collect()
+        ]
+        qv = [math.floor(x * 1_000_000) for x in qvec]
+        rows = e.select("vec_id", "embedding").collect()
+        brute = sorted(
+            (
+                sum((math.floor(float(a) * 1_000_000) - b) ** 2 for a, b in zip(r["embedding"], qv)),
+                r["vec_id"],
+            )
+            for r in rows
+        )[:5]
+        assert got == [(v, d) for d, v in brute]
+
+    def test_partial_probe_is_subset_of_corpus_cells(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.clustering import ivf_kmeans_topk, kmeans_assign
+
+        e = _load(spark, sf_dir)
+        qvec = [float(x) for x in e.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+        hits = ivf_kmeans_topk(e, "vec_id", "embedding", qvec, k=8, iters=3, nprobe=2, topk=10)
+        cells = kmeans_assign(e, "vec_id", "embedding", k=8, iters=3)
+        joined = hits.join(cells, "vec_id").select("cluster").distinct()
+        assert joined.count() <= 2  # results only come from the probed cells
+
+    def test_bad_nprobe_raises(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.clustering import ivf_kmeans_topk
+
+        e = _load(spark, sf_dir)
+        with _pytest.raises(ValueError, match="nprobe"):
+            ivf_kmeans_topk(e, "vec_id", "embedding", [0.0] * 64, k=4, nprobe=5)

@@ -150,6 +150,8 @@ HEADLINE_BUDGETS = {
     "events_dau_wau_mau": (11, 2),
     # range repartition (exact ntile) + rank offsets + shard extents agg
     "orders_zorder_extents": (3, 1),
+    # scan -> literal-centroid project -> probe filter -> TakeOrdered
+    "sim_ivf_kmeans_topk": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
