@@ -134,6 +134,7 @@ EXTENDED = [
     "events_dau_wau_mau",
     "orders_zorder_extents",
     "sim_ivf_kmeans_topk",
+    "embeddings_cluster_purity",
 ]
 
 

@@ -5516,6 +5516,63 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(e, "vec_id", "embedding", qvec, k=8, iters=3, nprobe=3, topk=10)
 
 
+def _cluster_purity_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    parts, _ = _kmeans_cte_parts(k, iters, dim)
+    return (
+        ",".join(parts)
+        + """,
+    lab AS (SELECT vec_id, label FROM embeddings
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    cl AS (SELECT a.cluster, l.label FROM afinal a JOIN lab l USING (vec_id)),
+    counts AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS c
+               FROM cl GROUP BY 1, 2),
+    tot AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    maj AS (SELECT cluster, label AS majority_label, c AS majority_n FROM (
+        SELECT cluster, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rn
+        FROM counts) WHERE rn = 1)
+    SELECT t.cluster, t.n, m.majority_label, m.majority_n,
+           round(m.majority_n * 1.0 / t.n, 6) AS purity
+    FROM tot t JOIN maj m USING (cluster)"""
+    )
+
+
+@register("embeddings_cluster_purity", _cluster_purity_oracle_sql(k=8, iters=3, dim=64))
+def embeddings_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per k-means cluster, the majority
+    ground-truth label and its purity — the acceptance metric that
+    decides whether the trained quantizer is good enough to drive
+    IVF cells or SemDeDup buckets (the same gate sim_ann_recall is for
+    the LSH index). Assignment rides the literal-centroid projection;
+    the label join is id-keyed; the majority pick is a rank window over
+    the AGGREGATED (cluster, label) counts with total-order
+    tie-breaks."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, "embeddings", sf_dir)
+    assign = kmeans_assign(e, "vec_id", "embedding", k=8, iters=3)
+    lab = e.where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()).select(
+        "vec_id", "label"
+    )
+    counts = (
+        assign.join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), F.col("label").asc())
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    tot = counts.groupBy("cluster").agg(F.sum("c").cast("bigint").alias("n"))
+    maj = ranked.where(F.col("rn") == 1).select(
+        "cluster", F.col("label").alias("majority_label"), F.col("c").alias("majority_n")
+    )
+    return tot.join(maj, "cluster").select(
+        "cluster", "n", "majority_label", "majority_n",
+        F.round(F.col("majority_n") / F.col("n"), 6).alias("purity"),
+    )
+
+
 @register("embeddings_kmeans", _kmeans_oracle_sql(k=8, iters=3, dim=64))
 def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus

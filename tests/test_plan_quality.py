@@ -152,6 +152,9 @@ HEADLINE_BUDGETS = {
     "orders_zorder_extents": (3, 1),
     # scan -> literal-centroid project -> probe filter -> TakeOrdered
     "sim_ivf_kmeans_topk": (0, 0),
+    # id-keyed label join + (cluster,label) counts reused by majority
+    # window and totals agg (ReusedExchange counted)
+    "embeddings_cluster_purity": (7, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
