@@ -46,3 +46,32 @@ class TestUrlNormalize:
     def test_single_label_host_has_no_registered_domain(self, spark):
         (out,) = _norm(spark, ["http://localhost/x"])
         assert out[1] == "localhost" and out[2] == ""
+
+
+class TestUrlNormalizeProperties:
+    def test_idempotent_and_invariant(self, spark):
+        """Canonicalization must be a projection: running it on its own
+        output changes nothing (else two passes over a corpus disagree),
+        and no tracking param survives any input."""
+        import itertools
+
+        hosts = ["Example.COM", "www.site.example.org", "a.b.example.net:8080", "u:p@x.example.com"]
+        paths = ["", "/", "/A/b", "/a/b/", "/x//"]
+        queries = ["", "?utm_source=1", "?a=1&utm_medium=m&b=2", "?ref=r&gclid=g"]
+        frags = ["", "#f"]
+        urls = [
+            f"https://{h}{p}{q}{f}"
+            for h, p, q, f in itertools.product(hosts, paths, queries, frags)
+        ]
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+        once = with_url_features(df, "url").select("i", "url_norm", "host", "path_depth", "n_params")
+        twice = with_url_features(
+            once.withColumnRenamed("url_norm", "url"), "url"
+        ).select("i", "url_norm", "host", "path_depth", "n_params")
+        a = {r["i"]: (r["url_norm"], r["host"], r["path_depth"], r["n_params"]) for r in once.collect()}
+        b = {r["i"]: (r["url_norm"], r["host"], r["path_depth"], r["n_params"]) for r in twice.collect()}
+        assert a == b
+        for norm, host, _, _ in a.values():
+            assert "utm_" not in norm and "gclid" not in norm and "ref=" not in norm
+            assert host == host.lower() and not host.startswith("www.")
+            assert "#" not in norm
