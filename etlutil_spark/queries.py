@@ -6041,8 +6041,13 @@ def docs_ngram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from etlutil_spark.functions.text import word_shingles
+    from etlutil_spark.operators.util import ensure_min_partitions
 
-    d = load_table(spark, "documents", sf_dir).select("lang", "text")
+    # the tokenize+shingle explode is CPU-bound per row: spread a
+    # single-file scan across cores first (no-op at real scale)
+    d = ensure_min_partitions(
+        load_table(spark, "documents", sf_dir).select("lang", "text")
+    )
     tri = d.select("lang", F.explode(word_shingles("text", 3)).alias("trigram"))
     counts = tri.groupBy("lang", "trigram").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("trigram").asc())

@@ -142,8 +142,9 @@ HEADLINE_BUDGETS = {
     "docs_domain_quality": (1, 0),
     # map-side canonicalization + one url-keyed aggregate
     "docs_dedup_url": (1, 0),
-    # trigram explode + count agg + rank window over aggregated counts
-    "docs_ngram_topk_per_lang": (2, 0),
+    # spread-the-scan repartition + trigram explode + count agg + rank
+    # window over aggregated counts
+    "docs_ngram_topk_per_lang": (3, 0),
     # user-day distinct + three per-day aggregates + day joins; 6 of the
     # counted exchanges are ReusedExchange (the collapsed user-day table
     # is computed ONCE and reused — exchange_count includes reuse nodes)
