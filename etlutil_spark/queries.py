@@ -5700,11 +5700,13 @@ def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side CASE; the only data shuffle is the per-phase summary
     aggregate. Quantile interpolation is bit-identical cross-engine on
     the rounded score doubles."""
+    from etlutil_spark.functions.text import token_count
     from etlutil_spark.operators.sampling import curriculum_phases
     from etlutil_spark.operators.text_analysis import quality_model_score
-    from etlutil_spark.functions.text import token_count
+    from etlutil_spark.operators.util import ensure_min_partitions
 
-    d = load_table(spark, "documents", sf_dir)
+    # scoring is regex-heavy per row: spread a single-file scan first
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
     scored = quality_model_score(d, "text").withColumn("n_tokens", token_count("text"))
     return curriculum_phases(scored, "model_score", weight_col="n_tokens", phases=4)
 

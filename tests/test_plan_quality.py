@@ -124,8 +124,9 @@ HEADLINE_BUDGETS = {
     "events_value_mad_outliers": (3, 2),
     # single global aggregate -> 6-row unpivot
     "lineitem_corr_matrix": (1, 0),
-    # cut points collected as literals -> score once + per-phase agg
-    "docs_curriculum": (1, 0),
+    # spread-the-scan repartition + score + per-phase agg (cut points
+    # collected as literals)
+    "docs_curriculum": (2, 0),
     # one per-language aggregate + literal arithmetic
     "docs_mixture_epoch_plan": (1, 0),
     # pure regex/array projection
