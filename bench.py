@@ -135,6 +135,7 @@ EXTENDED = [
     "orders_zorder_extents",
     "sim_ivf_kmeans_topk",
     "embeddings_cluster_purity",
+    "embeddings_semdedup",
 ]
 
 

@@ -181,3 +181,68 @@ def ivf_kmeans_topk(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    radius: int,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the corpus with the
+    trained quantizer, then drop every vector whose exact (quantized)
+    squared-L2 distance to a SMALLER-id vector in the SAME cell is
+    within ``radius`` — keep-first semantics, the deterministic survivor
+    rule of the exact-dedup family. Returns one row per vector:
+    (id, cluster, kept, n_near_smaller).
+
+    Why cells: the all-pairs comparison is quadratic, but only WITHIN a
+    cell — SemDeDup's contract is that k grows with the corpus so the
+    cell size (and each cell's pair count) stays constant; the cluster
+    sizes from embeddings_cluster_purity / kmeans_assign are the skew
+    audit that validates that assumption before a big run. Cross-cell
+    near-dups are deliberately invisible (the recall trade every
+    cell-partitioned method makes; raise nprobe-style by merging cells
+    if it matters).
+
+    Plan: assignment rides literal centroids (map-side); the pair stage
+    is a cluster-keyed equi-join with the distance predicate as the join
+    filter; the drop set left-joins back on id. Everything is exact
+    integer math — the oracle reproduces the kept set bit for bit.
+    """
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, scale=scale)
+    q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(vec_col, scale).alias("_qv")
+    )
+    assigned = q.select(F.col(id_col), F.col("_qv"), _best_cluster(centroids)["c"].alias("cluster"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dist = F.aggregate(
+        F.zip_with("a._qv", "b._qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (dist <= F.lit(int(radius))),
+        )
+        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .agg(F.count("*").alias("n_near_smaller"))
+    )
+    return (
+        assigned.join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.col("n_near_smaller").isNull().cast("int").alias("kept"),
+            F.coalesce("n_near_smaller", F.lit(0)).cast("bigint").alias("n_near_smaller"),
+        )
+    )

@@ -5516,6 +5516,45 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_kmeans_topk(e, "vec_id", "embedding", qvec, k=8, iters=3, nprobe=3, topk=10)
 
 
+_SEMDEDUP_RADIUS = 1_300_000_000_000  # ~p1 of within-cell pair distances
+
+
+def _semdedup_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, radius: int = _SEMDEDUP_RADIUS
+) -> str:
+    parts, _ = _kmeans_cte_parts(k, iters, dim)
+    rng = f"range(1, {dim + 1})"
+    return (
+        ",".join(parts)
+        + f""",
+    near AS (SELECT b.vec_id AS vid, CAST(COUNT(*) AS BIGINT) AS m
+             FROM afinal a JOIN afinal b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              AND CAST(list_sum([ (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]) for i in {rng} ]) AS BIGINT) <= {radius}
+             GROUP BY 1)
+    SELECT f.vec_id, f.cluster,
+           CAST(CASE WHEN p.vid IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept,
+           CAST(COALESCE(p.m, 0) AS BIGINT) AS n_near_smaller
+    FROM afinal f LEFT JOIN near p ON f.vec_id = p.vid"""
+    )
+
+
+@register("embeddings_semdedup", _semdedup_oracle_sql())
+def embeddings_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py:semdedup): semantic near-dup
+    removal — cluster with the trained quantizer, then drop vectors
+    within an exact quantized squared-L2 radius of a smaller-id vector
+    in the SAME cell (keep-first survivor). The quadratic comparison is
+    confined to cells, whose size stays constant as k scales with the
+    corpus — the SemDeDup contract; cluster sizes from
+    embeddings_cluster_purity are the skew audit. Bit-exact kept set
+    against the unrolled-SQL oracle."""
+    from etlutil_spark.operators.clustering import semdedup
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return semdedup(e, "vec_id", "embedding", k=8, iters=3, radius=_SEMDEDUP_RADIUS)
+
+
 def _cluster_purity_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     parts, _ = _kmeans_cte_parts(k, iters, dim)
     return (

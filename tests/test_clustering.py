@@ -132,3 +132,43 @@ class TestIvfKmeansTopk:
         e = _load(spark, sf_dir)
         with _pytest.raises(ValueError, match="nprobe"):
             ivf_kmeans_topk(e, "vec_id", "embedding", [0.0] * 64, k=4, nprobe=5)
+
+
+class TestSemdedup:
+    def test_exact_duplicate_dropped_at_radius_zero(self, spark, sf_dir):
+        """radius=0 is exact semantic dedup: a duplicated vector's
+        larger id is dropped, everything else survives."""
+        from pyspark.sql import functions as F
+
+        e = _load(spark, sf_dir).limit(50)
+        dup = e.where(F.col("vec_id") == 3).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+        from etlutil_spark.operators.clustering import semdedup
+
+        out = {r["vec_id"]: r for r in semdedup(e.unionByName(dup), "vec_id", "embedding", k=4, iters=2, radius=0).collect()}
+        assert out[100003]["kept"] == 0 and out[100003]["n_near_smaller"] == 1
+        assert out[3]["kept"] == 1
+        assert sum(1 for r in out.values() if r["kept"] == 0) == 1
+
+    def test_keep_first_semantics(self, spark, sf_dir):
+        """The smallest id in any near-dup pair is always kept."""
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.clustering import semdedup
+
+        e = _load(spark, sf_dir)
+        out = semdedup(e, "vec_id", "embedding", k=8, iters=3, radius=1_300_000_000_000)
+        min_id = out.agg(F.min("vec_id")).collect()[0][0]
+        assert out.where(F.col("vec_id") == min_id).collect()[0]["kept"] == 1
+        # dropped rows always cite at least one smaller neighbor
+        bad = out.where((F.col("kept") == 0) & (F.col("n_near_smaller") == 0)).count()
+        assert bad == 0
+
+    def test_negative_radius_raises(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.clustering import semdedup
+
+        with _pytest.raises(ValueError, match="radius"):
+            semdedup(_load(spark, sf_dir), "vec_id", "embedding", radius=-1)

@@ -157,6 +157,8 @@ HEADLINE_BUDGETS = {
     # id-keyed label join + (cluster,label) counts reused by majority
     # window and totals agg (ReusedExchange counted)
     "embeddings_cluster_purity": (7, 1),
+    # cell-keyed self-join (AQE broadcasts) + near-count agg + id join
+    "embeddings_semdedup": (2, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
