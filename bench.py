@@ -136,6 +136,7 @@ EXTENDED = [
     "sim_ivf_kmeans_topk",
     "embeddings_cluster_purity",
     "embeddings_semdedup",
+    "sim_pq_adc_topk",
 ]
 
 

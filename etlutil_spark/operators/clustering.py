@@ -48,13 +48,13 @@ def _quantize(vec_col: str, scale: int) -> Column:
     )
 
 
-def _best_cluster(centroids: list[list[int]]) -> Column:
+def _best_cluster(centroids: list[list[int]], qv: Column | str = "_qv") -> Column:
     """struct(dist, cluster) of the nearest centroid; integer-exact,
     ties to the smaller cluster id via lexicographic struct min."""
     candidates = []
     for j, cent in enumerate(centroids):
         dist = F.aggregate(
-            F.zip_with("_qv", F.lit(cent).cast("array<bigint>"), lambda a, b: (a - b) * (a - b)),
+            F.zip_with(qv, F.lit(cent).cast("array<bigint>"), lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
@@ -245,4 +245,76 @@ def semdedup(
             F.col("n_near_smaller").isNull().cast("int").alias("kept"),
             F.coalesce("n_near_smaller", F.lit(0)).cast("bigint").alias("n_near_smaller"),
         )
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    topk: int = 10,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Product-quantization search with asymmetric distance computation
+    (the FAISS PQ/ADC architecture): split each vector into ``m``
+    subspaces, train a ``ksub``-centroid codebook per subspace
+    (kmeans_fit on the slice), and score each database vector by the sum
+    of per-subspace LOOKUPS — the distance from the (exact) query
+    subvector to the centroid the database subvector quantizes to.
+
+    Why this is the 100 TB vector-store architecture: database vectors
+    compress to m codes (8 bytes here vs 256 for float32 d=64 — 32x),
+    and serving is pure map-side arithmetic — the per-query distance
+    tables (m * ksub ints, computed driver-side from the codebooks) and
+    the codebooks themselves ride the plan as LITERALS, so the serving
+    plan is scan -> project -> TakeOrderedAndProject with zero shuffles,
+    zero joins. Training cost (m small k-means fits) is paid once and
+    amortized over every query; in a real store the codes are
+    precomputed at write time and serving reads 8-byte codes instead of
+    raw vectors.
+
+    Exactness contract: codebooks, code assignment, distance tables and
+    the final ADC sums are all integer math in quantized space, so the
+    unrolled-SQL oracle reproduces the ranking bit for bit. ADC is an
+    APPROXIMATION of the true distance (that is the compression trade);
+    pair with an exact rerank stage (quantize_rerank_topk's pattern)
+    when recall at the top matters.
+    """
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    d = len(first[0])
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    if len(query_vec) != d:
+        raise ValueError(f"query dim {len(query_vec)} != corpus dim {d}")
+
+    codebooks = []
+    for s in range(m):
+        sub = df.withColumn("_sub", F.slice(vec_col, s * dsub + 1, dsub))
+        codebooks.append(kmeans_fit(sub, id_col, "_sub", k=ksub, iters=iters, scale=scale))
+
+    qv = [math.floor(float(x) * scale) for x in query_vec]
+    tables = [
+        [sum((qv[s * dsub + t] - c[t]) ** 2 for t in range(dsub)) for c in cb]
+        for s, cb in enumerate(codebooks)
+    ]
+
+    q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(vec_col, scale).alias("_qv")
+    )
+    adc = None
+    for s in range(m):
+        subq = F.slice("_qv", s * dsub + 1, dsub)
+        code = _best_cluster(codebooks[s], subq)["c"]
+        term = F.element_at(F.lit(tables[s]).cast("array<bigint>"), (code + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    return (
+        q.select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
     )

@@ -5417,47 +5417,64 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(d, "doc_id", "text", segment_tokens=8)
 
 
-def _kmeans_cte_parts(k: int = 8, iters: int = 3, dim: int = 64) -> tuple[list[str], str]:
-    """Shared unrolled-Lloyd's CTE chain (see operators/clustering.py for
-    the determinism contract: quantize floor(double*1e6), integer
-    squared-L2, ties to the smaller cluster, floor-div centroid update,
-    empty cluster keeps its previous centroid). Returns (parts, name of
-    the final-centroid CTE); the final assignment CTE ``afinal`` keeps
-    (vec_id, v, cluster, dist)."""
+_DUCK_QUANTIZED_EMBEDDINGS = """SELECT vec_id,
+             [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS v
+      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL"""
+
+
+def _kmeans_chain(
+    k: int, iters: int, dim: int, sfx: str = "", source_sql: str | None = None
+) -> tuple[list[str], str, str]:
+    """Unrolled-Lloyd's CTE chain (see operators/clustering.py for the
+    determinism contract: quantize floor(double*1e6), integer squared-L2,
+    ties to the smaller cluster, floor-div centroid update, empty cluster
+    keeps its previous centroid). Every CTE name carries ``sfx`` so
+    several chains (one per PQ subspace) compose in one WITH block.
+    Returns (cte_defs, final-centroid CTE name, final-assignment CTE
+    name); the assignment CTE keeps (vec_id, v, cluster, dist)."""
     rng = f"range(1, {dim + 1})"
-    dist = "CAST(list_sum([ (q.v[i] - {c}.c[i]) * (q.v[i] - {c}.c[i]) for i in {rng} ]) AS BIGINT)"
+    Q = f"q{sfx}"
+    dist = (
+        f"CAST(list_sum([ ({Q}.v[i] - {{c}}.c[i]) * ({Q}.v[i] - {{c}}.c[i]) for i in {rng} ]) AS BIGINT)"
+    )
 
     def assign(name: str, cents: str) -> str:
-        d = dist.format(c=cents, rng=rng)
+        d = dist.format(c=cents)
         return f"""
     {name} AS (SELECT vec_id, v, cluster, dist FROM (
-        SELECT q.vec_id, q.v, {cents}.cluster, {d} AS dist,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        SELECT {Q}.vec_id, {Q}.v, {cents}.cluster, {d} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY {Q}.vec_id
                                   ORDER BY {d}, {cents}.cluster) AS rn
-        FROM q CROSS JOIN {cents}) WHERE rn = 1)"""
+        FROM {Q} CROSS JOIN {cents}) WHERE rn = 1)"""
 
+    src = source_sql or _DUCK_QUANTIZED_EMBEDDINGS
     parts = [
-        f"""WITH q AS (
-      SELECT vec_id,
-             [CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS v
-      FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
-           FROM q ORDER BY vec_id LIMIT {k}),
-    dims AS (SELECT UNNEST({rng}) AS d)"""
+        f"""{Q} AS (
+      {src})""",
+        f"""c0{sfx} AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+           FROM {Q} ORDER BY vec_id LIMIT {k})""",
+        f"""dims{sfx} AS (SELECT UNNEST({rng}) AS d)""",
     ]
-    prev = "c0"
+    prev = f"c0{sfx}"
     for it in range(1, iters):
-        parts.append(assign(f"a{it}", prev))
+        parts.append(assign(f"a{it}{sfx}", prev))
         parts.append(f"""
-    s{it} AS (SELECT cluster, d,
+    s{it}{sfx} AS (SELECT cluster, d,
                      CAST(FLOOR(CAST(SUM(v[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
-              FROM a{it} CROSS JOIN dims GROUP BY cluster, d),
-    c{it} AS (SELECT p.cluster, COALESCE(n.c, p.c) AS c
+              FROM a{it}{sfx} CROSS JOIN dims{sfx} GROUP BY cluster, d),
+    c{it}{sfx} AS (SELECT p.cluster, COALESCE(n.c, p.c) AS c
               FROM {prev} p LEFT JOIN (SELECT cluster, list(cd ORDER BY d) AS c
-                                       FROM s{it} GROUP BY cluster) n USING (cluster))""")
-        prev = f"c{it}"
-    parts.append(assign("afinal", prev))
-    return parts, prev
+                                       FROM s{it}{sfx} GROUP BY cluster) n USING (cluster))""")
+        prev = f"c{it}{sfx}"
+    parts.append(assign(f"afinal{sfx}", prev))
+    return parts, prev, f"afinal{sfx}"
+
+
+def _kmeans_cte_parts(k: int = 8, iters: int = 3, dim: int = 64) -> tuple[list[str], str]:
+    """Back-compat wrapper: the unsuffixed single chain with the WITH
+    keyword folded into the first part (afinal/q/cN names as before)."""
+    parts, cents, _ = _kmeans_chain(k, iters, dim, sfx="")
+    return ["WITH " + parts[0]] + parts[1:], cents
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
@@ -5514,6 +5531,67 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
     return ivf_kmeans_topk(e, "vec_id", "embedding", qvec, k=8, iters=3, nprobe=3, topk=10)
+
+
+def _pq_adc_oracle_sql(
+    m: int = 8, ksub: int = 16, iters: int = 2, dim: int = 64, topk: int = 10
+) -> str:
+    """PQ/ADC mirror: one unrolled k-means chain per subspace trains the
+    codebooks; each database vector's per-subspace code joins to the
+    per-query distance table; the ADC score is the sum of table hits."""
+    dsub = dim // m
+    parts = [f"qfull AS (\n      {_DUCK_QUANTIZED_EMBEDDINGS})"]
+    cents, finals = [], []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        src = f"SELECT vec_id, v[{lo}:{hi}] AS v FROM qfull"
+        chain, cname, aname = _kmeans_chain(ksub, iters, dsub, sfx=f"_p{s}", source_sql=src)
+        parts.extend(chain)
+        cents.append(cname)
+        finals.append(aname)
+    parts.append("qv AS (SELECT v FROM qfull WHERE vec_id = 0)")
+    for s in range(m):
+        off = s * dsub
+        parts.append(f"""
+    t{s} AS (SELECT {cents[s]}.cluster AS code,
+                    CAST(list_sum([ (qv.v[{off} + i] - {cents[s]}.c[i]) * (qv.v[{off} + i] - {cents[s]}.c[i])
+                                    for i in range(1, {dsub + 1}) ]) AS BIGINT) AS d
+             FROM {cents[s]} CROSS JOIN qv)""")
+    joins = "".join(
+        f"\n    JOIN {finals[s]} f{s} ON b.vec_id = f{s}.vec_id"
+        f"\n    JOIN t{s} ON f{s}.cluster = t{s}.code"
+        for s in range(m)
+    )
+    total = " + ".join(f"t{s}.d" for s in range(m))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT b.vec_id, CAST({total} AS BIGINT) AS adc_dist
+    FROM qfull b{joins}
+    ORDER BY adc_dist, b.vec_id
+    LIMIT {topk}"""
+    )
+
+
+@register("sim_pq_adc_topk", _pq_adc_oracle_sql(m=8, ksub=16, iters=2, dim=64, topk=10))
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search (operators/clustering.py:pq_adc_topk):
+    8 subspaces x 16-centroid codebooks (32x vector compression) scored
+    by asymmetric distance — per-query lookup tables against the exact
+    query subvectors, summed per database vector. Codebooks and tables
+    ride the plan as literals, so serving is scan -> project ->
+    TakeOrderedAndProject with zero shuffles; training (8 small k-means
+    fits) is paid once per index build. Integer-exact end to end — the
+    8-chain unrolled-SQL oracle reproduces the ranking bit for bit."""
+    from etlutil_spark.operators.clustering import pq_adc_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return pq_adc_topk(e, "vec_id", "embedding", qvec, m=8, ksub=16, iters=2, topk=10)
 
 
 _SEMDEDUP_RADIUS = 1_300_000_000_000  # ~p1 of within-cell pair distances

@@ -172,3 +172,47 @@ class TestSemdedup:
 
         with _pytest.raises(ValueError, match="radius"):
             semdedup(_load(spark, sf_dir), "vec_id", "embedding", radius=-1)
+
+
+class TestPqAdcTopk:
+    def test_query_ranks_itself_first(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.clustering import pq_adc_topk
+
+        e = _load(spark, sf_dir)
+        qvec = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        top = pq_adc_topk(e, "vec_id", "embedding", qvec, m=8, ksub=16, iters=2, topk=3).collect()
+        assert top[0]["vec_id"] == 0  # ADC residual is small vs inter-vector distances
+
+    def test_recall_floor_vs_exact(self, spark, sf_dir):
+        """PQ recall@10 on isotropic synthetic embeddings (the
+        worst case for any quantizer — no cluster structure to exploit;
+        measured mean 0.34 over 5 queries). Pin a regression floor."""
+        import math
+
+        from etlutil_spark.operators.clustering import pq_adc_topk
+
+        e = _load(spark, sf_dir)
+        rows = e.collect()
+        vecs = {r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]] for r in rows}
+        embs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+        recalls = []
+        for qid in (0, 7, 42, 99, 123):
+            qv = vecs[qid]
+            exact = {v for _, v in sorted((sum((a - b) ** 2 for a, b in zip(v, qv)), vid) for vid, v in vecs.items())[:10]}
+            got = {r["vec_id"] for r in pq_adc_topk(e, "vec_id", "embedding", embs[qid], m=8, ksub=16, iters=2, topk=10).collect()}
+            recalls.append(len(got & exact) / 10)
+        assert sum(recalls) / len(recalls) >= 0.25, recalls
+        assert min(recalls) >= 0.1, recalls
+
+    def test_bad_subspace_split_raises(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.clustering import pq_adc_topk
+
+        e = _load(spark, sf_dir)
+        with _pytest.raises(ValueError, match="not divisible"):
+            pq_adc_topk(e, "vec_id", "embedding", [0.0] * 64, m=7)
+        with _pytest.raises(ValueError, match="query dim"):
+            pq_adc_topk(e, "vec_id", "embedding", [0.0] * 32, m=8)

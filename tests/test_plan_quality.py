@@ -159,6 +159,8 @@ HEADLINE_BUDGETS = {
     "embeddings_cluster_purity": (7, 1),
     # cell-keyed self-join (AQE broadcasts) + near-count agg + id join
     "embeddings_semdedup": (2, 2),
+    # serving plan: scan -> literal codebook/table project -> TakeOrdered
+    "sim_pq_adc_topk": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
