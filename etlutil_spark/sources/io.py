@@ -236,3 +236,76 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compaction_plan(
+    spark,
+    path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_ratio: float = 0.5,
+) -> DataFrame:
+    """Size-aware small-file compaction plan: one row per file needing
+    compaction — (file_path, file_size, bin) — where each bin is a
+    rewrite group whose total size approaches ``target_bytes``.
+
+    The small-file problem is THE parquet maintenance issue at scale
+    (every file costs a task, an open, a footer parse; 10k tiny files
+    turn a 1-second scan into a scheduler stall). The inventory comes
+    from the ``_metadata`` hidden column — a distributed metadata read,
+    no data pages touched. Files >= ``small_ratio * target_bytes`` are
+    left alone (rewriting big files buys nothing and costs IO).
+
+    Binning is a running-sum cut: files ordered (size desc, path) get
+    ``bin = floor(cumulative_size / target)`` — deterministic, and each
+    bin's total overshoots target by at most one file. The ordering
+    window runs over FILE METADATA (one row per file), not data; if the
+    inventory itself is huge (millions of files), range-partition it by
+    size first (the exact_ntile pattern) — at that point the real fix
+    is a transactional table format with automatic compaction.
+
+    ``compact`` (above) is the blunt whole-dataset rewrite; this plan
+    drives an incremental rewrite that touches only the fragmented
+    subset and can run bin-by-bin under a maintenance budget.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if target_bytes <= 0 or not 0 < small_ratio <= 1:
+        raise ValueError(
+            f"target_bytes must be > 0 and small_ratio in (0, 1], got {target_bytes}, {small_ratio}"
+        )
+    inv = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .distinct()
+    )
+    small = inv.where(F.col("file_size") < int(target_bytes * small_ratio))
+    w = Window.orderBy(F.col("file_size").desc(), F.col("file_path"))
+    return small.select(
+        "file_path",
+        "file_size",
+        F.floor((F.sum("file_size").over(w) - 1) / F.lit(int(target_bytes)))
+        .cast("int")
+        .alias("bin"),
+    )
+
+
+def compact_apply(spark, plan: DataFrame, out_dir: str, *, fmt: str = "parquet") -> int:
+    """Execute a compaction plan bin by bin: each bin's files are read
+    together and rewritten as ONE file under ``out_dir/bin=<n>/``.
+    Returns the number of bins rewritten. Plain-directory semantics
+    (no transaction): swap the originals for the compacted output in a
+    metadata operation appropriate to your catalog."""
+    rows = plan.collect()  # one row per SMALL file — metadata-scale
+    bins: dict[int, list[str]] = {}
+    for r in rows:
+        bins.setdefault(int(r["bin"]), []).append(r["file_path"])
+    for b, files in sorted(bins.items()):
+        spark.read.parquet(*files).coalesce(1).write.mode("overwrite").format(fmt).save(
+            f"{out_dir}/bin={b}"
+        )
+    return len(bins)

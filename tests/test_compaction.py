@@ -1,0 +1,70 @@
+"""Small-file compaction planner (sources/io.py:compaction_plan): the
+parquet maintenance pass, validated against a really fragmented
+directory written for the occasion."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutil_spark.sources.io import compact_apply, compaction_plan
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("frag") / "orders")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(24).write.mode("overwrite").parquet(path)
+    return path
+
+
+class TestCompactionPlan:
+    def test_every_small_file_binned_once(self, spark, fragmented):
+        target = 256 * 1024
+        plan = compaction_plan(spark, fragmented, target_bytes=target).collect()
+        planned = [r["file_path"] for r in plan]
+        assert len(planned) == len(set(planned))  # no file in two bins
+        on_disk = {f for f in glob.glob(f"{fragmented}/*.parquet")}
+        assert len(on_disk) == 24
+        # every on-disk file smaller than the threshold is in the plan
+        import os
+
+        small = {f for f in on_disk if os.path.getsize(f) < target * 0.5}
+        assert len(planned) == len(small)
+
+    def test_bins_respect_target_with_one_file_slack(self, spark, fragmented):
+        target = 256 * 1024
+        plan = compaction_plan(spark, fragmented, target_bytes=target)
+        per_bin = (
+            plan.groupBy("bin")
+            .agg(F.sum("file_size").alias("total"), F.max("file_size").alias("biggest"))
+            .collect()
+        )
+        assert per_bin, "fragmented input must produce at least one bin"
+        for r in per_bin:
+            assert r["total"] <= target + r["biggest"], r
+
+    def test_deterministic_across_calls(self, spark, fragmented):
+        a = sorted(map(tuple, compaction_plan(spark, fragmented, target_bytes=256 * 1024).collect()))
+        b = sorted(map(tuple, compaction_plan(spark, fragmented, target_bytes=256 * 1024).collect()))
+        assert a == b
+
+    def test_apply_rewrites_one_file_per_bin_losslessly(self, spark, fragmented, tmp_path):
+        target = 256 * 1024
+        plan = compaction_plan(spark, fragmented, target_bytes=target)
+        out = str(tmp_path / "compacted")
+        n_bins = compact_apply(spark, plan, out)
+        assert n_bins == plan.select("bin").distinct().count()
+        for b in range(n_bins):
+            assert len(glob.glob(f"{out}/bin={b}/*.parquet")) == 1
+        # no rows lost or duplicated across the rewrite
+        planned_files = [r["file_path"] for r in plan.collect()]
+        before = spark.read.parquet(*planned_files).count()
+        after = spark.read.parquet(*(glob.glob(f"{out}/bin=*/*.parquet"))).count()
+        assert before == after
+
+    def test_bad_params_raise(self, spark, fragmented):
+        with pytest.raises(ValueError, match="target_bytes"):
+            compaction_plan(spark, fragmented, target_bytes=0)
