@@ -137,6 +137,7 @@ EXTENDED = [
     "embeddings_cluster_purity",
     "embeddings_semdedup",
     "sim_pq_adc_topk",
+    "events_user_skew_report",
 ]
 
 

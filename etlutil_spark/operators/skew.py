@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SALT_COL = "_salt"
 
@@ -133,3 +134,48 @@ def salted_agg(
     ).agg(*[c.alias(name) for name, (c, _) in aggs.items()])
     merged = [COMBINERS[comb](name).alias(name) for name, (_, comb) in aggs.items()]
     return phase1.groupBy(*keys).agg(*merged)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: str | list[str],
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Skew diagnostic — the pre-flight audit behind every salting
+    decision: the ``top_n`` hottest key values with their row counts,
+    corpus share, and the global skew factor (hottest key's count over
+    the mean per-key count). A skew_factor near 1 means AQE alone is
+    fine; double digits on a broadcast-ineligible join key is the signal
+    to reach for salted_join / salted_agg.
+
+    One keyed count aggregate (map-side combined, so even the hottest
+    key costs each task one row), a 1-row totals scalar broadcast back,
+    and a TakeOrderedAndProject for the top-n — no full sort, no
+    row-level shuffle beyond the count itself. NULL keys count as a key
+    (a NULL-heavy join column is the most common skew of all).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("_total"),
+        F.count("*").cast("bigint").alias("_n_keys"),
+        F.max("n_rows").cast("bigint").alias("_max_n"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), *[F.col(k).asc_nulls_last() for k in keys]).limit(
+        top_n
+    )
+    j = top.join(F.broadcast(totals))
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k).asc_nulls_last() for k in keys])
+    return j.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        *keys,
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.col("_max_n").cast("double") * F.col("_n_keys").cast("double") / F.col("_total").cast("double"),
+            6,
+        ).alias("skew_factor"),
+    )

@@ -6016,6 +6016,42 @@ def orders_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_skew_report",
+    """
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id),
+    totals AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n_rows) AS BIGINT) AS max_n
+      FROM counts),
+    top AS (
+      SELECT user_id, n_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id ASC NULLS LAST) AS INTEGER) AS rank
+      FROM counts
+      ORDER BY n_rows DESC, user_id ASC NULLS LAST
+      LIMIT 20)
+    SELECT t.rank, t.user_id, t.n_rows,
+           round(t.n_rows * 1.0 / x.total, 6) AS share,
+           round(CAST(x.max_n AS DOUBLE) * CAST(x.n_keys AS DOUBLE) / CAST(x.total AS DOUBLE), 6) AS skew_factor
+    FROM top t CROSS JOIN totals x
+    """,
+)
+def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit (operators/skew.py:key_skew_report): the 20
+    hottest user_ids with corpus share and the global max/mean skew
+    factor — the measurement that decides between AQE-alone and explicit
+    salting BEFORE a big joined run. One map-side-combined count
+    aggregate + a 1-row totals broadcast + TakeOrderedAndProject; the
+    rank window runs over the 20 surviving rows only."""
+    from etlutil_spark.operators.skew import key_skew_report
+
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    return key_skew_report(ev, "user_id", top_n=20)
+
+
+@register(
     "events_dau_wau_mau",
     """
     WITH ud AS (

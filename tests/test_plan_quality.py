@@ -161,6 +161,8 @@ HEADLINE_BUDGETS = {
     "embeddings_semdedup": (2, 2),
     # serving plan: scan -> literal codebook/table project -> TakeOrdered
     "sim_pq_adc_topk": (0, 0),
+    # keyed count agg + 1-row totals broadcast + top-n rank over 20 rows
+    "events_user_skew_report": (3, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -184,6 +186,7 @@ SCALAR_OK = {
     "docs_contamination_bloom",  # 1-row bitset-array scalar
     "audit_fk_orphans",  # five 1-row per-relation audit summaries
     "lineitem_corr_matrix",  # 1-row moments scalar, unpivoted to 6 rows
+    "events_user_skew_report",  # 1-row totals scalar + 20-row rank window
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -541,6 +541,7 @@ class TestCatalogPlanGuards:
         "docs_lm_score",  # 1-row vocabulary broadcast
         "q11_important_stock",  # 1-row value-threshold broadcast
         "docs_contamination_bloom",  # 1-row bitset-array broadcast
+        "events_user_skew_report",  # 1-row totals broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):

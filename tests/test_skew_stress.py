@@ -127,3 +127,33 @@ class TestSkewedSessionization:
         )
         hot = left.where(F.col("user_id") == 0).collect()
         assert len(hot) == 20_000 and all(r["segment"] is None for r in hot)
+
+
+class TestKeySkewReport:
+    def test_hot_key_surfaces_with_share_and_factor(self, spark):
+        from etlutil_spark.operators.skew import key_skew_report
+
+        data = [("whale",)] * 80 + [(f"u{i}",) for i in range(20)]
+        df = spark.createDataFrame(data, "k string")
+        rows = key_skew_report(df, "k", top_n=3).collect()
+        assert rows[0]["rank"] == 1 and rows[0]["k"] == "whale"
+        assert rows[0]["n_rows"] == 80 and rows[0]["share"] == 0.8
+        # max/mean: 80 / (100/21) keys
+        assert abs(rows[0]["skew_factor"] - 80 * 21 / 100) < 1e-6
+        assert len(rows) == 3
+
+    def test_null_keys_counted(self, spark):
+        from etlutil_spark.operators.skew import key_skew_report
+
+        df = spark.createDataFrame([(None,)] * 5 + [("a",)], "k string")
+        rows = key_skew_report(df, "k", top_n=2).collect()
+        assert rows[0]["k"] is None and rows[0]["n_rows"] == 5
+
+    def test_bad_top_n_raises(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.skew import key_skew_report
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError, match="top_n"):
+            key_skew_report(df, "k", top_n=0)
