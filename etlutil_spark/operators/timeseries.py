@@ -211,22 +211,53 @@ def trailing_baseline_anomaly(
         .groupBy(*group_cols, bucket.alias("bucket"))
         .agg(F.count("*").alias("n_events"))
     )
+    return trailing_baseline_over_counts(
+        counts,
+        group_cols,
+        bucket_seconds=bucket_seconds,
+        trailing_buckets=trailing_buckets,
+        factor=factor,
+        min_baseline_buckets=min_baseline_buckets,
+    )
+
+
+def trailing_baseline_over_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    *,
+    bucket_col: str = "bucket",
+    n_col: str = "n_events",
+    bucket_seconds: int = 3600,
+    trailing_buckets: int = 24,
+    factor: float = 2.0,
+    min_baseline_buckets: int = 6,
+) -> DataFrame:
+    """The window half of trailing_baseline_anomaly, over an ALREADY
+    bucketed (group, bucket, count) series — the production streaming
+    mode: a watermarked tumbling-window stream (streaming/events.py
+    windowed_counts) maintains the hourly rollup incrementally, and this
+    runs over the accumulated store on whatever cadence alerting needs.
+    Identical math to the raw-events wrapper, so stream-maintained and
+    batch-recomputed series flag the same buckets (tested)."""
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(F.unix_timestamp("bucket"))
+        .orderBy(F.unix_timestamp(bucket_col))
         .rangeBetween(-trailing_buckets * bucket_seconds, -bucket_seconds)
     )
-    base_sum = F.sum("n_events").over(w)
-    base_n = F.count("n_events").over(w)
+    base_sum = F.sum(n_col).over(w)
+    base_n = F.count(n_col).over(w)
     baseline = F.when(
         base_n >= min_baseline_buckets, base_sum.cast("double") / base_n.cast("double")
     )
     return counts.select(
         *group_cols,
-        "bucket",
-        "n_events",
+        F.col(bucket_col).alias("bucket"),
+        F.col(n_col).alias("n_events"),
         F.round(baseline, 6).alias("baseline"),
-        F.when(baseline.isNotNull(), (F.col("n_events").cast("double") > F.lit(float(factor)) * baseline).cast("int"))
+        F.when(
+            baseline.isNotNull(),
+            (F.col(n_col).cast("double") > F.lit(float(factor)) * baseline).cast("int"),
+        )
         .otherwise(F.lit(0))
         .alias("is_spike"),
     )
