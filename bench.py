@@ -138,6 +138,15 @@ EXTENDED = [
     "embeddings_semdedup",
     "sim_pq_adc_topk",
     "events_user_skew_report",
+    "orders_rfm_segments",
+    "lineitem_basket_rules",
+    "events_pagerank",
+    "docs_dsir_weights",
+    "docs_bpe_pair_merge",
+    "orders_cohort_ltv",
+    "events_inter_arrival_profile",
+    "orders_revenue_trend",
+    "multimodal_frame_plan",
 ]
 
 

@@ -137,3 +137,125 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(row_tot), 6).alias("p"),
     )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    as_of: str = "1998-12-31",
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Per-customer RFM (recency / frequency / monetary) quartile scores
+    — the classic customer-segmentation primitive (score 1 = best
+    quartile on every axis: most recent, most frequent, highest spend).
+
+    Each score is an EXACT equal-count quantile bucket computed with
+    quantiles.exact_ntile (range-repartition + rank offsets), never a
+    global ``ntile() OVER (ORDER BY ...)`` — that plans as a
+    single-partition window, the canonical scale-killer. The ntile runs
+    over the per-customer AGGREGATE (one keyed shuffle bounds it by
+    |customers|, not order volume), with the customer key as tiebreak so
+    assignment is deterministic and bit-identical to ANSI NTILE.
+    Descending axes (frequency, monetary) are expressed as negated
+    ascending sort columns, which is exactly ``ORDER BY x DESC`` for the
+    total order; monetary sums run as DECIMAL so they are exact and
+    partition-order-independent."""
+    from etlutil_spark.operators.quantiles import exact_ntile
+
+    per_cust = (
+        orders.groupBy(cust_col)
+        .agg(
+            F.datediff(
+                F.lit(as_of).cast("date"), F.max(F.to_date(date_col))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col(amount_col).cast("decimal(38,4)")).alias("monetary"),
+        )
+        .withColumn("_neg_f", -F.col("frequency"))
+        .withColumn("_neg_m", -F.col("monetary"))
+    )
+    d = exact_ntile(per_cust, n_buckets, ["recency_days", cust_col], bucket_col="r_q")
+    d = exact_ntile(d, n_buckets, ["_neg_f", cust_col], bucket_col="f_q")
+    d = exact_ntile(d, n_buckets, ["_neg_m", cust_col], bucket_col="m_q")
+    return d.drop("_neg_f", "_neg_m")
+
+
+def basket_rules(
+    baskets: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """Association rules over co-occurring items: for every directed
+    item pair (antecedent -> consequent) seen together in at least
+    ``min_pair_count`` baskets, emit support / confidence / lift, keep
+    the ``top_n`` by lift (full deterministic tie-break).
+
+    Scale shape: collapse to DISTINCT (basket, item) first — the one
+    keyed shuffle that bounds everything after by basket *presence*, not
+    line volume — then self-join on the basket key. Per-basket item sets
+    are small and bounded (a market basket, an order's distinct brands),
+    so the join fans out quadratically only within a basket, never
+    across baskets; item totals and the basket-count scalar come from
+    the same collapsed subtree (lazy-checkpointed, computed once). The
+    1-row basket-count aggregate is the scalar-broadcast idiom; item
+    counts (|items| rows) broadcast into the pair table. Lift/confidence
+    are double divisions of exact integer counts — bit-identical in any
+    engine and partition order."""
+    items = (
+        baskets.select(basket_col, item_col)
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = items.select(basket_col).distinct().groupBy().agg(
+        F.count("*").alias("_nb")
+    )
+    item_counts = items.groupBy(item_col).agg(F.count("*").alias("_ni"))
+    a = items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("antecedent")
+    )
+    b = items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("consequent")
+    )
+    pairs = (
+        a.join(b, "_b")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col(item_col).alias("antecedent"), F.col("_ni").alias("_ca")
+    )
+    cb = item_counts.select(
+        F.col(item_col).alias("consequent"), F.col("_ni").alias("_cb")
+    )
+    scored = (
+        pairs.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("_nb"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("_ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_pair") * F.col("_nb"))
+                / (F.col("_ca") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(),
+        F.col("confidence").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(top_n)

@@ -645,3 +645,86 @@ def pii_scan_report(
     return out.withColumn(
         "pii_rate", F.round(F.col("docs_with_pii") / F.col("n_docs"), 6)
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_filter,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its hashed-unigram distribution looks like a
+    TARGET slice of the corpus versus the corpus as a whole. Sampling
+    proportionally to ``exp(dsir_logw)`` importance-reweights raw data
+    toward the target domain — the standard pretraining-mixture move
+    when high-quality target text is scarce.
+
+    Model: tokens hash into ``n_buckets`` buckets (portable 60-bit md5
+    hash, same formula in any engine); bucket unigram probabilities are
+    add-one smoothed; a document's weight is the mean per-token log
+    probability ratio ln(p_target / p_raw).
+
+    Scale shape: ONE tokenize+hash projection (map-side, lazily
+    checkpointed) feeds all three aggregates — per-(doc, bucket) counts,
+    target bucket counts, raw bucket counts. The two grand totals are
+    bounded driver scalars (the closed-form-rates idiom); the
+    ``n_buckets``-row log-ratio table broadcasts into the per-doc pass.
+    Nothing after the first aggregate scales with token volume.
+
+    Determinism: the per-bucket log-ratio is rounded to 6 decimals then
+    quantized to integer micro-units (``floor(x * 1e6 + 0.5)``), so each
+    doc's score is a ratio of exact 64-bit integer sums — bit-identical
+    across engines and partition orders (the module's float policy)."""
+    from etlutil_spark.functions.hashing import md5_bigint
+
+    tb = (
+        df.select(
+            F.col(id_col),
+            target_filter.alias("_is_target"),
+            F.explode(X.tokens(text_col)).alias("_tk"),
+        )
+        .select(
+            id_col,
+            "_is_target",
+            F.pmod(md5_bigint("_tk"), F.lit(n_buckets)).alias("_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    db = tb.groupBy(id_col, "_b").agg(F.count("*").alias("_n"))
+    tc = tb.where(F.col("_is_target")).groupBy("_b").agg(F.count("*").alias("_ct"))
+    rc = tb.groupBy("_b").agg(F.count("*").alias("_cr"))
+    # grand totals: two bounded 1-row collects (closed-form-rates idiom)
+    tt = tc.agg(F.sum("_ct")).collect()[0][0] or 0
+    tr = rc.agg(F.sum("_cr")).collect()[0][0] or 0
+    if tr == 0:
+        raise ValueError("dsir_log_weights: corpus has no tokens")
+    if tt == 0:
+        raise ValueError("dsir_log_weights: target slice has no tokens")
+    lw = F.round(
+        F.log((F.coalesce("_ct", F.lit(0)) + 1) / F.lit(float(tt + n_buckets)))
+        - F.log((F.col("_cr") + 1) / F.lit(float(tr + n_buckets))),
+        6,
+    )
+    w = rc.join(tc, "_b", "left").select(
+        "_b",
+        F.floor(lw * 1000000 + F.lit(0.5)).cast("bigint").alias("_lwq"),
+    )
+    return (
+        db.join(F.broadcast(w), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_n") * F.col("_lwq")).cast("bigint").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("_s") / (F.col("n_tokens") * F.lit(1000000.0)), 6
+            ).alias("dsir_logw"),
+        )
+    )

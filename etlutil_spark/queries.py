@@ -6430,6 +6430,538 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(li, _CORR_COLS, int_scale=100)
 
 
+@register(
+    "orders_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '1998-12-31') AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT recency_days, frequency, monetary,
+             CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INTEGER) AS r_q,
+             CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER) AS f_q,
+             CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INTEGER) AS m_q
+      FROM cust)
+    SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(recency_days) AS DOUBLE) / COUNT(*), 6) AS avg_recency_days,
+           round(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 6) AS avg_orders,
+           round(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+    FROM s GROUP BY 1
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/analytics.py:rfm_scores):
+    quartile scores for recency / frequency / monetary per customer
+    (1 = best on each axis), rolled up to segment sizes and averages.
+    The scores are exact ANSI-NTILE buckets computed WITHOUT the
+    single-partition window funnel (quantiles.exact_ntile: range
+    repartition + rank offsets), each over the per-customer aggregate —
+    order volume only touches the first keyed shuffle. Monetary sums
+    are DECIMAL-exact, so bucket boundaries and averages are
+    bit-identical cross-engine."""
+    from etlutil_spark.operators.analytics import rfm_scores
+
+    o = load_table(spark, "orders", sf_dir)
+    rfm = rfm_scores(o)
+    return (
+        rfm.groupBy(
+            F.concat(
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("recency_days").cast("double") / F.count("*"), 6).alias(
+                "avg_recency_days"
+            ),
+            F.round(F.sum("frequency").cast("double") / F.count("*"), 6).alias(
+                "avg_orders"
+            ),
+            F.round(F.sum("monetary").cast("double") / F.count("*"), 6).alias(
+                "avg_monetary"
+            ),
+        )
+    )
+
+
+@register(
+    "lineitem_basket_rules",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS ni FROM bi GROUP BY item),
+    pr AS (
+      SELECT a.item AS antecedent, c.item AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM bi a JOIN bi c ON a.b = c.b AND a.item <> c.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT pr.antecedent, pr.consequent, pr.n_pair,
+           round(pr.n_pair * 1.0 / nb.n, 6) AS support,
+           round(pr.n_pair * 1.0 / ca.ni, 6) AS confidence,
+           round((pr.n_pair * nb.n) * 1.0 / (ca.ni * cb.ni), 6) AS lift
+    FROM pr
+    JOIN ic ca ON pr.antecedent = ca.item
+    JOIN ic cb ON pr.consequent = cb.item
+    CROSS JOIN nb
+    ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+    LIMIT 20
+    """,
+)
+def lineitem_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules
+    (operators/analytics.py:basket_rules) over brands co-purchased in
+    one order: top-20 directed rules by lift with support/confidence.
+    The self-join runs on the DISTINCT (order, brand) table, so the
+    quadratic fan-out is bounded per order (an order has a handful of
+    distinct brands) and never crosses orders; brand totals broadcast
+    and the basket count is the 1-row scalar-broadcast idiom. Top-20
+    has a full deterministic tie-break (lift, confidence, pair)."""
+    from etlutil_spark.operators.analytics import basket_rules
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return basket_rules(
+        baskets, basket_col="basket", item_col="item", min_pair_count=2, top_n=20
+    )
+
+
+def _pagerank_chain(iters: int, total: int = 10**12) -> str:
+    """Unrolled-SQL PageRank oracle (the _kmeans_chain pattern): every
+    iteration is three CTEs — dangling mass d{i}, edge flows f{i}, new
+    ranks r{i} — in the SAME 64-bit integer arithmetic as
+    operators/graph.py:pagerank, so the match is bit-exact."""
+    head = f"""seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+    e AS (SELECT prev_type AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow, CAST(COUNT(*) AS BIGINT) AS n_out
+             FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT node
+              FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(({total} // nn.n) AS BIGINT) AS r FROM nodes CROSS JOIN nn)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""d{i} AS (
+      SELECT CAST(COALESCE(SUM((r.r * 85) // 100), 0) AS BIGINT) AS dm
+      FROM r{p} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+    f{i} AS (
+      SELECT e.dst, CAST(SUM((((r.r * 85) // 100) * e.w) // o.ow) AS BIGINT) AS f
+      FROM e JOIN r{p} r ON e.src = r.node JOIN outw o ON e.src = o.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT nd.node,
+             CAST((({total} * 15) // 100) // nn.n
+                  + COALESCE(f{i}.f, 0) + d{i}.dm // nn.n AS BIGINT) AS r
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d{i}
+      LEFT JOIN f{i} ON nd.node = f{i}.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT r{iters}.node AS event_type, r{iters}.r AS pr_mass,
+           round(r{iters}.r / {total}.0, 6) AS pr,
+           COALESCE(o.n_out, 0) AS n_out, COALESCE(o.ow, 0) AS out_weight
+    FROM r{iters} LEFT JOIN outw o ON r{iters}.node = o.src"""
+    )
+
+
+@register("events_pagerank", _pagerank_chain(3))
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph
+    (operators/graph.py:pagerank): which event types accumulate
+    behavioral mass when users' attention flows along observed
+    transitions. The data-volume work is the per-user lag window + edge
+    aggregate (the transition_matrix shape); each of the 3 PageRank
+    iterations is then a keyed join + keyed aggregate over the edge
+    list, materialized per superstep via eager localCheckpoint — the
+    Pregel pattern that scales to billion-edge graphs unchanged. All
+    rank mass is exact 64-bit integer arithmetic (see graph.py's
+    determinism contract), so the unrolled-SQL oracle matches bit for
+    bit."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.operators.graph import pagerank
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank(edges, iters=3).withColumnRenamed("node", "event_type")
+
+
+@register(
+    "docs_dsir_weights",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS tk FROM documents),
+    tb AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(tk), 1, 15))::BIGINT % 256 AS b
+           FROM tok),
+    db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM tb GROUP BY 1, 2),
+    tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+    tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS t FROM tc),
+    tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM rc),
+    w AS (SELECT rc.b,
+                 CAST(FLOOR(round(ln((COALESCE(tc.ct, 0) + 1) * 1.0 / (tt.t + 256))
+                                  - ln((rc.cr + 1) * 1.0 / (tr.t + 256)), 6)
+                            * 1000000 + 0.5) AS BIGINT) AS lwq
+          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN tr)
+    SELECT db.doc_id,
+           CAST(SUM(db.n) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(db.n * w.lwq) AS BIGINT)
+                 / (CAST(SUM(db.n) AS BIGINT) * 1000000.0), 6) AS dsir_logw
+    FROM db JOIN w USING (b)
+    GROUP BY db.doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights
+    (operators/text_analysis.py:dsir_log_weights): per-doc mean log
+    ratio of hashed-unigram probabilities, target slice (lang='en') vs
+    the whole corpus — sample proportionally to exp(weight) to
+    importance-resample raw data toward the target domain (Xie et al.
+    2023). One tokenize+hash projection feeds all three aggregates; the
+    256-row smoothed log-ratio table broadcasts into the per-doc pass;
+    per-bucket ratios are rounded then integer-quantized so doc scores
+    are ratios of exact integer sums."""
+    from etlutil_spark.operators.text_analysis import dsir_log_weights
+
+    d = load_table(spark, "documents", sf_dir)
+    return dsir_log_weights(d, F.col("lang") == "en")
+
+
+@register(
+    "docs_bpe_pair_merge",
+    f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS tk FROM documents),
+    v AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk),
+    p AS (SELECT substr(v.tk, CAST(r.i AS INTEGER), 2) AS pair, v.c
+          FROM v, UNNEST(range(1, len(v.tk))) AS r(i)
+          WHERE len(v.tk) >= 2)
+    SELECT pair,
+           CAST(SUM(c) AS BIGINT) AS weighted_n,
+           CAST(COUNT(*) AS BIGINT) AS n_positions
+    FROM p GROUP BY pair
+    ORDER BY weighted_n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def docs_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction statistics: the first BPE merge step's
+    candidate table — corpus-weighted adjacent character-pair counts
+    over the word vocabulary, top-20 by weighted frequency (the pair a
+    byte-pair-encoding trainer would merge first). The scale recipe that
+    makes BPE training feasible on a 100 TB corpus: aggregate the corpus
+    to its WORD VOCABULARY first (one token-keyed shuffle; Heaps' law
+    keeps |vocab| sub-linear in corpus size), then explode each distinct
+    word once into its character pairs weighted by the word count —
+    pair volume scales with vocabulary, not corpus. Deterministic
+    top-20 via (count DESC, pair ASC)."""
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("tk") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tk) - 1), i -> substring(tk, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("c").cast("bigint").alias("weighted_n"),
+            F.count("*").alias("n_positions"),
+        )
+        .orderBy(F.col("weighted_n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                      CAST(o_totalprice AS DECIMAL(38,4)) AS p
+               FROM orders),
+    c AS (SELECT o_custkey, MIN(date_trunc('month', d)) AS cm
+          FROM o GROUP BY o_custkey),
+    b AS (SELECT o.o_custkey, o.p,
+                 strftime(c.cm, '%Y-%m') AS cohort_month,
+                 CAST((EXTRACT(year FROM o.d) * 12 + EXTRACT(month FROM o.d))
+                      - (EXTRACT(year FROM c.cm) * 12 + EXTRACT(month FROM c.cm))
+                      AS INTEGER) AS month_offset
+          FROM o JOIN c USING (o_custkey)),
+    a AS (SELECT cohort_month, month_offset,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active_customers,
+                 SUM(p) AS rev
+          FROM b GROUP BY 1, 2)
+    SELECT cohort_month, month_offset, n_active_customers,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (PARTITION BY cohort_month ORDER BY month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_revenue
+    FROM a
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue per (cohort, month offset) with the running
+    cumulative — the LTV table every growth team maintains. One
+    customer-keyed window derives each order's cohort without a second
+    scan or join; the month offset is pure integer year*12+month
+    arithmetic (no float months_between); the cumulative window runs
+    over the collapsed (cohort, offset) aggregate, metadata-sized at
+    any order volume. Revenue sums are DECIMAL-exact end to end,
+    including the cumulative, then cast once for output."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        _dec("o_totalprice").alias("p"),
+    )
+    w = Window.partitionBy("o_custkey")
+    b = o.withColumn("cm", F.min(F.trunc("d", "month")).over(w)).select(
+        "o_custkey",
+        "p",
+        F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+        (
+            (F.year("d") * 12 + F.month("d"))
+            - (F.year("cm") * 12 + F.month("cm"))
+        )
+        .cast("int")
+        .alias("month_offset"),
+    )
+    a = b.groupBy("cohort_month", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.sum("p").alias("rev"),
+    )
+    cw = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return a.select(
+        "cohort_month",
+        "month_offset",
+        "n_active_customers",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(cw).cast("double").alias("cum_revenue"),
+    )
+
+
+@register(
+    "events_inter_arrival_profile",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))) AS BIGINT)
+               AS gap_s
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(CAST(gap_s AS DOUBLE), 0.5), 6) AS median_gap_s,
+           round(quantile_cont(CAST(gap_s AS DOUBLE), 0.9), 6) AS p90_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM s WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_inter_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: per event type, the median / p90 /
+    max gap (seconds) between a user's consecutive events — the
+    distribution that calibrates sessionization gaps, debounce windows,
+    and streaming watermarks from the data instead of folklore. One
+    per-user lag window (unique (ts, event_id) order) + one type-keyed
+    aggregate; exact interpolated percentiles are bit-identical
+    cross-engine (the group_mad_outliers precedent) and run over
+    cardinality-bounded groups (event types). Gaps are integer seconds
+    via unix_timestamp, never a raw timestamp cast."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    ).where(F.col("gap_s").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.median(F.col("gap_s").cast("double")), 6).alias("median_gap_s"),
+        F.round(F.percentile(F.col("gap_s").cast("double"), F.lit(0.9)), 6).alias(
+            "p90_gap_s"
+        ),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@register(
+    "orders_revenue_trend",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) * 10000 AS BIGINT) AS rev_q
+      FROM orders GROUP BY 1),
+    x AS (SELECT rev_q,
+                 CAST(ROW_NUMBER() OVER (ORDER BY month) - 1 AS BIGINT) AS x
+          FROM m),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(rev_q) AS BIGINT) AS sy,
+                 CAST(SUM(x * rev_q) AS BIGINT) AS sxy
+          FROM x)
+    SELECT n AS n_months,
+           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) / 10000, 6) AS slope,
+           round(((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) / 10000, 6) AS intercept
+    FROM s
+    """,
+)
+def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS revenue trend: monthly revenue regressed on the
+    month index — slope (dollars/month) and intercept from the textbook
+    normal equations. The corr_matrix recipe applied to regression:
+    revenue quantizes to exact integer 1e-4 units (DECIMAL sum * 10^4,
+    integer-valued, casts exactly), so every moment (sx, sxx, sy, sxy)
+    is a 64-bit integer sum and the coefficient doubles are
+    bit-identical in any engine at any partitioning. One month-keyed
+    aggregate over orders is the only data-volume pass; the ordering
+    window and moment aggregate run on the ~80-row monthly series
+    (SinglePartition over metadata-sized input, the scalar exemption).
+    Integer headroom: |sxy| < months^2 * max monthly rev_q — fine
+    through ~sf10; rescale the quantization for larger corpora."""
+    from pyspark.sql.window import Window
+
+    m = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg((F.sum(_dec("o_totalprice")) * 10000).cast("bigint").alias("rev_q"))
+    )
+    x = m.select(
+        "rev_q",
+        (F.row_number().over(Window.orderBy("month")) - 1).cast("bigint").alias("x"),
+    )
+    s = x.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("rev_q").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("rev_q")).cast("bigint").alias("sxy"),
+    )
+    slope_q = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept_q = (
+        F.col("sy").cast("double") - slope_q * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.round(slope_q / 10000, 6).alias("slope"),
+        F.round(intercept_q / 10000, 6).alias("intercept"),
+    )
+
+
+@register(
+    "multimodal_frame_plan",
+    """
+    SELECT m.doc_id AS media_id,
+           CAST(r.i AS INTEGER) AS sample_ord,
+           CAST(m.fps AS INTEGER) AS fps_x100,
+           CAST((r.i * m.dur) // 8 AS BIGINT) AS ts_ms,
+           CAST((((r.i * m.dur) // 8) * m.fps) // 100000 AS BIGINT) AS frame_idx
+    FROM (SELECT doc_id, n_chars % 120000 + 1000 AS dur,
+                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 2400
+                      WHEN 1 THEN 2500 ELSE 3000 END AS fps
+          FROM documents) m,
+         UNNEST(range(0, 8)) AS r(i)
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: for each media asset (duration and
+    frame rate derived from doc columns, the construct->verify pattern
+    of multimodal_header_parse), emit the 8 uniformly-spaced sample
+    timestamps and their frame indices — the dispatch table a video
+    curation pipeline computes BEFORE any decoder runs, so only k
+    frames per asset ever reach the (expensive, stubbed-here) decode
+    UDF. Pure integer arithmetic on metadata (fps carried as fps*100 to
+    keep 23.98/25/30 exact), map-side explode, zero shuffles; the plan
+    rows feed multimodal.py's Arrow decode path keyed by
+    (media_id, frame_idx)."""
+    d = load_table(spark, "documents", sf_dir)
+    m = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 120000 + 1000).alias("dur"),
+        F.when(F.col("doc_id") % 3 == 0, 2400)
+        .when(F.col("doc_id") % 3 == 1, 2500)
+        .otherwise(3000)
+        .alias("fps"),
+    )
+    return (
+        m.select(
+            "media_id",
+            "dur",
+            "fps",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+        )
+        .select(
+            "media_id",
+            F.col("i").cast("int").alias("sample_ord"),
+            F.col("fps").cast("int").alias("fps_x100"),
+            F.expr("(i * dur) div 8").cast("bigint").alias("ts_ms"),
+            F.expr("(((i * dur) div 8) * fps) div 100000")
+            .cast("bigint")
+            .alias("frame_idx"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

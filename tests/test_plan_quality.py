@@ -163,6 +163,31 @@ HEADLINE_BUDGETS = {
     "sim_pq_adc_topk": (0, 0),
     # keyed count agg + 1-row totals broadcast + top-n rank over 20 rows
     "events_user_skew_report": (3, 1),
+    # r6 session-3 additions
+    # visible plan = customer agg + rank-offset bcast join + segment agg;
+    # the three exact_ntile range repartitions sit behind checkpoints
+    "orders_rfm_segments": (3, 1),
+    # distinct basket-items + self-join + pair agg + item/scalar aggs
+    "lineitem_basket_rules": (7, 3),
+    # serving plan = final rank scan + outw broadcast join; each PageRank
+    # superstep materialized behind an eager checkpoint (kmeans pattern)
+    "events_pagerank": (1, 1),
+    # (doc,bucket) agg + two bucket aggs off one checkpointed subtree +
+    # 256-row log-ratio broadcast + per-doc agg
+    "docs_dsir_weights": (5, 2),
+    # spread-the-scan repartition + vocab agg + weighted pair agg; top-20
+    # is TakeOrderedAndProject
+    "docs_bpe_pair_merge": (3, 0),
+    # customer-key cohort window + (cohort,offset) agg + cumulative window
+    # over the collapsed aggregate
+    "orders_cohort_ltv": (3, 0),
+    # per-user lag window + one type-keyed percentile aggregate
+    "events_inter_arrival_profile": (2, 0),
+    # month agg is the only data pass; index window + moment aggregate run
+    # on the ~80-row monthly series (scalar exemption)
+    "orders_revenue_trend": (3, 0),
+    # metadata projection + map-side explode: zero shuffles
+    "multimodal_frame_plan": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -187,6 +212,8 @@ SCALAR_OK = {
     "audit_fk_orphans",  # five 1-row per-relation audit summaries
     "lineitem_corr_matrix",  # 1-row moments scalar, unpivoted to 6 rows
     "events_user_skew_report",  # 1-row totals scalar + 20-row rank window
+    "lineitem_basket_rules",  # 1-row basket-count scalar
+    "orders_revenue_trend",  # index window + moments over ~80 monthly rows
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

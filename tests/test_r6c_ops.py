@@ -1,0 +1,330 @@
+"""Unit/property tests for the r6 session-3 operators: RFM segmentation,
+basket association rules, integer-exact PageRank, and DSIR importance
+weights. PageRank is checked against an independent plain-Python
+reference with the same integer-arithmetic contract; the others pin
+closed-form expectations on small hand-built inputs."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.analytics import basket_rules, rfm_scores
+from etlutil_spark.operators.graph import pagerank
+from etlutil_spark.operators.text_analysis import dsir_log_weights
+
+
+class TestRfmScores:
+    def test_scores_are_quartiles_and_deterministic(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = rfm_scores(orders).collect()
+        n = len(out)
+        assert n == orders.select("o_custkey").distinct().count()
+        for axis in ("r_q", "f_q", "m_q"):
+            vals = [r[axis] for r in out]
+            assert set(vals) <= {1, 2, 3, 4}
+            # exact ntile: bucket sizes differ by at most 1
+            sizes = [vals.count(b) for b in sorted(set(vals))]
+            assert max(sizes) - min(sizes) <= 1
+        # best quartiles hold the extremes
+        top_m = max(out, key=lambda r: (r["monetary"], -r["o_custkey"]))
+        assert top_m["m_q"] == 1
+        top_f = max(out, key=lambda r: (r["frequency"], -r["o_custkey"]))
+        assert top_f["f_q"] == 1
+        most_recent = min(out, key=lambda r: (r["recency_days"], r["o_custkey"]))
+        assert most_recent["r_q"] == 1
+
+    def test_matches_builtin_ntile(self, spark, sf_dir):
+        """Each axis must equal ANSI NTILE(4) over the same total order
+        (the single-partition form exact_ntile exists to avoid)."""
+        from pyspark.sql.window import Window
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        got = rfm_scores(orders)
+        ref = got.select(
+            "o_custkey",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("recency_days"), F.col("o_custkey")))
+            .alias("ref_r"),
+            F.ntile(4)
+            .over(
+                Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+            )
+            .alias("ref_f"),
+            "r_q",
+            "f_q",
+        )
+        bad = ref.where(
+            (F.col("ref_r") != F.col("r_q")) | (F.col("ref_f") != F.col("f_q"))
+        ).count()
+        assert bad == 0
+
+
+class TestBasketRules:
+    def _baskets(self, spark):
+        rows = [
+            (1, "beer"), (1, "chips"),
+            (2, "beer"), (2, "chips"),
+            (3, "beer"), (3, "chips"),
+            (4, "beer"), (4, "soda"),
+            (5, "chips"),
+            (6, "soda"),
+            (6, "soda"),  # duplicate line: distinct collapses it
+        ]
+        return spark.createDataFrame(rows, "basket int, item string")
+
+    def test_known_metrics(self, spark):
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in basket_rules(
+                self._baskets(spark),
+                basket_col="basket",
+                item_col="item",
+                min_pair_count=2,
+                top_n=100,
+            ).collect()
+        }
+        # 6 baskets; beer in 4, chips in 4, beer&chips in 3
+        r = out[("beer", "chips")]
+        assert r["n_pair"] == 3
+        assert r["support"] == round(3 / 6, 6)
+        assert r["confidence"] == round(3 / 4, 6)
+        assert r["lift"] == round(3 * 6 / (4 * 4), 6)
+        # lift is symmetric, confidence need not be
+        assert out[("chips", "beer")]["lift"] == r["lift"]
+        # beer&soda co-occur once only -> below min_pair_count
+        assert ("beer", "soda") not in out
+
+    def test_top_n_is_deterministic_prefix(self, spark):
+        full = basket_rules(
+            self._baskets(spark),
+            basket_col="basket",
+            item_col="item",
+            min_pair_count=1,
+            top_n=100,
+        ).collect()
+        top2 = basket_rules(
+            self._baskets(spark),
+            basket_col="basket",
+            item_col="item",
+            min_pair_count=1,
+            top_n=2,
+        ).collect()
+        key = lambda r: (-r["lift"], -r["confidence"], r["antecedent"], r["consequent"])
+        assert [key(r) for r in top2] == sorted(key(r) for r in full)[:2]
+
+
+def _ref_pagerank(edges, iters, total=10**12):
+    """Independent integer PageRank: dict arithmetic, same floor rules."""
+    outw: dict = {}
+    for s, d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    tele = ((total * 15) // 100) // n
+    r = {v: total // n for v in nodes}
+    for _ in range(iters):
+        dm = sum((r[v] * 85) // 100 for v in nodes if v not in outw)
+        flow = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            flow[d] += (((r[s] * 85) // 100) * w) // outw[s]
+        r = {v: tele + flow[v] + dm // n for v in nodes}
+    return r
+
+
+class TestPagerank:
+    EDGES = [
+        ("a", "b", 3), ("a", "c", 1),
+        ("b", "c", 2),
+        ("c", "a", 1),
+        ("d", "a", 5),  # d has no in-edges; e is dangling
+        ("a", "e", 1),
+    ]
+
+    @pytest.mark.parametrize("iters", [1, 3])
+    def test_matches_reference(self, spark, iters):
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string, w long")
+        got = {r["node"]: r["pr_mass"] for r in pagerank(edges, iters=iters).collect()}
+        assert got == _ref_pagerank(self.EDGES, iters)
+
+    def test_mass_roughly_conserved_and_sink_accumulates(self, spark):
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string, w long")
+        rows = pagerank(edges, iters=3).collect()
+        total = sum(r["pr_mass"] for r in rows)
+        # floors only ever LOSE mass, and at most a few units per node/iter
+        assert 10**12 * 0.98 < total <= 10**12
+        by = {r["node"]: r for r in rows}
+        # hubs with in-flow outrank the source-only node d
+        assert by["a"]["pr_mass"] > by["d"]["pr_mass"]
+        assert by["c"]["pr_mass"] > by["d"]["pr_mass"]
+        # dangling node metadata
+        assert by["e"]["n_out"] == 0 and by["e"]["out_weight"] == 0
+
+    def test_empty_graph_raises(self, spark):
+        empty = spark.createDataFrame([], "src string, dst string, w long")
+        with pytest.raises(ValueError, match="empty"):
+            pagerank(empty)
+
+
+class TestDsirWeights:
+    def test_target_vocab_scores_higher(self, spark):
+        rows = [
+            (1, "alpha beta alpha", "en"),
+            (2, "alpha beta gamma", "en"),
+            (3, "delta epsilon zeta", "de"),
+            (4, "delta delta epsilon", "de"),
+            (5, "alpha delta", "fr"),  # mixed vocab -> in between
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        out = {
+            r["doc_id"]: r
+            for r in dsir_log_weights(df, F.col("lang") == "en").collect()
+        }
+        assert out[1]["n_tokens"] == 3
+        # target-exclusive vocab scores above raw-exclusive vocab
+        assert out[1]["dsir_logw"] > out[5]["dsir_logw"] > out[3]["dsir_logw"]
+        # sign of an individual score depends on the smoothing mass at toy
+        # scale; only the target-vs-raw ORDERING is the operator's contract
+        assert out[2]["dsir_logw"] > out[4]["dsir_logw"]
+
+    def test_empty_target_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta", "de")], "doc_id int, text string, lang string"
+        )
+        with pytest.raises(ValueError, match="target"):
+            dsir_log_weights(df, F.col("lang") == "en")
+
+    def test_tokenless_docs_absent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha", "en"), (2, "...", "en"), (3, None, "en")],
+            "doc_id int, text string, lang string",
+        )
+        out = dsir_log_weights(df, F.col("lang") == "en").collect()
+        assert {r["doc_id"] for r in out} == {1}
+
+
+class TestBpePairMerge:
+    def test_hand_counted_pairs(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        docs = spark.createDataFrame(
+            [(1, "aba ab", "en", "s", 6), (2, "aba", "en", "s", 3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        out = {
+            r["pair"]: r
+            for r in Q.QUERIES["docs_bpe_pair_merge"](spark, str(tmp_path)).collect()
+        }
+        # vocab: aba x2, ab x1 -> pairs: ab (2 from aba + 1 from ab), ba (2)
+        assert out["ab"]["weighted_n"] == 3 and out["ab"]["n_positions"] == 2
+        assert out["ba"]["weighted_n"] == 2 and out["ba"]["n_positions"] == 1
+
+    def test_repeated_pair_within_word(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        docs = spark.createDataFrame(
+            [(1, "aaa aaa", "en", "s", 7)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        out = {
+            r["pair"]: r
+            for r in Q.QUERIES["docs_bpe_pair_merge"](spark, str(tmp_path)).collect()
+        }
+        # vocab: aaa x2; 'aa' occurs at two positions in the one word
+        assert out["aa"]["weighted_n"] == 4 and out["aa"]["n_positions"] == 2
+
+
+class TestCohortLtv:
+    def test_hand_built_cohorts(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        rows = [
+            (1, 1, "O", 100.0, datetime(2024, 1, 15), "P1"),
+            (2, 1, "O", 50.0, datetime(2024, 3, 2), "P1"),
+            (3, 2, "O", 70.0, datetime(2024, 3, 10), "P1"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+        out = {
+            (r["cohort_month"], r["month_offset"]): r
+            for r in Q.QUERIES["orders_cohort_ltv"](spark, str(tmp_path)).collect()
+        }
+        assert out[("2024-01", 0)]["revenue"] == 100.0
+        assert out[("2024-01", 2)]["revenue"] == 50.0
+        assert out[("2024-01", 2)]["cum_revenue"] == 150.0
+        assert out[("2024-03", 0)]["n_active_customers"] == 1
+        assert out[("2024-03", 0)]["cum_revenue"] == 70.0
+        assert len(out) == 3
+
+
+class TestInterArrivalProfile:
+    def test_hand_built_gaps(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 0, 0), 1, "A", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 0, 10), 1, "B", 1.0, "{}"),
+            (3, datetime(2024, 1, 1, 0, 0, 30), 1, "A", 1.0, "{}"),
+            (4, datetime(2024, 1, 1, 0, 1, 0), 2, "A", 1.0, "{}"),  # lone event
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = {
+            r["event_type"]: r
+            for r in Q.QUERIES["events_inter_arrival_profile"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["B"]["n_gaps"] == 1 and out["B"]["median_gap_s"] == 10.0
+        assert out["A"]["n_gaps"] == 1 and out["A"]["max_gap_s"] == 20
+        assert set(out) == {"A", "B"}  # the lone event contributes no gap
+
+
+class TestRevenueTrend:
+    def test_exact_linear_series(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        rows = [
+            (1, 1, "O", 100.0, datetime(2024, 1, 10), "P"),
+            (2, 1, "O", 200.0, datetime(2024, 2, 10), "P"),
+            (3, 2, "O", 300.0, datetime(2024, 3, 10), "P"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+        row = Q.QUERIES["orders_revenue_trend"](spark, str(tmp_path)).collect()[0]
+        assert row["n_months"] == 3
+        assert row["slope"] == 100.0
+        assert row["intercept"] == 100.0
+
+
+class TestFramePlan:
+    def test_uniform_sampling_arithmetic(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        docs = spark.createDataFrame(
+            [(0, "x", "en", "s", 7000)],  # dur = 8000ms, fps 24.00
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        out = sorted(
+            Q.QUERIES["multimodal_frame_plan"](spark, str(tmp_path)).collect(),
+            key=lambda r: r["sample_ord"],
+        )
+        assert len(out) == 8
+        for i, r in enumerate(out):
+            assert r["ts_ms"] == i * 1000
+            assert r["frame_idx"] == (i * 1000 * 2400) // 100000
+            assert r["fps_x100"] == 2400

@@ -542,6 +542,7 @@ class TestCatalogPlanGuards:
         "q11_important_stock",  # 1-row value-threshold broadcast
         "docs_contamination_bloom",  # 1-row bitset-array broadcast
         "events_user_skew_report",  # 1-row totals broadcast
+        "lineitem_basket_rules",  # 1-row basket-count broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
