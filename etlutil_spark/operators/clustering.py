@@ -50,16 +50,28 @@ def _quantize(vec_col: str, scale: int) -> Column:
 
 def _best_cluster(centroids: list[list[int]], qv: Column | str = "_qv") -> Column:
     """struct(dist, cluster) of the nearest centroid; integer-exact,
-    ties to the smaller cluster id via lexicographic struct min."""
-    candidates = []
-    for j, cent in enumerate(centroids):
-        dist = F.aggregate(
-            F.zip_with(qv, F.lit(cent).cast("array<bigint>"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        candidates.append(F.struct(dist.alias("d"), F.lit(j).cast("bigint").alias("c")))
-    return F.array_min(F.array(*candidates))
+    ties to the smaller cluster id via lexicographic struct min.
+
+    The centroid table is ONE nested-array literal walked by an indexed
+    ``transform``, not k unrolled distance expressions: identical
+    (dist, id) struct-min semantics, but the expression tree stays O(1)
+    in k — with k unrolled candidates Catalyst analysis/codegen time
+    dominated small-k queries (the PQ query builds 8 codebooks x 16
+    centroids = 128 candidates; unrolled, planning cost beat the actual
+    2,000-row scan by an order of magnitude)."""
+    cent = F.array(*[F.lit(c).cast("array<bigint>") for c in centroids])
+    dists = F.transform(
+        cent,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(qv, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("bigint").alias("c"),
+        ),
+    )
+    return F.array_min(dists)
 
 
 def kmeans_fit(
@@ -248,6 +260,76 @@ def semdedup(
     )
 
 
+def pq_train_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int,
+    ksub: int,
+    iters: int,
+    scale: int = DEFAULT_SCALE,
+) -> list[list[list[int]]]:
+    """Train all ``m`` per-subspace codebooks JOINTLY: one Spark job per
+    Lloyd's round updates every subspace at once (assign each row's m
+    subvectors to their codebooks, explode to (subspace, cluster,
+    subvector), one m*ksub-group aggregate), instead of m independent
+    kmeans_fit passes each re-scanning the corpus — m times fewer jobs
+    and scans for identical output. Bit-identical to the per-subspace
+    fits by construction: same smallest-id seeding (one collect seeds
+    every subspace — the seed rows are the same rows sliced m ways),
+    same integer argmin tie-breaks, same floor-div updates, and
+    subspaces never interact (Lloyd's per subspace is independent, so
+    batching the passes cannot change any sum)."""
+    if ksub < 1 or iters < 1:
+        raise ValueError(f"ksub and iters must be >= 1, got ksub={ksub} iters={iters}")
+    q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize(vec_col, scale).alias("_qv")
+    )
+    seed_rows = q.orderBy(id_col).limit(ksub).collect()
+    if len(seed_rows) < ksub:
+        raise ValueError(
+            f"need at least ksub={ksub} rows to seed codebooks, got {len(seed_rows)}"
+        )
+    d = len(seed_rows[0]["_qv"])
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    codebooks = [
+        [list(r["_qv"][s * dsub : (s + 1) * dsub]) for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(iters - 1):
+        entries = []
+        for s in range(m):
+            subv = F.slice("_qv", s * dsub + 1, dsub)
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _best_cluster(codebooks[s], subv)["c"].alias("cluster"),
+                    subv.alias("sub"),
+                )
+            )
+        assigned = q.select(F.explode(F.array(*entries)).alias("e")).select(
+            "e.s", "e.cluster", "e.sub"
+        )
+        sums = assigned.groupBy("s", "cluster").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("sub", t + 1)).alias(f"s{t}") for t in range(dsub)],
+        )
+        by = {(int(r["s"]), int(r["cluster"])): r for r in sums.collect()}
+        codebooks = [
+            [
+                [math.floor(float(r[f"s{t}"]) / r["n"]) for t in range(dsub)]
+                if (r := by.get((s, j))) is not None
+                else codebooks[s][j]  # empty cluster keeps its previous centroid
+                for j in range(ksub)
+            ]
+            for s in range(m)
+        ]
+    return codebooks
+
+
 def pq_adc_topk(
     df: DataFrame,
     id_col: str,
@@ -293,10 +375,9 @@ def pq_adc_topk(
     if len(query_vec) != d:
         raise ValueError(f"query dim {len(query_vec)} != corpus dim {d}")
 
-    codebooks = []
-    for s in range(m):
-        sub = df.withColumn("_sub", F.slice(vec_col, s * dsub + 1, dsub))
-        codebooks.append(kmeans_fit(sub, id_col, "_sub", k=ksub, iters=iters, scale=scale))
+    codebooks = pq_train_codebooks(
+        df, id_col, vec_col, m=m, ksub=ksub, iters=iters, scale=scale
+    )
 
     qv = [math.floor(float(x) * scale) for x in query_vec]
     tables = [
