@@ -147,6 +147,12 @@ EXTENDED = [
     "events_inter_arrival_profile",
     "orders_revenue_trend",
     "multimodal_frame_plan",
+    "docs_dup_span_fraction",
+    "docs_quality_deciles",
+    "lineitem_abc_classes",
+    "orders_dow_seasonality",
+    "events_time_to_convert",
+    "docs_lang_confusion",
 ]
 
 

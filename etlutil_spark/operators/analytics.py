@@ -196,36 +196,46 @@ def basket_rules(
     ``min_pair_count`` baskets, emit support / confidence / lift, keep
     the ``top_n`` by lift (full deterministic tie-break).
 
-    Scale shape: collapse to DISTINCT (basket, item) first — the one
-    keyed shuffle that bounds everything after by basket *presence*, not
-    line volume — then self-join on the basket key. Per-basket item sets
-    are small and bounded (a market basket, an order's distinct brands),
-    so the join fans out quadratically only within a basket, never
-    across baskets; item totals and the basket-count scalar come from
-    the same collapsed subtree (lazy-checkpointed, computed once). The
-    1-row basket-count aggregate is the scalar-broadcast idiom; item
-    counts (|items| rows) broadcast into the pair table. Lift/confidence
-    are double divisions of exact integer counts — bit-identical in any
-    engine and partition order."""
-    items = (
+    Scale shape: ONE basket-keyed shuffle collapses line volume to
+    per-basket distinct item sets (collect_set — sets are small and
+    bounded: a market basket, an order's distinct brands); pairs then
+    explode MAP-SIDE from each set, so there is no self-join and no
+    second pass over the data — the quadratic fan-out happens only
+    within a basket's array, never across baskets. Item totals and the
+    basket-count scalar come from the same lazily-checkpointed sets.
+    The 1-row basket-count aggregate is the scalar-broadcast idiom;
+    item counts (|items| rows) broadcast into the pair table.
+    Lift/confidence are double divisions of exact integer counts —
+    bit-identical in any engine and partition order."""
+    sets = (
         baskets.select(basket_col, item_col)
         .where(F.col(item_col).isNotNull())
-        .distinct()
+        .groupBy(basket_col)
+        .agg(F.collect_set(item_col).alias("_items"))
         .localCheckpoint(eager=False)
     )
-    n_baskets = items.select(basket_col).distinct().groupBy().agg(
-        F.count("*").alias("_nb")
+    n_baskets = sets.groupBy().agg(F.count("*").alias("_nb"))
+    item_counts = (
+        sets.select(F.explode("_items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count("*").alias("_ni"))
     )
-    item_counts = items.groupBy(item_col).agg(F.count("*").alias("_ni"))
-    a = items.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("antecedent")
-    )
-    b = items.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("consequent")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "_items",
+                lambda x: F.transform(
+                    "_items", lambda y: F.struct(x.alias("a"), y.alias("c"))
+                ),
+            )
+        ),
+        lambda p: p["a"] != p["c"],
     )
     pairs = (
-        a.join(b, "_b")
-        .where(F.col("antecedent") != F.col("consequent"))
+        sets.select(F.explode(pair_structs).alias("_p"))
+        .select(
+            F.col("_p.a").alias("antecedent"), F.col("_p.c").alias("consequent")
+        )
         .groupBy("antecedent", "consequent")
         .agg(F.count("*").alias("n_pair"))
         .where(F.col("n_pair") >= min_pair_count)

@@ -100,3 +100,69 @@ def _ntile_bucket(rank: Column, base: int, rem: int) -> Column:
     r2 = rank - big_span - 1
     in_small = rem + (r2 - (r2 % max(base, 1))) / max(base, 1)
     return (F.when(rank <= big_span, in_big).otherwise(in_small)).cast("int") + 1
+
+
+def exact_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    cumsum_col: str = "cumsum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``cumsum_col`` = the globally-ordered running SUM of
+    ``value_col`` over the total order given by ``order_cols`` — the
+    ``SUM(x) OVER (ORDER BY ...)`` shape (Pareto/ABC curves, cumulative
+    shares) — WITHOUT the single-partition window that form plans as.
+    Same parallel-ranking recipe as exact_ntile: range-repartition on
+    the order, per-partition running sum, per-partition TOTALS (one tiny
+    row each) collected and turned into exact prefix offsets broadcast
+    back. Exact whenever ``value_col`` is integral or DECIMAL (the
+    offsets are exact sums of exact sums; Python int/Decimal arithmetic
+    on the driver is arbitrary-precision). ``order_cols`` must be a
+    unique total order for deterministic output — the same requirement
+    the window form has."""
+    spark = df.sparkSession
+    n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s"))
+    sum_type = sums.schema["_s"].dataType
+    part_sums = sorted((r["_pid"], r["_s"]) for r in sums.collect())
+    if not part_sums:  # empty input: preserve schema + empty result
+        return ranged.drop("_pid").withColumn(
+            cumsum_col, F.lit(None).cast(sum_type)
+        )
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    # offsets are exact driver-side arithmetic; coerce the running zero to
+    # the sum's Python type so createDataFrame's type check accepts it
+    zero = Decimal(0) if isinstance(sum_type, T.DecimalType) else 0
+    offsets, running = [], zero
+    for pid, s in part_sums:
+        offsets.append((pid, running))
+        running = running + (s if s is not None else zero)
+
+    off_schema = T.StructType(
+        [
+            T.StructField("_pid", T.IntegerType(), False),
+            T.StructField("_off", sum_type, False),
+        ]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("_local", F.sum(value_col).over(lw))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(cumsum_col, (F.col("_local") + F.col("_off")).cast(sum_type))
+        .drop("_pid", "_local", "_off")
+    )

@@ -6962,6 +6962,386 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_dup_span_fraction",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM t WHERE len(tk) > 0),
+    sh AS (SELECT doc_id, CAST(r.i AS BIGINT) AS p,
+                  ('0x' || substr(md5(array_to_string(tk[r.i:r.i+7], ' ')), 1, 15))::BIGINT AS h
+           FROM t, UNNEST(range(1, len(tk) - 6)) AS r(i)
+           WHERE len(tk) >= 8),
+    dc AS (SELECT h FROM (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+                          FROM sh GROUP BY h) WHERE nd >= 2),
+    dp AS (SELECT sh.doc_id, sh.p FROM sh JOIN dc ON sh.h = dc.h),
+    cov AS (SELECT doc_id, p,
+                   LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+            FROM dp),
+    c2 AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN np IS NULL THEN 8
+                                WHEN np - p >= 8 THEN 8
+                                ELSE np - p END) AS BIGINT) AS dup_tokens
+           FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, b.n AS n_tokens,
+           CAST(COALESCE(c2.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(COALESCE(c2.dup_tokens, 0) * 1.0 / b.n, 6) AS dup_fraction
+    FROM base b LEFT JOIN c2 USING (doc_id)
+    """,
+)
+def docs_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span coverage — the shingle-granular
+    form of exact-substring dedup (the MassiveText/RefinedWeb curation
+    stage suffix arrays implement): per doc, the fraction of token
+    positions covered by some 8-token shingle that also appears in
+    ANOTHER document. Downstream either drops high-fraction docs or
+    cuts the flagged spans. Scale shape: shingle starts + hashes come
+    map-side from each doc's token array (no token-level explode);
+    cross-doc counts are one hash-keyed aggregate; the covered-position
+    count is an interval-union sweep — a per-doc LEAD window over only
+    the DUPLICATED shingle starts (cap each interval at the gap to the
+    next start), never over raw tokens. Everything after the shingle
+    aggregate is bounded by duplicate volume, not corpus size."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    t = d.select("doc_id", tokens("text").alias("tk")).localCheckpoint(eager=False)
+    base = t.where(F.size("tk") > 0).select(
+        "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
+    )
+    sh = t.where(F.size("tk") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 7), i -> struct("
+                "cast(i as bigint) as p, "
+                "cast(conv(substring(md5(concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint) as h))"
+            )
+        ).alias("_s"),
+    ).select("doc_id", "_s.p", "_s.h")
+    dup_h = (
+        sh.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dp = sh.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    cov = dp.withColumn("np", F.lead("p").over(w))
+    c2 = cov.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("np").isNull(), 8)
+            .when(F.col("np") - F.col("p") >= 8, 8)
+            .otherwise(F.col("np") - F.col("p"))
+        )
+        .cast("bigint")
+        .alias("dup_tokens")
+    )
+    return base.join(c2, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+@register(
+    "docs_quality_deciles",
+    f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, text, {_DUCK_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, lang, n_chars, {_DUCK_QUALITY_SCORE} AS model_score FROM t),
+    f AS (SELECT * FROM s WHERE model_score IS NOT NULL),
+    d AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY model_score DESC, doc_id ASC) AS INTEGER) AS decile
+          FROM f)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS share_en,
+           round(CAST(SUM(CAST(FLOOR(model_score * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 / (COUNT(*) * 1000000.0), 6) AS avg_score,
+           round(CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*), 6) AS avg_chars
+    FROM d GROUP BY decile
+    """,
+)
+def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-model calibration report: exact score deciles (decile 1 =
+    highest-scoring tenth) with per-decile size, English share, mean
+    score, and mean length — the sanity table read before trusting a
+    quality filter's threshold (a healthy model shows monotone language/
+    length gradients across deciles). Deciles are exact ANSI NTILE via
+    quantiles.exact_ntile (range repartition + rank offsets, no
+    single-partition window) over the scored corpus; mean scores
+    integer-quantize each rounded score before summing so the per-decile
+    averages are ratios of exact integer sums."""
+    from etlutil_spark.operators.quantiles import exact_ntile
+    from etlutil_spark.operators.text_analysis import quality_model_score
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    f = (
+        quality_model_score(d, "text")
+        .where(F.col("model_score").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "model_score",
+            (-F.col("model_score")).alias("_neg"),
+        )
+    )
+    dec = exact_ntile(f, 10, ["_neg", "doc_id"], bucket_col="decile")
+    return dec.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count("*"), 6
+        ).alias("share_en"),
+        F.round(
+            F.sum(F.floor(F.col("model_score") * 1000000 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            / (F.count("*") * F.lit(1000000.0)),
+            6,
+        ).alias("avg_score"),
+        F.round(F.sum("n_chars").cast("bigint") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "lineitem_abc_classes",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))
+                                 * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE)
+                        * 10000 + 0.5) AS BIGINT) AS rev_q
+      FROM lineitem GROUP BY l_partkey),
+    c AS (SELECT l_partkey, rev_q,
+                 CAST(SUM(rev_q) OVER (ORDER BY rev_q DESC, l_partkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_q,
+                 CAST(SUM(rev_q) OVER () AS BIGINT) AS tot_q
+          FROM pr)
+    SELECT CASE WHEN cum_q * 100 <= tot_q * 80 THEN 'A'
+                WHEN cum_q * 100 <= tot_q * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(rev_q) AS BIGINT) / 10000.0, 6) AS revenue,
+           round(CAST(SUM(rev_q) AS BIGINT) * 1.0 / any_value(tot_q), 6) AS rev_share
+    FROM c GROUP BY 1
+    """,
+)
+def lineitem_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts sorted by revenue,
+    class A = the head covering the first 80% of cumulative revenue,
+    B = to 95%, C = the tail. The cumulative share needs a GLOBAL
+    ordered running sum — ``SUM() OVER (ORDER BY ...)`` plans as a
+    single-partition window over every part, so this uses
+    quantiles.exact_cumsum instead (range repartition + per-partition
+    running sums + exact prefix offsets). Per-part revenue quantizes to
+    exact integer 1e-4 units via the DECIMAL-sum-then-floor recipe, so
+    cumulative sums, the 80/95 threshold comparisons (multiplied out,
+    no division), and the shares are all integer-exact cross-engine.
+    One part-keyed aggregate is the only data-volume pass."""
+    from etlutil_spark.operators.quantiles import exact_cumsum
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.floor(
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+                .cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rev_q")
+        )
+        .withColumn("_neg", -F.col("rev_q"))
+    )
+    c = exact_cumsum(pr, "rev_q", ["_neg", "l_partkey"], cumsum_col="cum_q")
+    tot = pr.groupBy().agg(F.sum("rev_q").cast("bigint").alias("tot_q"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("cum_q") * 100 <= F.col("tot_q") * 80, "A")
+            .when(F.col("cum_q") * 100 <= F.col("tot_q") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev_q",
+            "tot_q",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("rev_q").cast("bigint") / F.lit(10000.0), 6).alias(
+                "revenue"
+            ),
+            F.round(
+                F.sum("rev_q").cast("bigint") / F.first("tot_q"), 6
+            ).alias("rev_share"),
+        )
+    )
+
+
+@register(
+    "orders_dow_seasonality",
+    """
+    WITH d AS (
+      SELECT CAST((EXTRACT(isodow FROM CAST(o_orderdate AS DATE)) - 1) AS INTEGER) AS dow,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(o_totalprice AS DECIMAL(38,4)) AS p
+      FROM orders),
+    a AS (SELECT dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+                 CAST(FLOOR(CAST(SUM(p) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS rev_c
+          FROM d GROUP BY dow)
+    SELECT dow, n_orders, n_days,
+           round(rev_c / 100.0, 6) AS revenue,
+           round((rev_c * 1.0 / n_days)
+                 / (CAST(SUM(rev_c) OVER () AS BIGINT) * 1.0
+                    / CAST(SUM(n_days) OVER () AS BIGINT)), 6) AS seasonal_index
+    FROM a
+    """,
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile (dow 0 = Monday): per weekday,
+    order count, active days, revenue, and the seasonal index — average
+    daily revenue that weekday relative to the overall daily average
+    (index > 1 = busy day). The normalization divides by DISTINCT active
+    days per weekday, so a short or gappy history doesn't bias the
+    index. One date-keyed aggregate over orders; the totals window runs
+    over the 7-row weekday table (SinglePartition over metadata — the
+    scalar exemption); revenue quantizes to exact integer cents so the
+    index is a ratio of exact integers."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "orders", sf_dir).select(
+        F.weekday(F.col("o_orderdate")).cast("int").alias("dow"),
+        F.to_date("o_orderdate").alias("day"),
+        _dec("o_totalprice").alias("p"),
+    )
+    a = d.groupBy("dow").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("day").alias("n_days"),
+        F.floor(F.sum("p").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    w = Window.partitionBy()
+    return a.select(
+        "dow",
+        "n_orders",
+        "n_days",
+        F.round(F.col("rev_c") / F.lit(100.0), 6).alias("revenue"),
+        F.round(
+            (F.col("rev_c") / F.col("n_days"))
+            / (
+                F.sum("rev_c").over(w).cast("bigint")
+                / F.sum("n_days").over(w).cast("bigint")
+            ),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+@register(
+    "events_time_to_convert",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    c AS (
+      SELECT CAST(FLOOR(epoch(p)) AS BIGINT) - CAST(FLOOR(epoch(v)) AS BIGINT) AS d
+      FROM u WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           round(quantile_cont(CAST(d AS DOUBLE), 0.5), 6) AS median_s,
+           round(quantile_cont(CAST(d AS DOUBLE), 0.9), 6) AS p90_s,
+           round(CAST(SUM(d) AS BIGINT) * 1.0 / COUNT(*), 6) AS avg_s
+    FROM c
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: seconds from a user's FIRST view to their FIRST
+    purchase (converters = users with a purchase at or after their first
+    view) — the time-to-convert distribution that sets campaign
+    attribution windows and funnel SLOs. One user-keyed conditional-min
+    aggregate collapses event volume to one row per user; the latency
+    percentiles run over converters only (exact interpolated quantiles,
+    bit-identical cross-engine). Single-row summary output — the scalar
+    exemption."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    c = u.where(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("v"))
+    ).select((F.unix_timestamp("p") - F.unix_timestamp("v")).alias("d"))
+    return c.agg(
+        F.count("*").alias("n_converters"),
+        F.round(F.median(F.col("d").cast("double")), 6).alias("median_s"),
+        F.round(F.percentile(F.col("d").cast("double"), F.lit(0.9)), 6).alias(
+            "p90_s"
+        ),
+        F.round(F.sum("d").cast("bigint") / F.count("*"), 6).alias("avg_s"),
+    )
+
+
+@register(
+    "docs_lang_confusion",
+    f"""
+    WITH t AS (SELECT lang, {_DUCK_TOKENS} AS tk FROM documents),
+    p AS (SELECT lang AS labeled_lang, {_duck_lang_case('tk')} AS predicted_lang FROM t)
+    SELECT labeled_lang,
+           COALESCE(predicted_lang, '_none') AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang), 6) AS label_share
+    FROM p GROUP BY 1, 2
+    """,
+)
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the lexicon lang_id heuristic
+    evaluated against the corpus's labeled language — per (label,
+    prediction) cell count and within-label share (the diagonal cell's
+    share IS per-label recall). The evaluation harness every classifier
+    replacement reruns before deployment. Tokenize-once map-side
+    scoring; one matrix-sized aggregate; the share window runs over the
+    <=|langs|^2-row matrix partitioned by label — no funnel, no second
+    data pass."""
+    from etlutil_spark.functions import text as X
+    from etlutil_spark.operators.util import ensure_min_partitions
+    from pyspark.sql.window import Window
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    p = d.withColumn("_tk", X.tokens("text")).select(
+        F.col("lang").alias("labeled_lang"),
+        F.coalesce(
+            X.lang_id("text", pre_tokens="_tk"), F.lit("_none")
+        ).alias("predicted_lang"),
+    )
+    m = p.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return m.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("label_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -167,8 +167,9 @@ HEADLINE_BUDGETS = {
     # visible plan = customer agg + rank-offset bcast join + segment agg;
     # the three exact_ntile range repartitions sit behind checkpoints
     "orders_rfm_segments": (3, 1),
-    # distinct basket-items + self-join + pair agg + item/scalar aggs
-    "lineitem_basket_rules": (7, 3),
+    # one basket-keyed collect_set + map-side pair explode + pair agg +
+    # item/scalar aggs off the same checkpointed sets
+    "lineitem_basket_rules": (4, 2),
     # serving plan = final rank scan + outw broadcast join; each PageRank
     # superstep materialized behind an eager checkpoint (kmeans pattern)
     "events_pagerank": (1, 1),
@@ -188,6 +189,21 @@ HEADLINE_BUDGETS = {
     "orders_revenue_trend": (3, 0),
     # metadata projection + map-side explode: zero shuffles
     "multimodal_frame_plan": (0, 0),
+    # map-side shingle hashes + hash-keyed dup agg + per-doc sweep window;
+    # AQE folds the small dup-hash/coverage joins to broadcasts at test SF
+    "docs_dup_span_fraction": (3, 2),
+    # score projection + ntile range repartition (offsets broadcast) +
+    # decile aggregate
+    "docs_quality_deciles": (2, 1),
+    # part agg + cumsum range repartition (offsets broadcast) + 1-row
+    # total broadcast + class aggregate
+    "lineitem_abc_classes": (4, 2),
+    # date-keyed aggregate; totals window runs over the 7-row dow table
+    "orders_dow_seasonality": (3, 0),
+    # user-keyed conditional-min agg + 1-row latency summary
+    "events_time_to_convert": (2, 0),
+    # tokenize-once scoring + matrix agg + per-label share window
+    "docs_lang_confusion": (3, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -214,6 +230,9 @@ SCALAR_OK = {
     "events_user_skew_report",  # 1-row totals scalar + 20-row rank window
     "lineitem_basket_rules",  # 1-row basket-count scalar
     "orders_revenue_trend",  # index window + moments over ~80 monthly rows
+    "lineitem_abc_classes",  # 1-row revenue-total scalar
+    "orders_dow_seasonality",  # totals window over the 7-row dow table
+    "events_time_to_convert",  # 1-row latency summary
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -328,3 +328,154 @@ class TestFramePlan:
             assert r["ts_ms"] == i * 1000
             assert r["frame_idx"] == (i * 1000 * 2400) // 100000
             assert r["fps_x100"] == 2400
+
+
+class TestDupSpanFraction:
+    def _run(self, spark, tmp_path, docs):
+        import etlutil_spark.queries as Q
+
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        return {
+            r["doc_id"]: r
+            for r in Q.QUERIES["docs_dup_span_fraction"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+
+    def test_shared_run_coverage(self, spark, tmp_path):
+        shared = "a b c d e f g h"  # 8 tokens, shared verbatim
+        out = self._run(
+            spark,
+            tmp_path,
+            [(1, shared + " x y z w"), (2, shared), (3, "p q r")],
+        )
+        # doc1: only the first shingle is cross-doc -> 8 of 12 covered
+        assert out[1]["dup_tokens"] == 8 and out[1]["dup_fraction"] == round(8 / 12, 6)
+        assert out[2]["dup_tokens"] == 8 and out[2]["dup_fraction"] == 1.0
+        # doc3 is too short for a shingle and shares nothing
+        assert out[3]["dup_tokens"] == 0 and out[3]["dup_fraction"] == 0.0
+
+    def test_overlapping_spans_union_not_sum(self, spark, tmp_path):
+        run10 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"  # 10 tokens -> 3 dup shingles
+        out = self._run(spark, tmp_path, [(1, run10), (2, run10)])
+        # overlapping intervals [1,8],[2,9],[3,10] union to 10, not 24
+        assert out[1]["dup_tokens"] == 10 and out[1]["dup_fraction"] == 1.0
+
+
+class TestQualityDeciles:
+    def test_decile_shape_and_monotone_scores(self, spark, sf_dir):
+        import etlutil_spark.queries as Q
+
+        rows = Q.QUERIES["docs_quality_deciles"](spark, sf_dir).collect()
+        by = {r["decile"]: r for r in rows}
+        assert set(by) == set(range(1, 11))
+        sizes = [by[i]["n_docs"] for i in range(1, 11)]
+        assert max(sizes) - min(sizes) <= 1  # exact equal-count deciles
+        scores = [by[i]["avg_score"] for i in range(1, 11)]
+        assert scores == sorted(scores, reverse=True)  # decile 1 = best
+
+
+class TestExactCumsum:
+    def test_matches_window_form(self, spark):
+        from pyspark.sql.window import Window
+
+        from etlutil_spark.operators.quantiles import exact_cumsum
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 11) for i in range(200)], "id long, v long"
+        )
+        got = exact_cumsum(df, "v", ["v", "id"], cumsum_col="cs")
+        w = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ref = df.withColumn("ref", F.sum("v").over(w))
+        bad = (
+            got.join(ref, ["id", "v"])
+            .where(F.col("cs") != F.col("ref"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_decimal_values_exact(self, spark):
+        from decimal import Decimal
+
+        from etlutil_spark.operators.quantiles import exact_cumsum
+
+        df = spark.createDataFrame(
+            [(i, Decimal(f"{i}.{i % 10}0")) for i in range(1, 50)],
+            "id long, v decimal(10,2)",
+        )
+        rows = sorted(
+            exact_cumsum(df, "v", ["id"], cumsum_col="cs").collect(),
+            key=lambda r: r["id"],
+        )
+        running = Decimal(0)
+        for r in rows:
+            running += r["v"]
+            assert r["cs"] == running
+
+    def test_empty_input(self, spark):
+        from etlutil_spark.operators.quantiles import exact_cumsum
+
+        df = spark.createDataFrame([], "id long, v long")
+        assert exact_cumsum(df, "v", ["id"]).count() == 0
+
+
+class TestAbcClasses:
+    def test_partition_and_share_bounds(self, spark, sf_dir):
+        import etlutil_spark.queries as Q
+
+        rows = {r["abc_class"]: r for r in Q.QUERIES["lineitem_abc_classes"](spark, sf_dir).collect()}
+        assert set(rows) <= {"A", "B", "C"} and "A" in rows
+        total_share = sum(r["rev_share"] for r in rows.values())
+        assert abs(total_share - 1.0) < 1e-4
+        # A covers at most 80% of revenue and the head is revenue-denser
+        # than its part-count share
+        n_total = sum(r["n_parts"] for r in rows.values())
+        assert rows["A"]["rev_share"] <= 0.8 + 1e-9
+        assert rows["A"]["rev_share"] > rows["A"]["n_parts"] / n_total
+
+
+class TestTimeToConvert:
+    def test_hand_built_funnel(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        rows = [
+            # user 1 converts in 100s
+            (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 1, 40), 1, "purchase", 1.0, "{}"),
+            # user 2 converts in 300s (first view / first purchase rule)
+            (3, datetime(2024, 1, 1, 0, 0, 0), 2, "view", 1.0, "{}"),
+            (4, datetime(2024, 1, 1, 0, 2, 0), 2, "view", 1.0, "{}"),
+            (5, datetime(2024, 1, 1, 0, 5, 0), 2, "purchase", 1.0, "{}"),
+            # user 3: purchase BEFORE any view -> not a converter
+            (6, datetime(2024, 1, 1, 0, 0, 0), 3, "purchase", 1.0, "{}"),
+            (7, datetime(2024, 1, 1, 0, 1, 0), 3, "view", 1.0, "{}"),
+            # user 4: view only
+            (8, datetime(2024, 1, 1, 0, 0, 0), 4, "view", 1.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        r = Q.QUERIES["events_time_to_convert"](spark, str(tmp_path)).collect()[0]
+        assert r["n_converters"] == 2
+        assert r["median_s"] == 200.0  # interpolated between 100 and 300
+        assert r["avg_s"] == 200.0
+
+
+class TestLangConfusion:
+    def test_matrix_shares_sum_to_one(self, spark, sf_dir):
+        import etlutil_spark.queries as Q
+
+        rows = Q.QUERIES["docs_lang_confusion"](spark, sf_dir).collect()
+        by_label: dict = {}
+        for r in rows:
+            by_label.setdefault(r["labeled_lang"], []).append(r)
+        for label, cells in by_label.items():
+            assert abs(sum(c["label_share"] for c in cells) - 1.0) < 1e-4
+            assert all(c["n_docs"] > 0 for c in cells)

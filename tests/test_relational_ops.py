@@ -543,6 +543,7 @@ class TestCatalogPlanGuards:
         "docs_contamination_bloom",  # 1-row bitset-array broadcast
         "events_user_skew_report",  # 1-row totals broadcast
         "lineitem_basket_rules",  # 1-row basket-count broadcast
+        "lineitem_abc_classes",  # 1-row revenue-total broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
