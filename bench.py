@@ -153,6 +153,8 @@ EXTENDED = [
     "orders_dow_seasonality",
     "events_time_to_convert",
     "docs_lang_confusion",
+    "events_lateness_profile",
+    "orders_ship_lag_by_priority",
 ]
 
 

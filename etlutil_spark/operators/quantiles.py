@@ -166,3 +166,61 @@ def exact_cumsum(
         .withColumn(cumsum_col, (F.col("_local") + F.col("_off")).cast(sum_type))
         .drop("_pid", "_local", "_off")
     )
+
+
+def exact_running_max(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    out_col: str = "running_max",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = the globally-ordered running MAX of
+    ``value_col`` over the total order given by ``order_cols`` — the
+    ``MAX(x) OVER (ORDER BY ...)`` shape (high-water marks, event-time
+    watermark simulation) — without the single-partition window. Same
+    parallel-prefix recipe as exact_cumsum, with max in place of sum:
+    per-partition running max locally, per-partition MAXES collected,
+    each partition's prefix (the max over all EARLIER partitions)
+    broadcast back, global = greatest(local, prefix). The first
+    partition's prefix is NULL; ``greatest`` ignores it."""
+    spark = df.sparkSession
+    n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    maxes = ranged.groupBy("_pid").agg(F.max(value_col).alias("_m"))
+    max_type = maxes.schema["_m"].dataType
+    part_maxes = sorted((r["_pid"], r["_m"]) for r in maxes.collect())
+    if not part_maxes:
+        return ranged.drop("_pid").withColumn(out_col, F.lit(None).cast(max_type))
+    from pyspark.sql import types as T
+
+    offsets, prefix = [], None
+    for pid, m in part_maxes:
+        offsets.append((pid, prefix))
+        if m is not None and (prefix is None or m > prefix):
+            prefix = m
+    off_df = spark.createDataFrame(
+        offsets,
+        T.StructType(
+            [
+                T.StructField("_pid", T.IntegerType(), False),
+                T.StructField("_pre", max_type, True),
+            ]
+        ),
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("_local", F.max(value_col).over(lw))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.greatest("_local", "_pre"))
+        .drop("_pid", "_local", "_pre")
+    )

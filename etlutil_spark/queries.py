@@ -7342,6 +7342,110 @@ def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_lateness_profile",
+    """
+    WITH s AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+             CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                  OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS hw
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+    l AS (SELECT hw - ep AS late_s FROM s)
+    SELECT CASE WHEN late_s <= 0 THEN '0_on_time'
+                WHEN late_s < 60 THEN '1_lt_1m'
+                WHEN late_s < 600 THEN '2_lt_10m'
+                WHEN late_s < 3600 THEN '3_lt_1h'
+                ELSE '4_ge_1h' END AS lateness_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM l GROUP BY 1
+    """,
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: how late each event's timestamp is
+    behind the high-water mark of everything that ARRIVED before it
+    (arrival order = event_id, the producer sequence) — the measurement
+    that turns streaming watermark delays from folklore into data
+    (pick the bucket that covers the tail you are willing to drop).
+    The high-water mark is a GLOBAL ordered running max —
+    ``MAX() OVER (ORDER BY ...)`` plans as a single-partition window —
+    so this uses quantiles.exact_running_max (range repartition +
+    per-partition running max + prefix-max offsets broadcast back);
+    the bucket histogram is one tiny aggregate after the map-side
+    lateness arithmetic."""
+    from etlutil_spark.operators.quantiles import exact_running_max
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    s = ev.select("event_id", F.unix_timestamp("ts").alias("ep"))
+    hw = exact_running_max(s, "ep", ["event_id"], out_col="hw")
+    late = hw.select((F.col("hw") - F.col("ep")).alias("late_s"))
+    return late.groupBy(
+        F.when(F.col("late_s") <= 0, "0_on_time")
+        .when(F.col("late_s") < 60, "1_lt_1m")
+        .when(F.col("late_s") < 600, "2_lt_10m")
+        .when(F.col("late_s") < 3600, "3_lt_1h")
+        .otherwise("4_ge_1h")
+        .alias("lateness_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )
+
+
+@register(
+    "orders_ship_lag_by_priority",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                              CAST(l.l_shipdate AS DATE)) AS DOUBLE),
+                               0.5), 6) AS median_lag_days,
+           round(quantile_cont(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                              CAST(l.l_shipdate AS DATE)) AS DOUBLE),
+                               0.9), 6) AS p90_lag_days,
+           CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    GROUP BY o.o_orderpriority
+    """,
+)
+def orders_ship_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLO report: order-to-ship lag (days) per order
+    priority — median / p90 / max — the check that priority classes
+    actually ship faster. One orderkey-equi join (both sides big at
+    scale: keyed shuffle join, no broadcast assumption) and one
+    priority-keyed aggregate; exact interpolated percentiles over the
+    bounded priority groups, integer day arithmetic on DATE-truncated
+    timestamps in both engines."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag_d"
+        ),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.median(F.col("lag_d").cast("double")), 6).alias(
+            "median_lag_days"
+        ),
+        F.round(F.percentile(F.col("lag_d").cast("double"), F.lit(0.9)), 6).alias(
+            "p90_lag_days"
+        ),
+        F.max("lag_d").cast("bigint").alias("max_lag_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

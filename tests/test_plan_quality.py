@@ -204,6 +204,10 @@ HEADLINE_BUDGETS = {
     "events_time_to_convert": (2, 0),
     # tokenize-once scoring + matrix agg + per-label share window
     "docs_lang_confusion": (3, 0),
+    # running-max range repartition (prefix offsets broadcast) + bucket agg
+    "events_lateness_profile": (2, 1),
+    # one orderkey join (AQE broadcasts at test SF) + priority aggregate
+    "orders_ship_lag_by_priority": (1, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

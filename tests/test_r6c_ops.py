@@ -479,3 +479,61 @@ class TestLangConfusion:
         for label, cells in by_label.items():
             assert abs(sum(c["label_share"] for c in cells) - 1.0) < 1e-4
             assert all(c["n_docs"] > 0 for c in cells)
+
+
+class TestRunningMax:
+    def test_matches_window_form(self, spark):
+        from pyspark.sql.window import Window
+
+        from etlutil_spark.operators.quantiles import exact_running_max
+
+        df = spark.createDataFrame(
+            [(i, (i * 73) % 29) for i in range(300)], "id long, v long"
+        )
+        got = exact_running_max(df, "v", ["id"], out_col="rm")
+        w = Window.orderBy("id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ref = df.withColumn("ref", F.max("v").over(w))
+        bad = got.join(ref, ["id", "v"]).where(F.col("rm") != F.col("ref")).count()
+        assert bad == 0
+
+    def test_null_values_ignored(self, spark):
+        from etlutil_spark.operators.quantiles import exact_running_max
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 2), (4, 9)], "id long, v long"
+        )
+        rows = {
+            r["id"]: r["rm"]
+            for r in exact_running_max(df, "v", ["id"], out_col="rm").collect()
+        }
+        assert rows == {1: 5, 2: 5, 3: 5, 4: 9}
+
+
+class TestLatenessProfile:
+    def test_hand_built_arrival_order(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        rows = [
+            # arrival (event_id) order; ts seconds offsets 0, 100, 40, 4000
+            (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 1, 40), 1, "view", 1.0, "{}"),
+            (3, datetime(2024, 1, 1, 0, 0, 40), 1, "view", 1.0, "{}"),  # 60s late
+            (4, datetime(2024, 1, 1, 1, 6, 40), 1, "view", 1.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = {
+            r["lateness_bucket"]: r
+            for r in Q.QUERIES["events_lateness_profile"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["0_on_time"]["n_events"] == 3
+        # event 3 is exactly 60s behind the high-water mark of event 2
+        assert out["2_lt_10m"]["n_events"] == 1
+        assert out["2_lt_10m"]["max_late_s"] == 60
