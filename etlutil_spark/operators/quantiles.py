@@ -141,17 +141,24 @@ def exact_cumsum(
     from pyspark.sql import types as T
 
     # offsets are exact driver-side arithmetic; coerce the running zero to
-    # the sum's Python type so createDataFrame's type check accepts it
+    # the sum's Python type so createDataFrame's type check accepts it.
+    # _has tracks whether any EARLIER partition contributed a non-null
+    # value: a row whose local prefix is all-NULL must surface the prior
+    # partitions' sum (window-form semantics), or NULL when nothing at
+    # all precedes it — an _off of 0 alone can't distinguish the two.
     zero = Decimal(0) if isinstance(sum_type, T.DecimalType) else 0
-    offsets, running = [], zero
+    offsets, running, has_prior = [], zero, False
     for pid, s in part_sums:
-        offsets.append((pid, running))
-        running = running + (s if s is not None else zero)
+        offsets.append((pid, running, has_prior))
+        if s is not None:
+            running = running + s
+            has_prior = True
 
     off_schema = T.StructType(
         [
             T.StructField("_pid", T.IntegerType(), False),
             T.StructField("_off", sum_type, False),
+            T.StructField("_has", T.BooleanType(), False),
         ]
     )
     off_df = spark.createDataFrame(offsets, off_schema)
@@ -163,8 +170,14 @@ def exact_cumsum(
     return (
         ranged.withColumn("_local", F.sum(value_col).over(lw))
         .join(F.broadcast(off_df), "_pid")
-        .withColumn(cumsum_col, (F.col("_local") + F.col("_off")).cast(sum_type))
-        .drop("_pid", "_local", "_off")
+        .withColumn(
+            cumsum_col,
+            F.when(F.col("_local").isNotNull(), F.col("_local") + F.col("_off"))
+            .when(F.col("_has"), F.col("_off"))
+            .otherwise(F.lit(None))
+            .cast(sum_type),
+        )
+        .drop("_pid", "_local", "_off", "_has")
     )
 
 

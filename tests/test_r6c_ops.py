@@ -423,6 +423,32 @@ class TestExactCumsum:
         df = spark.createDataFrame([], "id long, v long")
         assert exact_cumsum(df, "v", ["id"]).count() == 0
 
+    def test_null_values_match_window_form(self, spark):
+        """Rows whose range-partition-local prefix is all-NULL must still
+        surface the prior partitions' sum, exactly as SUM() OVER does."""
+        from pyspark.sql.window import Window
+
+        from etlutil_spark.operators.quantiles import exact_cumsum
+
+        rows = [(i, None if i % 3 == 0 else i) for i in range(120)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = exact_cumsum(df, "v", ["id"], cumsum_col="cs", n_partitions=8)
+        w = Window.orderBy("id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ref = df.withColumn("ref", F.sum("v").over(w))
+        bad = (
+            got.join(ref, "id")
+            .where(
+                ~(
+                    (F.col("cs") == F.col("ref"))
+                    | (F.col("cs").isNull() & F.col("ref").isNull())
+                )
+            )
+            .count()
+        )
+        assert bad == 0
+
 
 class TestAbcClasses:
     def test_partition_and_share_bounds(self, spark, sf_dir):
