@@ -6441,9 +6441,9 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey),
     s AS (
       SELECT recency_days, frequency, monetary,
-             CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INTEGER) AS r_q,
+             CAST(NTILE(4) OVER (ORDER BY recency_days ASC NULLS FIRST, o_custkey ASC) AS INTEGER) AS r_q,
              CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER) AS f_q,
-             CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INTEGER) AS m_q
+             CAST(NTILE(4) OVER (ORDER BY monetary DESC NULLS FIRST, o_custkey ASC) AS INTEGER) AS m_q
       FROM cust)
     SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -6846,7 +6846,7 @@ def events_inter_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) * 10000 AS BIGINT) AS rev_q
       FROM orders GROUP BY 1),
     x AS (SELECT rev_q,
-                 CAST(ROW_NUMBER() OVER (ORDER BY month) - 1 AS BIGINT) AS x
+                 CAST(ROW_NUMBER() OVER (ORDER BY month ASC NULLS FIRST) - 1 AS BIGINT) AS x
           FROM m),
     s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(x) AS BIGINT) AS sx,
@@ -7120,7 +7120,7 @@ def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 10000 + 0.5) AS BIGINT) AS rev_q
       FROM lineitem GROUP BY l_partkey),
     c AS (SELECT l_partkey, rev_q,
-                 CAST(SUM(rev_q) OVER (ORDER BY rev_q DESC, l_partkey ASC
+                 CAST(SUM(rev_q) OVER (ORDER BY rev_q DESC NULLS FIRST, l_partkey ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_q,
                  CAST(SUM(rev_q) OVER () AS BIGINT) AS tot_q
           FROM pr)
