@@ -100,14 +100,23 @@ def kmeans_fit(
 
     for _ in range(iters - 1):
         assigned = q.select("_qv", _best_cluster(centroids)["c"].alias("cluster"))
-        sums = assigned.groupBy("cluster").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.element_at("_qv", d + 1)).alias(f"s{d}") for d in range(dim)],
+        # per-dim sums via posexplode, not `dim` separate SUM columns: the
+        # wide aggregate's expression tree made Catalyst planning dominate
+        # the (tiny) data work at d=64; the exploded aggregate's plan is
+        # O(1) in dim and reduces to the same k*d exact integer sums
+        sums = (
+            assigned.select("cluster", F.posexplode("_qv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
         )
-        by_cluster = {int(r["cluster"]): r for r in sums.collect()}  # k rows, bounded
+        by: dict = {}
+        n_of: dict = {}
+        for r in sums.collect():  # k*dim rows, bounded
+            by[(int(r["cluster"]), int(r["pos"]))] = r["s"]
+            n_of[int(r["cluster"])] = r["n"]
         centroids = [
-            [math.floor(float(r[f"s{d}"]) / r["n"]) for d in range(dim)]
-            if (r := by_cluster.get(j)) is not None
+            [math.floor(float(by[(j, d)]) / n_of[j]) for d in range(dim)]
+            if j in n_of
             else centroids[j]  # empty cluster keeps its previous centroid
             for j in range(k)
         ]
