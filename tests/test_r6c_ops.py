@@ -563,3 +563,26 @@ class TestLatenessProfile:
         # event 3 is exactly 60s behind the high-water mark of event 2
         assert out["2_lt_10m"]["n_events"] == 1
         assert out["2_lt_10m"]["max_late_s"] == 60
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(starts=st.sets(st.integers(1, 60), min_size=1, max_size=25))
+def test_lead_cap_formula_equals_interval_union(starts):
+    """docs_dup_span_fraction counts covered positions as
+    sum(min(k, gap-to-next-start)) over sorted duplicate-shingle starts;
+    that closed form must equal the brute-force union of [p, p+k-1]
+    intervals for every start layout."""
+    k = 8
+    ss = sorted(starts)
+    covered: set = set()
+    for p in ss:
+        covered.update(range(p, p + k))
+    total = sum(
+        min(k, ss[i + 1] - ss[i]) if i + 1 < len(ss) else k
+        for i in range(len(ss))
+    )
+    assert total == len(covered)
