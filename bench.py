@@ -155,6 +155,9 @@ EXTENDED = [
     "docs_lang_confusion",
     "events_lateness_profile",
     "orders_ship_lag_by_priority",
+    "docs_entropy_by_source",
+    "user_activity_streaks",
+    "events_changepoint_cusum",
 ]
 
 

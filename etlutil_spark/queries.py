@@ -7446,6 +7446,184 @@ def orders_ship_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_entropy_by_source",
+    f"""
+    WITH t AS (SELECT source, unnest({_DUCK_TOKENS}) AS tk FROM documents),
+    c AS (SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+    s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tt,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM c GROUP BY source),
+    q AS (SELECT c.source,
+                 CAST(FLOOR((c.c * 1.0 / s.tt) * ln(c.c * 1.0 / s.tt)
+                            * 1000000000000) AS BIGINT) AS tq
+          FROM c JOIN s USING (source))
+    SELECT q.source, s.tt AS n_tokens, s.vocab,
+           round(-CAST(SUM(q.tq) AS BIGINT) / 1000000000000.0, 6) AS token_entropy,
+           CASE WHEN s.vocab > 1
+                THEN round((-CAST(SUM(q.tq) AS BIGINT) / 1000000000000.0)
+                           / ln(s.vocab), 6) END AS norm_entropy
+    FROM q JOIN s USING (source)
+    GROUP BY q.source, s.tt, s.vocab
+    """,
+)
+def docs_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy per source — the gibberish/boilerplate
+    screen at the source level: near-zero normalized entropy means one
+    token dominates (template spam), near-1 means a flat distribution
+    (random noise); natural text sits in between. One token-keyed count
+    aggregate (Heaps'-law bounded), per-source totals broadcast back,
+    and each p*ln(p) term quantized to integer 1e-12 units so the
+    per-source sums are integer-exact and partition-order-independent
+    (ln's last-ulp cross-engine drift is absorbed by the final round at
+    6, the docs_lm_score precedent)."""
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    t = d.select("source", F.explode(tokens("text")).alias("tk"))
+    c = t.groupBy("source", "tk").agg(F.count("*").alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tt"),
+        F.count("*").alias("vocab"),
+    )
+    p = F.col("c") / F.col("tt")
+    q = c.join(F.broadcast(s), "source").select(
+        "source",
+        F.floor(p * F.log(p) * 1000000000000).cast("bigint").alias("tq"),
+        "tt",
+        "vocab",
+    )
+    ent = -F.sum("tq").cast("bigint") / F.lit(1000000000000.0)
+    return q.groupBy("source", "tt", "vocab").agg(
+        F.round(ent, 6).alias("token_entropy"),
+        F.when(F.col("vocab") > 1, F.round(ent / F.log(F.col("vocab")), 6)).alias(
+            "norm_entropy"
+        ),
+    ).select(
+        "source",
+        F.col("tt").alias("n_tokens"),
+        "vocab",
+        "token_entropy",
+        "norm_entropy",
+    )
+
+
+@register(
+    "user_activity_streaks",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    i AS (SELECT user_id, day,
+                 day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                            AS INTEGER) AS grp
+          FROM ud),
+    s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+          FROM i GROUP BY user_id, grp),
+    m AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+          FROM s GROUP BY user_id)
+    SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM m GROUP BY max_streak
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled up to a
+    streak-length histogram — the gaps-and-islands shape (day minus
+    per-user row_number is constant within an island) that engagement
+    and retention teams live on. Collapse to DISTINCT (user, day) FIRST
+    (bounds everything by |users| x |days|); the islands window and both
+    aggregates all ride the same user-keyed partitioning — AQE reuses
+    one shuffle across the chain; no global window anywhere."""
+    from pyspark.sql.window import Window
+
+    ud = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = ud.withColumn("grp", F.date_sub("day", F.row_number().over(w)))
+    s = i.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    m = s.groupBy("user_id").agg(F.max("len").cast("bigint").alias("max_streak"))
+    return m.groupBy("max_streak").agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "events_changepoint_cusum",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    t AS (SELECT day, c,
+                 CAST(SUM(c) OVER () AS BIGINT) AS total,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS nd
+          FROM d),
+    s AS (SELECT day, nd,
+                 CAST(SUM(c * nd - total) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sq
+          FROM t)
+    SELECT day AS peak_day, nd AS n_days,
+           round(sq * 1.0 / nd, 6) AS peak_cusum,
+           CAST(CASE WHEN sq >= 0 THEN 1 ELSE -1 END AS INTEGER) AS direction
+    FROM s
+    ORDER BY abs(sq) DESC, day ASC
+    LIMIT 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator: the day where the cumulative sum of
+    (daily count - overall daily mean) peaks in magnitude — the standard
+    single-changepoint estimate for a level shift in event volume.
+    Deviations are computed in mean-free INTEGER space (count*n_days -
+    total, avoiding any float mean), so the cumulative path and the
+    argmax are exact in both engines. One day-keyed aggregate is the
+    data pass; the totals and cumulative windows run over the ~tens-of-
+    rows daily series (SinglePartition over metadata — the scalar
+    exemption), and the peak is a deterministic top-1."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    wall = Window.partitionBy()
+    t = d.select(
+        "day",
+        "c",
+        F.sum("c").over(wall).cast("bigint").alias("total"),
+        F.count("*").over(wall).cast("bigint").alias("nd"),
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "day",
+        "nd",
+        F.sum(F.col("c") * F.col("nd") - F.col("total"))
+        .over(wcum)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    return (
+        s.select(
+            F.col("day").alias("peak_day"),
+            F.col("nd").alias("n_days"),
+            F.round(F.col("sq") / F.col("nd"), 6).alias("peak_cusum"),
+            F.when(F.col("sq") >= 0, 1).otherwise(-1).cast("int").alias("direction"),
+        )
+        .orderBy(F.abs(F.col("peak_cusum")).desc(), F.col("peak_day").asc())
+        .limit(1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -208,6 +208,13 @@ HEADLINE_BUDGETS = {
     "events_lateness_profile": (2, 1),
     # one orderkey join (AQE broadcasts at test SF) + priority aggregate
     "orders_ship_lag_by_priority": (1, 1),
+    # token-count agg + source totals broadcast + per-source entropy agg
+    "docs_entropy_by_source": (5, 1),
+    # distinct user-day + islands window + two aggregates on one user key
+    "user_activity_streaks": (3, 0),
+    # day agg is the data pass; totals + cumulative windows over the
+    # tens-of-rows daily series
+    "events_changepoint_cusum": (2, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -237,6 +244,7 @@ SCALAR_OK = {
     "lineitem_abc_classes",  # 1-row revenue-total scalar
     "orders_dow_seasonality",  # totals window over the 7-row dow table
     "events_time_to_convert",  # 1-row latency summary
+    "events_changepoint_cusum",  # cusum windows over the tiny daily series
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

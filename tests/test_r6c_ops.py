@@ -586,3 +586,80 @@ def test_lead_cap_formula_equals_interval_union(starts):
         for i in range(len(ss))
     )
     assert total == len(covered)
+
+
+class TestEntropyBySource:
+    def test_flat_vs_skewed_sources(self, spark, tmp_path):
+        import math
+
+        import etlutil_spark.queries as Q
+
+        docs = [
+            (1, "a b c d", "en", "flat", 7),
+            (2, "e f g h", "en", "flat", 7),      # flat: 8 distinct tokens once
+            (3, "x x x x", "en", "skew", 7),
+            (4, "x x x y", "en", "skew", 7),      # skew: x dominates
+        ]
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        out = {
+            r["source"]: r
+            for r in Q.QUERIES["docs_entropy_by_source"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["flat"]["vocab"] == 8
+        assert abs(out["flat"]["token_entropy"] - math.log(8)) < 1e-5
+        assert abs(out["flat"]["norm_entropy"] - 1.0) < 1e-5
+        assert out["skew"]["norm_entropy"] < 0.6
+
+
+class TestActivityStreaks:
+    def test_hand_built_streaks(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        rows = [
+            # user 1: days 1,2,3 then 5 -> max streak 3
+            (1, datetime(2024, 1, 1), 1), (2, datetime(2024, 1, 2), 1),
+            (3, datetime(2024, 1, 3), 1), (4, datetime(2024, 1, 5), 1),
+            # user 2: one day twice -> max streak 1
+            (5, datetime(2024, 1, 1), 2), (6, datetime(2024, 1, 1, 9), 2),
+            # user 3: days 1,2 -> max streak 2
+            (7, datetime(2024, 2, 1), 3), (8, datetime(2024, 2, 2), 3),
+        ]
+        spark.createDataFrame(
+            [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = {
+            r["max_streak"]: r["n_users"]
+            for r in Q.QUERIES["user_activity_streaks"](spark, str(tmp_path)).collect()
+        }
+        assert out == {3: 1, 1: 1, 2: 1}
+
+
+class TestChangepointCusum:
+    def test_level_shift_located(self, spark, tmp_path):
+        import etlutil_spark.queries as Q
+
+        rows = []
+        eid = 0
+        # 10 days at 2 events/day, then 10 days at 8 events/day:
+        # the cusum trough sits at the last low day (2024-01-10)
+        for day in range(1, 21):
+            for _ in range(2 if day <= 10 else 8):
+                eid += 1
+                rows.append((eid, datetime(2024, 1, day, 12), 1, "view", 1.0, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        r = Q.QUERIES["events_changepoint_cusum"](spark, str(tmp_path)).collect()[0]
+        assert str(r["peak_day"]) == "2024-01-10"
+        assert r["n_days"] == 20
+        assert r["direction"] == -1  # counts below the mean before the shift
+        assert r["peak_cusum"] == -30.0  # 10 days * (2 - 5 mean) = -30
