@@ -120,9 +120,6 @@ def transition_matrix(
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     pairs = (
         events.select(
-            F.col(user_col),
-            F.col(ts_col),
-            F.col(tiebreak_col),
             F.lag(type_col).over(w).alias("prev_type"),
             F.col(type_col).alias("next_type"),
         )

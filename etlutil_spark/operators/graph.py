@@ -73,6 +73,15 @@ def pagerank(
         )
         .localCheckpoint()
     )
+    bad_ow = outw.where(F.col("ow").isNull() | (F.col("ow") <= 0)).limit(1).collect()
+    if bad_ow:
+        raise ValueError(
+            "pagerank: source node "
+            f"{bad_ow[0]['src']!r} has non-positive/NULL total out-weight "
+            "(weights must be positive integers; fractional weights "
+            "truncate to 0 under the bigint cast) — flow division would "
+            "fail under ANSI mode or silently leak the node's mass"
+        )
     e = e0.join(outw.select("src", "ow"), "src").localCheckpoint()
     nodes = (
         e0.select(F.col("src").alias("node"))

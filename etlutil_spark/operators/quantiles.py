@@ -60,6 +60,7 @@ def exact_ntile(
     Exchange SinglePartition funnel a global ``F.ntile`` would need."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    _reject_reserved(df, ("_pid", "_lr", "_off"))
     spark = df.sparkSession
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, n_buckets)
     ranged = (
@@ -94,12 +95,28 @@ def exact_ntile(
 def _ntile_bucket(rank: Column, base: int, rem: int) -> Column:
     """Closed-form ntile bucket for 1-based ``rank`` given bucket sizes
     (``rem`` buckets of ``base+1`` rows, then buckets of ``base`` rows).
-    Integer math via `x - x % d` keeps everything exact (no float div)."""
+    `x - x % d` makes each numerator an exact multiple of its divisor;
+    the quotient still evaluates as double division, which is exact for
+    exact-multiple operands up to 2^53 rows — beyond that (never at any
+    realistic partition count) bucket edges could round."""
     big_span = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
     in_big = (rank - 1 - ((rank - 1) % (base + 1))) / (base + 1)
     r2 = rank - big_span - 1
     in_small = rem + (r2 - (r2 % max(base, 1))) / max(base, 1)
     return (F.when(rank <= big_span, in_big).otherwise(in_small)).cast("int") + 1
+
+
+def _reject_reserved(df: DataFrame, names: tuple[str, ...]) -> None:
+    """These operators stage scratch columns (partition id, local
+    rank/sum/max, broadcast offsets) with withColumn and drop them at
+    the end — a caller column with one of those names would be silently
+    overwritten and then dropped. Refuse loudly instead."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with reserved scratch names {names}"
+        )
+
 
 
 def exact_cumsum(
@@ -122,6 +139,7 @@ def exact_cumsum(
     on the driver is arbitrary-precision). ``order_cols`` must be a
     unique total order for deterministic output — the same requirement
     the window form has."""
+    _reject_reserved(df, ("_pid", "_local", "_off", "_has"))
     spark = df.sparkSession
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 1)
     ranged = (
@@ -141,12 +159,19 @@ def exact_cumsum(
     from pyspark.sql import types as T
 
     # offsets are exact driver-side arithmetic; coerce the running zero to
-    # the sum's Python type so createDataFrame's type check accepts it.
+    # the sum's Python type so createDataFrame's type check accepts it
+    # (float input gets float offsets: accepted, but only approximately
+    # order-independent — the docstring's exactness claim is int/DECIMAL).
     # _has tracks whether any EARLIER partition contributed a non-null
     # value: a row whose local prefix is all-NULL must surface the prior
     # partitions' sum (window-form semantics), or NULL when nothing at
     # all precedes it — an _off of 0 alone can't distinguish the two.
-    zero = Decimal(0) if isinstance(sum_type, T.DecimalType) else 0
+    if isinstance(sum_type, T.DecimalType):
+        zero = Decimal(0)
+    elif isinstance(sum_type, (T.DoubleType, T.FloatType)):
+        zero = 0.0
+    else:
+        zero = 0
     offsets, running, has_prior = [], zero, False
     for pid, s in part_sums:
         offsets.append((pid, running, has_prior))
@@ -198,6 +223,7 @@ def exact_running_max(
     each partition's prefix (the max over all EARLIER partitions)
     broadcast back, global = greatest(local, prefix). The first
     partition's prefix is NULL; ``greatest`` ignores it."""
+    _reject_reserved(df, ("_pid", "_local", "_pre"))
     spark = df.sparkSession
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 1)
     ranged = (
@@ -212,10 +238,22 @@ def exact_running_max(
         return ranged.drop("_pid").withColumn(out_col, F.lit(None).cast(max_type))
     from pyspark.sql import types as T
 
+    import math
+
+    def _spark_gt(a, b) -> bool:
+        """Spark's total order on doubles puts NaN ABOVE everything;
+        Python's `nan > x` is False — mirror Spark here or a NaN
+        partition max would be dropped from the cross-partition prefix."""
+        if isinstance(b, float) and math.isnan(b):
+            return False
+        if isinstance(a, float) and math.isnan(a):
+            return True
+        return a > b
+
     offsets, prefix = [], None
     for pid, m in part_maxes:
         offsets.append((pid, prefix))
-        if m is not None and (prefix is None or m > prefix):
+        if m is not None and (prefix is None or _spark_gt(m, prefix)):
             prefix = m
     off_df = spark.createDataFrame(
         offsets,
