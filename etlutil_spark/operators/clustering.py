@@ -89,8 +89,13 @@ def kmeans_fit(
     holds k*d ints."""
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
-    q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
-        F.col(id_col), _quantize(vec_col, scale).alias("_qv")
+    q = (
+        df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _quantize(vec_col, scale).alias("_qv"))
+        # the seed collect and EVERY Lloyd round read this — cache the
+        # quantized corpus once instead of re-scanning per round (the
+        # standard iterative-training trade: memory for repeated scans)
+        .localCheckpoint(eager=False)
     )
     seed_rows = q.orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
@@ -180,6 +185,13 @@ def ivf_kmeans_topk(
     if not 1 <= nprobe <= k:
         raise ValueError(f"nprobe must be in [1, k], got nprobe={nprobe} k={k}")
     centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, scale=scale)
+    if len(query_vec) != len(centroids[0]):
+        # without this, zip() silently truncates the probe arithmetic and
+        # zip_with pads with NULL — NULL distances sort first and the
+        # "top-k" is garbage instead of an error
+        raise ValueError(
+            f"query dim {len(query_vec)} != corpus dim {len(centroids[0])}"
+        )
     qv = [math.floor(float(x) * scale) for x in query_vec]
     by_dist = sorted(
         (sum((a - b) * (a - b) for a, b in zip(qv, c)), j) for j, c in enumerate(centroids)
@@ -241,7 +253,11 @@ def semdedup(
     q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(vec_col, scale).alias("_qv")
     )
-    assigned = q.select(F.col(id_col), F.col("_qv"), _best_cluster(centroids)["c"].alias("cluster"))
+    assigned = q.select(
+        F.col(id_col), F.col("_qv"), _best_cluster(centroids)["c"].alias("cluster")
+    # both self-join sides and the final left join read this projection —
+    # compute the quantize+assign pass once
+    ).localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     dist = F.aggregate(
         F.zip_with("a._qv", "b._qv", lambda x, y: (x - y) * (x - y)),
@@ -290,10 +306,16 @@ def pq_train_codebooks(
     same integer argmin tie-breaks, same floor-div updates, and
     subspaces never interact (Lloyd's per subspace is independent, so
     batching the passes cannot change any sum)."""
-    if ksub < 1 or iters < 1:
-        raise ValueError(f"ksub and iters must be >= 1, got ksub={ksub} iters={iters}")
-    q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
-        F.col(id_col), _quantize(vec_col, scale).alias("_qv")
+    if m < 1 or ksub < 1 or iters < 1:
+        raise ValueError(
+            f"m, ksub and iters must be >= 1, got m={m} ksub={ksub} iters={iters}"
+        )
+    q = (
+        df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _quantize(vec_col, scale).alias("_qv"))
+        # seed collect + every joint round read this — cache the quantized
+        # corpus once (the kmeans_fit trade)
+        .localCheckpoint(eager=False)
     )
     seed_rows = q.orderBy(id_col).limit(ksub).collect()
     if len(seed_rows) < ksub:
@@ -376,7 +398,11 @@ def pq_adc_topk(
     pair with an exact rerank stage (quantize_rerank_topk's pattern)
     when recall at the top matters.
     """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
     first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_adc_topk: corpus has no non-null vectors")
     d = len(first[0])
     if d % m != 0:
         raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")

@@ -235,7 +235,6 @@ def bigram_counts(
 
 def token_drift(
     df: DataFrame,
-    cohort_col: str,
     base_pred,
     *,
     text_col: str = "text",
@@ -263,6 +262,9 @@ def token_drift(
             F.count(F.when(F.col("_is_base") == 1, 1)).alias("n_base"),
             F.count(F.when(F.col("_is_base") == 0, 1)).alias("n_test"),
         )
+        # counted feeds the totals scalar AND the final select — compute
+        # the corpus explode + term shuffle once (the tf/postings idiom)
+        .localCheckpoint(eager=False)
     )
     totals = counted.select(
         F.sum("n_base").alias("t_base"),
@@ -284,12 +286,8 @@ def token_drift(
     )
 
 
-# default weights for quality_model_score: hand-set to mimic a trained
-# fastText-style quality classifier's behavior on web text — rewarding
-# length/alphabetic/natural-stopword-density, punishing token repetition
 def strip_boilerplate_prefixes(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     group_col: str,
     *,
@@ -305,8 +303,11 @@ def strip_boilerplate_prefixes(
     share is >= ``min_share``.
 
     Adds ``_prefix_stripped`` (bool) and rewrites ``text_col`` for
-    flagged docs (token-rejoined — whitespace normalizes on the stripped
-    path). Docs shorter than ``probe_tokens`` are exempt.
+    flagged docs by cutting the ORIGINAL characters spanning the first
+    ``probe_tokens`` token runs (anchored regex), so the kept remainder
+    preserves its casing, punctuation, and spacing — a token-rejoin
+    would silently lowercase and de-punctuate every stripped document.
+    Docs shorter than ``probe_tokens`` are exempt.
 
     Scale shape: the prefix census is ONE (group, prefix) aggregate with
     map-side combine; the boilerplate set that survives the thresholds
@@ -323,6 +324,9 @@ def strip_boilerplate_prefixes(
         d.where(F.col("_pfx").isNotNull())
         .groupBy(group_col, "_pfx")
         .agg(F.count("*").alias("_n"))
+        # census feeds the totals aggregate AND the boiler join — compute
+        # the corpus-wide prefix aggregate once
+        .localCheckpoint(eager=False)
     )
     totals = census.groupBy(group_col).agg(
         F.sum("_n").cast("double").alias("_nt")
@@ -344,9 +348,15 @@ def strip_boilerplate_prefixes(
         & (F.col("_pfx") == F.col("_boiler_pfx")),
         "left",
     ).drop("_boiler_grp")
-    stripped_text = F.concat_ws(
-        " ", F.slice("_tk", probe_tokens + 1, F.size("_tk"))
+    # cut the original characters of the first probe_tokens token runs:
+    # each (separators)(token-run) group consumes exactly one token, so
+    # the anchored count removes precisely the flagged prefix span
+    strip_pat = (
+        r"^(?:[^\p{L}\p{N}]*[\p{L}\p{N}]+)"
+        + f"{{{probe_tokens}}}"
+        + r"[^\p{L}\p{N}]*"
     )
+    stripped_text = F.regexp_replace(F.col(text_col), strip_pat, "")
     return (
         out.withColumn("_prefix_stripped", F.col("_boiler_pfx").isNotNull())
         .withColumn(

@@ -1439,7 +1439,7 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     res = strip_boilerplate_prefixes(
-        d, "doc_id", "text", "source", probe_tokens=8, min_count=2
+        d, "text", "source", probe_tokens=8, min_count=2
     )
     return res.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -3739,7 +3739,7 @@ def docs_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    return token_drift(d, "source", F.length("source") == 4)
+    return token_drift(d, F.length("source") == 4)
 
 
 @register(

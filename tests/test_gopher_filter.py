@@ -91,7 +91,7 @@ class TestStripBoilerplate:
         out = {
             r["doc_id"]: (r["text"], r["_prefix_stripped"])
             for r in strip_boilerplate_prefixes(
-                self._frames(spark), "doc_id", "text", "source"
+                self._frames(spark), "text", "source"
             ).collect()
         }
         assert out[1] == ("unique article one", True)
@@ -110,6 +110,29 @@ class TestStripBoilerplate:
         # the repeated prefix covers 2 of source-a's 3 probe-eligible
         # docs: share 2/3 < 0.7 -> nothing stripped
         out = strip_boilerplate_prefixes(
-            self._frames(spark), "doc_id", "text", "source", min_share=0.7
+            self._frames(spark), "text", "source", min_share=0.7
         )
         assert out.where("_prefix_stripped").count() == 0
+
+    def test_strip_preserves_case_and_punctuation(self, spark):
+        """The cut happens on the ORIGINAL characters: the kept remainder
+        must keep its casing and punctuation (a token-rejoin would
+        lowercase and strip it)."""
+        from etlutil_spark.operators.text_analysis import (
+            strip_boilerplate_prefixes,
+        )
+
+        head = "Welcome to EXAMPLE dot com, all rights reserved!"  # 8 tokens
+        df = spark.createDataFrame(
+            [
+                (1, "a", f"{head} Does ACME Corp. ship to the E.U.?"),
+                (2, "a", f"{head} Another Body, with Commas."),
+            ],
+            "doc_id bigint, source string, text string",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in strip_boilerplate_prefixes(df, "text", "source").collect()
+        }
+        assert out[1] == "Does ACME Corp. ship to the E.U.?"
+        assert out[2] == "Another Body, with Commas."

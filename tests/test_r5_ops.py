@@ -396,7 +396,7 @@ class TestTokenDrift:
 
         rows = [(c, "alpha beta gamma alpha") for c in ("a", "b")]
         df = spark.createDataFrame(rows, "cohort string, text string")
-        out = token_drift(df, "cohort", F.col("cohort") == "a").collect()
+        out = token_drift(df, F.col("cohort") == "a").collect()
         assert {r.term for r in out} == {"alpha", "beta", "gamma"}
         assert all(r.kl_term == 0.0 for r in out)
         assert all(r.p_base == r.p_test for r in out)
@@ -409,7 +409,7 @@ class TestTokenDrift:
             ("b", "beta beta beta beta alpha"),
         ]
         df = spark.createDataFrame(rows, "cohort string, text string")
-        out = {r.term: r for r in token_drift(df, "cohort", F.col("cohort") == "a").collect()}
+        out = {r.term: r for r in token_drift(df, F.col("cohort") == "a").collect()}
         # alpha is over-represented in base -> positive kl contribution;
         # beta under-represented -> negative; total KL > 0
         assert out["alpha"].kl_term > 0
@@ -418,7 +418,7 @@ class TestTokenDrift:
         # vocabulary-absent smoothing: a term only in base still finite
         rows2 = [("a", "only base words"), ("b", "different test words")]
         df2 = spark.createDataFrame(rows2, "cohort string, text string")
-        out2 = {r.term: r for r in token_drift(df2, "cohort", F.col("cohort") == "a").collect()}
+        out2 = {r.term: r for r in token_drift(df2, F.col("cohort") == "a").collect()}
         assert out2["only"].n_test == 0 and out2["only"].p_test > 0
 
 
