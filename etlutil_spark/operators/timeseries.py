@@ -142,7 +142,9 @@ def trailing_window(
     return df.withColumns(
         {
             "trail_sum": F.round(
-                F.sum(F.col(value_col).cast("decimal(18,6)")).over(w).cast("double"),
+                # 38,6 not 18,6: an 18-digit cast silently NULLs values
+                # >= 1e12 (sum then skips them) under non-ANSI mode
+                F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double"),
                 6,
             ),
             "trail_n": F.count(value_col).over(w),
@@ -162,7 +164,12 @@ def decay_weight(
     rounded to 9 decimals to absorb it, which both pins the value across
     engines and keeps downstream DECIMAL-quantized sums
     partition-order-independent. Pure column expression — composes
-    map-side with any aggregate."""
+    map-side with any aggregate.
+
+    Rows with ts AFTER ref_date get weights > 1 (0.5^negative) — by
+    design the caller either filters to ts <= ref_date (the catalog
+    query does) or clamps with greatest(weight, ...) if future-dated
+    stragglers must not dominate a recency mixture."""
     age = F.datediff(F.to_date(F.lit(ref_date)), F.to_date(ts_col))
     return F.round(F.pow(F.lit(0.5), age / F.lit(float(half_life_days))), 9)
 
@@ -203,9 +210,14 @@ def trailing_baseline_anomaly(
     per-group sort inside it is trivial."""
     if trailing_buckets < 1 or bucket_seconds < 1:
         raise ValueError("trailing_buckets and bucket_seconds must be >= 1")
-    bucket = F.from_unixtime(
-        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint") * bucket_seconds
-    ).cast("timestamp")
+    # timestamp_seconds(floor-div), NOT from_unixtime: the epoch ->
+    # session-tz string -> timestamp round trip merges DST-ambiguous
+    # hours under non-UTC sessions, and a bare bigint cast truncates
+    # toward zero (one bucket late) for pre-1970 timestamps
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("bigint")
+        * bucket_seconds
+    )
     counts = (
         df.where(F.col(ts_col).isNotNull())
         .groupBy(*group_cols, bucket.alias("bucket"))

@@ -3555,7 +3555,7 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rolling_7d",
     """
     SELECT event_id, user_id,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+           round(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 6)
              AS trail_sum,
            COUNT(value) OVER w AS trail_n
     FROM events

@@ -15,8 +15,10 @@ window.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -92,7 +94,12 @@ def stream_events_from_dir(
     else:
         try:
             physical = spark.read.parquet(events_dir).schema
-        except Exception:  # UNABLE_TO_INFER_SCHEMA: nothing on disk yet
+        except AnalysisException as ex:
+            # ONLY the nothing-on-disk-yet case falls back to the declared
+            # contract; any other read failure (permissions, corrupt
+            # footer) must surface, not silently pin a maybe-wrong schema
+            if "UNABLE_TO_INFER_SCHEMA" not in str(ex) and "PATH_NOT_FOUND" not in str(ex):
+                raise
             physical = EVENTS_SCHEMA
     reader = spark.readStream.schema(physical).option(
         "maxFilesPerTrigger", max_files_per_trigger
@@ -101,7 +108,10 @@ def stream_events_from_dir(
     # testdata layout) is streamed as parent-dir + glob on the basename
     if os.path.isfile(events_dir):
         parent, name = os.path.split(events_dir)
-        reader = reader.option("pathGlobFilter", name)
+        # the basename is used as a GLOB: bracket-escape metacharacters so
+        # part-*-c000.parquet or events[2024].parquet match literally
+        escaped = re.sub(r"([\[\]*?{}])", r"[\1]", name)
+        reader = reader.option("pathGlobFilter", escaped)
         events_dir = parent
     df = reader.parquet(events_dir)
     ts_type = df.schema["ts"].dataType
@@ -127,31 +137,28 @@ def run_stream_once(
     This is the integration-test harness; production callers point the same
     ``windowed_counts`` at a real source/sink with a checkpoint dir."""
     stream = stream_events_from_dir(spark, events_dir)
-    agg = windowed_counts(stream, window=window)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return run_stream_query(
+        windowed_counts(stream, window=window), query_name=query_name
     )
-    q.awaitTermination(120)
-    return spark.table(query_name)
 
 
 def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
-    """Exactly-once-per-event_id stream: watermarked dropDuplicates.
+    """Exactly-once-per-(event_id, ts) stream: watermarked dropDuplicates.
 
-    State holds one entry per event_id seen within the watermark horizon and
-    is evicted as the watermark advances — the standard idempotent-ingest
-    front for at-least-once sources. Batch twin: dropDuplicates(["event_id"]).
+    The event-time column is PART OF THE DEDUP KEY — that is the condition
+    under which Spark installs the state-eviction predicate; with a bare
+    ["event_id"] key the watermark only filters late input and every id
+    ever seen stays in the state store forever (unbounded growth). State
+    therefore holds one entry per (event_id, ts) within the watermark
+    horizon and is evicted as the watermark advances. Batch twin:
+    dropDuplicates(["event_id", "ts"]).
 
-    Caveat: with dropDuplicates the event-time column must be part of the
-    key for state eviction to be safe, and a RETRANSMITTED duplicate whose
-    ts differs (clock skew, producer re-stamping) is NOT deduped. That
-    case is :func:`dedup_stream_within_watermark`."""
+    A RETRANSMITTED duplicate whose ts differs (clock skew, producer
+    re-stamping) is NOT deduped here — that case is
+    :func:`dedup_stream_within_watermark`, whose key-only semantics keep
+    state bounded by design (dropDuplicatesWithinWatermark)."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return src.dropDuplicates(["event_id"])
+    return src.dropDuplicates(["event_id", "ts"])
 
 
 def dedup_stream_within_watermark(
@@ -261,7 +268,11 @@ def run_stream_query(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        # a False return means STILL RUNNING: reading the sink now would
+        # hand back a silently partial table — stop and fail loudly
+        q.stop()
+        raise TimeoutError(f"stream query {query_name!r} did not finish in 120s")
     return agg.sparkSession.table(query_name)
 
 
@@ -340,13 +351,12 @@ def attribution_join_stream(
         p = p.withWatermark("purchase_ts", watermark)
     if c.isStreaming:
         c = c.withWatermark("click_ts", watermark)
-    cond = (
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr(f"interval {attribution_window}")
-        )
+    from etlutil_spark.streaming.joins import preceding_interval_cond
+
+    # the click-value-carrying twin of joins.clicks_before_purchases —
+    # the predicate is SHARED so the two can never drift
+    cond = preceding_interval_cond(
+        "p_user", "c_user", "click_ts", "purchase_ts", attribution_window
     )
     return p.join(c, cond, "inner").select(
         "purchase_id",

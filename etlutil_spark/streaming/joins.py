@@ -27,6 +27,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def preceding_interval_cond(
+    key_a, key_b, ts_earlier, ts_later, tolerance: str
+):
+    """THE join predicate of this family — key equality plus
+    ``ts_earlier in [ts_later - tolerance, ts_later]`` — factored out so
+    every watermarked interval join in the package (clicks_before_
+    purchases here, events.attribution_join_stream) shares one
+    definition: a boundary or watermark-derivation fix lands everywhere
+    at once instead of drifting between copies."""
+    return (
+        (F.col(key_a) == F.col(key_b))
+        & (F.col(ts_earlier) >= F.expr(f"{ts_later} - INTERVAL {tolerance}"))
+        & (F.col(ts_earlier) <= F.col(ts_later))
+    )
+
+
 def clicks_before_purchases(
     purchases: DataFrame,
     clicks: DataFrame,
@@ -62,16 +78,16 @@ def clicks_before_purchases(
         p = p.withWatermark("p_ts", watermark)
     if c.isStreaming:
         c = c.withWatermark("c_ts", watermark)
-    cond = (
-        (F.col("k") == F.col("ck"))
-        & (F.col("c_ts") >= F.expr(f"p_ts - INTERVAL {tolerance}"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-    )
+    cond = preceding_interval_cond("k", "ck", "c_ts", "p_ts", tolerance)
     return p.join(c, cond, "inner").select(
         F.col("k").alias(key_col),
         "purchase_id",
         F.col("p_ts").alias("purchase_ts"),
         "click_id",
         F.col("c_ts").alias("click_ts"),
-        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_seconds"),
+        # floor of the TRUE microsecond difference — truncating each side
+        # to whole seconds first made sub-second lags off by up to 1s
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
+            "lag_seconds"
+        ),
     )
