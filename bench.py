@@ -158,6 +158,28 @@ EXTENDED = [
     "docs_entropy_by_source",
     "user_activity_streaks",
     "events_changepoint_cusum",
+    "part_skyline",
+    "orders_benford",
+    "events_gini_by_type",
+    "audit_value_ranges",
+    "events_ewma_daily",
+    "events_multitouch_attribution",
+    "events_session_paths",
+    "dedup_fuzzy_edit",
+    "sample_correlated_join",
+    "pricing_grouping_sets",
+    "docs_vocab_growth",
+    "events_ab_test_summary",
+    "docs_winnowing",
+    "orders_seasonal_decompose",
+    "io_partition_roundtrip",
+    "docs_zipf_fit",
+    "events_snapshot_diff",
+    "lineitem_checksum_blocks",
+    "part_trigram_search",
+    "customer_balance_moments",
+    "lineitem_quantity_chi2",
+    "orders_km_survival",
 ]
 
 

@@ -78,3 +78,42 @@ def key_uniqueness(
             )
         )
     return reduce(DataFrame.unionByName, parts)
+
+
+def value_rule_counts(
+    tables: list[tuple[str, DataFrame, list[tuple[str, Column]]]],
+) -> DataFrame:
+    """Per-rule value-constraint audit: (relation, rule, n_rows,
+    n_violations).
+
+    ``tables``: (relation_name, df, [(rule_name, violation_predicate)])
+    — the predicate is TRUE for a violating row (NULL counts as
+    non-violating, SQL filter semantics). Each relation is scanned
+    ONCE: every rule becomes a conditional SUM inside a single
+    aggregate, then the 1-row result is unpivoted with ``stack`` into
+    one row per rule. No shuffle carries row-level data — the only
+    exchange moves |rules| summary rows per relation, so the audit
+    costs one map-side pass per table at any scale."""
+    parts = []
+    for name, df, rules in tables:
+        aggs = [F.count("*").cast("bigint").alias("_n")]
+        for i, (_, pred) in enumerate(rules):
+            aggs.append(
+                F.sum(F.coalesce(pred.cast("int"), F.lit(0)))
+                .cast("bigint")
+                .alias(f"_v{i}")
+            )
+        one = df.agg(*aggs)
+        pairs = ", ".join(
+            f"'{rule}', _v{i}" for i, (rule, _) in enumerate(rules)
+        )
+        parts.append(
+            one.select(
+                F.lit(name).alias("relation"),
+                F.expr(f"stack({len(rules)}, {pairs})").alias(
+                    "rule", "n_violations"
+                ),
+                F.col("_n").alias("n_rows"),
+            ).select("relation", "rule", "n_rows", "n_violations")
+        )
+    return reduce(DataFrame.unionByName, parts)

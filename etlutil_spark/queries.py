@@ -7624,6 +7624,1739 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_skyline",
+    """
+    SELECT p.p_partkey, p.p_retailprice AS price,
+           CAST(p.p_size AS INTEGER) AS size
+    FROM part p
+    WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+      )
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (min retail price, max size): the multi-
+    criteria shortlist shape (cheapest part at every quality level)
+    that no single ORDER BY can answer. The naive form is the O(n^2)
+    dominance test the ORACLE runs (NOT EXISTS — a deliberately
+    independent formulation); the engine instead uses the sort-sweep
+    decomposition: (1) reduce to one max-size row per distinct price —
+    the only data-volume pass, a plain keyed aggregate; (2) sweep the
+    distinct-price table in price order keeping prices whose max size
+    strictly exceeds the running max over all cheaper prices (rows tied
+    with the per-price max survive together — identical points never
+    dominate each other); (3) broadcast the tiny frontier back to
+    recover part keys. The sweep window runs over |distinct prices|
+    rows — metadata scale, not data scale (at 100 TB you would add a
+    coarse price-bucket prune before it; the reduce in (1) already
+    bounds it)."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
+    g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("max_size"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        g.withColumn("prev_max", F.max("max_size").over(w))
+        .where(F.col("prev_max").isNull() | (F.col("max_size") > F.col("prev_max")))
+        .select(
+            F.col("p_retailprice").alias("f_price"),
+            F.col("max_size").alias("f_size"),
+        )
+    )
+    return p.join(
+        F.broadcast(frontier),
+        (F.col("p_retailprice") == F.col("f_price"))
+        & (F.col("p_size") == F.col("f_size")),
+    ).select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+
+
+@register(
+    "orders_benford",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           round(n * 1.0 / total, 6) AS share,
+           round(log10(1 + 1.0 / CAST(digit AS BIGINT)), 6) AS benford_share,
+           round(abs(round(n * 1.0 / total, 6)
+                     - round(log10(1 + 1.0 / CAST(digit AS BIGINT)), 6)),
+                 6) AS abs_dev
+    FROM t
+    """,
+)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / unit-mixup screen: organic monetary amounts
+    follow P(d) = log10(1+1/d); a synthetic or truncated feed shows up
+    as a flat or spiked digit histogram. The first digit is taken from
+    the BIGINT string of floor(price) (integer formatting is identical
+    in every engine — no float-repr or log10-boundary hazards), so the
+    digit histogram is exact; the only floats are the final shares,
+    computed identically from bigints and rounded at 6. One map-side
+    conditional projection + a 9-row aggregate; the share window runs
+    over those 9 rows (scalar scale)."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            ).alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    t = c.withColumn(
+        "total", F.sum("n").over(Window.partitionBy()).cast("bigint")
+    )
+    share = F.round(F.col("n") / F.col("total"), 6)
+    benford = F.round(F.log10(1 + 1 / F.col("digit").cast("bigint")), 6)
+    return t.select(
+        "digit",
+        "n",
+        share.alias("share"),
+        benford.alias("benford_share"),
+        F.round(F.abs(share - benford), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "events_gini_by_type",
+    """
+    WITH x AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, user_id),
+    r AS (SELECT event_type, c,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY c, user_id) AS BIGINT) AS i
+          FROM x),
+    g AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(c) AS BIGINT) AS sx,
+                 CAST(SUM(i * c) AS BIGINT) AS six
+          FROM r GROUP BY event_type)
+    SELECT event_type, n_users,
+           round((2.0 * six - (n_users + 1.0) * sx) / (n_users * 1.0 * sx), 6)
+             AS gini
+    FROM g
+    """,
+)
+def events_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration, per event
+    type — the whale-vs-long-tail inequality measure (0 = uniform
+    engagement, ->1 = a few users generate everything) that drives
+    sampling and capacity decisions. Uses the rank formulation
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over counts sorted
+    ascending; equal counts make the i*x_i sum invariant under tie
+    order, so row_number with a user-id tiebreak is deterministic AND
+    order-independent. Everything up to the final division stays in
+    bigint space — exact in both engines. The count aggregate and the
+    rank window share the event_type hash partitioning (one shuffle
+    reused); no global window."""
+    from pyspark.sql.window import Window
+
+    x = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    r = x.withColumn("i", F.row_number().over(w).cast("bigint"))
+    g = r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("six"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        F.round(
+            (2.0 * F.col("six") - (F.col("n_users") + 1.0) * F.col("sx"))
+            / (F.col("n_users") * 1.0 * F.col("sx")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "audit_value_ranges",
+    """
+    WITH li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM lineitem),
+    o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1
+      FROM orders),
+    e AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1
+      FROM events),
+    p AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN p_retailprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN p_size <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1
+      FROM part)
+    SELECT 'lineitem' AS relation, 'quantity_nonpositive' AS rule, n AS n_rows, v0 AS n_violations FROM li
+    UNION ALL SELECT 'lineitem', 'discount_out_of_range', n, v1 FROM li
+    UNION ALL SELECT 'lineitem', 'tax_negative', n, v2 FROM li
+    UNION ALL SELECT 'lineitem', 'shipdate_null', n, v3 FROM li
+    UNION ALL SELECT 'orders', 'totalprice_nonpositive', n, v0 FROM o
+    UNION ALL SELECT 'orders', 'orderdate_null', n, v1 FROM o
+    UNION ALL SELECT 'events', 'ts_null', n, v0 FROM e
+    UNION ALL SELECT 'events', 'value_negative', n, v1 FROM e
+    UNION ALL SELECT 'part', 'retailprice_nonpositive', n, v0 FROM p
+    UNION ALL SELECT 'part', 'size_nonpositive', n, v1 FROM p
+    """,
+)
+def audit_value_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative value-constraint audit across the star schema
+    (operators/audit.py:value_rule_counts) — the domain-rule
+    counterpart of audit_fk_orphans: non-positive quantities/prices,
+    out-of-range discounts, negative taxes, NULL event times. Each
+    relation is scanned once with every rule folded into one
+    conditional aggregate (map-side partials; the shuffle carries one
+    summary row per table), then unpivoted with stack into the
+    (relation, rule, n_rows, n_violations) report an alerting sink
+    consumes. NULL predicate results count as non-violations (SQL
+    filter semantics) so NULL-tolerant rules need an explicit IS NULL
+    rule — shipdate_null / ts_null model exactly that."""
+    from etlutil_spark.operators.audit import value_rule_counts
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    e = load_table(spark, "events", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    return value_rule_counts(
+        [
+            (
+                "lineitem",
+                li,
+                [
+                    ("quantity_nonpositive", F.col("l_quantity") <= 0),
+                    (
+                        "discount_out_of_range",
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                    ),
+                    ("tax_negative", F.col("l_tax") < 0),
+                    ("shipdate_null", F.col("l_shipdate").isNull()),
+                ],
+            ),
+            (
+                "orders",
+                o,
+                [
+                    ("totalprice_nonpositive", F.col("o_totalprice") <= 0),
+                    ("orderdate_null", F.col("o_orderdate").isNull()),
+                ],
+            ),
+            (
+                "events",
+                e,
+                [
+                    ("ts_null", F.col("ts").isNull()),
+                    ("value_negative", F.col("value") < 0),
+                ],
+            ),
+            (
+                "part",
+                p,
+                [
+                    ("retailprice_nonpositive", F.col("p_retailprice") <= 0),
+                    ("size_nonpositive", F.col("p_size") <= 0),
+                ],
+            ),
+        ]
+    )
+
+
+@register(
+    "events_ewma_daily",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.day,
+             b.c,
+             date_diff('day', b.day, a.day) AS dist
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type
+       AND date_diff('day', b.day, a.day) BETWEEN 0 AND 13)
+    SELECT event_type, day,
+           CAST(SUM(c * CAST(pow(7, dist) AS BIGINT)
+                      * CAST(pow(10, 13 - dist) AS BIGINT)) AS BIGINT) * 1.0
+             / CAST(SUM(CAST(pow(7, dist) AS BIGINT)
+                        * CAST(pow(10, 13 - dist) AS BIGINT)) AS BIGINT)
+             AS ewma
+    FROM j GROUP BY event_type, day
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type (alpha = 0.3, 14-day lookback) — the smoothing curve behind
+    every ops dashboard. The naive recursive EWMA is a sequential scan;
+    the engine uses the finite-window closed form: each day joins its
+    trailing 13 observed days (type-equi join with a bounded date-
+    distance filter; the daily-counts table is already metadata scale
+    — the one data pass is the groupBy underneath) and weights each lag
+    k by 0.7^k expressed as the INTEGER 7^k * 10^(13-k), so numerator
+    and denominator are exact bigints in both engines and the single
+    final division is bit-identical — no float pow drift, no rounding
+    needed. Weights bound the bigint sum: counts up to ~6.5e4/day fit;
+    beyond that, rescale the weight exponent (docstring contract)."""
+    d = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.datediff(F.col("a.day"), F.col("b.day"))
+    j = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & dist.between(0, 13),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day"),
+        F.col("b.c").alias("c"),
+        dist.alias("dist"),
+    )
+    wt = F.pow(F.lit(7), F.col("dist")).cast("bigint") * F.pow(
+        F.lit(10), 13 - F.col("dist")
+    ).cast("bigint")
+    return j.groupBy("event_type", "day").agg(
+        (
+            F.sum(F.col("c") * wt).cast("bigint")
+            / F.sum(wt).cast("bigint")
+        ).alias("ewma")
+    )
+
+
+@register(
+    "events_multitouch_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 1000000) AS BIGINT) AS uv
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL AND value IS NOT NULL),
+    t AS (
+      SELECT user_id, ts, event_type
+      FROM events
+      WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+        AND ts IS NOT NULL),
+    j AS (
+      SELECT p.event_id, p.uv, t.event_type,
+             CAST(COUNT(*) OVER (PARTITION BY p.event_id) AS BIGINT) AS n
+      FROM p JOIN t
+        ON p.user_id = t.user_id
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL '7 days')
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           round(CAST(SUM(CAST(floor(uv * 1.0 / n) AS BIGINT)) AS BIGINT)
+                 / 1000000.0, 6) AS credited_revenue
+    FROM j GROUP BY event_type
+    """,
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution: every click/view in the
+    7 days before a purchase shares that purchase's value equally, and
+    credit rolls up by touch type — the marketing-analytics join shape
+    (user-keyed equi-join with a time-range refinement, the
+    purchase_click_pairs pattern extended with credit splitting). The
+    split is computed in integer micro-units: value -> round(v*1e6)
+    bigint, per-touch credit = floor(uv/n) with n from a per-purchase
+    count window (partitioned by purchase id — never a global window),
+    so the final sums are exact bigints in both engines; one join, one
+    window, one aggregate, all sharing the user/purchase hash
+    partitioning. Purchases with no preceding touches simply earn no
+    rows (inner join) — deliberate: credited revenue covers attributable
+    revenue only."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    p = e.where(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("uv"),
+    )
+    t = e.where(
+        F.col("event_type").isin("click", "view")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    n = F.count("*").over(Window.partitionBy("event_id")).cast("bigint")
+    c = j.select(
+        "touch_type",
+        F.floor(F.col("uv") * 1.0 / n).cast("bigint").alias("credit_units"),
+    )
+    return c.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.round(
+            F.sum("credit_units").cast("bigint") / F.lit(1000000.0), 6
+        ).alias("credited_revenue"),
+    )
+
+
+@register(
+    "events_session_paths",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sess
+      FROM g),
+    r AS (
+      SELECT user_id, sess, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                                ORDER BY ts, event_id) AS rn
+      FROM s),
+    paths AS (
+      SELECT user_id, sess,
+             concat_ws('>',
+               MAX(CASE WHEN rn = 1 THEN event_type END),
+               MAX(CASE WHEN rn = 2 THEN event_type END),
+               MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sess)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening paths: sessionize per user (30-minute
+    inactivity gap, operators/sessions.py:with_session_id), take each
+    session's first three event types in (ts, event_id) order, join
+    them into a 'click>view>purchase' path string, and count sessions
+    per path — the entry-flow report product teams read daily. The
+    first-3 extraction is three conditional MAXes over row_number <= 3
+    (never a collect_list, whose order is nondeterministic); concat_ws
+    skips the NULL slots of short sessions identically in both engines.
+    Every window and aggregate rides the user-keyed partitioning; the
+    final top-10 is a deterministic TakeOrderedAndProject with a path
+    tiebreak."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.operators.sessions import with_session_id
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    s = with_session_id(e, "user_id", "ts", gap_minutes=30, session_col="sess")
+    w = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    paths = r.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "dedup_fuzzy_edit",
+    """
+    WITH n AS (
+      SELECT doc_id, lang,
+             lower(regexp_replace(text, '[^ -~]', '', 'g')) AS nt
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    b AS (
+      SELECT doc_id, lang, substr(nt, 1, 24) AS blk,
+             substr(nt, 1, 400) AS probe
+      FROM n WHERE length(nt) >= 24),
+    k AS (
+      SELECT b.*, CAST(COUNT(*) OVER (PARTITION BY lang, blk) AS BIGINT)
+               AS blk_n
+      FROM b),
+    f AS (SELECT * FROM k WHERE blk_n <= 64)
+    SELECT a.doc_id AS a_id, c.doc_id AS b_id, a.lang,
+           CAST(levenshtein(a.probe, c.probe) AS BIGINT) AS edit_dist
+    FROM f a JOIN f c
+      ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.probe, c.probe) <= 16
+    """,
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection with prefix blocking: the
+    record-linkage shape (block -> candidate pairs -> expensive verify)
+    that complements the shingle/minhash family with a character-level
+    tolerance for small in-place edits. Docs are ASCII-projected (both
+    engines' levenshtein then agrees — DuckDB's is byte-based, Spark's
+    char-based; the projection makes byte == char), blocked on
+    (lang, 24-char lowercase prefix), and only same-block pairs pay the
+    O(len^2) levenshtein verify on a 400-char probe. A per-block
+    frequency cap (64) drops boilerplate-prefix blocks — the stop-
+    shingle idea — so candidate volume stays linear-ish at 100 TB; the
+    blocking join is a plain equi-join on the block key, never an
+    all-pairs."""
+    d = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    nt = F.lower(F.regexp_replace("text", "[^ -~]", ""))
+    b = d.select(
+        "doc_id",
+        "lang",
+        F.substring(nt, 1, 24).alias("blk"),
+        F.substring(nt, 1, 400).alias("probe"),
+    ).where(F.length(nt) >= 24)
+    cnt = b.groupBy("lang", "blk").agg(F.count("*").alias("blk_n"))
+    f = b.join(F.broadcast(cnt.where(F.col("blk_n") <= 64)), ["lang", "blk"])
+    a = f.select(
+        "lang",
+        "blk",
+        F.col("doc_id").alias("a_id"),
+        F.col("probe").alias("a_probe"),
+    )
+    c = f.select(
+        "lang",
+        "blk",
+        F.col("doc_id").alias("b_id"),
+        F.col("probe").alias("b_probe"),
+    )
+    dist = F.levenshtein("a_probe", "b_probe")
+    return (
+        a.join(c, ["lang", "blk"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(dist <= 16)
+        .select(
+            "a_id",
+            "b_id",
+            "lang",
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "sample_correlated_join",
+    """
+    WITH sc AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE (('0x' || substr(md5('corr-v1' || CAST(c_custkey AS VARCHAR)),
+                             1, 15))::BIGINT / 1152921504606846976.0) < 0.10)
+    SELECT sc.c_mktsegment,
+           CAST(COUNT(DISTINCT sc.c_custkey) AS BIGINT) AS n_sampled_customers,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) * 10 AS DOUBLE)
+             AS est_revenue
+    FROM sc LEFT JOIN orders o ON o.o_custkey = sc.c_custkey
+    GROUP BY sc.c_mktsegment
+    """,
+)
+def sample_correlated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-preserving (correlated) sampling: sample 10% of CUSTOMERS by
+    a deterministic key hash, keep every order of a sampled customer,
+    and scale revenue by 1/rate — the join-synopsis technique that lets
+    an exploratory query run on 10% of the data while keeping
+    referential integrity intact (uniform independent row sampling of
+    both tables would keep ~1% of joinable pairs and bias every
+    per-customer statistic). The sample predicate is the portable
+    md5-unit-interval hash (the deterministic_sample idiom) evaluated
+    map-side on the dimension; the fact side never materializes the
+    sample — the filter rides the join. LEFT join keeps zero-order
+    sampled customers so segment customer counts stay unbiased."""
+    from etlutil_spark.functions.hashing import md5_bigint
+
+    c = load_table(spark, "customer", sf_dir)
+    sc = c.where(
+        md5_bigint("c_custkey", seed="corr-v1") / F.lit(2.0**60) < 0.10
+    ).select("c_custkey", "c_mktsegment")
+    o = load_table(spark, "orders", sf_dir)
+    j = sc.join(o, sc["c_custkey"] == o["o_custkey"], "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").cast("bigint").alias(
+            "n_sampled_customers"
+        ),
+        F.count("o_orderkey").cast("bigint").alias("n_orders"),
+        (F.sum(_dec("o_totalprice")) * 10)
+        .cast("double")
+        .alias("est_revenue"),
+    )
+
+
+@register(
+    "pricing_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))
+                    * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+)
+def pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the grouping lattice cube/rollup can't
+    express: the (flag, status) detail plus BOTH one-dimension margins,
+    WITHOUT the grand total. Spark plans this as a single Expand (one
+    scan, rows replicated once per set) feeding one hash aggregate —
+    the same one-shuffle shape as pricing_cube, with map-side partials
+    bounding the replicated volume by |sets| x |groups|. The grouping
+    id is emitted explicitly (flag-bit * 2 + status-bit) so the margin
+    rows are distinguishable from genuine NULL group values in both
+    engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    g = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return g.agg(
+        (
+            F.grouping("l_returnflag").cast("bigint") * 2
+            + F.grouping("l_linestatus").cast("bigint")
+        ).alias("gid"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(
+        "l_returnflag", "l_linestatus", "gid", "sum_qty", "revenue", "n"
+    )
+
+
+@register(
+    "docs_vocab_growth",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(NTILE(4) OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS qt
+      FROM documents WHERE source IS NOT NULL),
+    tok AS (
+      SELECT d.source, d.doc_id, t.tk
+      FROM (SELECT source, doc_id, list_distinct({_DUCK_TOKENS}) AS tks
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL) d,
+           UNNEST(d.tks) AS t(tk)),
+    fo AS (
+      SELECT source, tk, MIN(doc_id) AS first_doc
+      FROM tok GROUP BY source, tk),
+    nv AS (
+      SELECT fo.source, q.qt, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM fo JOIN q ON q.source = fo.source AND q.doc_id = fo.first_doc
+      GROUP BY fo.source, q.qt),
+    nd AS (
+      SELECT source, qt, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM q GROUP BY source, qt)
+    SELECT nd.source, nd.qt AS quartile, nd.n_docs,
+           COALESCE(nv.new_tokens, 0) AS new_tokens,
+           CAST(SUM(COALESCE(nv.new_tokens, 0))
+                OVER (PARTITION BY nd.source ORDER BY nd.qt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM nd LEFT JOIN nv ON nv.source = nd.source AND nv.qt = nd.qt
+    """,
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve per source: order each
+    source's docs by id, split them into quartiles, and count how many
+    DISTINCT tokens first appear in each quartile (cumulative = the
+    vocabulary size after 25/50/75/100% of the corpus). A flattening
+    curve is the curation signal that a source has gone repetitive
+    (template spam); a linear one means open vocabulary (UGC, code).
+    First occurrence = MIN(doc_id) per (source, token) — an aggregate,
+    never a scan-order dependence; per-doc list_distinct bounds the
+    explode volume; the quartile assignment is an ntile window over doc
+    ids within each source (at 100 TB you'd precompute doc ordinals at
+    ingest — the window is per-source, not global). Everything else is
+    bounded 4-rows-per-source arithmetic."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.functions.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).where(
+        F.col("source").isNotNull()
+    )
+    q = d.select(
+        "doc_id",
+        "source",
+        F.ntile(4)
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .cast("bigint")
+        .alias("qt"),
+    )
+    tok = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.array_distinct(tokens("text"))).alias("tk"),
+        )
+    )
+    fo = tok.groupBy("source", "tk").agg(F.min("doc_id").alias("first_doc"))
+    nv = (
+        fo.join(
+            q.select(
+                "source", F.col("doc_id").alias("first_doc"), "qt"
+            ),
+            ["source", "first_doc"],
+        )
+        .groupBy("source", "qt")
+        .agg(F.count("*").cast("bigint").alias("new_tokens"))
+    )
+    nd = q.groupBy("source", "qt").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("qt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = nd.join(nv, ["source", "qt"], "left").select(
+        "source",
+        F.col("qt").alias("quartile"),
+        "n_docs",
+        F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+    )
+    return joined.withColumn(
+        "cum_vocab",
+        F.sum("new_tokens")
+        .over(
+            Window.partitionBy("source")
+            .orderBy("quartile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint"),
+    )
+
+
+@register(
+    "events_ab_test_summary",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substr(md5('exp-v1' || CAST(user_id AS VARCHAR)),
+                             1, 15))::BIGINT % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM u)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a * 1.0 / n_a, 6) AS rate_a,
+           round(conv_b * 1.0 / n_b, 6) AS rate_b,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                THEN round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                     / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+    FROM s
+    """,
+)
+def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-randomized experiment readout: users split 50/50 into arms
+    by the portable md5 hash (deterministic, re-runnable, no stored
+    assignment table — the standard online-experimentation bucketing),
+    per-arm purchase conversion, and the two-proportion pooled z-score.
+    The per-user reduce is the one data pass (arm + converted flag ride
+    the same user-keyed aggregate); arm totals are conditional sums in
+    one 1-row scalar aggregate (SCALAR_OK), and every float — rates
+    and z — is derived from exact bigints through an identical
+    expression tree in both engines, rounded at 6."""
+    from etlutil_spark.functions.hashing import md5_bigint
+
+    u = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("arm", md5_bigint("user_id", seed="exp-v1") % 2)
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a") * 1.0 / F.col("n_a")
+    rb = F.col("conv_b") * 1.0 / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.when(
+            (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")),
+            F.round(
+                (ra - rb)
+                / F.sqrt(
+                    pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+                ),
+                6,
+            ),
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "docs_winnowing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+      WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, len(tk) - 4 AS n_kgrams,
+             list_transform(range(1, len(tk) - 3), i ->
+               ('0x' || substr(md5('win-v1' ||
+                   array_to_string(tk[i:i+4], ' ')), 1, 15))::BIGINT) AS h
+      FROM t WHERE len(tk) >= 5),
+    s AS (
+      SELECT doc_id, n_kgrams,
+             list_distinct(list_transform(range(1, len(h) - 2), j ->
+               list_min(h[j:j+3]))) AS sel
+      FROM g WHERE len(h) >= 4),
+    e AS (SELECT doc_id, n_kgrams, u.fp
+          FROM s, UNNEST(s.sel) AS u(fp)),
+    c AS (SELECT fp, COUNT(*) AS nd FROM e GROUP BY fp)
+    SELECT e.doc_id, CAST(e.n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+    FROM e JOIN c USING (fp)
+    GROUP BY e.doc_id, e.n_kgrams
+    """,
+)
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    5-token k-gram, slide a window of 4 consecutive k-gram hashes, and
+    select each window's minimum — guaranteeing any shared run of >= 8
+    tokens between two docs shares at least one selected fingerprint,
+    at a fraction of full-shingle volume. Per doc: k-gram count,
+    selected-fingerprint count, and how many of its fingerprints appear
+    in other docs (the plagiarism/copy signal). The k-gram hashing and
+    window-min selection are pure JVM array expressions inside one
+    projection (transform/slice/array_min over the token array — no
+    explode of raw k-grams, no UDF); only the deduplicated selected
+    fingerprints are exploded for the corpus-wide share join, which is
+    a plain fp-keyed count — the same candidate-volume control as the
+    minhash band index. Hashes use the portable 60-bit md5 family.
+
+    Implementation note: the k-gram hash and window-min stages run as
+    posexplode + LEAD + a ROWS-frame MIN over doc-keyed windows — the
+    LINEAR pipeline. The tempting nested-array form (transform over
+    sequence with slice-per-position) splices the sliced array into the
+    per-element loop and goes quadratic per document (measured 555 s vs
+    ~3 s at sf0.1 for this exact query)."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.functions.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    t = d.select("doc_id", tokens("text").alias("tk")).where(
+        F.size("tk") >= 5
+    )
+    p = t.select(
+        "doc_id",
+        (F.size("tk") - 4).alias("n_kgrams"),
+        F.posexplode("tk").alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        "w",
+        F.lead("w", 1).over(wdoc),
+        F.lead("w", 2).over(wdoc),
+        F.lead("w", 3).over(wdoc),
+        F.lead("w", 4).over(wdoc),
+    )
+    h = (
+        p.withColumn("gram", gram)
+        .where(F.col("pos") <= F.col("n_kgrams") - 1)
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("win-v1"), F.col("gram"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    e = (
+        h.withColumn("fp", F.min("h").over(wmin))
+        .where(F.col("pos") <= F.col("n_kgrams") - 4)
+        .select("doc_id", "n_kgrams", "fp")
+        .distinct()
+    )
+    c = e.groupBy("fp").agg(F.count("*").alias("nd"))
+    return (
+        e.join(c, "fp")
+        .groupBy("doc_id", "n_kgrams")
+        .agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
+            "n_selected",
+            "n_shared",
+        )
+    )
+
+
+@register(
+    "orders_seasonal_decompose",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+               AS rev
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1),
+    t AS (
+      SELECT month, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY month) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nm,
+             CAST(SUM(rev) OVER (ORDER BY month
+                  ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+                  AS DECIMAL(38,4)) AS wsum
+      FROM m),
+    tr AS (
+      SELECT month, rev, rn, nm,
+             CASE WHEN rn >= 7 AND rn <= nm - 6
+                  THEN CAST(wsum AS DOUBLE) / 13 END AS trend
+      FROM t),
+    dq AS (
+      SELECT month, rev, trend,
+             CAST(date_part('month', month) AS BIGINT) AS moy,
+             CASE WHEN trend IS NOT NULL THEN
+               CAST(floor((CAST(rev AS DOUBLE) - trend) * 1000000) AS BIGINT)
+             END AS dq
+      FROM tr),
+    se AS (
+      SELECT moy,
+             CAST(SUM(dq) AS BIGINT) AS sdq,
+             CAST(COUNT(dq) AS BIGINT) AS ndq
+      FROM dq WHERE dq IS NOT NULL GROUP BY moy)
+    SELECT CAST(d.month AS DATE) AS month,
+           CAST(d.rev AS DOUBLE) AS revenue,
+           round(d.trend, 6) AS trend,
+           round(se.sdq * 1.0 / se.ndq / 1000000.0, 6) AS seasonal,
+           CASE WHEN d.trend IS NOT NULL THEN
+             round(CAST(d.rev AS DOUBLE) - d.trend
+                   - se.sdq * 1.0 / se.ndq / 1000000.0, 6) END AS residual
+    FROM dq d LEFT JOIN se ON se.moy = d.moy
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend = centered 13-month moving average (defined only where the
+    full window exists), seasonal = month-of-year mean of the detrended
+    series, residual = remainder. The monthly reduce is the only data
+    pass; every window and join after it runs on the ~80-row monthly
+    series (scalar exemption). Cross-engine exactness: monthly revenue
+    is an exact DECIMAL sum, the trend window sums DECIMALs (order-
+    independent) with one final /13, and the detrended values are
+    quantized to integer micro-units BEFORE the seasonal mean so the
+    per-month sums are exact bigints — the only floats reaching the
+    output are single divisions of exact quantities, rounded at 6."""
+    from pyspark.sql.window import Window
+
+    m = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(38,4)").alias("rev"))
+    )
+    wall = Window.partitionBy()
+    wor = Window.orderBy("month")
+    wmv = wor.rowsBetween(-6, 6)
+    t = m.select(
+        "month",
+        "rev",
+        F.row_number().over(wor).cast("bigint").alias("rn"),
+        F.count("*").over(wall).cast("bigint").alias("nm"),
+        F.sum("rev").over(wmv).cast("decimal(38,4)").alias("wsum"),
+    )
+    tr = t.select(
+        "month",
+        "rev",
+        F.when(
+            (F.col("rn") >= 7) & (F.col("rn") <= F.col("nm") - 6),
+            F.col("wsum").cast("double") / 13,
+        ).alias("trend"),
+    )
+    dq = tr.select(
+        "month",
+        "rev",
+        "trend",
+        F.month("month").cast("bigint").alias("moy"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.floor(
+                (F.col("rev").cast("double") - F.col("trend")) * 1000000
+            ).cast("bigint"),
+        ).alias("dq"),
+    )
+    se = dq.where(F.col("dq").isNotNull()).groupBy("moy").agg(
+        F.sum("dq").cast("bigint").alias("sdq"),
+        F.count("dq").cast("bigint").alias("ndq"),
+    )
+    seasonal = F.col("sdq") * 1.0 / F.col("ndq") / F.lit(1000000.0)
+    return dq.join(F.broadcast(se), "moy", "left").select(
+        F.to_date("month").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round("trend", 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(
+                F.col("rev").cast("double") - F.col("trend") - seasonal, 6
+            ),
+        ).alias("residual"),
+    )
+
+
+@register(
+    "io_partition_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY event_type
+    """,
+)
+def io_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write -> partition-pruned read roundtrip: land
+    the events table partitioned by day (sources/io.py:
+    write_partitioned — bounded files per partition), then answer a
+    one-week question from the store. The day predicate binds to the
+    PARTITION column, so Spark's file index drops 23 of 30 day
+    directories before reading a byte — the layout decision that turns
+    a 100 TB scan into a 3% scan for every time-bounded query
+    downstream. The oracle answers the same question from the raw
+    table, proving the roundtrip is lossless under pruning; plan tests
+    pin the PartitionFilters entry."""
+    import tempfile
+
+    from etlutil_spark.sources.io import write_partitioned
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_events_byday_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    write_partitioned(e, path, partition_by=["day"], files_per_partition=2)
+    r = spark.read.parquet(path).where(
+        F.col("day").between("2024-01-08", "2024-01-14")
+    )
+    return r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "docs_zipf_fit",
+    f"""
+    WITH t AS (
+      SELECT u.tk FROM (SELECT {_DUCK_TOKENS} AS tks FROM documents
+                        WHERE text IS NOT NULL) d,
+           UNNEST(d.tks) AS u(tk)),
+    c AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM t GROUP BY tk),
+    r AS (SELECT freq,
+                 CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tk ASC)
+                      AS BIGINT) AS rank
+          FROM c),
+    q AS (SELECT CAST(floor(ln(rank) * 1000000) AS BIGINT) AS x,
+                 CAST(floor(ln(freq) * 1000000) AS BIGINT) AS y
+          FROM r WHERE rank <= 500),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM q)
+    SELECT n AS n_ranks,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0, 6) AS log_intercept
+    FROM s
+    """,
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: OLS of
+    ln(freq) on ln(rank) for the top 500 tokens — slope near -1 is the
+    natural-language signature; a flat slope flags template spam, a
+    cliff flags truncated vocabularies (the revenue_trend normal-
+    equation recipe applied in log-log space). Ranks are deterministic
+    (freq DESC, token ASC row_number); each ln is quantized to integer
+    1e-6 units BEFORE the moment sums (the entropy precedent: a last-
+    ulp cross-engine ln drift moves at most one quantum, absorbed by
+    the final round at 6) — 1e-6 is chosen so the x*x / x*y products
+    and their 500-term sums stay within bigint with no rescaling, and
+    the quantization scale cancels out of the slope entirely. One token
+    count is the data pass; the rank window and moment aggregate run
+    over 500 rows (scalar scale)."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.functions.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    c = (
+        d.select(F.explode(tokens("text")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    r = c.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("tk").asc()))
+        .cast("bigint")
+        .alias("rank"),
+    ).where(F.col("rank") <= 500)
+    Q = 1000000
+    q = r.select(
+        F.floor(F.log("rank") * Q).cast("bigint").alias("x"),
+        F.floor(F.log("freq") * Q).cast("bigint").alias("y"),
+    )
+    s = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    sxD = F.col("sx").cast("double")
+    syD = F.col("sy").cast("double")
+    slope = (nD * F.col("sxy").cast("double") - sxD * syD) / (
+        nD * F.col("sxx").cast("double") - sxD * sxD
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((syD - slope * sxD) / nD / Q, 6).alias("log_intercept"),
+    )
+
+
+@register(
+    "events_snapshot_diff",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND ts < TIMESTAMP '2024-01-16 00:00:00')
+      WHERE rn = 1),
+    s2 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND ts < TIMESTAMP '2024-01-24 00:00:00')
+      WHERE rn = 1),
+    d AS (
+      SELECT CASE
+               WHEN s1.user_id IS NULL THEN 'added'
+               WHEN s1.event_type IS DISTINCT FROM s2.event_type
+                 OR s1.value IS DISTINCT FROM s2.value THEN 'changed'
+               ELSE 'unchanged'
+             END AS change_type
+      FROM s2 LEFT JOIN s1 USING (user_id))
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY change_type
+    """,
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (data-diff): each user's latest event
+    state as of T1 vs as of T2, classified added / changed / unchanged
+    — the CDC-audit shape that validates an incremental pipeline
+    against a rebuild (the scd2_apply_incremental companion, run as a
+    read-only diff). Latest-state is a per-user row_number with a full
+    (ts DESC, event_id DESC) tiebreak — deterministic under equal
+    timestamps; both snapshots and the diff join ride the same
+    user-keyed hash partitioning (AQE reuses the shuffle), and
+    null-safe comparisons (IS DISTINCT FROM) make NULL value changes
+    count as changes in both engines. Output is a 3-row summary, never
+    a row-level dump."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            e.where(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    s1 = snap("2024-01-16 00:00:00").select(
+        F.col("user_id").alias("t1_user"),
+        F.col("event_type").alias("t1_type"),
+        F.col("value").alias("t1_value"),
+    )
+    s2 = snap("2024-01-24 00:00:00")
+    d = s2.join(
+        s1, s2["user_id"] == s1["t1_user"], "left"
+    ).select(
+        F.when(F.col("t1_user").isNull(), "added")
+        .when(
+            ~F.col("t1_type").eqNullSafe(F.col("event_type"))
+            | ~F.col("t1_value").eqNullSafe(F.col("value")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return d.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "lineitem_checksum_blocks",
+    """
+    WITH h AS (
+      SELECT l_orderkey % 256 AS block,
+             ('0x' || substr(md5('ck-v1' ||
+                 CAST(l_orderkey AS VARCHAR) || '|' ||
+                 CAST(l_linenumber AS VARCHAR) || '|' ||
+                 COALESCE(CAST(l_partkey AS VARCHAR), 'N') || '|' ||
+                 COALESCE(CAST(l_suppkey AS VARCHAR), 'N') || '|' ||
+                 COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS VARCHAR), 'N') || '|' ||
+                 COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR), 'N') || '|' ||
+                 COALESCE(CAST(CAST(l_discount AS DECIMAL(18,4)) AS VARCHAR), 'N') || '|' ||
+                 COALESCE(CAST(CAST(l_tax AS DECIMAL(18,4)) AS VARCHAR), 'N') || '|' ||
+                 COALESCE(l_returnflag, 'N') || '|' ||
+                 COALESCE(l_linestatus, 'N') || '|' ||
+                 COALESCE(CAST(epoch_us(l_shipdate) AS VARCHAR), 'N')),
+                 1, 15))::BIGINT AS h
+      FROM lineitem)
+    SELECT CAST(block AS BIGINT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS checksum
+    FROM h GROUP BY block
+    """,
+)
+def lineitem_checksum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked table checksum — the data-diff primitive for 100 TB
+    reconciliation: hash every row into a portable 60-bit digest,
+    bucket rows by key block, and XOR the digests per block. Two table
+    copies (pre/post migration, two regions) compare by 256 summary
+    rows instead of row-by-row; a mismatched block pinpoints where to
+    drill. XOR is commutative/associative and overflow-free, so the
+    checksum is partition-order-independent with no HUGEINT widening;
+    doubles enter the digest as DECIMAL(18,4) strings and timestamps
+    as integer microseconds — the two render-stable encodings — with
+    NULLs marked explicitly so 'NULL' and absent stay distinct. One
+    map-side projection + one 256-group aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def enc_dec(c: str):
+        return F.coalesce(
+            F.col(c).cast("decimal(18,4)").cast("string"), F.lit("N")
+        )
+
+    def enc_str(c: str):
+        return F.coalesce(F.col(c).cast("string"), F.lit("N"))
+
+    payload = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        enc_str("l_partkey"),
+        enc_str("l_suppkey"),
+        enc_dec("l_quantity"),
+        enc_dec("l_extendedprice"),
+        enc_dec("l_discount"),
+        enc_dec("l_tax"),
+        enc_str("l_returnflag"),
+        enc_str("l_linestatus"),
+        F.coalesce(F.unix_micros("l_shipdate").cast("string"), F.lit("N")),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ck-v1"), payload)), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        li.select((F.col("l_orderkey") % 256).alias("block"), h.alias("h"))
+        .groupBy("block")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("checksum"),
+        )
+        .select(F.col("block").cast("bigint").alias("block"), "n_rows", "checksum")
+    )
+
+
+def _trigrams_py(s: str) -> list[str]:
+    t = s.lower()
+    return sorted({t[i : i + 3] for i in range(len(t) - 2)})
+
+
+_TRGM_QUERY = "smal wiget"
+
+
+@register(
+    "part_trigram_search",
+    f"""
+    WITH g AS (
+      SELECT p_partkey, p_name,
+             list_distinct(list_transform(
+               range(1, length(lower(p_name)) - 1),
+               i -> substr(lower(p_name), i, 3))) AS tg
+      FROM part WHERE p_name IS NOT NULL AND length(p_name) >= 3),
+    s AS (
+      SELECT p_partkey, p_name,
+             CAST(len(list_filter(tg,
+                 t -> list_contains({_trigrams_py(_TRGM_QUERY)!r}, t)))
+               AS BIGINT) AS inter,
+             CAST(len(tg) AS BIGINT) AS na
+      FROM g)
+    SELECT p_partkey, p_name,
+           round(inter * 1.0 /
+                 (na + {len(_trigrams_py(_TRGM_QUERY))} - inter), 6) AS sim
+    FROM s
+    WHERE inter > 0
+    ORDER BY sim DESC, p_partkey ASC
+    LIMIT 15
+    """,
+)
+def part_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant trigram search (the pg_trgm idea): score parts by
+    Jaccard similarity between character-trigram sets of the name and
+    the misspelled query 'smal wiget', top-15. The query's trigram set
+    is a tiny literal array compiled into the plan (no join at all);
+    per-row trigram extraction and the intersection count are pure JVM
+    array expressions, the union size is |A| + |B| - |A∩B| over exact
+    ints, and the top-15 is a deterministic TakeOrderedAndProject with
+    a key tiebreak. At 100 TB the same expressions run map-side against
+    any name/title column; a serving deployment would add a trigram
+    posting-list index (the minhash band-index pattern) — the scoring
+    rule stays identical."""
+    qt = _trigrams_py(_TRGM_QUERY)
+    p = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").isNotNull() & (F.length("p_name") >= 3)
+    )
+    name = F.lower(F.col("p_name"))
+    tg = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(name) - 2),
+            lambda i: name.substr(i, F.lit(3)),
+        )
+    )
+    inter = F.size(
+        F.array_intersect(tg, F.array(*[F.lit(t) for t in qt]))
+    ).cast("bigint")
+    na = F.size(tg).cast("bigint")
+    return (
+        p.select(
+            "p_partkey",
+            "p_name",
+            F.round(inter * 1.0 / (na + len(qt) - inter), 6).alias("sim"),
+            inter.alias("_inter"),
+        )
+        .where(F.col("_inter") > 0)
+        .drop("_inter")
+        .orderBy(F.col("sim").desc(), F.col("p_partkey").asc())
+        .limit(15)
+    )
+
+
+@register(
+    "customer_balance_moments",
+    """
+    WITH q AS (
+      SELECT c_mktsegment,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               AS v
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+    s AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * v * v * v) AS DOUBLE) AS s4
+      FROM q GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n,
+           round(s1 / n / 100.0, 6) AS mean,
+           round(sqrt((s2 - s1 * s1 / n) / n) / 100.0, 6) AS std,
+           CASE WHEN (s2 - s1 * s1 / n) > 0 THEN
+             round(((s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * 1.0 * n))
+                    / n)
+                   / pow(sqrt((s2 - s1 * s1 / n) / n), 3), 6) END AS skewness,
+           CASE WHEN (s2 - s1 * s1 / n) > 0 THEN
+             round(((s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * 1.0 * n)
+                     - 3 * s1 * s1 * s1 * s1 / (n * 1.0 * n * n)) / n)
+                   / pow((s2 - s1 * s1 / n) / n, 2) - 3, 6) END AS ex_kurtosis
+    FROM s
+    """,
+)
+def customer_balance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per market segment: mean, std,
+    skewness, excess kurtosis of account balances — the four-moment
+    screen that catches a fat-tailed or bimodal feed before it poisons
+    a downstream model (the corr_matrix recipe extended to 3rd/4th
+    moments). Balances quantize to integer cents, and each power sum
+    accumulates in DECIMAL(38,0) — cent^4 overflows bigint, decimal
+    does not, and decimal sums are exact and partition-order-
+    independent in both engines. The moment formulas then run on
+    identical doubles; one keyed aggregate is the whole query."""
+    c = load_table(spark, "customer", sf_dir).where(
+        F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
+    v = F.floor(F.col("c_acctbal").cast("double") * 100.0 + 0.5).cast("bigint")
+    vd = v.cast("decimal(38,0)")
+    s = c.select(F.col("c_mktsegment"), v.alias("v"), vd.alias("vd")).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vd").cast("double").alias("s1"),
+        F.sum(F.col("vd") * F.col("v")).cast("double").alias("s2"),
+        F.sum(F.col("vd") * F.col("v") * F.col("v")).cast("double").alias("s3"),
+        F.sum(F.col("vd") * F.col("v") * F.col("v") * F.col("v"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, s3, s4 = (F.col(x) for x in ("s1", "s2", "s3", "s4"))
+    var_n = (s2 - s1 * s1 / n) / n  # population variance (cents^2)
+    m3 = (s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)) / n
+    m4 = (
+        s4
+        - 4 * s1 * s3 / n
+        + 6 * s1 * s1 * s2 / (n * n)
+        - 3 * s1 * s1 * s1 * s1 / (n * n * n)
+    ) / n
+    pos = (s2 - s1 * s1 / n) > 0
+    return s.select(
+        "c_mktsegment",
+        "n",
+        F.round(s1 / n / 100.0, 6).alias("mean"),
+        F.round(F.sqrt(var_n) / 100.0, 6).alias("std"),
+        F.when(pos, F.round(m3 / F.pow(F.sqrt(var_n), 3), 6)).alias(
+            "skewness"
+        ),
+        F.when(pos, F.round(m4 / F.pow(var_n, 2) - 3, 6)).alias(
+            "ex_kurtosis"
+        ),
+    )
+
+
+@register(
+    "lineitem_quantity_chi2",
+    """
+    WITH o AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(SUM(obs * obs) AS BIGINT) AS ss
+      FROM o)
+    SELECT k AS n_levels, n AS n_rows,
+           round(CAST(k AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE), 6) AS chi2
+    FROM s
+    """,
+)
+def lineitem_quantity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit for uniformity of the order-quantity
+    distribution over its observed support — the companion screen to
+    orders_benford: a synthetic generator leaves quantities uniform
+    (chi2 ~ k-1); organic demand does not. Uses the closed form
+    chi2 = k*sum(obs^2)/n - n, so the only inputs are exact bigint
+    counts — no per-level expected-value division, no float sums. One
+    value-keyed count and a 1-row reduction (SCALAR_OK)."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_quantity").isNotNull()
+    )
+    o = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    s = o.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("obs").cast("bigint").alias("n"),
+        F.sum(F.col("obs") * F.col("obs")).cast("bigint").alias("ss"),
+    )
+    return s.select(
+        F.col("k").alias("n_levels"),
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.col("k").cast("double")
+            * F.col("ss").cast("double")
+            / F.col("n").cast("double")
+            - F.col("n").cast("double"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "orders_km_survival",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+    h AS (SELECT MAX(d) AS horizon FROM o),
+    iv AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', d,
+                 COALESCE(LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d),
+                          (SELECT horizon FROM h))) AS BIGINT) AS dur,
+             CASE WHEN LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d)
+                       IS NOT NULL THEN 1 ELSE 0 END AS is_event
+      FROM o),
+    g AS (
+      SELECT dur,
+             CAST(SUM(is_event) AS BIGINT) AS d_t,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM iv GROUP BY dur),
+    r AS (
+      SELECT dur, d_t,
+             CAST(SUM(leaving) OVER (ORDER BY dur DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM g),
+    lt AS (
+      SELECT dur, d_t, n_risk,
+             CASE WHEN d_t < n_risk THEN
+               CAST(floor(ln(n_risk - d_t) * 1000000000000) AS BIGINT)
+               - CAST(floor(ln(n_risk) * 1000000000000) AS BIGINT)
+             END AS lq
+      FROM r),
+    km AS (
+      SELECT dur, d_t, n_risk,
+             CAST(SUM(CASE WHEN lq IS NULL THEN 0 ELSE lq END)
+                  OVER (ORDER BY dur ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cl,
+             CAST(SUM(CASE WHEN lq IS NULL AND d_t > 0 THEN 1 ELSE 0 END)
+                  OVER (ORDER BY dur ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS dead
+      FROM lt)
+    SELECT dur AS duration_days, n_risk, d_t AS n_events,
+           CASE WHEN dead > 0 THEN 0.0
+                ELSE round(exp(cl / 1000000000000.0), 6) END AS survival
+    FROM km WHERE d_t > 0
+    """,
+)
+def orders_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-next-order: each
+    customer's consecutive order gaps are events; the open interval
+    from the last order to the corpus horizon is right-censored — the
+    churn-analysis estimator done exactly. The product-limit
+    S(t) = prod(1 - d/n) is computed as exp of a cumulative sum of
+    ln(n-d) - ln(n) terms quantized to integer 1e-12 units (the
+    entropy precedent: cross-engine ln drift moves one quantum,
+    absorbed by round at 6); the risk set n(t) is a reverse cumulative
+    count, and a d=n level drives survival to exactly 0 from there on.
+    The per-customer LEAD window is the data pass (customer-keyed);
+    every cumulative window runs over the distinct-duration table
+    (metadata scale, SCALAR_OK)."""
+    from pyspark.sql.window import Window
+
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select("o_custkey", F.to_date("o_orderdate").alias("d"))
+    )
+    horizon = o.agg(F.max("d").alias("horizon"))
+    wc = Window.partitionBy("o_custkey").orderBy("d")
+    iv = (
+        o.withColumn("nxt", F.lead("d").over(wc))
+        .join(F.broadcast(horizon))
+        .select(
+            F.datediff(F.coalesce("nxt", "horizon"), "d")
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("is_event"),
+        )
+    )
+    g = iv.groupBy("dur").agg(
+        F.sum("is_event").cast("bigint").alias("d_t"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.withColumn("n_risk", F.sum("leaving").over(wdesc).cast("bigint"))
+    Q = 1000000000000
+    lq = F.when(
+        F.col("d_t") < F.col("n_risk"),
+        F.floor(F.log(F.col("n_risk") - F.col("d_t")) * Q).cast("bigint")
+        - F.floor(F.log(F.col("n_risk")) * Q).cast("bigint"),
+    )
+    wasc = (
+        Window.orderBy(F.col("dur").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lt = r.withColumn("lq", lq)
+    km = lt.select(
+        "dur",
+        "d_t",
+        "n_risk",
+        F.sum(F.coalesce("lq", F.lit(0))).over(wasc).cast("bigint").alias("cl"),
+        F.sum(
+            F.when(F.col("lq").isNull() & (F.col("d_t") > 0), 1).otherwise(0)
+        )
+        .over(wasc)
+        .cast("bigint")
+        .alias("dead"),
+    )
+    return km.where(F.col("d_t") > 0).select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("d_t").alias("n_events"),
+        F.when(F.col("dead") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cl") / F.lit(float(Q))), 6))
+        .alias("survival"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

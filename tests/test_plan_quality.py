@@ -215,6 +215,58 @@ HEADLINE_BUDGETS = {
     # day agg is the data pass; totals + cumulative windows over the
     # tens-of-rows daily series
     "events_changepoint_cusum": (2, 0),
+    # r6 session-4 additions
+    # per-price reduce is the data pass; frontier sweep over distinct
+    # prices, tiny frontier broadcast back to recover part keys
+    "part_skyline": (2, 1),
+    # digit agg is the data pass; share window over the 9-digit table
+    "orders_benford": (2, 0),
+    # (type,user) count agg + type-keyed rank window reuse + final agg
+    "events_gini_by_type": (2, 0),
+    # four 1-row per-relation conditional aggregates, stack-unpivoted
+    "audit_value_ranges": (4, 0),
+    # daily count agg is the data pass; trailing-window self-join over the
+    # collapsed daily series (AQE broadcasts the small side)
+    "events_ewma_daily": (3, 1),
+    # user-keyed purchase-touch join + per-purchase count window + type agg
+    "events_multitouch_attribution": (2, 1),
+    # sessionize windows + path aggs share the user hash; top-10 is
+    # TakeOrderedAndProject
+    "events_session_paths": (2, 0),
+    # block-key equi-join with broadcast frequency cap; verify is a filter
+    "dedup_fuzzy_edit": (2, 2),
+    # map-side hash sample on the dim + one fact join + segment agg
+    "sample_correlated_join": (2, 1),
+    # one Expand feeding one hash aggregate — same shape as pricing_cube
+    "pricing_grouping_sets": (1, 0),
+    # token first-occurrence agg is the data pass; per-source ntile window
+    # + two 4-rows-per-source aggregates joined back
+    "docs_vocab_growth": (6, 2),
+    # per-user reduce + 1-row arm-totals scalar aggregate
+    "events_ab_test_summary": (2, 0),
+    # in-array k-gram hashing/selection; fp-keyed share count join
+    "docs_winnowing": (2, 1),
+    # monthly reduce is the data pass; trend/seasonal windows + joins run
+    # on the ~80-row monthly series
+    "orders_seasonal_decompose": (3, 1),
+    # pruned store scan + one type-keyed aggregate
+    "io_partition_roundtrip": (1, 0),
+    # token count agg is the data pass; rank window + moment aggregate
+    # run over the 500-row spectrum head
+    "docs_zipf_fit": (1, 0),
+    # both snapshots + diff join share one user-keyed partitioning
+    "events_snapshot_diff": (3, 1),
+    # map-side row digests + one 256-group XOR aggregate
+    "lineitem_checksum_blocks": (1, 0),
+    # literal query-trigram array: map-side scoring + TakeOrdered top-15
+    "part_trigram_search": (0, 0),
+    # one segment-keyed decimal power-sum aggregate
+    "customer_balance_moments": (1, 0),
+    # value-keyed count + 1-row closed-form reduction
+    "lineitem_quantity_chi2": (2, 0),
+    # customer-keyed LEAD window is the data pass; risk/product windows
+    # run over the distinct-duration table
+    "orders_km_survival": (4, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -245,6 +297,14 @@ SCALAR_OK = {
     "orders_dow_seasonality",  # totals window over the 7-row dow table
     "events_time_to_convert",  # 1-row latency summary
     "events_changepoint_cusum",  # cusum windows over the tiny daily series
+    "part_skyline",  # frontier sweep over the distinct-price table
+    "orders_benford",  # share window over the 9-digit histogram
+    "audit_value_ranges",  # four 1-row per-relation audit summaries
+    "events_ab_test_summary",  # 1-row arm-totals scalar
+    "orders_seasonal_decompose",  # windows over the ~80-row monthly series
+    "docs_zipf_fit",  # rank window + 1-row moments over the 500-row head
+    "lineitem_quantity_chi2",  # 1-row closed-form reduction
+    "orders_km_survival",  # cumulative windows over distinct durations
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
@@ -279,6 +339,16 @@ class TestHeadlinePlanBudgets:
         assert any("l_shipdate" in f for f in P.pushed_filters(df))
         read = P.scan_columns(df)
         assert "l_comment" not in read and "l_shipinstruct" not in read
+
+    def test_partition_roundtrip_prunes_day_dirs(self, spark):
+        """The day predicate must bind as a PartitionFilter on the
+        hive-partitioned store scan — file-index pruning, not a
+        post-scan filter; at 100 TB this is the 3%-scan guarantee."""
+        df = QUERIES["io_partition_roundtrip"](spark, SF)
+        df.collect()
+        plan = P.formatted_plan(df)
+        lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert lines and any("2024-01-08" in l for l in lines), lines
 
     def test_q12_shipdate_range_is_pushed(self, spark):
         """The 1997 ship-date range must reach the lineitem parquet scan

@@ -544,6 +544,7 @@ class TestCatalogPlanGuards:
         "events_user_skew_report",  # 1-row totals broadcast
         "lineitem_basket_rules",  # 1-row basket-count broadcast
         "lineitem_abc_classes",  # 1-row revenue-total broadcast
+        "orders_km_survival",  # 1-row horizon-date broadcast
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
