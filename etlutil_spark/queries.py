@@ -4854,11 +4854,12 @@ def events_type_affinity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_decayed_revenue",
     """
     SELECT c.c_mktsegment,
-           CAST(SUM(CAST(o.o_totalprice
+           CAST(SUM(CAST(FLOOR(o.o_totalprice
                          * round(pow(0.5, date_diff('day',
                                                     CAST(o.o_orderdate AS DATE),
                                                     DATE '1998-01-01') / 90.0), 9)
-                         AS DECIMAL(38,6))) AS DOUBLE) AS decayed_revenue,
+                         * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0
+             AS decayed_revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -4871,9 +4872,12 @@ def orders_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.py:decay_weight): each order contributes
     ``price * 0.5^(age/90d)`` as of 1998-01-01 — the standard
     exponential-decay scoring for recency-weighted mixtures. Weights are
-    map-side column math; terms quantize to DECIMAL before the sum so
-    the segment totals are partition-order-independent; customer
-    broadcasts."""
+    map-side column math; each term quantizes with the repo's
+    ``floor(x * 1e6 + 0.5) -> BIGINT`` recipe before the sum (a
+    double->DECIMAL(38,6) cast diverges cross-engine: Spark HALF_UP vs
+    DuckDB at .5e-6 boundaries — r6 red-row root cause), so the segment
+    totals are exact integer sums, partition-order-independent and
+    engine-stable; customer broadcasts."""
     from etlutil_spark.operators.timeseries import decay_weight
 
     o = load_table(spark, "orders", sf_dir).where(
@@ -4885,9 +4889,14 @@ def orders_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-            F.sum((F.col("o_totalprice") * w).cast("decimal(38,6)"))
-            .cast("double")
-            .alias("decayed_revenue"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * w * 1000000 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("decayed_revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -9371,64 +9380,67 @@ def orders_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # r6 window. (1) The 26 late-r5 tail queries — registered at catalog
-    # positions 101-126 in r5 and therefore never driver-checked (pytest
-    # oracle parity only); see COVERAGE.md "Round-6 rotation plan".
-    "events_user_running_totals",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "docs_mixture_sample",
-    "docs_quality_model",
-    "sim_topk_filtered",
-    "sim_ann_recall",
-    "embeddings_quantize_err",
-    "q8_market_share",
-    "q21_waiting_suppliers",
-    "sim_quantized_rerank",
-    "events_type_affinity_daily",
+    # r7 window (COVERAGE.md "Round-7 rotation plan").
+    # (0) The one red r6 row — fixed this round (double->DECIMAL cast
+    # divergence replaced with floor(x*1e6+0.5) BIGINT quantization on
+    # both engines); front-loaded for its re-proof.
     "orders_decayed_revenue",
-    "docs_chunks",
-    "docs_negative_pairs",
-    "docs_split_leakage",
-    "docs_lm_score",
-    "docs_fertility_by_lang",
-    "docs_shard_plan",
-    # (2) new r6 queries — never driver-checked by construction
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q20_potential_promotion",
-    "dedup_paragraphs",
-    "docs_contamination_bloom",
-    "docs_contamination_coverage",
-    "docs_gopher_filter",
-    "events_debounce",
-    "docs_strip_boilerplate",
-    "multimodal_header_parse",
-    "audit_fk_orphans",
-    "docs_source_report",
-    # (2b) late-r6 queries added after the window was first staged — also
-    # never driver-checked; each displaces one rotating green slot below.
-    "embeddings_kmeans",
-    "events_value_mad_outliers",
-    "lineitem_corr_matrix",
-    "docs_curriculum",
-    "docs_mixture_epoch_plan",
-    "docs_url_normalize",
-    "events_hourly_anomaly",
-    "dedup_containment",
-    "docs_pii_report",
-    "docs_domain_quality",
-    # (3) rotating green representatives, one per operator family, biased
-    # toward the r4-window block (oldest current-engine green rows).
-    "dedup_minhash_lsh",
+    # (1) The 29 session-3 late-r6 queries — registered after the r6
+    # window filled, pytest-parity-green only, never driver-checked.
+    "docs_dedup_url",
+    "docs_ngram_topk_per_lang",
+    "events_dau_wau_mau",
+    "orders_zorder_extents",
+    "sim_ivf_kmeans_topk",
+    "embeddings_cluster_purity",
+    "embeddings_semdedup",
+    "sim_pq_adc_topk",
+    "events_user_skew_report",
+    "orders_rfm_segments",
+    "lineitem_basket_rules",
+    "events_pagerank",
+    "docs_dsir_weights",
+    "docs_bpe_pair_merge",
+    "orders_cohort_ltv",
+    "events_inter_arrival_profile",
+    "orders_revenue_trend",
+    "multimodal_frame_plan",
+    "docs_dup_span_fraction",
+    "docs_quality_deciles",
+    "lineitem_abc_classes",
+    "orders_dow_seasonality",
+    "events_time_to_convert",
+    "docs_lang_confusion",
+    "events_lateness_profile",
+    "orders_ship_lag_by_priority",
+    "docs_entropy_by_source",
+    "user_activity_streaks",
+    "events_changepoint_cusum",
+    # (2) Session-4 late-r6 queries in registration order (22 total; the
+    # window holds the first 20 — the overflow pair
+    # lineitem_quantity_chi2 / orders_km_survival stays pytest-covered
+    # and front-loads r8 together with any r7-new queries that get
+    # displaced below).
+    "part_skyline",
+    "orders_benford",
+    "events_gini_by_type",
+    "audit_value_ranges",
+    "events_ewma_daily",
+    "events_multitouch_attribution",
+    "events_session_paths",
+    "dedup_fuzzy_edit",
+    "sample_correlated_join",
+    "pricing_grouping_sets",
+    "docs_vocab_growth",
+    "events_ab_test_summary",
+    "docs_winnowing",
+    "orders_seasonal_decompose",
+    "io_partition_roundtrip",
+    "docs_zipf_fit",
+    "events_snapshot_diff",
+    "lineitem_checksum_blocks",
+    "part_trigram_search",
+    "customer_balance_moments",
 ]
 
 

@@ -166,59 +166,63 @@ class TestOracleGuards:
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            # r6: the 26 late-r5 tail queries (catalog positions 101-126 in
-            # r5) that have pytest parity but no driver row yet.
-            "events_user_running_totals",
-            "q2_min_cost_supplier",
-            "q7_nation_volume",
-            "q10_returned_items",
-            "q13_customer_distribution",
-            "q15_top_supplier",
-            "q16_part_supplier_counts",
-            "q17_small_quantity",
-            "q19_disjunctive_revenue",
-            "q22_idle_customers",
-            "docs_mixture_sample",
-            "docs_quality_model",
-            "sim_topk_filtered",
-            "sim_ann_recall",
-            "embeddings_quantize_err",
-            "q8_market_share",
-            "q21_waiting_suppliers",
-            "sim_quantized_rerank",
-            "events_type_affinity_daily",
+            # r7: the one red r6 driver row (quantization fix re-proof)...
             "orders_decayed_revenue",
-            "docs_chunks",
-            "docs_negative_pairs",
-            "docs_split_leakage",
-            "docs_lm_score",
-            "docs_fertility_by_lang",
-            "docs_shard_plan",
-            # new in r6 — never driver-checked by construction
-            "q9_product_profit",
-            "q11_important_stock",
-            "q12_shipmode_priority",
-            "q20_potential_promotion",
-            "dedup_paragraphs",
-            "docs_contamination_bloom",
-            "docs_contamination_coverage",
-            "docs_gopher_filter",
-            "events_debounce",
-            "docs_strip_boilerplate",
-            "multimodal_header_parse",
-            "audit_fk_orphans",
-            "docs_source_report",
-            # late-r6 additions — never driver-checked by construction
-            "embeddings_kmeans",
-            "events_value_mad_outliers",
-            "lineitem_corr_matrix",
-            "docs_curriculum",
-            "docs_mixture_epoch_plan",
-            "docs_url_normalize",
-            "events_hourly_anomaly",
-            "dedup_containment",
-            "docs_pii_report",
-            "docs_domain_quality",
+            # ...plus the 29 session-3 late-r6 queries that have pytest
+            # parity but no driver row yet.
+            "docs_dedup_url",
+            "docs_ngram_topk_per_lang",
+            "events_dau_wau_mau",
+            "orders_zorder_extents",
+            "sim_ivf_kmeans_topk",
+            "embeddings_cluster_purity",
+            "embeddings_semdedup",
+            "sim_pq_adc_topk",
+            "events_user_skew_report",
+            "orders_rfm_segments",
+            "lineitem_basket_rules",
+            "events_pagerank",
+            "docs_dsir_weights",
+            "docs_bpe_pair_merge",
+            "orders_cohort_ltv",
+            "events_inter_arrival_profile",
+            "orders_revenue_trend",
+            "multimodal_frame_plan",
+            "docs_dup_span_fraction",
+            "docs_quality_deciles",
+            "lineitem_abc_classes",
+            "orders_dow_seasonality",
+            "events_time_to_convert",
+            "docs_lang_confusion",
+            "events_lateness_profile",
+            "orders_ship_lag_by_priority",
+            "docs_entropy_by_source",
+            "user_activity_streaks",
+            "events_changepoint_cusum",
+            # ...plus the first 20 session-4 late-r6 queries (registration
+            # order). The 2-query overflow (lineitem_quantity_chi2,
+            # orders_km_survival) stays pytest-covered and front-loads r8
+            # — the unproven pool (52) exceeds the 50-slot window.
+            "part_skyline",
+            "orders_benford",
+            "events_gini_by_type",
+            "audit_value_ranges",
+            "events_ewma_daily",
+            "events_multitouch_attribution",
+            "events_session_paths",
+            "dedup_fuzzy_edit",
+            "sample_correlated_join",
+            "pricing_grouping_sets",
+            "docs_vocab_growth",
+            "events_ab_test_summary",
+            "docs_winnowing",
+            "orders_seasonal_decompose",
+            "io_partition_roundtrip",
+            "docs_zipf_fit",
+            "events_snapshot_diff",
+            "lineitem_checksum_blocks",
+            "part_trigram_search",
+            "customer_balance_moments",
         }
         assert must_have <= set(front50)
 

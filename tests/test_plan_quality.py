@@ -244,8 +244,12 @@ HEADLINE_BUDGETS = {
     "docs_vocab_growth": (6, 2),
     # per-user reduce + 1-row arm-totals scalar aggregate
     "events_ab_test_summary": (2, 0),
-    # in-array k-gram hashing/selection; fp-keyed share count join
-    "docs_winnowing": (2, 1),
+    # in-array k-gram hashing/selection (map-side); then three keyed
+    # shuffles: doc-keyed window, fp-keyed share count, fp-keyed join
+    # back + doc aggregate. The count side has one row per distinct
+    # selected fingerprint — corpus-scale at 100 TB — so it must NOT
+    # broadcast; the shuffle join is the scale-correct shape.
+    "docs_winnowing": (3, 0),
     # monthly reduce is the data pass; trend/seasonal windows + joins run
     # on the ~80-row monthly series
     "orders_seasonal_decompose": (3, 1),
