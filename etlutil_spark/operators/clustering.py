@@ -225,6 +225,7 @@ def semdedup(
     iters: int = 3,
     radius: int,
     scale: int = DEFAULT_SCALE,
+    max_cell_share: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the corpus with the
     trained quantizer, then drop every vector whose exact (quantized)
@@ -242,6 +243,17 @@ def semdedup(
     cell-partitioned method makes; raise nprobe-style by merging cells
     if it matters).
 
+    ``max_cell_share`` is the occupancy circuit-breaker for that
+    contract: when set, a k-row cluster-size aggregate (reusing the
+    checkpointed assignment — no extra data pass) runs BEFORE the
+    quadratic stage, and the call raises if any cell holds more than
+    that fraction of the corpus. A degenerate fit (collapsed centroids,
+    near-identical embeddings, k too small for the corpus) would
+    otherwise silently funnel everything into one cell and turn the
+    within-cell join back into O(n^2) — at 100 TB that is a job you
+    kill, not one you debug. Guarded by
+    tests/test_skew_stress.py::TestSemDeDupDegenerateFit.
+
     Plan: assignment rides literal centroids (map-side); the pair stage
     is a cluster-keyed equi-join with the distance predicate as the join
     filter; the drop set left-joins back on id. Everything is exact
@@ -249,6 +261,8 @@ def semdedup(
     """
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
+    if max_cell_share is not None and not (0.0 < max_cell_share <= 1.0):
+        raise ValueError(f"max_cell_share must be in (0, 1], got {max_cell_share}")
     centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, scale=scale)
     q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(vec_col, scale).alias("_qv")
@@ -258,6 +272,23 @@ def semdedup(
     # both self-join sides and the final left join read this projection —
     # compute the quantize+assign pass once
     ).localCheckpoint(eager=False)
+    if max_cell_share is not None:
+        sizes = (
+            assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        )  # k rows — metadata-scale
+        total = sum(r["n"] for r in sizes)
+        hot = [
+            (int(r["cluster"]), r["n"])
+            for r in sizes
+            if total and r["n"] > max_cell_share * total
+        ]
+        if hot:
+            raise ValueError(
+                "semdedup: degenerate cluster fit — cell(s) "
+                f"{hot} exceed max_cell_share={max_cell_share} of {total} rows; "
+                "the within-cell pair stage would be quadratic in the hot cell. "
+                "Raise k, re-fit, or split the hot cell before deduping."
+            )
     a, b = assigned.alias("a"), assigned.alias("b")
     dist = F.aggregate(
         F.zip_with("a._qv", "b._qv", lambda x, y: (x - y) * (x - y)),

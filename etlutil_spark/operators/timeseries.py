@@ -153,7 +153,11 @@ def trailing_window(
 
 
 def decay_weight(
-    ts_col: str, ref_date: str, *, half_life_days: float = 90.0
+    ts_col: str,
+    ref_date: str,
+    *,
+    half_life_days: float = 90.0,
+    clamp_future: bool = False,
 ):
     """Exponential recency weight ``0.5 ** (age_days / half_life)`` — the
     standard time-decay factor for recency-weighted training mixtures and
@@ -168,9 +172,19 @@ def decay_weight(
 
     Rows with ts AFTER ref_date get weights > 1 (0.5^negative) — by
     design the caller either filters to ts <= ref_date (the catalog
-    query does) or clamps with greatest(weight, ...) if future-dated
-    stragglers must not dominate a recency mixture."""
+    query does) or passes ``clamp_future=True``, which clamps the age
+    at 0 days (``greatest(age, 0)``) so every future-dated row gets
+    weight exactly 1.0. Use the clamp whenever the input can contain
+    late-arriving or mis-stamped future rows: without it a single
+    far-future straggler gets weight ``2^(days/half_life)`` and can
+    dominate a recency-weighted mixture.
+
+    >>> decay_weight("ts", "2024-01-01", clamp_future=True)
+    # row at 2024-06-01 -> weight 1.0 (not 2^(152/90) ~ 3.2)
+    """
     age = F.datediff(F.to_date(F.lit(ref_date)), F.to_date(ts_col))
+    if clamp_future:
+        age = F.greatest(age, F.lit(0))
     return F.round(F.pow(F.lit(0.5), age / F.lit(float(half_life_days))), 9)
 
 

@@ -5633,13 +5633,18 @@ def embeddings_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within an exact quantized squared-L2 radius of a smaller-id vector
     in the SAME cell (keep-first survivor). The quadratic comparison is
     confined to cells, whose size stays constant as k scales with the
-    corpus — the SemDeDup contract; cluster sizes from
-    embeddings_cluster_purity are the skew audit. Bit-exact kept set
+    corpus — the SemDeDup contract; ``max_cell_share=0.5`` is the
+    occupancy circuit-breaker enforcing it (measured shares at k=8 are
+    ~0.11-0.14, so 0.5 is 4x headroom while a degenerate fit at ~1.0
+    still raises before the quadratic stage). Bit-exact kept set
     against the unrolled-SQL oracle."""
     from etlutil_spark.operators.clustering import semdedup
 
     e = load_table(spark, "embeddings", sf_dir)
-    return semdedup(e, "vec_id", "embedding", k=8, iters=3, radius=_SEMDEDUP_RADIUS)
+    return semdedup(
+        e, "vec_id", "embedding", k=8, iters=3, radius=_SEMDEDUP_RADIUS,
+        max_cell_share=0.5,
+    )
 
 
 def _cluster_purity_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:

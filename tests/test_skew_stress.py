@@ -157,3 +157,69 @@ class TestKeySkewReport:
         df = spark.createDataFrame([("a",)], "k string")
         with _pytest.raises(ValueError, match="top_n"):
             key_skew_report(df, "k", top_n=0)
+
+
+class TestSemDeDupDegenerateFit:
+    """semdedup's quadratic stage is safe only while cells stay small —
+    the occupancy circuit-breaker must trip on a degenerate fit (all
+    vectors in one cell) BEFORE the O(n^2) within-cell join runs."""
+
+    def _near_identical(self, spark, n=300, d=4):
+        # all vectors within a tiny ball -> every Lloyd's fit collapses
+        # the corpus into one cell no matter how k centroids initialize
+        return spark.range(0, n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.lit(1.0) + (F.col("id") % 7) * 1e-9).cast("float")
+                    for _ in range(d)
+                ]
+            ).alias("embedding"),
+        )
+
+    def test_degenerate_fit_raises_before_quadratic_stage(self, spark):
+        from etlutil_spark.operators.clustering import semdedup
+
+        df = self._near_identical(spark)
+        with pytest.raises(ValueError, match="degenerate cluster fit"):
+            semdedup(
+                df, "vec_id", "embedding", k=4, iters=2, radius=10,
+                max_cell_share=0.5,
+            ).collect()
+
+    def test_balanced_fit_passes_guard(self, spark):
+        from etlutil_spark.operators.clustering import semdedup
+
+        # 4 well-separated blobs of 50 -> shares ~0.25 each, under 0.5
+        df = spark.range(0, 200).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                ((F.col("id") % 4) * 10.0).cast("float"),
+                ((F.col("id") % 4) * -10.0).cast("float"),
+            ).alias("embedding"),
+        )
+        out = semdedup(
+            df, "vec_id", "embedding", k=4, iters=3, radius=0,
+            max_cell_share=0.5,
+        )
+        assert out.count() == 200
+
+    def test_guard_off_by_default(self, spark):
+        """Without the cap the (small) degenerate input still computes —
+        the guard is opt-in so exploratory runs on tiny corpora work."""
+        from etlutil_spark.operators.clustering import semdedup
+
+        df = self._near_identical(spark, n=40)
+        rows = semdedup(df, "vec_id", "embedding", k=4, iters=2, radius=10).collect()
+        # all vectors are near-identical within radius: only vec_id 0 survives
+        assert sum(r["kept"] for r in rows) == 1
+
+    def test_bad_share_raises(self, spark):
+        from etlutil_spark.operators.clustering import semdedup
+
+        df = self._near_identical(spark, n=10)
+        with pytest.raises(ValueError, match="max_cell_share"):
+            semdedup(
+                df, "vec_id", "embedding", k=2, iters=2, radius=1,
+                max_cell_share=1.5,
+            )

@@ -171,3 +171,38 @@ class TestTrailingBaselineAnomaly:
         rows = [(0, 8), (1, 12), (2, 8), (3, 12), (5, 21)]
         out = self._run(spark, rows, min_baseline_buckets=2)
         assert out[5]["baseline"] == 10.0 and out[5]["is_spike"] == 1
+
+
+class TestDecayWeight:
+    def test_future_rows_clamp_to_one(self, spark):
+        from etlutil_spark.operators.timeseries import decay_weight
+
+        df = spark.createDataFrame(
+            [
+                ("past", "2023-10-03"),     # 90d before ref -> 0.5
+                ("ref", "2024-01-01"),      # age 0 -> 1.0
+                ("future", "2024-06-01"),   # 152d after ref
+            ],
+            "tag string, ts string",
+        ).select("tag", F.to_timestamp("ts").alias("ts"))
+        raw = {
+            r["tag"]: r["w"]
+            for r in df.select(
+                "tag", decay_weight("ts", "2024-01-01").alias("w")
+            ).collect()
+        }
+        clamped = {
+            r["tag"]: r["w"]
+            for r in df.select(
+                "tag",
+                decay_weight("ts", "2024-01-01", clamp_future=True).alias("w"),
+            ).collect()
+        }
+        # unclamped: future straggler dominates (2^(152/90) ~ 3.22)
+        assert raw["past"] == pytest.approx(0.5)
+        assert raw["ref"] == 1.0
+        assert raw["future"] > 3.0
+        # clamped: past weights identical, future pinned to exactly 1.0
+        assert clamped["past"] == raw["past"]
+        assert clamped["ref"] == 1.0
+        assert clamped["future"] == 1.0
