@@ -196,6 +196,18 @@ def main() -> None:
     # warmup: boot codegen + parquet reader paths
     Q.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
 
+    # box-speed calibration: a fixed synthetic shuffle+agg job independent
+    # of the engine under test. Round-over-round wall-clock on this shared
+    # box swings with VM placement (r6->r7: every query, touched or not,
+    # moved +20-50% together after a host change); this constant workload
+    # lets a reader normalize headline totals across rounds instead of
+    # misreading a slow host as a plan regression.
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, 1, 32).selectExpr(
+        "id % 97 AS k", "id % 31 AS v"
+    ).groupBy("k").sum("v").collect()
+    calib = round(time.perf_counter() - t0, 4)
+
     # a typo or rename must not silently drop a published perf row
     unknown = [n for n in HEADLINE + EXTENDED if n not in Q.QUERIES]
     if unknown:
@@ -224,6 +236,7 @@ def main() -> None:
                 "queries": timings,
                 "extended": extended,
                 "sf": sf,
+                "calib_sec": calib,
             }
         )
     )
@@ -240,6 +253,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_sec": calib,
             }
         )
     )

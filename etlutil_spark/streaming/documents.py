@@ -9,11 +9,13 @@ watermark, every micro-batch is an independent map. The same
 identically (asserted in tests), which is the property that lets a
 backfill and the live stream share one code path.
 
-Stateful corpus work (cross-document dedup, clustering) stays in batch:
-near-dup state is unbounded over an infinite stream; the streaming-side
-contribution is the exact-hash ``dropDuplicates`` front in
-streaming/events.py, with MinHash/SimHash compaction run as periodic
-batch jobs over the accumulated corpus.
+Stateful corpus work splits by where the state lives: exact-hash
+``dropDuplicates`` (streaming/events.py) keeps bounded state in the
+state store; cross-document NEAR-dup screening runs through
+streaming/dedup_screen.py, whose state is the persisted MinHash band
+index on disk (a table, not state-store state — unbounded over an
+infinite stream by design); global clustering stays a periodic batch
+job over the accumulated corpus.
 """
 
 from __future__ import annotations
