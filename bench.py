@@ -180,6 +180,8 @@ EXTENDED = [
     "customer_balance_moments",
     "lineitem_quantity_chi2",
     "orders_km_survival",
+    # r7 additions
+    "dedup_best_of_cluster",
 ]
 
 

@@ -9371,6 +9371,75 @@ def orders_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_best_of_cluster",
+    # recursive CTE: DuckDB requires RECURSIVE on the WITH chain
+    _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.n),
+    cl AS (SELECT n AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+    m AS (
+      SELECT cl.cluster_id, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM cl JOIN documents d ON d.doc_id = cl.member_id),
+    cnt AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM m GROUP BY 1)
+    SELECT m.cluster_id, m.doc_id AS survivor_id, cnt.n_members,
+           CAST(m.n_chars AS BIGINT) AS survivor_chars
+    FROM m JOIN cnt USING (cluster_id) WHERE rn = 1
+    """,
+)
+def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: near-dup clusters
+    (dedup_clusters' exact 3-gram Jaccard >= 0.6 pairs -> connected
+    components), then keep the BEST member of each cluster instead of
+    the smallest id — production curation keeps the longest/highest-
+    quality copy of boilerplate families, not an arbitrary one. Best =
+    max n_chars, ties to the smaller doc_id (a deterministic integer
+    order, so the oracle reproduces survivors exactly).
+
+    Plan: after the iterative CC labels (checkpointed, O(diameter)
+    rounds), survivor election is ONE cluster-keyed aggregate over a
+    struct-min — no per-cluster window, no second shuffle for the
+    count. The doc join broadcasts nothing: members and docs join on
+    doc_id, the dedup family's usual id-keyed shuffle."""
+    from etlutil_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    members = duplicate_clusters(pairs).join(
+        d.select(F.col("doc_id").alias("member_id"), "n_chars"), "member_id"
+    )
+    return members.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_chars"),
+                F.col("member_id").alias("id"),
+            )
+        ).alias("best"),
+        F.count("*").alias("n_members"),
+    ).select(
+        "cluster_id",
+        F.col("best.id").alias("survivor_id"),
+        "n_members",
+        (-F.col("best.neg_chars")).cast("bigint").alias("survivor_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -9390,6 +9459,10 @@ _DRIVER_FRONT = [
     # divergence replaced with floor(x*1e6+0.5) BIGINT quantization on
     # both engines); front-loaded for its re-proof.
     "orders_decayed_revenue",
+    # (0b) new r7 queries — per the r6 verdict rule, a query registered
+    # in r7 fronts the r7 window itself; each displaces one session-4
+    # tail slot into the r8 staging list.
+    "dedup_best_of_cluster",
     # (1) The 29 session-3 late-r6 queries — registered after the r6
     # window filled, pytest-parity-green only, never driver-checked.
     "docs_dedup_url",
@@ -9445,7 +9518,6 @@ _DRIVER_FRONT = [
     "events_snapshot_diff",
     "lineitem_checksum_blocks",
     "part_trigram_search",
-    "customer_balance_moments",
 ]
 
 

@@ -168,6 +168,8 @@ class TestOracleGuards:
         must_have = {
             # r7: the one red r6 driver row (quantization fix re-proof)...
             "orders_decayed_revenue",
+            # ...plus the r7-new queries (front their own round's window)
+            "dedup_best_of_cluster",
             # ...plus the 29 session-3 late-r6 queries that have pytest
             # parity but no driver row yet.
             "docs_dedup_url",
@@ -200,9 +202,10 @@ class TestOracleGuards:
             "user_activity_streaks",
             "events_changepoint_cusum",
             # ...plus the first 20 session-4 late-r6 queries (registration
-            # order). The 2-query overflow (lineitem_quantity_chi2,
-            # orders_km_survival) stays pytest-covered and front-loads r8
-            # — the unproven pool (52) exceeds the 50-slot window.
+            # order). The overflow (customer_balance_moments,
+            # lineitem_quantity_chi2, orders_km_survival) stays
+            # pytest-covered and front-loads r8 — the unproven pool
+            # exceeds the 50-slot window.
             "part_skyline",
             "orders_benford",
             "events_gini_by_type",
@@ -222,7 +225,6 @@ class TestOracleGuards:
             "events_snapshot_diff",
             "lineitem_checksum_blocks",
             "part_trigram_search",
-            "customer_balance_moments",
         }
         assert must_have <= set(front50)
 
