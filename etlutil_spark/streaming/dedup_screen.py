@@ -139,14 +139,20 @@ def dedup_screen_batch(
         accepted = accepted.localCheckpoint(eager=True)
 
         # (3) idempotent append: this batch owns its subdirectory, and a
-        # replayed batch_id overwrites rather than double-appends
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(corpus_path, _DOC_SUBDIR, f"batch={batch_id}")
-        )
+        # replayed batch_id overwrites rather than double-appends.
+        # ORDERING INVARIANT: index BEFORE docs. read_corpus keys corpus
+        # existence on docs/; with index-first, a crash between the two
+        # writes leaves index-only state that the batch's own replay
+        # overwrites, whereas docs-first would leave a docs tree whose
+        # index dir does not exist and every replay's corpus read would
+        # fail on the missing path.
         minhash_band_index(
             accepted, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
         ).write.mode("overwrite").partitionBy("band_idx").parquet(
             os.path.join(corpus_path, _INDEX_SUBDIR, f"batch={batch_id}")
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(corpus_path, _DOC_SUBDIR, f"batch={batch_id}")
         )
 
     return apply_batch

@@ -113,3 +113,26 @@ class TestDedupScreenStream:
         fb(df, 0)
         docs, _ = read_corpus(spark, corpus)
         assert sorted(r["doc_id"] for r in docs.collect()) == [1, 2]
+
+    def test_crash_between_writes_recovers_on_replay(self, spark, tmp_path):
+        """Crash-recovery invariant: the index is written BEFORE the
+        docs, so the only possible partial state is index-without-docs —
+        which read_corpus treats as 'no corpus yet' and the batch's own
+        replay overwrites. (Docs-without-index would instead fail every
+        replay's corpus read on the missing index path.)"""
+        import os
+
+        from etlutil_spark.operators.dedup import minhash_band_index
+
+        corpus = str(tmp_path / "corpus")
+        b0 = _batch_df(spark, BATCHES[0])
+        # simulate the crash: only the index write of batch 0 landed
+        minhash_band_index(b0, "doc_id", "text").write.partitionBy(
+            "band_idx"
+        ).parquet(os.path.join(corpus, "index", "batch=0"))
+        docs, index = read_corpus(spark, corpus)
+        assert docs is None and index is None
+        # the replay of batch 0 completes normally
+        dedup_screen_batch(corpus)(b0, 0)
+        docs, _ = read_corpus(spark, corpus)
+        assert {r["doc_id"] for r in docs.collect()} == {1, 3}
