@@ -8830,8 +8830,14 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(freq) on ln(rank) for the top 500 tokens — slope near -1 is the
     natural-language signature; a flat slope flags template spam, a
     cliff flags truncated vocabularies (the revenue_trend normal-
-    equation recipe applied in log-log space). Ranks are deterministic
-    (freq DESC, token ASC row_number); each ln is quantized to integer
+    equation recipe applied in log-log space). The spectrum head is
+    extracted with orderBy+limit — a distributed TakeOrderedAndProject
+    (per-partition top-500 then a 500-row merge), NOT a global
+    row_number window, which would sort the ENTIRE vocabulary (~1e9
+    distinct tokens at 100 TB, by Heaps' law) through one task before
+    the rank filter could drop anything; the rank window then runs over
+    only the 500 survivors. Ranks are deterministic
+    (freq DESC, token ASC total order); each ln is quantized to integer
     1e-6 units BEFORE the moment sums (the entropy precedent: a last-
     ulp cross-engine ln drift moves at most one quantum, absorbed by
     the final round at 6) — 1e-6 is chosen so the x*x / x*y products
@@ -8849,13 +8855,14 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tk")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    r = c.select(
+    top = c.orderBy(F.col("freq").desc(), F.col("tk").asc()).limit(500)
+    r = top.select(
         "freq",
         F.row_number()
         .over(Window.orderBy(F.col("freq").desc(), F.col("tk").asc()))
         .cast("bigint")
         .alias("rank"),
-    ).where(F.col("rank") <= 500)
+    )
     Q = 1000000
     q = r.select(
         F.floor(F.log("rank") * Q).cast("bigint").alias("x"),
