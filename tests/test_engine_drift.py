@@ -240,6 +240,22 @@ class TestPlanShapes:
         df.collect()
         assert "SinglePartition" not in P.formatted_plan(df)
 
+    def test_zipf_head_is_distributed_topk(self, spark, sf_dir):
+        """docs_zipf_fit's spectrum head must come from a distributed
+        TakeOrderedAndProject, never a global rank window that sorts the
+        whole vocabulary (Heaps'-law ~1e9 rows at 100 TB) through one
+        task before the rank<=500 filter can drop anything."""
+        from etlutil_spark.queries import QUERIES
+
+        df = QUERIES["docs_zipf_fit"](spark, sf_dir)
+        df.collect()
+        plan = P.formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        # the only window left runs over the 500-row head; the vocab
+        # aggregate itself must not feed a single-partition exchange
+        before_topk = plan.split("TakeOrderedAndProject")[-1]
+        assert "Exchange SinglePartition" not in before_topk
+
     def test_asof_join_single_exchange_per_side(self, spark, sf_dir):
         """Union-marker as-of join: one shuffle total on (key) for the
         merged stream — no cartesian, no broadcast of a big side."""
