@@ -182,6 +182,7 @@ EXTENDED = [
     "orders_km_survival",
     # r7 additions
     "dedup_best_of_cluster",
+    "docs_bpe_encode_stats",
 ]
 
 

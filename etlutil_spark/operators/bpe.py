@@ -1,0 +1,143 @@
+"""Trainable byte-pair-encoding (BPE) over the word vocabulary —
+train merges with Sennrich's algorithm, then apply them at scan speed
+as pure column expressions.
+
+Extends the first-merge candidate table (queries.py:docs_bpe_pair_merge)
+to the FULL trainer loop, on the same scale recipe: aggregate the corpus
+to its word vocabulary first (one token-keyed shuffle; Heaps' law keeps
+|vocab| sub-linear in corpus size), then every merge round runs over the
+vocabulary only — pair volume scales with |vocab|, never the corpus.
+Encoding never joins: the trained merges are STRING LITERALS baked into
+a chain of literal `replace` expressions (the kmeans centroids-as-
+literals idiom), so applying the tokenizer to 100 TB of text is a
+map-side projection with zero shuffles.
+
+Segmentation state is a bracketed string: each symbol is wrapped as
+``\\x01<symbol>\\x02``, so the word "her" starts as
+``\\x01h\\x02\\x01e\\x02\\x01r\\x02``. Applying merge (a, b) is then ONE
+literal (non-regex) replace of ``\\x01a\\x02\\x01b\\x02`` with
+``\\x01ab\\x02`` — unambiguous (the brackets pin exact symbol
+boundaries, so merging ("a","b") can never fire inside ["xa","b"]) and
+engine-portable (literal `replace` scans left-to-right non-overlapping
+in Spark and DuckDB alike, which is exactly Sennrich's replace-all-
+occurrences step; for overlapping runs like "aaa" + merge (a,a) both
+give ["aa","a"], the leftmost-greedy answer). Tokens come from
+functions/text.py:tokens — letters/digits only — so the control-char
+brackets can never collide with content.
+
+Determinism contract: each round's winning pair is the (weighted count
+DESC, pair ASC) total-order top-1, so two engines train the identical
+merge list and the per-token symbol counts are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etlutil_spark.functions.text import tokens
+
+SYM_L = "\x01"
+SYM_R = "\x02"
+PAIR_SEP = "\x03"
+
+
+def bracketed_chars(tok: Column | str) -> Column:
+    """token string -> its initial bracketed char segmentation."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.concat(F.lit(SYM_L), F.substring(t, i, 1), F.lit(SYM_R)),
+        ),
+        "",
+    )
+
+
+def _symbols(w: Column) -> Column:
+    """bracketed segmentation -> array of symbols."""
+    return F.split(F.substring(w, 2, F.length(w) - 2), SYM_R + SYM_L)
+
+
+def merge_replace(w: Column, a: str, b: str) -> Column:
+    """Apply one trained merge (a, b) -> ab to a bracketed segmentation."""
+    return F.replace(
+        w,
+        F.lit(SYM_L + a + SYM_R + SYM_L + b + SYM_R),
+        F.lit(SYM_L + a + b + SYM_R),
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, *, k: int = 8
+) -> list[tuple[str, str]]:
+    """Train ``k`` BPE merges on ``df[text_col]``'s word vocabulary.
+
+    Each round is ONE pair-count aggregate over the (checkpointed)
+    vocabulary segmentation plus a 1-row deterministic top-1 collect —
+    the bounded-driver-state idiom kmeans_fit uses; the driver holds k
+    merge strings. Rounds stop early if no pair remains (every word
+    fully merged)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    vocab = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count("*").alias("c"))
+    )
+    seg = vocab.select(
+        bracketed_chars("tk").alias("w"), F.col("c")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        syms = _symbols(F.col("w"))
+        pairs = seg.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda j: F.concat(
+                        F.element_at(syms, j),
+                        F.lit(PAIR_SEP),
+                        F.element_at(syms, j + 1),
+                    ),
+                )
+            ).alias("pair"),
+            "c",
+        ).where(F.size(syms) >= 2)
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("wc"))
+            .orderBy(F.col("wc").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(PAIR_SEP)
+        merges.append((a, b))
+        # checkpoint per round: truncates the growing replace-chain plan
+        # AND materializes the new segmentation once (the kmeans /
+        # duplicate_clusters iterative-Spark discipline)
+        seg = seg.select(
+            merge_replace(F.col("w"), a, b).alias("w"), "c"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segmentation(tok: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """token -> bracketed segmentation under the trained merges: the
+    encode path, a pure literal-replace chain (zero joins/shuffles)."""
+    w = bracketed_chars(tok)
+    for a, b in merges:
+        w = merge_replace(w, a, b)
+    return w
+
+
+def bpe_symbol_count(tok: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """token -> number of BPE symbols under the trained merges (the
+    symbol count is the count of left brackets in the segmentation)."""
+    w = bpe_segmentation(tok, merges)
+    return (F.length(w) - F.length(F.replace(w, F.lit(SYM_L), F.lit("")))).cast(
+        "bigint"
+    )

@@ -9447,6 +9447,113 @@ def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle_sql(k: int = 8) -> str:
+    """Unrolled k-round BPE-trainer CTE chain (the kmeans/pagerank
+    unrolled-oracle recipe): round i extracts adjacent symbol pairs from
+    segmentation v{i-1}, picks the (SUM(c) DESC, pair ASC) top-1, and
+    applies it as one literal replace; the final join prices every
+    corpus token at its trained segmentation's symbol count."""
+    parts = [
+        f"""tok AS (SELECT source, unnest({_DUCK_TOKENS}) AS tk
+         FROM documents WHERE text IS NOT NULL)""",
+        """voc AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk)""",
+        """v0 AS (SELECT tk,
+               array_to_string(list_transform(range(1, length(tk) + 1),
+                                              i -> chr(1) || tk[i] || chr(2)), '') AS w,
+               c FROM voc)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT t.s[r.j] || chr(3) || t.s[r.j + 1] AS pair, t.c
+      FROM (SELECT string_split(substr(w, 2, length(w) - 2),
+                                chr(2) || chr(1)) AS s, c
+            FROM v{i - 1}) t,
+           UNNEST(range(1, len(t.s))) AS r(j)
+      WHERE len(t.s) >= 2)"""
+        )
+        parts.append(
+            f"""b{i} AS (SELECT pair FROM p{i} GROUP BY pair
+             ORDER BY CAST(SUM(c) AS BIGINT) DESC, pair ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{i} AS (SELECT v.tk,
+               replace(v.w,
+                       chr(1) || split_part(b.pair, chr(3), 1) || chr(2)
+                         || chr(1) || split_part(b.pair, chr(3), 2) || chr(2),
+                       chr(1) || replace(b.pair, chr(3), '') || chr(2)) AS w,
+               v.c
+        FROM v{i - 1} v CROSS JOIN b{i} b)"""
+        )
+    parts.append(
+        f"""enc AS (SELECT tk,
+               CAST(length(w) - length(replace(w, chr(1), '')) AS BIGINT) AS n_sym
+        FROM v{k})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(t.tk)) AS BIGINT) AS n_chars,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_symbols,
+           round(CAST(SUM(length(t.tk)) AS BIGINT) * 1.0
+                 / CAST(SUM(e.n_sym) AS BIGINT), 6) AS chars_per_symbol,
+           round(CAST(SUM(e.n_sym) AS BIGINT) * 1.0 / COUNT(*), 6)
+             AS symbols_per_token
+    FROM tok t JOIN enc e USING (tk)
+    GROUP BY t.source"""
+    )
+
+
+@register("docs_bpe_encode_stats", _bpe_encode_oracle_sql(k=8))
+def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer loop (operators/bpe.py): train 8 merges with
+    Sennrich's algorithm on the word VOCABULARY (extending
+    docs_bpe_pair_merge's single candidate table to the whole trainer),
+    then encode the corpus and report per-source token/char/symbol
+    volumes with fertility ratios — the tokenizer-selection numbers a
+    data team reads before committing to a vocab.
+
+    Scale: training rounds run over the Heaps'-law vocabulary only
+    (one pair aggregate + a 1-row top-1 collect per round, segmentation
+    checkpointed between rounds — the kmeans bounded-driver-state
+    idiom); ENCODING is a chain of eight literal `replace` expressions
+    over the bracketed char string — merges ride the plan as string
+    literals, so the corpus pass is map-side with zero joins and the
+    returned plan is one source-keyed aggregate. Symbol counts are
+    exact integers; the two ratios are exact-integer-sum ratios rounded
+    at 6. The oracle reproduces training itself (8 unrolled rounds with
+    the same DESC/ASC total order), so a drift in ANY learned merge
+    fails the hash."""
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.bpe import bpe_symbol_count, bpe_train_merges
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(
+        load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    )
+    merges = bpe_train_merges(d, "text", k=8)
+    tok = d.select("source", F.explode(tokens("text")).alias("tk"))
+    per = tok.select(
+        "source",
+        F.length("tk").cast("bigint").alias("nc"),
+        bpe_symbol_count("tk", merges).alias("ns"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.sum("ns").cast("bigint").alias("n_symbols"),
+        F.round(
+            F.sum("nc").cast("bigint") / F.sum("ns").cast("bigint"), 6
+        ).alias("chars_per_symbol"),
+        F.round(F.sum("ns").cast("bigint") / F.count("*"), 6).alias(
+            "symbols_per_token"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -9470,6 +9577,7 @@ _DRIVER_FRONT = [
     # in r7 fronts the r7 window itself; each displaces one session-4
     # tail slot into the r8 staging list.
     "dedup_best_of_cluster",
+    "docs_bpe_encode_stats",
     # (1) The 29 session-3 late-r6 queries — registered after the r6
     # window filled, pytest-parity-green only, never driver-checked.
     "docs_dedup_url",
@@ -9524,7 +9632,6 @@ _DRIVER_FRONT = [
     "docs_zipf_fit",
     "events_snapshot_diff",
     "lineitem_checksum_blocks",
-    "part_trigram_search",
 ]
 
 

@@ -1,0 +1,125 @@
+"""BPE trainer/encoder (operators/bpe.py): merge semantics, boundary
+non-ambiguity, leftmost-greedy overlap handling, and training
+determinism — the invariants the bracketed-string representation
+exists to guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.bpe import (
+    SYM_L,
+    SYM_R,
+    bpe_segmentation,
+    bpe_symbol_count,
+    bpe_train_merges,
+    bracketed_chars,
+    merge_replace,
+)
+
+
+def _seg_to_symbols(s: str) -> list[str]:
+    return s[1:-1].split(SYM_R + SYM_L) if s else []
+
+
+def _apply(spark, tok: str, merges) -> list[str]:
+    row = (
+        spark.range(1)
+        .select(bpe_segmentation(F.lit(tok), merges).alias("w"))
+        .collect()[0]
+    )
+    return _seg_to_symbols(row["w"])
+
+
+class TestMergeSemantics:
+    def test_basic_chain(self, spark):
+        merges = [("h", "e"), ("t", "he"), ("the", "r")]
+        assert _apply(spark, "there", merges) == ["ther", "e"]
+        assert _apply(spark, "the", merges) == ["the"]
+        assert _apply(spark, "he", merges) == ["he"]
+
+    def test_merge_never_fires_across_symbol_boundary(self, spark):
+        """["xa","b"] must NOT merge under (a,b) — the bracket
+        representation exists to make 'a b' unambiguous."""
+        merges = [("x", "a"), ("a", "b")]
+        # "xab": (x,a) -> ["xa","b"]; (a,b) must not fire inside "xa"+"b"
+        assert _apply(spark, "xab", merges) == ["xa", "b"]
+        # but a real ["a","b"] pair still merges
+        assert _apply(spark, "ab", merges) == ["ab"]
+
+    def test_overlapping_run_is_leftmost_greedy(self, spark):
+        # "aaa" under (a,a): leftmost pair merges, third 'a' is left over
+        assert _apply(spark, "aaa", [("a", "a")]) == ["aa", "a"]
+        # "aaaa": two non-overlapping merges
+        assert _apply(spark, "aaaa", [("a", "a")]) == ["aa", "aa"]
+
+    def test_single_char_token(self, spark):
+        assert _apply(spark, "a", [("a", "a")]) == ["a"]
+
+    def test_symbol_count_matches_segmentation(self, spark):
+        merges = [("h", "e"), ("t", "he")]
+        rows = (
+            spark.createDataFrame([("the",), ("theme",), ("x",)], "tk string")
+            .select(
+                "tk",
+                bpe_symbol_count("tk", merges).alias("n"),
+                bpe_segmentation("tk", merges).alias("w"),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r["n"] == len(_seg_to_symbols(r["w"]))
+
+
+class TestTraining:
+    def test_learns_the_classic_chain(self, spark):
+        df = spark.createDataFrame(
+            [("the theme there then",), ("other brother mother the",)],
+            "text string",
+        )
+        merges = bpe_train_merges(df, "text", k=2)
+        # 'he' is the most frequent pair, then 't'+'he'
+        assert merges[0] == ("h", "e")
+        assert merges[1] == ("t", "he")
+
+    def test_training_is_deterministic(self, spark, sf_dir):
+        from etlutil_spark.sources.testdata import load_table
+
+        d = load_table(spark, "documents", sf_dir).where(
+            F.col("text").isNotNull()
+        )
+        m1 = bpe_train_merges(d, "text", k=4)
+        m2 = bpe_train_merges(d, "text", k=4)
+        assert m1 == m2 and len(m1) == 4
+
+    def test_stops_early_when_fully_merged(self, spark):
+        # vocabulary of one 2-char word: round 1 merges it, round 2 has
+        # no pairs left and must break instead of failing
+        df = spark.createDataFrame([("ab ab ab",)], "text string")
+        merges = bpe_train_merges(df, "text", k=5)
+        assert merges == [("a", "b")]
+
+    def test_bad_k_raises(self, spark):
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(ValueError, match="k must be"):
+            bpe_train_merges(df, "text", k=0)
+
+
+class TestRepresentation:
+    def test_bracketed_roundtrip(self, spark):
+        row = (
+            spark.range(1)
+            .select(bracketed_chars(F.lit("abc")).alias("w"))
+            .collect()[0]
+        )
+        assert _seg_to_symbols(row["w"]) == ["a", "b", "c"]
+
+    def test_merge_replace_replaces_all_occurrences(self, spark):
+        w = bracketed_chars(F.lit("abab"))
+        out = (
+            spark.range(1)
+            .select(merge_replace(w, "a", "b").alias("w"))
+            .collect()[0]["w"]
+        )
+        assert _seg_to_symbols(out) == ["ab", "ab"]

@@ -170,6 +170,7 @@ class TestOracleGuards:
             "orders_decayed_revenue",
             # ...plus the r7-new queries (front their own round's window)
             "dedup_best_of_cluster",
+            "docs_bpe_encode_stats",
             # ...plus the 29 session-3 late-r6 queries that have pytest
             # parity but no driver row yet.
             "docs_dedup_url",
@@ -202,10 +203,10 @@ class TestOracleGuards:
             "user_activity_streaks",
             "events_changepoint_cusum",
             # ...plus the first 20 session-4 late-r6 queries (registration
-            # order). The overflow (customer_balance_moments,
-            # lineitem_quantity_chi2, orders_km_survival) stays
-            # pytest-covered and front-loads r8 — the unproven pool
-            # exceeds the 50-slot window.
+            # order). The overflow (part_trigram_search,
+            # customer_balance_moments, lineitem_quantity_chi2,
+            # orders_km_survival) stays pytest-covered and front-loads
+            # r8 — the unproven pool exceeds the 50-slot window.
             "part_skyline",
             "orders_benford",
             "events_gini_by_type",
@@ -224,7 +225,6 @@ class TestOracleGuards:
             "docs_zipf_fit",
             "events_snapshot_diff",
             "lineitem_checksum_blocks",
-            "part_trigram_search",
         }
         assert must_have <= set(front50)
 

@@ -244,6 +244,11 @@ HEADLINE_BUDGETS = {
     "docs_vocab_growth": (6, 2),
     # per-user reduce + 1-row arm-totals scalar aggregate
     "events_ab_test_summary": (2, 0),
+    # encode path is literal-replace map-side exprs; the returned plan
+    # is the ensure_min_partitions scan spread + one source-keyed
+    # aggregate (training jobs run at build time over the checkpointed
+    # vocab and are not part of this plan)
+    "docs_bpe_encode_stats": (2, 0),
     # in-array k-gram hashing/selection (map-side); then three keyed
     # shuffles: doc-keyed window, fp-keyed share count, fp-keyed join
     # back + doc aggregate. The count side has one row per distinct
