@@ -1565,11 +1565,13 @@ _DUCK_SHINGLES = """
     GROUP BY 1, 2)
 """.format(toks=_DUCK_TOKENS)
 
-
-@register(
-    "dedup_ngram_jaccard",
-    _DUCK_SHINGLES
-    + """
+# Frequency-capped extension of _DUCK_SHINGLES (the max_shingle_freq=50
+# contract): exf/szf/interf are ex/sz/inter restricted to the surviving
+# shingle universe, so Jaccard numerator AND denominator describe the
+# filtered sets. Shared by every registered query that feeds on
+# ngram_jaccard_pairs(..., max_shingle_freq=50) — the uncapped ex/sz/inter
+# remain available for oracles that legitimately need exact pairs.
+_DUCK_SHINGLES_FREQ50 = """
     , freq_ok AS (
       SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 50),
     exf AS (
@@ -1580,6 +1582,14 @@ _DUCK_SHINGLES = """
       FROM exf a JOIN exf b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _DUCK_SHINGLES
+    + _DUCK_SHINGLES_FREQ50
+    + """
     SELECT id_a, id_b,
            round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
     FROM interf
@@ -2497,12 +2507,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     # recursive CTE: DuckDB requires RECURSIVE on the WITH chain
     _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _DUCK_SHINGLES_FREQ50
     + """,
     pairs AS (
       SELECT id_a, id_b
-      FROM inter
-      JOIN sz sa ON sa.doc_id = id_a
-      JOIN sz sb ON sb.doc_id = id_b
+      FROM interf
+      JOIN szf sa ON sa.doc_id = id_a
+      JOIN szf sb ON sb.doc_id = id_b
       WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
     edges AS (
       SELECT id_a AS s, id_b AS d FROM pairs
@@ -2519,11 +2530,19 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact 3-gram Jaccard pairs (>=0.6) -> connected
     components via iterative min-label propagation. The one iterative
-    (driver-loop) operator; its oracle is a recursive CTE."""
+    (driver-loop) operator; its oracle is a recursive CTE.
+
+    ``max_shingle_freq=50`` caps the pair stage exactly as
+    ``dedup_ngram_jaccard`` does (and for the same reason: a single hot
+    boilerplate 3-gram makes the shingle self-join group quadratic at
+    corpus scale). Jaccard is over the surviving shingle universe on both
+    sides; the oracle mirrors the filter (_DUCK_SHINGLES_FREQ50)."""
     from etlutil_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
 
     d = load_table(spark, "documents", sf_dir)
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
+    )
     return duplicate_clusters(pairs)
 
 
@@ -9382,12 +9401,13 @@ def orders_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_best_of_cluster",
     # recursive CTE: DuckDB requires RECURSIVE on the WITH chain
     _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _DUCK_SHINGLES_FREQ50
     + """,
     pairs AS (
       SELECT id_a, id_b
-      FROM inter
-      JOIN sz sa ON sa.doc_id = id_a
-      JOIN sz sb ON sb.doc_id = id_b
+      FROM interf
+      JOIN szf sa ON sa.doc_id = id_a
+      JOIN szf sb ON sb.doc_id = id_b
       WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
     edges AS (
       SELECT id_a AS s, id_b AS d FROM pairs
@@ -9423,11 +9443,17 @@ def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds), survivor election is ONE cluster-keyed aggregate over a
     struct-min — no per-cluster window, no second shuffle for the
     count. The doc join broadcasts nothing: members and docs join on
-    doc_id, the dedup family's usual id-keyed shuffle."""
+    doc_id, the dedup family's usual id-keyed shuffle.
+
+    ``max_shingle_freq=50`` caps the pair stage (same contract and oracle
+    mirror as ``dedup_clusters`` / ``dedup_ngram_jaccard``): without it a
+    hot boilerplate shingle makes the self-join group quadratic at 100 TB."""
     from etlutil_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
 
     d = load_table(spark, "documents", sf_dir)
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
+    )
     members = duplicate_clusters(pairs).join(
         d.select(F.col("doc_id").alias("member_id"), "n_chars"), "member_id"
     )

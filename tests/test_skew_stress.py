@@ -223,3 +223,81 @@ class TestSemDeDupDegenerateFit:
                 df, "vec_id", "embedding", k=2, iters=2, radius=1,
                 max_cell_share=1.5,
             )
+
+
+class TestHotShingleCap:
+    """The CC-dedup family's pair stage under its adversarial input: a
+    boilerplate 3-gram shared by EVERY document. Uncapped, that one
+    shingle's self-join group is quadratic in corpus size (the 100 TB
+    scale-killer the r7 verdict named); max_shingle_freq=50 bounds every
+    join group while genuinely near-duplicate pairs — which share RARE
+    shingles — still pair."""
+
+    @pytest.fixture(scope="class")
+    def boilerplate_docs(self, spark):
+        # 400 docs, all starting with the same header (hot shingles), each
+        # with a unique tail; docs 0/1 and 2/3 are genuine near-dup pairs
+        # (identical long rare tails).
+        rows = []
+        header = "terms of service apply here"
+        for i in range(400):
+            if i in (0, 1):
+                tail = "alpha beta gamma delta epsilon zeta eta theta"
+            elif i in (2, 3):
+                tail = "one two three four five six seven eight nine"
+            else:
+                tail = f"unique{i} tail{i} words{i} body{i} text{i} end{i}"
+            rows.append((i, f"{header} {tail}"))
+        return spark.createDataFrame(rows, "doc_id int, text string").localCheckpoint(
+            eager=True
+        )
+
+    def test_cap_keeps_rare_near_dups_and_drops_boilerplate_pairs(
+        self, spark, boilerplate_docs
+    ):
+        from etlutil_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                boilerplate_docs, "doc_id", "text", n=3, threshold=0.6,
+                max_shingle_freq=50,
+            ).collect()
+        }
+        # the genuine near-dups survive (they share rare tail shingles and,
+        # with the hot header shingles filtered from BOTH sets, their
+        # filtered-universe Jaccard is 1.0)...
+        assert (0, 1) in pairs and (2, 3) in pairs
+        # ...and no boilerplate-only pair exists: the hot header shingles
+        # (doc freq 400 > 50) never reach the self-join
+        assert pairs == {(0, 1), (2, 3)}
+
+    def test_capped_clusters_match_ground_truth(self, spark, boilerplate_docs):
+        from etlutil_spark.operators.dedup import (
+            duplicate_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        pairs = ngram_jaccard_pairs(
+            boilerplate_docs, "doc_id", "text", n=3, threshold=0.6,
+            max_shingle_freq=50,
+        )
+        clusters = {
+            r["member_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert clusters == {0: 0, 1: 0, 2: 2, 3: 2}
+
+    def test_registered_cc_queries_pass_the_cap(self):
+        """Source-level contract pin: the two CC catalog queries (whose
+        final plans truncate the pair stage behind a checkpoint, so a
+        plan assertion can't see it) must pass max_shingle_freq to
+        ngram_jaccard_pairs — the cap is what bounds their join groups
+        at corpus scale."""
+        import inspect
+
+        from etlutil_spark import queries as q
+
+        for fn in (q.dedup_clusters, q.dedup_best_of_cluster, q.dedup_ngram_jaccard):
+            src = inspect.getsource(fn)
+            assert "max_shingle_freq=50" in src, fn.__name__
