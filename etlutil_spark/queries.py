@@ -1659,9 +1659,11 @@ def _duck_minhash_lsh_sql(
       FROM inter
       JOIN sz sa ON sa.doc_id = id_a
       JOIN sz sb ON sb.doc_id = id_b
-      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold})
-    SELECT c.id_a, c.id_b, e.jaccard
-    FROM cands c JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}),
+    vpairs AS (
+      SELECT c.id_a, c.id_b, e.jaccard
+      FROM cands c JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b)
+    SELECT id_a, id_b, jaccard FROM vpairs
     """
 
 
@@ -1675,6 +1677,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
     )
+
+
+# LSH-fed CC oracle: the minhash chain's verified-pair CTE (vpairs) feeds
+# the same recursive reach CTE the exact-pair CC oracle uses.
+_DUCK_LSH_CC = (
+    _duck_minhash_lsh_sql()
+    .replace("WITH toks", "WITH RECURSIVE toks", 1)
+    .replace(
+        "SELECT id_a, id_b, jaccard FROM vpairs",
+        """, edges AS (
+      SELECT id_a AS s, id_b AS d FROM vpairs
+      UNION
+      SELECT id_b, id_a FROM vpairs),
+    reach(n, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.n)
+    SELECT n AS member_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY n""",
+        1,
+    )
+)
+
+
+@register("dedup_clusters_lsh", _DUCK_LSH_CC)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters at production shape: MinHash(32)+LSH(8 bands)
+    candidate pairs verified at exact Jaccard>=0.6, then connected
+    components — the pipeline CCNet/Gopher-style curation actually runs
+    at corpus scale. Candidate generation is a band-bucket equi-join
+    (never all-pairs), verification touches candidates only, and the CC
+    stage is the same iterative min-label propagation as
+    ``dedup_clusters`` (whose exact-pair feed stays as the ground-truth
+    twin). Oracle: the minhash verified-pair CTE + recursive reach CTE.
+
+    Scale: every stage is bounded — banding emits O(n*bands) rows, the
+    bucket join groups are capped by band collision width, verify is a
+    semi-join on candidates, and CC rounds are O(component diameter)
+    with checkpoint-truncated lineage. No stage is quadratic in corpus
+    size, unlike the exact feed which needs the stop-shingle cap."""
+    from etlutil_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
+    )
+    return duplicate_clusters(pairs)
 
 
 @register(

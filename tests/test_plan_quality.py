@@ -267,6 +267,11 @@ HEADLINE_BUDGETS = {
     "events_snapshot_diff": (3, 1),
     # map-side row digests + one 256-group XOR aggregate
     "lineitem_checksum_blocks": (1, 0),
+    # serving plan = checkpointed CC labels -> rename projection; the
+    # banding join / candidate verify / min-label supersteps all sit
+    # behind localCheckpoints (pagerank/kmeans pattern), each superstep
+    # one keyed shuffle when it ran
+    "dedup_clusters_lsh": (0, 0),
     # literal query-trigram array: map-side scoring + TakeOrdered top-15
     "part_trigram_search": (0, 0),
     # one segment-keyed decimal power-sum aggregate
