@@ -92,7 +92,13 @@ def bpe_train_merges(
     merges: list[tuple[str, str]] = []
     for _ in range(k):
         syms = _symbols(F.col("w"))
-        pairs = seg.select(
+        # The size>=2 guard must sit BELOW the explode projection: on a
+        # 1-symbol word sequence(1, 0) is the descending [1, 0] and
+        # element_at(syms, 0) is always an INVALID_INDEX error. Filtering
+        # first makes the projected expression total by construction
+        # instead of relying on Catalyst pushing the predicate under the
+        # Generate (an optimizer rewrite, not a semantics guarantee).
+        pairs = seg.where(F.size(syms) >= 2).select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(syms) - 1),
@@ -104,7 +110,7 @@ def bpe_train_merges(
                 )
             ).alias("pair"),
             "c",
-        ).where(F.size(syms) >= 2)
+        )
         top = (
             pairs.groupBy("pair")
             .agg(F.sum("c").cast("bigint").alias("wc"))

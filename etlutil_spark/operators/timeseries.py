@@ -173,18 +173,26 @@ def decay_weight(
     Rows with ts AFTER ref_date get weights > 1 (0.5^negative) — by
     design the caller either filters to ts <= ref_date (the catalog
     query does) or passes ``clamp_future=True``, which clamps the age
-    at 0 days (``greatest(age, 0)``) so every future-dated row gets
-    weight exactly 1.0. Use the clamp whenever the input can contain
-    late-arriving or mis-stamped future rows: without it a single
-    far-future straggler gets weight ``2^(days/half_life)`` and can
-    dominate a recency-weighted mixture.
+    at 0 days so every future-dated row gets weight exactly 1.0. Use
+    the clamp whenever the input can contain late-arriving or
+    mis-stamped future rows: without it a single far-future straggler
+    gets weight ``2^(days/half_life)`` and can dominate a
+    recency-weighted mixture.
+
+    NULL timestamps propagate to a NULL weight on BOTH paths. The clamp
+    is a conditional (``when(age < 0, 0)``), not ``greatest(age, 0)``:
+    greatest() skips NULL operands, so a NULL age — exactly the defect
+    the clamp targets in dirty data — would silently become age 0 and
+    give undated rows full weight 1.0 in a recency mixture.
 
     >>> decay_weight("ts", "2024-01-01", clamp_future=True)
     # row at 2024-06-01 -> weight 1.0 (not 2^(152/90) ~ 3.2)
+    # row with NULL ts -> NULL weight (same as clamp_future=False)
     """
     age = F.datediff(F.to_date(F.lit(ref_date)), F.to_date(ts_col))
     if clamp_future:
-        age = F.greatest(age, F.lit(0))
+        # NULL condition falls through to otherwise(age) = NULL
+        age = F.when(age < F.lit(0), F.lit(0)).otherwise(age)
     return F.round(F.pow(F.lit(0.5), age / F.lit(float(half_life_days))), 9)
 
 

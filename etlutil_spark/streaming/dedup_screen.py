@@ -38,8 +38,6 @@ for any append-heavy table.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,6 +49,26 @@ from etlutil_spark.operators.dedup import (
 
 _DOC_SUBDIR = "docs"
 _INDEX_SUBDIR = "index"
+
+
+def _join(base: str, *parts: str) -> str:
+    """URI-safe path join: plain "/" concatenation, never the host OS's
+    path semantics (the corpus path may be s3a://... or hdfs://...)."""
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so the corpus
+    can live on any Spark-reachable store (s3a://, gs://, hdfs://,
+    file:). ``os.path.exists`` is wrong here: it answers for the
+    DRIVER'S local filesystem only, so on an object-store corpus it is
+    always False and the cross-batch screen would silently never run —
+    every batch would screen only against itself, accepting near-dups
+    of all prior batches with no error."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def read_corpus(
@@ -68,9 +86,9 @@ def read_corpus(
     partition (a partition-pruned filter, no data read) restores the
     exact pre-batch corpus state, so a replay reproduces the first run
     bit for bit."""
-    docs_dir = os.path.join(corpus_path, _DOC_SUBDIR)
-    idx_dir = os.path.join(corpus_path, _INDEX_SUBDIR)
-    if not os.path.exists(docs_dir):
+    docs_dir = _join(corpus_path, _DOC_SUBDIR)
+    idx_dir = _join(corpus_path, _INDEX_SUBDIR)
+    if not _fs_exists(spark, docs_dir):
         return None, None
     docs = spark.read.parquet(docs_dir)
     index = spark.read.parquet(idx_dir)
@@ -149,10 +167,10 @@ def dedup_screen_batch(
         minhash_band_index(
             accepted, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
         ).write.mode("overwrite").partitionBy("band_idx").parquet(
-            os.path.join(corpus_path, _INDEX_SUBDIR, f"batch={batch_id}")
+            _join(corpus_path, _INDEX_SUBDIR, f"batch={batch_id}")
         )
         accepted.write.mode("overwrite").parquet(
-            os.path.join(corpus_path, _DOC_SUBDIR, f"batch={batch_id}")
+            _join(corpus_path, _DOC_SUBDIR, f"batch={batch_id}")
         )
 
     return apply_batch

@@ -251,9 +251,10 @@ HEADLINE_BUDGETS = {
     "docs_bpe_encode_stats": (2, 0),
     # in-array k-gram hashing/selection (map-side); then three keyed
     # shuffles: doc-keyed window, fp-keyed share count, fp-keyed join
-    # back + doc aggregate. The count side has one row per distinct
-    # selected fingerprint — corpus-scale at 100 TB — so it must NOT
-    # broadcast; the shuffle join is the scale-correct shape.
+    # back + doc aggregate. The fp-count side may be broadcast by the
+    # size-based planners at test SF (stats-driven, self-correcting at
+    # scale) but must never be HINTED — pinned by
+    # test_winnowing_fp_broadcast_is_stats_driven_not_forced.
     "docs_winnowing": (3, 0),
     # monthly reduce is the data pass; trend/seasonal windows + joins run
     # on the ~80-row monthly series
@@ -363,6 +364,28 @@ class TestHeadlinePlanBudgets:
         plan = P.formatted_plan(df)
         lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert lines and any("2024-01-08" in l for l in lines), lines
+
+    def test_winnowing_fp_broadcast_is_stats_driven_not_forced(self, spark):
+        """The winnowing fp-share count has one row per distinct selected
+        fingerprint — corpus-scale at 100 TB — so the query must never
+        FORCE it to broadcast (no F.broadcast hint): a hint would OOM at
+        scale. Spark's size-based planners DO broadcast it at test SF
+        (the collapsed side is ~KBs) and that is correct — a runtime-
+        stats decision reverts to the shuffle join when the side is
+        large. Pinned by planning with the size-based paths disabled
+        (threshold=-1, AQE off): any surviving BroadcastExchange could
+        only come from a hint."""
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            df = QUERIES["docs_winnowing"](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     def test_q12_shipdate_range_is_pushed(self, spark):
         """The 1997 ship-date range must reach the lineitem parquet scan

@@ -114,6 +114,24 @@ class TestDedupScreenStream:
         docs, _ = read_corpus(spark, corpus)
         assert sorted(r["doc_id"] for r in docs.collect()) == [1, 2]
 
+    def test_corpus_on_non_local_fs_uri(self, spark, tmp_path):
+        """The corpus-existence probe must go through the Hadoop
+        FileSystem API, not os.path.exists: a ``file:`` URI is invisible
+        to the local-path check (os.path.exists('file:/x') is False even
+        when /x exists), exactly like the s3a://gs://hdfs:// paths a real
+        deployment uses. With the old check every batch would see
+        (None, None), silently skip the cross-batch screen, and accept
+        near-dups of prior batches — this drives the same batches
+        through a file:-URI corpus and pins the cross-batch drops."""
+        corpus = "file:" + str(tmp_path / "corpus")
+        fb = dedup_screen_batch(corpus)
+        for i, rows in enumerate(BATCHES):
+            fb(_batch_df(spark, rows), i)
+        docs, index = read_corpus(spark, corpus)
+        assert docs is not None, "file: URI corpus not detected"
+        got = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        assert got == EXPECTED_ACCEPTED
+
     def test_crash_between_writes_recovers_on_replay(self, spark, tmp_path):
         """Crash-recovery invariant: the index is written BEFORE the
         docs, so the only possible partial state is index-without-docs —

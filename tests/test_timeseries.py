@@ -182,6 +182,7 @@ class TestDecayWeight:
                 ("past", "2023-10-03"),     # 90d before ref -> 0.5
                 ("ref", "2024-01-01"),      # age 0 -> 1.0
                 ("future", "2024-06-01"),   # 152d after ref
+                ("undated", None),          # NULL ts -> NULL both paths
             ],
             "tag string, ts string",
         ).select("tag", F.to_timestamp("ts").alias("ts"))
@@ -206,3 +207,7 @@ class TestDecayWeight:
         assert clamped["past"] == raw["past"]
         assert clamped["ref"] == 1.0
         assert clamped["future"] == 1.0
+        # NULL ts must stay NULL on BOTH paths — greatest(NULL, 0) would
+        # silently give undated rows full weight 1.0 under the clamp
+        assert raw["undated"] is None
+        assert clamped["undated"] is None
