@@ -9643,70 +9643,68 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # r7 window (COVERAGE.md "Round-7 rotation plan").
-    # (0) The one red r6 row — fixed this round (double->DECIMAL cast
-    # divergence replaced with floor(x*1e6+0.5) BIGINT quantization on
-    # both engines); front-loaded for its re-proof.
-    "orders_decayed_revenue",
-    # (0b) new r7 queries — per the r6 verdict rule, a query registered
-    # in r7 fronts the r7 window itself; each displaces one session-4
-    # tail slot into the r8 staging list.
+    # r8 window (COVERAGE.md "Round-8 rotation plan"). CORRECTNESS_r07
+    # came back 50/50 green, so the unproven pool is exactly the four
+    # r7-overflow queries — they take positions 1-4.
+    "part_trigram_search",
+    "customer_balance_moments",
+    "lineitem_quantity_chi2",
+    "orders_km_survival",
+    # r8-new registrations front their own round's window (r6 rule);
+    # each displaces one rotating-green tail slot.
+    "dedup_clusters_lsh",
+    # Re-proofs of queries whose code or oracle changed at r8 start:
+    # the CC family gained the max_shingle_freq=50 cap (+ oracle
+    # mirror), the minhash oracle was refactored into a vpairs CTE, and
+    # the BPE trainer's size>=2 guard moved below the explode.
+    "dedup_clusters",
     "dedup_best_of_cluster",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "docs_bpe_encode_stats",
-    # (1) The 29 session-3 late-r6 queries — registered after the r6
-    # window filled, pytest-parity-green only, never driver-checked.
-    "docs_dedup_url",
-    "docs_ngram_topk_per_lang",
-    "events_dau_wau_mau",
-    "orders_zorder_extents",
-    "sim_ivf_kmeans_topk",
-    "embeddings_cluster_purity",
-    "embeddings_semdedup",
-    "sim_pq_adc_topk",
-    "events_user_skew_report",
-    "orders_rfm_segments",
-    "lineitem_basket_rules",
-    "events_pagerank",
-    "docs_dsir_weights",
     "docs_bpe_pair_merge",
-    "orders_cohort_ltv",
-    "events_inter_arrival_profile",
-    "orders_revenue_trend",
-    "multimodal_frame_plan",
-    "docs_dup_span_fraction",
-    "docs_quality_deciles",
-    "lineitem_abc_classes",
-    "orders_dow_seasonality",
-    "events_time_to_convert",
-    "docs_lang_confusion",
-    "events_lateness_profile",
-    "orders_ship_lag_by_priority",
-    "docs_entropy_by_source",
-    "user_activity_streaks",
-    "events_changepoint_cusum",
-    # (2) Session-4 late-r6 queries in registration order (22 total; the
-    # window holds the first 20 — the overflow pair
-    # lineitem_quantity_chi2 / orders_km_survival stays pytest-covered
-    # and front-loads r8 together with any r7-new queries that get
-    # displaced below).
-    "part_skyline",
-    "orders_benford",
-    "events_gini_by_type",
-    "audit_value_ranges",
-    "events_ewma_daily",
-    "events_multitouch_attribution",
-    "events_session_paths",
-    "dedup_fuzzy_edit",
-    "sample_correlated_join",
-    "pricing_grouping_sets",
-    "docs_vocab_growth",
-    "events_ab_test_summary",
-    "docs_winnowing",
-    "orders_seasonal_decompose",
-    "io_partition_roundtrip",
-    "docs_zipf_fit",
-    "events_snapshot_diff",
-    "lineitem_checksum_blocks",
+    # Rotating green representatives, oldest newest-green-row first:
+    # the r4-window block members not re-proven since r4/r5, then the
+    # r6-start rotator slots (ledger: COVERAGE.md Round-7/8 plans).
+    "sessionize_users_salted",
+    "pricing_rollup",
+    "parts_shipped_both_years",
+    "parts_1996_not_1997",
+    "orders_week_overlap",
+    "daily_active_users",
+    "salted_top_event_types",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "profile_lineitem",
+    "events_props_extract",
+    "revenue_percentiles",
+    "customer_order_moving_avg",
+    "asof_attribution_tolerance",
+    "scd2_customer_priority",
+    "events_pivot_daily_types",
+    "orders_unpivot_price_parts",
+    "events_gap_fill_daily",
+    "lineitem_price_histogram",
+    "lineitem_rollup_maintenance",
+    "orders_price_quartiles",
+    "cms_user_frequency",
+    "events_value_outliers",
+    "multimodal_features",
+    "events_tumbling_hourly",
+    "orders_latest_per_customer",
+    "events_hopping_counts",
+    "events_session_window_30m",
+    "asof_purchase_attribution",
+    "scd2_apply_incremental",
+    "kmv_distinct_events",
+    "pricing_cube",
+    "docs_token_stats",
+    "docs_contamination",
+    "knn_join_topk",
+    "sim_ivf_topk",
+    "sim_topk_bruteforce",
+    "events_top_types_daily",
+    "sessionize_users",
 ]
 
 

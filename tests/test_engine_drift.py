@@ -166,65 +166,24 @@ class TestOracleGuards:
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            # r7: the one red r6 driver row (quantization fix re-proof)...
-            "orders_decayed_revenue",
-            # ...plus the r7-new queries (front their own round's window)
+            # r8: the four r7-overflow queries that have never had a
+            # driver row (the entire remaining never-checked set)...
+            "part_trigram_search",
+            "customer_balance_moments",
+            "lineitem_quantity_chi2",
+            "orders_km_survival",
+            # ...plus the r8-new registrations (front their own window)
+            "dedup_clusters_lsh",
+            # ...plus re-proofs whose code/oracle changed at r8 start
+            # (CC stop-shingle cap + oracle mirror, minhash oracle
+            # refactor, BPE guard reorder) — their green rows predate
+            # the change.
+            "dedup_clusters",
             "dedup_best_of_cluster",
+            "dedup_ngram_jaccard",
+            "dedup_minhash_lsh",
             "docs_bpe_encode_stats",
-            # ...plus the 29 session-3 late-r6 queries that have pytest
-            # parity but no driver row yet.
-            "docs_dedup_url",
-            "docs_ngram_topk_per_lang",
-            "events_dau_wau_mau",
-            "orders_zorder_extents",
-            "sim_ivf_kmeans_topk",
-            "embeddings_cluster_purity",
-            "embeddings_semdedup",
-            "sim_pq_adc_topk",
-            "events_user_skew_report",
-            "orders_rfm_segments",
-            "lineitem_basket_rules",
-            "events_pagerank",
-            "docs_dsir_weights",
             "docs_bpe_pair_merge",
-            "orders_cohort_ltv",
-            "events_inter_arrival_profile",
-            "orders_revenue_trend",
-            "multimodal_frame_plan",
-            "docs_dup_span_fraction",
-            "docs_quality_deciles",
-            "lineitem_abc_classes",
-            "orders_dow_seasonality",
-            "events_time_to_convert",
-            "docs_lang_confusion",
-            "events_lateness_profile",
-            "orders_ship_lag_by_priority",
-            "docs_entropy_by_source",
-            "user_activity_streaks",
-            "events_changepoint_cusum",
-            # ...plus the first 20 session-4 late-r6 queries (registration
-            # order). The overflow (part_trigram_search,
-            # customer_balance_moments, lineitem_quantity_chi2,
-            # orders_km_survival) stays pytest-covered and front-loads
-            # r8 — the unproven pool exceeds the 50-slot window.
-            "part_skyline",
-            "orders_benford",
-            "events_gini_by_type",
-            "audit_value_ranges",
-            "events_ewma_daily",
-            "events_multitouch_attribution",
-            "events_session_paths",
-            "dedup_fuzzy_edit",
-            "sample_correlated_join",
-            "pricing_grouping_sets",
-            "docs_vocab_growth",
-            "events_ab_test_summary",
-            "docs_winnowing",
-            "orders_seasonal_decompose",
-            "io_partition_roundtrip",
-            "docs_zipf_fit",
-            "events_snapshot_diff",
-            "lineitem_checksum_blocks",
         }
         assert must_have <= set(front50)
 
