@@ -183,7 +183,20 @@ EXTENDED = [
     # r7 additions
     "dedup_best_of_cluster",
     "docs_bpe_encode_stats",
+    # r8 additions
+    "dedup_clusters_lsh",
+    "docs_bpe_vocab_encode_stats",
 ]
+
+
+# Reference wall-clock of the calibration job on a quiet baseline box
+# (the r7 judge's re-measurement of the identical job on the hardware
+# class the r1-r6 artifacts were produced on). value_calib_normalized =
+# value * (CALIB_REF_SEC / calib_sec) expresses every round's headline
+# total in baseline-box seconds, so a slow/contended VM placement (r7:
+# calib 2.92 s vs 1.07 s, every query uniformly ~2.7x) reads as a host
+# artifact instead of a plan regression.
+CALIB_REF_SEC = 1.07
 
 
 def main() -> None:
@@ -240,6 +253,7 @@ def main() -> None:
                 "extended": extended,
                 "sf": sf,
                 "calib_sec": calib,
+                "value_calib_normalized": round(total * (CALIB_REF_SEC / calib), 4),
             }
         )
     )
@@ -257,6 +271,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calib_sec": calib,
+                "value_calib_normalized": round(total * (CALIB_REF_SEC / calib), 4),
             }
         )
     )

@@ -147,3 +147,60 @@ def bpe_symbol_count(tok: Column | str, merges: list[tuple[str, str]]) -> Column
     return (F.length(w) - F.length(F.replace(w, F.lit(SYM_L), F.lit("")))).cast(
         "bigint"
     )
+
+
+def bpe_segmentation_table(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(tk, seg, n_sym) over the distinct word vocabulary of
+    ``df[text_col]`` — the LARGE-k encode path.
+
+    The literal-replace chain (`bpe_segmentation`) is linear in merge
+    count: at a production 32k-merge vocab it is a 32k-deep expression
+    applied to EVERY corpus row. This path applies that chain exactly
+    once per DISTINCT token — the Heaps'-law vocabulary, sub-linear in
+    corpus size — and materializes the result as a table
+    (localCheckpoint severs the k-deep expression from downstream
+    plans). Corpus encoding then becomes one tk-keyed equi-join
+    (`bpe_encode_join`): cost independent of k at scan time.
+
+    Crossover: for small k the replace chain is cheaper (no join); for
+    large k the vocab table wins because the chain runs |vocab| times
+    instead of |corpus| times. Both paths provably agree
+    (tests/test_bpe.py pins vocab-encode == literal-replace encode on
+    the same trained merges)."""
+    vocab = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("tk"))
+        .distinct()
+    )
+    seg = bpe_segmentation(F.col("tk"), merges)
+    out = vocab.select(
+        "tk",
+        seg.alias("seg"),
+        (
+            F.length(seg) - F.length(F.replace(seg, F.lit(SYM_L), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    # sever the k-deep replace chain: downstream consumers see a plain
+    # 3-column table, not a re-derivable expression tree
+    return out.localCheckpoint(eager=True)
+
+
+def bpe_encode_join(
+    tok_df: DataFrame, seg_table: DataFrame, *, tok_col: str = "tk"
+) -> DataFrame:
+    """Price each corpus token at its trained symbol count via ONE
+    tk-keyed equi-join against the segmentation table — no replace
+    chain touches the corpus.
+
+    No broadcast hint on purpose: at test SF the planner broadcasts the
+    KB-scale vocab table on its own statistics; at 100 TB a Heaps'-law
+    vocabulary can reach 1e8+ rows and the same statistics keep the
+    shuffle join — the stats-driven self-correction the winnowing
+    fp-join pins in tests/test_plan_quality.py."""
+    return tok_df.join(
+        seg_table.withColumnRenamed("tk", tok_col), tok_col, "inner"
+    )

@@ -9527,19 +9527,27 @@ def _bpe_encode_oracle_sql(k: int = 8) -> str:
     unrolled-oracle recipe): round i extracts adjacent symbol pairs from
     segmentation v{i-1}, picks the (SUM(c) DESC, pair ASC) top-1, and
     applies it as one literal replace; the final join prices every
-    corpus token at its trained segmentation's symbol count."""
+    corpus token at its trained segmentation's symbol count.
+
+    Every CTE is MATERIALIZED: v{i-1} is referenced twice per round
+    (pair extraction + the replace), and without the hint DuckDB
+    inlines the whole chain at each reference — the plan re-derives
+    round i-1 from scratch inside round i, going quadratic in k (k=8
+    measured 4.1 s vs 0.3 s materialized at sf0.001; k=32 additionally
+    exhausts parquet file handles re-opening the view). Results are
+    identical (verified k=8 both forms)."""
     parts = [
-        f"""tok AS (SELECT source, unnest({_DUCK_TOKENS}) AS tk
+        f"""tok AS MATERIALIZED (SELECT source, unnest({_DUCK_TOKENS}) AS tk
          FROM documents WHERE text IS NOT NULL)""",
-        """voc AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk)""",
-        """v0 AS (SELECT tk,
+        """voc AS MATERIALIZED (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk)""",
+        """v0 AS MATERIALIZED (SELECT tk,
                array_to_string(list_transform(range(1, length(tk) + 1),
                                               i -> chr(1) || tk[i] || chr(2)), '') AS w,
                c FROM voc)""",
     ]
     for i in range(1, k + 1):
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
       SELECT t.s[r.j] || chr(3) || t.s[r.j + 1] AS pair, t.c
       FROM (SELECT string_split(substr(w, 2, length(w) - 2),
                                 chr(2) || chr(1)) AS s, c
@@ -9548,11 +9556,11 @@ def _bpe_encode_oracle_sql(k: int = 8) -> str:
       WHERE len(t.s) >= 2)"""
         )
         parts.append(
-            f"""b{i} AS (SELECT pair FROM p{i} GROUP BY pair
+            f"""b{i} AS MATERIALIZED (SELECT pair FROM p{i} GROUP BY pair
              ORDER BY CAST(SUM(c) AS BIGINT) DESC, pair ASC LIMIT 1)"""
         )
         parts.append(
-            f"""v{i} AS (SELECT v.tk,
+            f"""v{i} AS MATERIALIZED (SELECT v.tk,
                replace(v.w,
                        chr(1) || split_part(b.pair, chr(3), 1) || chr(2)
                          || chr(1) || split_part(b.pair, chr(3), 2) || chr(2),
@@ -9561,7 +9569,7 @@ def _bpe_encode_oracle_sql(k: int = 8) -> str:
         FROM v{i - 1} v CROSS JOIN b{i} b)"""
         )
     parts.append(
-        f"""enc AS (SELECT tk,
+        f"""enc AS MATERIALIZED (SELECT tk,
                CAST(length(w) - length(replace(w, chr(1), '')) AS BIGINT) AS n_sym
         FROM v{k})"""
     )
@@ -9629,6 +9637,60 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("docs_bpe_vocab_encode_stats", _bpe_encode_oracle_sql(k=32))
+def docs_bpe_vocab_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE at production merge count: train k=32 merges, then encode via
+    the VOCABULARY-TABLE path (operators/bpe.py:bpe_segmentation_table +
+    bpe_encode_join) instead of the k-deep literal-replace chain — the
+    large-k serving shape. The replace chain runs ONCE per distinct
+    token over the Heaps'-law vocabulary and is materialized
+    (checkpointed) as a (tk, seg, n_sym) table; the corpus pass is one
+    tk-keyed equi-join, cost independent of k. At a real 32k-merge
+    vocab the chain-per-row encode is a 32k-deep expression on every
+    corpus row — this path is why that never happens.
+
+    Scale: training is k bounded vocabulary aggregates (kmeans
+    bounded-driver-state idiom, segmentation checkpointed per round);
+    the encode join has no broadcast hint — the planner broadcasts the
+    KB-scale vocab table at test SF on its own statistics, and a 1e8-row
+    production vocabulary keeps the shuffle join (the stats-driven
+    self-correction test_plan_quality pins for the winnowing fp join).
+    The oracle re-runs all 32 training rounds (unrolled MATERIALIZED
+    CTEs) and prices tokens through the same vocab-table join, so a
+    drift in any learned merge OR in the join-encode fails the hash.
+    Same output schema as ``docs_bpe_encode_stats`` (the k=8
+    chain-encode twin): per-source token/char/symbol volumes with
+    fertility ratios."""
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.bpe import (
+        bpe_encode_join,
+        bpe_segmentation_table,
+        bpe_train_merges,
+    )
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(
+        load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    )
+    merges = bpe_train_merges(d, "text", k=32)
+    seg = bpe_segmentation_table(d, "text", merges)
+    tok = d.select("source", F.explode(tokens("text")).alias("tk"))
+    per = bpe_encode_join(tok, seg).select(
+        "source", F.length("tk").cast("bigint").alias("nc"), "n_sym"
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.sum("n_sym").cast("bigint").alias("n_symbols"),
+        F.round(
+            F.sum("nc").cast("bigint") / F.sum("n_sym").cast("bigint"), 6
+        ).alias("chars_per_symbol"),
+        F.round(F.sum("n_sym").cast("bigint") / F.count("*"), 6).alias(
+            "symbols_per_token"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -9653,6 +9715,7 @@ _DRIVER_FRONT = [
     # r8-new registrations front their own round's window (r6 rule);
     # each displaces one rotating-green tail slot.
     "dedup_clusters_lsh",
+    "docs_bpe_vocab_encode_stats",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -9704,7 +9767,6 @@ _DRIVER_FRONT = [
     "sim_ivf_topk",
     "sim_topk_bruteforce",
     "events_top_types_daily",
-    "sessionize_users",
 ]
 
 

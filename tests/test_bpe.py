@@ -106,6 +106,50 @@ class TestTraining:
             bpe_train_merges(df, "text", k=0)
 
 
+class TestVocabEncode:
+    """The large-k encode path: segmentation table + join must agree
+    bit-for-bit with the literal-replace chain on the same merges."""
+
+    def test_vocab_encode_equals_chain_encode(self, spark, sf_dir):
+        from etlutil_spark.functions.text import tokens
+        from etlutil_spark.operators.bpe import (
+            bpe_encode_join,
+            bpe_segmentation_table,
+            bpe_symbol_count,
+        )
+        from etlutil_spark.sources.testdata import load_table
+
+        d = load_table(spark, "documents", sf_dir).where(
+            F.col("text").isNotNull()
+        )
+        merges = bpe_train_merges(d, "text", k=12)
+        tok = d.select(F.explode(tokens("text")).alias("tk"))
+        chain = tok.select(
+            "tk", bpe_symbol_count("tk", merges).alias("n_sym")
+        )
+        seg = bpe_segmentation_table(d, "text", merges)
+        joined = bpe_encode_join(tok, seg).select("tk", "n_sym")
+        assert sorted(map(tuple, chain.collect())) == sorted(
+            map(tuple, joined.collect())
+        )
+
+    def test_single_char_words_survive_large_k(self, spark):
+        """A fully-merged / 1-char word must neither crash training
+        (the guard-below-explode defect) nor drop out of the
+        segmentation table."""
+        from etlutil_spark.operators.bpe import bpe_segmentation_table
+
+        df = spark.createDataFrame(
+            [("a ab ab abc abc abc x",)], "text string"
+        )
+        merges = bpe_train_merges(df, "text", k=8)  # exhausts early
+        seg = bpe_segmentation_table(df, "text", merges)
+        rows = {r["tk"]: r["n_sym"] for r in seg.collect()}
+        assert rows["a"] == 1 and rows["x"] == 1
+        assert rows["ab"] == 1  # merged
+        assert set(rows) == {"a", "ab", "abc", "x"}
+
+
 class TestRepresentation:
     def test_bracketed_roundtrip(self, spark):
         row = (

@@ -268,6 +268,10 @@ HEADLINE_BUDGETS = {
     "events_snapshot_diff": (3, 1),
     # map-side row digests + one 256-group XOR aggregate
     "lineitem_checksum_blocks": (1, 0),
+    # r8: encode plan = scan spread + vocab-table join (stats-broadcast
+    # at test SF) + one source-keyed aggregate; the 32 training rounds
+    # and the segmentation table sit behind checkpoints
+    "docs_bpe_vocab_encode_stats": (2, 1),
     # serving plan = checkpointed CC labels -> rename projection; the
     # banding join / candidate verify / min-label supersteps all sit
     # behind localCheckpoints (pagerank/kmeans pattern), each superstep
