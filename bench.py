@@ -186,6 +186,8 @@ EXTENDED = [
     # r8 additions
     "dedup_clusters_lsh",
     "docs_bpe_vocab_encode_stats",
+    "docs_hybrid_search_rrf",
+    "events_mann_whitney",
 ]
 
 

@@ -266,3 +266,64 @@ def basket_rules(
         F.col("antecedent").asc(),
         F.col("consequent").asc(),
     ).limit(top_n)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group1,
+    group2,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between ``group1`` and
+    ``group2``'s value distributions: 1 row (n1, n2, u1, z) with the
+    tie-corrected normal approximation — the nonparametric A/B test for
+    skewed metrics (revenue per user, latency) where a t-test's
+    normality assumption fails.
+
+    Ranking never sorts the corpus through one task: rows collapse to
+    the distinct-value table (one keyed aggregate), and the global
+    running count over that table uses exact_cumsum's parallel-ranking
+    recipe (range repartition + exact driver prefix offsets — see
+    operators/quantiles.py), so every stage stays distributed even for
+    a continuous value column whose distinct table is corpus-scale.
+    Tie groups get the textbook average rank, kept integral as
+    avg_rank*2 = 2*cum - n_v + 1; all sums are exact BIGINTs and the
+    closed form is one fixed-shape double expression (z rounded at 6:
+    sqrt ulp discipline)."""
+    from etlutil_spark.operators.quantiles import exact_cumsum
+
+    s = df.where(
+        F.col(group_col).isin(group1, group2) & F.col(value_col).isNotNull()
+    )
+    pv = s.groupBy(value_col).agg(
+        F.sum(F.when(F.col(group_col) == group1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1_v"),
+        F.count("*").cast("bigint").alias("n_v"),
+    )
+    c = exact_cumsum(pv, "n_v", [value_col], cumsum_col="cum")
+    agg = c.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(
+            F.col("n1_v") * (F.lit(2) * F.col("cum") - F.col("n_v") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n1, n, r1x2, ties = F.col("n1"), F.col("n"), F.col("r1x2"), F.col("ties")
+    u1 = (r1x2 - n1 * (n1 + F.lit(1))) / F.lit(2.0)
+    z = (u1 - n1 * (n - n1) / F.lit(2.0)) / F.sqrt(
+        n1 * (n - n1) / F.lit(12.0)
+        * ((n + F.lit(1)) - ties.cast("double") / (n * (n - F.lit(1))))
+    )
+    return agg.select(
+        n1.alias("n1"),
+        (n - n1).cast("bigint").alias("n2"),
+        u1.alias("u1"),
+        F.round(z, 6).alias("z"),
+    )

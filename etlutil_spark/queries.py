@@ -9691,6 +9691,174 @@ def docs_bpe_vocab_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_HYBRID_RRF = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    postings AS (
+      SELECT doc_id, len(tk) AS dl, term, COUNT(*) AS tf
+      FROM t, UNNEST(tk) AS u(term)
+      WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, len(tk), term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(len(tk) AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+              FROM t),
+    contribs AS (
+      SELECT doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               9) AS DECIMAL(38,9)) AS contrib
+      FROM postings JOIN dfreq USING (term) CROSS JOIN stats),
+    bm AS (
+      SELECT doc_id, round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+      FROM contribs GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+    lexr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                         AS BIGINT) AS lex_rank
+             FROM bm),
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    ec AS (
+      SELECT vec_id,
+             round(list_dot_product(e.v, q.v) /
+                   (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 20),
+    vecr AS (SELECT vec_id AS doc_id,
+                    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                         AS BIGINT) AS vec_rank
+             FROM ec),
+    f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 l.lex_rank, v.vec_rank
+          FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+    SELECT doc_id,
+           round(COALESCE(1.0 / (60 + lex_rank), 0)
+                 + COALESCE(1.0 / (60 + vec_rank), 0), 9) AS rrf_score,
+           lex_rank, vec_rank
+    FROM f
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 15
+"""
+
+
+@register("docs_hybrid_search_rrf", _DUCK_HYBRID_RRF)
+def docs_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.):
+    BM25 top-20 over the documents table and exact-cosine top-20 over
+    the embeddings table (vec_id=0 probe, doc_id == vec_id), fused as
+    rrf = sum 1/(60 + rank) over the legs a doc appears in — the
+    standard lexical+vector ensembling a RAG/training-retrieval stack
+    runs, with the canonical rrf k=60.
+
+    Scale: each leg is independently the scale-correct retrieval shape
+    — BM25 shuffles only query-term postings (term filter BEFORE the tf
+    aggregate), the vector leg is a shuffle-free scan +
+    TakeOrderedAndProject heap — and the fusion join/rank/sort all run
+    on the <=40 surviving rows (scalar-scale; SinglePartition there is
+    the 1-row-aggregate exemption, not a data funnel). Determinism:
+    both legs' ranks come from 6-decimal-rounded scores with id
+    tiebreaks (total order), and the fused score is a two-term sum of
+    exact reciprocals rounded at 9."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.operators.similarity import cosine_topk
+    from etlutil_spark.operators.text_analysis import bm25_search
+
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    lex = bm25_search(d, ["vector", "join", "stream"], k=20)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    vec = cosine_topk(e, qvec, k=20)
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .cast("bigint")
+        .alias("vec_rank"),
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 9).alias("rrf_score"),
+            "lex_rank",
+            "vec_rank",
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+
+
+@register(
+    "events_mann_whitney",
+    """
+    WITH s AS (SELECT value, event_type FROM events
+               WHERE event_type IN ('click', 'purchase')
+                 AND value IS NOT NULL),
+    pv AS (SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1_v,
+             CAST(COUNT(*) AS BIGINT) AS n_v
+           FROM s GROUP BY value),
+    c AS (SELECT value, n1_v, n_v,
+             CAST(SUM(n_v) OVER (ORDER BY value) AS BIGINT) AS cum
+          FROM pv),
+    agg AS (SELECT
+             CAST(SUM(n1_v) AS BIGINT) AS n1,
+             CAST(SUM(n_v) AS BIGINT) AS n,
+             CAST(SUM(n1_v * (2 * cum - n_v + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS ties
+            FROM c)
+    SELECT n1, CAST(n - n1 AS BIGINT) AS n2,
+           (r1x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+           round(((r1x2 - n1 * (n1 + 1)) / 2.0 - n1 * (n - n1) / 2.0)
+                 / sqrt(n1 * (n - n1) / 12.0
+                        * ((n + 1) - CAST(ties AS DOUBLE) / (n * (n - 1)))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the 'click' and
+    'purchase' value distributions, with the tie-corrected normal
+    approximation — the standard nonparametric A/B readout when values
+    are skewed and a t-test's normality assumption fails (the
+    rank-based complement of ``events_ab_test_summary``).
+
+    Scale: ranking does NOT sort the corpus through one task. Rows
+    collapse to the distinct-value table first (one keyed aggregate);
+    the global running count over that table comes from exact_cumsum's
+    parallel-ranking recipe (range repartition + per-partition sums +
+    exact driver prefix offsets broadcast back — operators/quantiles.py),
+    so every stage is distributed even when the value column is
+    continuous and the distinct table is corpus-scale. Tie groups get
+    the textbook average rank: avg_rank2x = 2*cum - n_v + 1 keeps all
+    arithmetic integral until the final 1-row closed form. Determinism:
+    every sum is an exact BIGINT; u1 ends in .5 at worst (exact double);
+    z is one fixed-shape double expression over exact integers, rounded
+    at 6 (sqrt ulp discipline)."""
+    from etlutil_spark.operators.analytics import mann_whitney_u
+
+    e = load_table(spark, "events", sf_dir)
+    return mann_whitney_u(e, "value", "event_type", "click", "purchase")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -9716,6 +9884,8 @@ _DRIVER_FRONT = [
     # each displaces one rotating-green tail slot.
     "dedup_clusters_lsh",
     "docs_bpe_vocab_encode_stats",
+    "docs_hybrid_search_rrf",
+    "events_mann_whitney",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -9765,8 +9935,6 @@ _DRIVER_FRONT = [
     "docs_contamination",
     "knn_join_topk",
     "sim_ivf_topk",
-    "sim_topk_bruteforce",
-    "events_top_types_daily",
 ]
 
 

@@ -174,6 +174,9 @@ class TestOracleGuards:
             "orders_km_survival",
             # ...plus the r8-new registrations (front their own window)
             "dedup_clusters_lsh",
+            "docs_bpe_vocab_encode_stats",
+            "docs_hybrid_search_rrf",
+            "events_mann_whitney",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

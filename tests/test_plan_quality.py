@@ -268,6 +268,12 @@ HEADLINE_BUDGETS = {
     "events_snapshot_diff": (3, 1),
     # map-side row digests + one 256-group XOR aggregate
     "lineitem_checksum_blocks": (1, 0),
+    # r8: BM25 leg (postings agg + dfreq/stats broadcasts) + TakeOrdered
+    # vector leg; fusion join/rank/sort run on <=40 rows (scalar scale)
+    "docs_hybrid_search_rrf": (4, 2),
+    # r8: distinct-value agg + exact_cumsum range repartition (prefix
+    # offsets broadcast) + 1-row closed-form reduction
+    "events_mann_whitney": (2, 1),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
@@ -324,6 +330,8 @@ SCALAR_OK = {
     "docs_zipf_fit",  # rank window + 1-row moments over the 500-row head
     "lineitem_quantity_chi2",  # 1-row closed-form reduction
     "orders_km_survival",  # cumulative windows over distinct durations
+    "docs_hybrid_search_rrf",  # rank/fusion windows over the <=40 top-k rows
+    "events_mann_whitney",  # 1-row closed-form U/z reduction
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

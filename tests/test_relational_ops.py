@@ -545,6 +545,7 @@ class TestCatalogPlanGuards:
         "lineitem_basket_rules",  # 1-row basket-count broadcast
         "lineitem_abc_classes",  # 1-row revenue-total broadcast
         "orders_km_survival",  # 1-row horizon-date broadcast
+        "docs_hybrid_search_rrf",  # 1-row avgdl/n_docs broadcast (BM25 leg)
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):

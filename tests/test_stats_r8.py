@@ -1,0 +1,66 @@
+"""Unit tests for the r8 statistics additions, checked against
+hand-computed textbook values (not the DuckDB oracle —
+tests/test_oracle_parity.py covers that)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etlutil_spark.operators.analytics import mann_whitney_u
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+class TestMannWhitney:
+    def test_no_ties_hand_computed(self, spark):
+        """click [1,2,4] vs purchase [3,5]: ranks 1,2,4 -> R1=7,
+        U1 = 7 - 3*4/2 = 1."""
+        df = _df(
+            spark,
+            [("click", 1.0), ("click", 2.0), ("click", 4.0),
+             ("purchase", 3.0), ("purchase", 5.0)],
+        )
+        r = mann_whitney_u(df, "v", "g", "click", "purchase").collect()[0]
+        assert (r["n1"], r["n2"]) == (3, 2)
+        assert r["u1"] == 1.0
+        # z = (U1 - n1 n2/2) / sqrt(n1 n2 (n+1)/12) with no tie term
+        expect_z = (1.0 - 3.0) / math.sqrt(3 * 2 * 6 / 12.0)
+        assert r["z"] == pytest.approx(expect_z, abs=1e-6)
+
+    def test_tied_values_get_average_ranks(self, spark):
+        """click [1,2,2] vs purchase [2,3]: the three 2s share average
+        rank 3 -> R1 = 1 + 3 + 3 = 7, U1 = 7 - 6 = 1; tie term
+        sum(t^3 - t) = 24."""
+        df = _df(
+            spark,
+            [("click", 1.0), ("click", 2.0), ("click", 2.0),
+             ("purchase", 2.0), ("purchase", 3.0)],
+        )
+        r = mann_whitney_u(df, "v", "g", "click", "purchase").collect()[0]
+        assert r["u1"] == 1.0
+        var = 3 * 2 / 12.0 * ((5 + 1) - 24.0 / (5 * 4))
+        expect_z = (1.0 - 3.0) / math.sqrt(var)
+        assert r["z"] == pytest.approx(expect_z, abs=1e-6)
+
+    def test_identical_distributions_z_zero(self, spark):
+        """Same multiset in both groups: U1 = n1*n2/2 exactly, z = 0."""
+        rows = [("click", float(v)) for v in (1, 2, 3, 4)] + [
+            ("purchase", float(v)) for v in (1, 2, 3, 4)
+        ]
+        r = mann_whitney_u(_df(spark, rows), "v", "g", "click", "purchase")
+        row = r.collect()[0]
+        assert row["u1"] == 4 * 4 / 2.0
+        assert row["z"] == 0.0
+
+    def test_other_groups_and_nulls_excluded(self, spark):
+        df = _df(
+            spark,
+            [("click", 1.0), ("purchase", 2.0), ("view", 99.0),
+             ("click", None)],
+        )
+        r = mann_whitney_u(df, "v", "g", "click", "purchase").collect()[0]
+        assert (r["n1"], r["n2"]) == (1, 1)
