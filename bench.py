@@ -188,6 +188,7 @@ EXTENDED = [
     "docs_bpe_vocab_encode_stats",
     "docs_hybrid_search_rrf",
     "events_mann_whitney",
+    "orders_bucketed_join_stats",
 ]
 
 

@@ -9859,6 +9859,74 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(e, "value", "event_type", "click", "purchase")
 
 
+@register(
+    "orders_bucketed_join_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through co-bucketed tables (sources/io.py:
+    write_bucketed): lineitem and orders are persisted bucketed by
+    orderkey into a scratch warehouse, then joined WITHOUT any
+    join-time shuffle — the write-time hash distribution is reused, so
+    a join that repeats daily pays its shuffle exactly once at write.
+    The 100 TB pattern for recurring orders-joins-lineitem workloads;
+    the oracle answers the same aggregate from the raw tables, proving
+    the bucketed roundtrip is lossless end to end (write -> bucketed
+    scan -> co-located join -> aggregate).
+
+    Plan contract: with size-based broadcasts disabled the join subtree
+    has ZERO Exchange nodes (pinned by
+    tests/test_plan_quality.py::test_bucketed_join_reuses_write_distribution);
+    in this returned plan the only shuffle is the priority aggregate.
+    Values are exact: COUNT + DECIMAL(38,4)-quantized quantity sum cast
+    to double at the end."""
+    import tempfile
+
+    from etlutil_spark.sources.io import write_bucketed
+
+    sfx = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    db = f"bktq_{sfx}"
+    loc = f"{tempfile.gettempdir()}/etlutil_spark_bucketed_{sfx}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # a FRESH session's catalog does not know tables a previous session
+    # wrote into this scratch location, and saveAsTable refuses to
+    # create a managed table over an existing directory
+    # (LOCATION_ALREADY_EXISTS) — drop the stale dirs it cannot see
+    for t in ("li", "o"):
+        if not spark.catalog.tableExists(f"{db}.{t}"):
+            jp = spark._jvm.org.apache.hadoop.fs.Path(f"{loc}/{t}")
+            fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jp, True)
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(
+        li, f"{db}.li", bucket_by=["l_orderkey"], n_buckets=8,
+        sort_by=["l_orderkey"],
+    )
+    write_bucketed(
+        o, f"{db}.o", bucket_by=["o_orderkey"], n_buckets=8,
+        sort_by=["o_orderkey"],
+    )
+    joined = spark.table(f"{db}.li").join(
+        spark.table(f"{db}.o"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -9886,6 +9954,7 @@ _DRIVER_FRONT = [
     "docs_bpe_vocab_encode_stats",
     "docs_hybrid_search_rrf",
     "events_mann_whitney",
+    "orders_bucketed_join_stats",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -9934,7 +10003,6 @@ _DRIVER_FRONT = [
     "docs_token_stats",
     "docs_contamination",
     "knn_join_topk",
-    "sim_ivf_topk",
 ]
 
 

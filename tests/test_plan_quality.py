@@ -274,6 +274,10 @@ HEADLINE_BUDGETS = {
     # r8: distinct-value agg + exact_cumsum range repartition (prefix
     # offsets broadcast) + 1-row closed-form reduction
     "events_mann_whitney": (2, 1),
+    # r8: co-bucketed scan-join (zero join-time exchange; pinned hard in
+    # test_bucketed_join_reuses_write_distribution) + priority agg; AQE
+    # may stats-broadcast the small orders side at test SF
+    "orders_bucketed_join_stats": (1, 0),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
@@ -398,6 +402,25 @@ class TestHeadlinePlanBudgets:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
             spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    def test_bucketed_join_reuses_write_distribution(self, spark):
+        """orders_bucketed_join_stats' contract: with size-based
+        broadcasts disabled, the co-bucketed orderkey join plans with
+        exactly ONE Exchange — the priority aggregate above it. A
+        second Exchange means the join stopped reusing the write-time
+        bucketing and re-shuffles both facts on every run, which is the
+        regression this pattern exists to prevent at 100 TB."""
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = QUERIES["orders_bucketed_join_stats"](spark, SF)
+            df.collect()
+            plan = P.formatted_plan(df)
+            assert "SortMergeJoin" in plan, plan
+            assert P.exchange_count(df) == 1, plan
+            assert P.broadcast_count(df) == 0, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
     def test_q12_shipdate_range_is_pushed(self, spark):
         """The 1997 ship-date range must reach the lineitem parquet scan
