@@ -189,6 +189,7 @@ EXTENDED = [
     "docs_hybrid_search_rrf",
     "events_mann_whitney",
     "orders_bucketed_join_stats",
+    "parts_copurchase_triangles",
 ]
 
 

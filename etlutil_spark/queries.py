@@ -9927,6 +9927,83 @@ def orders_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "parts_copurchase_triangles",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01'
+                                         AND DATE '1995-03-31'),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e0
+                  UNION ALL SELECT v FROM e0) n GROUP BY node),
+    o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+                      THEN e0.u ELSE e0.v END AS s,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+                      THEN e0.v ELSE e0.u END AS t,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+                      THEN dv.d ELSE du.d END AS dt
+          FROM e0 JOIN deg du ON du.node = e0.u
+                  JOIN deg dv ON dv.node = e0.v),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT e1.t AS t1, e2.t AS t2
+            FROM o e1 JOIN o e2 ON e1.s = e2.s
+            WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)) w
+      WHERE EXISTS (SELECT 1 FROM o c
+                    WHERE c.s = w.t1 AND c.t = w.t2)),
+    summary AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM deg),
+    ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e0)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM summary, ecnt, tri
+    """,
+)
+def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts that share
+    an order are connected): node/edge/wedge/triangle counts plus the
+    global clustering coefficient — the standard graph-structure readout
+    for recommendation/affinity work on a basket graph.
+
+    Scale (operators/graph.py:triangle_stats): the graph is windowed to
+    one shipping quarter (the pushed-down l_shipdate filter is the same
+    3%-scan discipline every time-bounded query uses); edge
+    construction is a per-order self-join whose groups are bounded by
+    basket size (TPC-H orders hold <= 7 lineitems); the count uses degree-ordered
+    orientation (Suri-Vassilvitskii), so every out-neighborhood in the
+    wedge join is O(sqrt(m)) even on power-law graphs — no stage is
+    all-pairs and no hub vertex can make a join group quadratic. Counts
+    are exact integers; the coefficient is one double division rounded
+    at 6. The oracle re-derives the same oriented-wedge count in SQL."""
+    from etlutil_spark.operators.graph import triangle_stats
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(
+            F.to_date("l_shipdate").between("1995-01-01", "1995-03-31")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_stats(edges)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -9955,6 +10032,7 @@ _DRIVER_FRONT = [
     "docs_hybrid_search_rrf",
     "events_mann_whitney",
     "orders_bucketed_join_stats",
+    "parts_copurchase_triangles",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -10002,7 +10080,6 @@ _DRIVER_FRONT = [
     "pricing_cube",
     "docs_token_stats",
     "docs_contamination",
-    "knn_join_topk",
 ]
 
 

@@ -178,6 +178,7 @@ class TestOracleGuards:
             "docs_hybrid_search_rrf",
             "events_mann_whitney",
             "orders_bucketed_join_stats",
+            "parts_copurchase_triangles",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

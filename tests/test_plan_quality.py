@@ -278,6 +278,10 @@ HEADLINE_BUDGETS = {
     # test_bucketed_join_reuses_write_distribution) + priority agg; AQE
     # may stats-broadcast the small orders side at test SF
     "orders_bucketed_join_stats": (1, 0),
+    # r8: bounded per-order pair join + degree join + oriented wedge
+    # join/semi (AQE may broadcast edge legs at test SF) + three 1-row
+    # summary aggregates crossJoined (scalar)
+    "parts_copurchase_triangles": (10, 0),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
@@ -336,6 +340,7 @@ SCALAR_OK = {
     "orders_km_survival",  # cumulative windows over distinct durations
     "docs_hybrid_search_rrf",  # rank/fusion windows over the <=40 top-k rows
     "events_mann_whitney",  # 1-row closed-form U/z reduction
+    "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -64,3 +64,38 @@ class TestMannWhitney:
         )
         r = mann_whitney_u(df, "v", "g", "click", "purchase").collect()[0]
         assert (r["n1"], r["n2"]) == (1, 1)
+
+
+class TestTriangleStats:
+    def _stats(self, spark, edges):
+        from etlutil_spark.operators.graph import triangle_stats
+
+        df = spark.createDataFrame(edges, "u bigint, v bigint")
+        return triangle_stats(df).collect()[0]
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._stats(spark, k4)
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+        # K4: every wedge closes -> transitivity 1
+        assert r["clustering_coeff"] == 1.0
+
+    def test_triangle_plus_tail(self, spark):
+        """Triangle 0-1-2 plus pendant 2-3: 1 triangle, wedges =
+        1+1+3 = 5, transitivity 3/5."""
+        r = self._stats(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        assert r["n_triangles"] == 1 and r["n_wedges"] == 5
+        assert r["clustering_coeff"] == 0.6
+
+    def test_triangle_free_graph(self, spark):
+        """4-cycle: wedges but zero triangles."""
+        r = self._stats(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+        assert r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0
+
+    def test_input_canonicalization(self, spark):
+        """Reversed duplicates and self-loops must not change counts."""
+        r = self._stats(
+            spark,
+            [(0, 1), (1, 0), (1, 2), (0, 2), (2, 0), (1, 1)],
+        )
+        assert (r["n_edges"], r["n_triangles"]) == (3, 1)
