@@ -190,6 +190,7 @@ EXTENDED = [
     "events_mann_whitney",
     "orders_bucketed_join_stats",
     "parts_copurchase_triangles",
+    "multimodal_audio_chunk_plan",
 ]
 
 

@@ -388,3 +388,84 @@ def resize_media(
             )
 
     return df.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+def make_wav(sample_rate, n_channels, bits, n_samples) -> "F.Column":
+    """Canonical 44-byte RIFF/WAVE PCM header with the given audio
+    parameters — pure expressions, the audio sibling of make_png. The
+    data body is omitted (header-only blob): every consumer here is a
+    decode-free metadata pass, exactly like the image constructors.
+    Validated against CPython's stdlib ``wave`` reader in
+    tests/test_multimodal_audio.py."""
+    sr = sample_rate if isinstance(sample_rate, F.Column) else F.lit(sample_rate)
+    ch = n_channels if isinstance(n_channels, F.Column) else F.lit(n_channels)
+    bt = bits if isinstance(bits, F.Column) else F.lit(bits)
+    ns = n_samples if isinstance(n_samples, F.Column) else F.lit(n_samples)
+    block_align = ch * bt / F.lit(8)
+    data_size = (ns * ch * bt / F.lit(8)).cast("bigint")
+    return F.unhex(
+        F.concat(
+            F.lit("52494646"),                      # 'RIFF'
+            _u32le_hex(data_size + F.lit(36)),      # chunk size
+            F.lit("57415645" + "666D7420"),         # 'WAVE' 'fmt '
+            F.lit("10000000" + "0100"),             # fmt len 16, PCM
+            _u16le_hex(ch),
+            _u32le_hex(sr),
+            _u32le_hex((sr * ch * bt / F.lit(8)).cast("bigint")),  # byte rate
+            _u16le_hex(block_align.cast("bigint")),
+            _u16le_hex(bt),
+            F.lit("64617461"),                      # 'data'
+            _u32le_hex(data_size),
+        )
+    )
+
+
+def _u16le_parse(payload: "F.Column", pos: int) -> "F.Column":
+    h = F.hex(F.substring(payload, pos, 2))
+    return F.conv(
+        F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)), 16, 10
+    ).cast("bigint")
+
+
+def _u32le_parse(payload: "F.Column", pos: int) -> "F.Column":
+    h = F.hex(F.substring(payload, pos, 4))
+    return F.conv(
+        F.concat(
+            F.substring(h, 7, 2),
+            F.substring(h, 5, 2),
+            F.substring(h, 3, 2),
+            F.substring(h, 1, 2),
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def wav_header_fields(payload: "F.Column") -> dict[str, "F.Column"]:
+    """Parse a CANONICAL 44-byte PCM WAV header with pure column
+    expressions (fixed offsets, zero Python): sample_rate, n_channels,
+    bits_per_sample, n_samples — NULL for non-RIFF/WAVE payloads.
+
+    Honest constraint: canonical layout only (fmt directly after RIFF,
+    data directly after fmt — what make_wav and the vast majority of
+    PCM encoders emit). Containers that interleave LIST/INFO chunks
+    need a chunk WALK, which is not a fixed-offset expression — that is
+    parse_media_headers' Arrow marker-walk pattern, applied to RIFF
+    instead of JPEG. At 100 TB the fixed-offset path is the fast lane
+    (whole-stage codegen over the first 44 bytes); route the rare
+    chunked files to the Python walker by the NULL output here."""
+    is_wav = (F.hex(F.substring(payload, 1, 4)) == "52494646") & (
+        F.hex(F.substring(payload, 9, 8)) == "57415645666D7420"
+    )
+    ch = _u16le_parse(payload, 23)
+    sr = _u32le_parse(payload, 25)
+    bits = _u16le_parse(payload, 35)
+    data_size = _u32le_parse(payload, 41)
+    n_samples = (data_size * F.lit(8) / (ch * bits)).cast("bigint")
+    null = F.lit(None).cast("bigint")
+    return {
+        "sample_rate": F.when(is_wav, sr).otherwise(null),
+        "n_channels": F.when(is_wav, ch).otherwise(null),
+        "bits_per_sample": F.when(is_wav, bits).otherwise(null),
+        "n_samples": F.when(is_wav, n_samples).otherwise(null),
+    }

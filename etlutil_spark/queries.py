@@ -10004,6 +10004,97 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+@register(
+    "multimodal_audio_chunk_plan",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 16000
+                  WHEN 1 THEN 22050 ELSE 44100 END AS sr,
+             n_chars * 50 + 1000 AS ns
+      FROM documents),
+    d AS (SELECT doc_id, sr, (ns * 1000) // sr AS dur FROM m),
+    n AS (SELECT doc_id, sr, dur,
+                 1 + (CASE WHEN dur > 10000 THEN dur - 10000 ELSE 0 END
+                      + 8999) // 9000 AS n_chunks
+          FROM d)
+    SELECT doc_id AS media_id,
+           CAST(r.i AS INTEGER) AS chunk_ord,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(r.i * 9000 AS BIGINT) AS start_ms,
+           CAST(LEAST(r.i * 9000 + 10000, dur) AS BIGINT) AS end_ms,
+           CAST((r.i * 9000 * sr) // 1000 AS BIGINT) AS start_sample
+    FROM n, UNNEST(range(0, n_chunks)) AS r(i)
+    """,
+)
+def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan: 10 s windows with 1 s overlap (the standard
+    ASR/audio-embedding segmentation) for each asset, derived from REAL
+    header parsing — payloads are built engine-side as canonical PCM WAV
+    headers (params cycling by doc columns, the construct->parse
+    roundtrip pattern of multimodal_header_parse; make_wav is validated
+    against CPython's stdlib wave reader), then
+    operators/multimodal.py:wav_header_fields reads sample rate and
+    sample count back with pure fixed-offset column expressions — zero
+    Python, whole-stage codegen over the first 44 bytes.
+
+    The plan rows (chunk_ord, start/end ms, start_sample) are the
+    dispatch table an audio pipeline computes BEFORE any decoder runs —
+    only the addressed spans ever reach the (expensive, stubbed-here)
+    decode UDF. All arithmetic is integer (ceil via (x+hop-1) div hop);
+    map-side explode, zero shuffles. The oracle computes the expected
+    plan directly from the doc columns, so a green row proves the
+    binary construct->parse->plan chain is lossless."""
+    from etlutil_spark.operators.multimodal import make_wav, wav_header_fields
+
+    d = load_table(spark, "documents", sf_dir)
+    sr = (
+        F.when(F.col("doc_id") % 3 == 0, 16000)
+        .when(F.col("doc_id") % 3 == 1, 22050)
+        .otherwise(44100)
+    )
+    ns = F.col("n_chars") * 50 + 1000
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        make_wav(sr, F.lit(1) + F.col("doc_id") % 2, F.lit(16), ns).alias(
+            "payload"
+        ),
+    )
+    f = wav_header_fields(F.col("payload"))
+    parsed = media.select(
+        "media_id",
+        f["sample_rate"].alias("sr"),
+        (f["n_samples"] * 1000 / f["sample_rate"])
+        .cast("bigint")
+        .alias("dur"),
+    )
+    n = parsed.withColumn(
+        "n_chunks",
+        F.lit(1)
+        + F.expr("(greatest(dur - 10000, 0L) + 8999) div 9000").cast(
+            "bigint"
+        ),
+    )
+    return (
+        n.select(
+            "media_id",
+            "sr",
+            "dur",
+            F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("i"),
+        )
+        .select(
+            "media_id",
+            F.col("i").cast("int").alias("chunk_ord"),
+            F.col("sr").cast("bigint").alias("sample_rate"),
+            (F.col("i") * 9000).cast("bigint").alias("start_ms"),
+            F.least(F.col("i") * 9000 + 10000, F.col("dur"))
+            .cast("bigint")
+            .alias("end_ms"),
+            F.expr("(i * 9000 * sr) div 1000").cast("bigint").alias("start_sample"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -10033,6 +10124,7 @@ _DRIVER_FRONT = [
     "events_mann_whitney",
     "orders_bucketed_join_stats",
     "parts_copurchase_triangles",
+    "multimodal_audio_chunk_plan",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -10079,7 +10171,6 @@ _DRIVER_FRONT = [
     "kmv_distinct_events",
     "pricing_cube",
     "docs_token_stats",
-    "docs_contamination",
 ]
 
 

@@ -179,6 +179,7 @@ class TestOracleGuards:
             "events_mann_whitney",
             "orders_bucketed_join_stats",
             "parts_copurchase_triangles",
+            "multimodal_audio_chunk_plan",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

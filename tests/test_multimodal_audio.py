@@ -1,0 +1,64 @@
+"""WAV construct/parse (operators/multimodal.py): the engine-built
+headers must be readable by an INDEPENDENT decoder (CPython's stdlib
+``wave``), and the fixed-offset column parser must invert make_wav."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+from pyspark.sql import functions as F
+
+from etlutil_spark.operators.multimodal import make_wav, wav_header_fields
+
+CASES = [
+    (16000, 1, 16, 16000),      # 1s mono 16k
+    (44100, 2, 16, 441000),     # 10s stereo CD
+    (22050, 1, 8, 11025),       # 0.5s 8-bit
+]
+
+
+def _payloads(spark):
+    df = spark.createDataFrame(CASES, "sr long, ch long, bits long, ns long")
+    return df.select(
+        "sr", "ch", "bits", "ns",
+        make_wav(F.col("sr"), F.col("ch"), F.col("bits"), F.col("ns")).alias(
+            "payload"
+        ),
+    )
+
+
+class TestWav:
+    def test_stdlib_wave_reads_our_headers(self, spark):
+        """The independent check: CPython's wave module (not our code)
+        must agree on every parameter of every constructed payload."""
+        for r in _payloads(spark).collect():
+            w = wave.open(io.BytesIO(bytes(r["payload"])))
+            assert w.getframerate() == r["sr"]
+            assert w.getnchannels() == r["ch"]
+            assert w.getsampwidth() == r["bits"] // 8
+            assert w.getnframes() == r["ns"]
+
+    def test_column_parser_inverts_constructor(self, spark):
+        p = _payloads(spark)
+        fields = wav_header_fields(F.col("payload"))
+        back = p.select(
+            "sr", "ch", "bits", "ns",
+            *[c.alias(n) for n, c in fields.items()],
+        )
+        for r in back.collect():
+            assert r["sample_rate"] == r["sr"]
+            assert r["n_channels"] == r["ch"]
+            assert r["bits_per_sample"] == r["bits"]
+            assert r["n_samples"] == r["ns"]
+
+    def test_non_wav_payload_yields_nulls(self, spark):
+        from etlutil_spark.operators.multimodal import make_png
+
+        df = spark.createDataFrame([(1,)], "id int").select(
+            make_png(F.lit(32), F.lit(32)).alias("payload")
+        )
+        fields = wav_header_fields(F.col("payload"))
+        r = df.select(*[c.alias(n) for n, c in fields.items()]).collect()[0]
+        assert all(r[n] is None for n in
+                   ("sample_rate", "n_channels", "bits_per_sample", "n_samples"))

@@ -282,6 +282,9 @@ HEADLINE_BUDGETS = {
     # join/semi (AQE may broadcast edge legs at test SF) + three 1-row
     # summary aggregates crossJoined (scalar)
     "parts_copurchase_triangles": (10, 0),
+    # r8: WAV construct + fixed-offset header parse + chunk explode —
+    # pure column expressions, zero shuffles, zero Python
+    "multimodal_audio_chunk_plan": (0, 0),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
