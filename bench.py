@@ -191,6 +191,7 @@ EXTENDED = [
     "orders_bucketed_join_stats",
     "parts_copurchase_triangles",
     "multimodal_audio_chunk_plan",
+    "docs_pii_redact",
 ]
 
 

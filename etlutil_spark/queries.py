@@ -10095,6 +10095,79 @@ def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_pii_redact",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_PII_CONSTRUCT} AS text FROM documents),
+    r AS (SELECT source, text,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]', '[PII]', 'g'),
+              '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '[PII]', 'g')
+            AS rt
+          FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rt <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_redacted,
+           CAST(SUM((length(rt) - length(replace(rt, '[PII]', ''))) / 5)
+                AS BIGINT) AS n_redactions,
+           CAST(bit_xor(('0x' || substr(md5('red-v1' || rt), 1, 15))::BIGINT)
+                AS BIGINT) AS redacted_checksum
+    FROM r GROUP BY source
+    """,
+)
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a TRANSFORM (functions/text.py:redact_pii — the
+    rewrite docs_pii_report's audit predicts): emails, phones, and IPv4s
+    become '[PII]' markers via a chain of codegen regexp_replace calls
+    (email first so a phone-looking local part can't bite a
+    half-redacted address). Deterministic PII is injected for
+    doc_id % 4 != 0 exactly as in docs_pii_report, so redaction has
+    real targets.
+
+    Verifiability without shipping text: per source, the count of
+    applied redactions (marker occurrences counted with the exact
+    replace-length trick — no regex dialect in the COUNT) and a 60-bit
+    XOR checksum of every redacted document — order-independent,
+    overflow-free, and sensitive to any byte of any rewritten doc, so
+    the oracle hash proves both engines produced IDENTICAL redacted
+    bytes, not merely the same counts. One scan + one source-keyed
+    aggregate, zero Python."""
+    from etlutil_spark.functions.hashing import md5_bigint
+    from etlutil_spark.functions.text import redact_pii
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    m = (F.col("doc_id") % 4).cast("int")
+    injected = F.concat(
+        F.col("text"),
+        F.when(m == 1, F.concat(F.lit(" contact alice."), F.col("doc_id"), F.lit("@mail.example.com now")))
+        .when(m == 2, F.concat(F.lit(" call +1 (555) 010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" or mail bob@ex.example.org")))
+        .when(m == 3, F.concat(F.lit(" server 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"), F.lit(" logged")))
+        .otherwise(F.lit("")),
+    )
+    rt = redact_pii(injected)
+    marker_count = (
+        (F.length(rt) - F.length(F.replace(rt, F.lit("[PII]"), F.lit(""))))
+        / F.lit(5)
+    ).cast("bigint")
+    return d.select(
+        "source",
+        (rt != injected).cast("int").alias("chg"),
+        marker_count.alias("nred"),
+        md5_bigint(rt, seed="red-v1").alias("h"),
+    ).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("chg").cast("bigint").alias("docs_redacted"),
+        F.sum("nred").cast("bigint").alias("n_redactions"),
+        F.bit_xor("h").cast("bigint").alias("redacted_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -10125,6 +10198,7 @@ _DRIVER_FRONT = [
     "orders_bucketed_join_stats",
     "parts_copurchase_triangles",
     "multimodal_audio_chunk_plan",
+    "docs_pii_redact",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -10170,7 +10244,6 @@ _DRIVER_FRONT = [
     "scd2_apply_incremental",
     "kmv_distinct_events",
     "pricing_cube",
-    "docs_token_stats",
 ]
 
 

@@ -180,6 +180,7 @@ class TestOracleGuards:
             "orders_bucketed_join_stats",
             "parts_copurchase_triangles",
             "multimodal_audio_chunk_plan",
+            "docs_pii_redact",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

@@ -285,6 +285,8 @@ HEADLINE_BUDGETS = {
     # r8: WAV construct + fixed-offset header parse + chunk explode —
     # pure column expressions, zero shuffles, zero Python
     "multimodal_audio_chunk_plan": (0, 0),
+    # r8: codegen regex chain + 60-bit digest, one source-keyed agg
+    "docs_pii_redact": (1, 0),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
