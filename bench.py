@@ -192,6 +192,7 @@ EXTENDED = [
     "parts_copurchase_triangles",
     "multimodal_audio_chunk_plan",
     "docs_pii_redact",
+    "docs_length_batching",
 ]
 
 

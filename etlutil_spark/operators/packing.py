@@ -78,3 +78,41 @@ def pack_stats(packed: DataFrame, *, group_col: str | None = None) -> DataFrame:
         F.sum("n_tokens").alias("pack_tokens"),
         F.min("pack_offset").alias("start_offset"),
     )
+
+
+def length_grouped_batches(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    *,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-grouped batch assignment: globally rank documents by
+    (length, id) and cut fixed-count batches of ``batch_size`` — the
+    padding-waste minimizer every training dataloader ships (a batch is
+    padded to its longest member, so batching SIMILAR lengths turns
+    O(spread) waste into near-zero).
+
+    Adds ``batch_id`` (0-based) and ``rank``. The global length order
+    does NOT sort through one task: the rank is exact_cumsum's
+    parallel-ranking recipe (range repartition on (len, id) +
+    per-partition counts + exact driver prefix offsets broadcast back —
+    operators/quantiles.py), so the assignment is deterministic AND
+    distributed at any scale. The last batch may be short; batch_id is
+    dense. Downstream per-batch padding cost is
+    batch_size * max(len) - sum(len) (see docs_length_batching for the
+    sorted-vs-hashed savings readout)."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    from etlutil_spark.operators.quantiles import exact_cumsum
+
+    ranked = exact_cumsum(
+        df.withColumn("_one", F.lit(1)),
+        "_one",
+        [len_col, id_col],
+        cumsum_col="rank",
+    ).drop("_one")
+    return ranked.withColumn(
+        "batch_id",
+        ((F.col("rank") - 1) / F.lit(batch_size)).cast("bigint"),
+    )

@@ -10168,6 +10168,99 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_length_batching",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5('batch-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM documents WHERE text IS NOT NULL),
+    s AS (SELECT n_tok, (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS b
+          FROM t),
+    sb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n, MAX(n_tok) AS m,
+                  CAST(SUM(n_tok) AS BIGINT) AS tot FROM s GROUP BY b),
+    sw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+                  CAST(SUM(n * m - tot) AS BIGINT) AS waste_sorted FROM sb),
+    h AS (SELECT n_tok, (row_number() OVER (ORDER BY hv, doc_id) - 1) // 32 AS b
+          FROM t),
+    hb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n, MAX(n_tok) AS m,
+                  CAST(SUM(n_tok) AS BIGINT) AS tot FROM h GROUP BY b),
+    hw AS (SELECT CAST(SUM(n * m - tot) AS BIGINT) AS waste_hashed FROM hb),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t)
+    SELECT n_docs, n_batches, waste_sorted, waste_hashed,
+           CASE WHEN waste_hashed > 0
+                THEN round(waste_sorted * 1.0 / waste_hashed, 6)
+                ELSE 0.0 END AS waste_ratio
+    FROM c, sw, hw
+    """,
+)
+def docs_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching readout
+    (operators/packing.py:length_grouped_batches): assign docs to
+    32-doc batches once by token-length order and once by a
+    deterministic hash order (the shuffled-dataloader baseline), and
+    report the padding waste of each — a batch pads to its longest
+    member, so the sorted/hashed waste ratio is the compute a training
+    run saves by length-grouping (typically 10-50x less padding).
+
+    Scale: the global length rank never sorts through one task — it is
+    exact_cumsum's range-repartition + exact-prefix-offset recipe; the
+    hash-order rank runs the same machinery on a different key. Waste
+    sums are exact BIGINTs; the ratio is one double division rounded at
+    6. The oracle re-derives both assignments with rank windows."""
+    from etlutil_spark.functions.hashing import md5_bigint
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.packing import length_grouped_batches
+
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("n_tok"),
+            md5_bigint("doc_id", seed="batch-v1").alias("hv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def waste(order_col: str, out: str):
+        b = length_grouped_batches(d, order_col, "doc_id", batch_size=32)
+        per = b.groupBy("batch_id").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("n_tok").alias("m"),
+            F.sum("n_tok").cast("bigint").alias("tot"),
+        )
+        return per.agg(
+            F.count("*").cast("bigint").alias(f"_nb_{out}"),
+            F.sum(F.col("n") * F.col("m") - F.col("tot"))
+            .cast("bigint")
+            .alias(out),
+        )
+
+    sw = waste("n_tok", "waste_sorted")
+    hw = waste("hv", "waste_hashed").drop("_nb_waste_hashed")
+    c = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        c.crossJoin(sw)
+        .crossJoin(hw)
+        .select(
+            "n_docs",
+            F.col("_nb_waste_sorted").alias("n_batches"),
+            "waste_sorted",
+            "waste_hashed",
+            F.when(
+                F.col("waste_hashed") > 0,
+                F.round(
+                    F.col("waste_sorted") * F.lit(1.0) / F.col("waste_hashed"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("waste_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -10199,6 +10292,7 @@ _DRIVER_FRONT = [
     "parts_copurchase_triangles",
     "multimodal_audio_chunk_plan",
     "docs_pii_redact",
+    "docs_length_batching",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -10243,7 +10337,6 @@ _DRIVER_FRONT = [
     "asof_purchase_attribution",
     "scd2_apply_incremental",
     "kmv_distinct_events",
-    "pricing_cube",
 ]
 
 

@@ -181,6 +181,7 @@ class TestOracleGuards:
             "parts_copurchase_triangles",
             "multimodal_audio_chunk_plan",
             "docs_pii_redact",
+            "docs_length_batching",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

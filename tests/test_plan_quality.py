@@ -287,6 +287,9 @@ HEADLINE_BUDGETS = {
     "multimodal_audio_chunk_plan": (0, 0),
     # r8: codegen regex chain + 60-bit digest, one source-keyed agg
     "docs_pii_redact": (1, 0),
+    # r8: two exact_cumsum range repartitions (offsets broadcast) + two
+    # batch aggs + three 1-row scalars crossJoined
+    "docs_length_batching": (7, 2),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
@@ -346,6 +349,7 @@ SCALAR_OK = {
     "docs_hybrid_search_rrf",  # rank/fusion windows over the <=40 top-k rows
     "events_mann_whitney",  # 1-row closed-form U/z reduction
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
+    "docs_length_batching",  # 1-row waste scalars crossJoined
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -99,3 +99,45 @@ class TestTriangleStats:
             [(0, 1), (1, 0), (1, 2), (0, 2), (2, 0), (1, 1)],
         )
         assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+class TestLengthGroupedBatches:
+    def test_assignment_is_rank_order(self, spark):
+        from etlutil_spark.operators.packing import length_grouped_batches
+
+        df = spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate([5, 1, 9, 3, 7, 2, 8])],
+            "doc_id long, n long",
+        )
+        out = length_grouped_batches(df, "n", "doc_id", batch_size=3)
+        rows = {r["doc_id"]: (r["rank"], r["batch_id"]) for r in out.collect()}
+        # length order: 1,2,3,5,7,8,9 -> ids 1,5,3,0,4,6,2
+        assert [rows[i][0] for i in (1, 5, 3, 0, 4, 6, 2)] == list(range(1, 8))
+        assert rows[1][1] == 0 and rows[0][1] == 1 and rows[2][1] == 2
+
+    def test_ties_break_on_id(self, spark):
+        from etlutil_spark.operators.packing import length_grouped_batches
+
+        df = spark.createDataFrame(
+            [(3, 4), (1, 4), (2, 4)], "doc_id long, n long"
+        )
+        out = length_grouped_batches(df, "n", "doc_id", batch_size=2)
+        rows = {r["doc_id"]: r["rank"] for r in out.collect()}
+        assert rows == {1: 1, 2: 2, 3: 3}
+
+    def test_bad_batch_size_raises(self, spark):
+        from etlutil_spark.operators.packing import length_grouped_batches
+
+        df = spark.createDataFrame([(1, 1)], "doc_id long, n long")
+        with pytest.raises(ValueError, match="batch_size"):
+            length_grouped_batches(df, "n", "doc_id", batch_size=0)
+
+    def test_sorted_batching_never_wastes_more(self, spark, sf_dir):
+        """On the real corpus the sorted assignment's padding waste must
+        be at most the hash-order baseline's (the whole point of the
+        operator)."""
+        from etlutil_spark.queries import QUERIES
+
+        r = QUERIES["docs_length_batching"](spark, sf_dir).collect()[0]
+        assert r["waste_sorted"] <= r["waste_hashed"]
+        assert r["n_batches"] == -(-r["n_docs"] // 32)
