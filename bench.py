@@ -193,6 +193,7 @@ EXTENDED = [
     "multimodal_audio_chunk_plan",
     "docs_pii_redact",
     "docs_length_batching",
+    "docs_theil_inequality",
 ]
 
 

@@ -10261,6 +10261,129 @@ def docs_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_theil_inequality",
+    f"""
+    WITH t AS (
+      SELECT source, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS x
+      FROM documents WHERE text IS NOT NULL),
+    nz AS (SELECT source, x FROM t WHERE x > 0),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s FROM nz),
+    g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(x) AS BIGINT) AS sg FROM nz GROUP BY source),
+    w AS (
+      SELECT CAST(SUM(CAST(floor((x * 1.0 / (t.s * 1.0 / t.n))
+                     * ln(x * 1.0 / (t.s * 1.0 / t.n)) * 1e9 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS q_tot
+      FROM nz, tot t),
+    wg AS (
+      SELECT nz.source,
+             CAST(SUM(CAST(floor((x * 1.0 / (g.sg * 1.0 / g.ng))
+                     * ln(x * 1.0 / (g.sg * 1.0 / g.ng)) * 1e9 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS q_g
+      FROM nz JOIN g ON nz.source = g.source
+      GROUP BY nz.source),
+    wsum AS (
+      SELECT CAST(SUM(CAST(floor((g.sg * 1.0 / t.s) * (wg.q_g * 1.0 / g.ng)
+                     + 0.5) AS BIGINT)) AS BIGINT) AS q_within,
+             CAST(SUM(CAST(floor((g.sg * 1.0 / t.s)
+                     * ln((g.sg * 1.0 / g.ng) / (t.s * 1.0 / t.n)) * 1e9
+                     + 0.5) AS BIGINT)) AS BIGINT) AS q_between
+      FROM g JOIN wg ON g.source = wg.source CROSS JOIN tot t)
+    SELECT t.n AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_sources,
+           w.q_tot / (t.n * 1e9) AS theil_total,
+           ws.q_between / 1e9 AS theil_between,
+           ws.q_within / 1e9 AS theil_within
+    FROM tot t, w, wsum ws
+    """,
+)
+def docs_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of token mass over documents,
+    split into BETWEEN-source and WITHIN-source components — the
+    corpus-balance readout a mixture designer reads before reweighting:
+    a high between share means the sources themselves are imbalanced
+    (fix with mixture rates); a high within share means doc lengths are
+    skewed inside sources (fix with chunking/packing). Complements the
+    Gini query (events_gini_by_type) with the decomposable index.
+
+    Determinism: every ln-bearing term is quantized with the repo's
+    floor(x*1e9 + 0.5) BIGINT rule BEFORE summing (ln may differ in the
+    last ulp across engines; DECIMAL/ BIGINT sums are partition-order-
+    exact), and the emitted doubles are raw quantized-sum divisions —
+    no cross-engine round. Scale: one scan -> per-source aggregate
+    (broadcast back) + 1-row global scalar; the per-doc term is
+    map-side. T_total ~= T_between + T_within up to quantization (the
+    identity is exact in real arithmetic)."""
+    from etlutil_spark.functions.text import tokens
+
+    nz = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("source", F.size(tokens("text")).cast("bigint").alias("x"))
+        .where(F.col("x") > 0)
+        .localCheckpoint(eager=False)
+    )
+    tot = nz.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    g = nz.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+    ).localCheckpoint(eager=False)
+
+    def q(expr):
+        return F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+
+    mu = F.col("s") * F.lit(1.0) / F.col("n")
+    r = F.col("x") * F.lit(1.0) / mu
+    w = (
+        nz.crossJoin(F.broadcast(tot))
+        .select(q(r * F.log(r)).alias("t"))
+        .agg(F.sum("t").cast("bigint").alias("q_tot"))
+    )
+    mug = F.col("sg") * F.lit(1.0) / F.col("ng")
+    rg = F.col("x") * F.lit(1.0) / mug
+    wg = (
+        nz.join(F.broadcast(g), "source")
+        .select("source", q(rg * F.log(rg)).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("bigint").alias("q_g"))
+    )
+    share = F.col("sg") * F.lit(1.0) / F.col("s")
+    wsum = (
+        g.join(wg, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                share * (F.col("q_g") * F.lit(1.0) / F.col("ng")) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("qw"),
+            q(share * F.log(mug / mu)).alias("qb"),
+        )
+        .agg(
+            F.sum("qw").cast("bigint").alias("q_within"),
+            F.sum("qb").cast("bigint").alias("q_between"),
+        )
+    )
+    nsrc = g.agg(F.count("*").cast("bigint").alias("n_sources"))
+    return (
+        tot.crossJoin(w)
+        .crossJoin(wsum)
+        .crossJoin(nsrc)
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_sources",
+            (F.col("q_tot") / (F.col("n") * F.lit(1e9))).alias("theil_total"),
+            (F.col("q_between") / F.lit(1e9)).alias("theil_between"),
+            (F.col("q_within") / F.lit(1e9)).alias("theil_within"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -10293,6 +10416,7 @@ _DRIVER_FRONT = [
     "multimodal_audio_chunk_plan",
     "docs_pii_redact",
     "docs_length_batching",
+    "docs_theil_inequality",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -10336,7 +10460,6 @@ _DRIVER_FRONT = [
     "events_session_window_30m",
     "asof_purchase_attribution",
     "scd2_apply_incremental",
-    "kmv_distinct_events",
 ]
 
 

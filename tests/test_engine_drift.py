@@ -182,6 +182,7 @@ class TestOracleGuards:
             "multimodal_audio_chunk_plan",
             "docs_pii_redact",
             "docs_length_batching",
+            "docs_theil_inequality",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

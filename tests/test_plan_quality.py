@@ -290,6 +290,9 @@ HEADLINE_BUDGETS = {
     # r8: two exact_cumsum range repartitions (offsets broadcast) + two
     # batch aggs + three 1-row scalars crossJoined
     "docs_length_batching": (7, 2),
+    # r8: source agg broadcast back + global scalar + map-side quantized
+    # ln terms; 1-row scalars crossJoined
+    "docs_theil_inequality": (8, 3),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
@@ -350,6 +353,7 @@ SCALAR_OK = {
     "events_mann_whitney",  # 1-row closed-form U/z reduction
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined
+    "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

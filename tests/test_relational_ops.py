@@ -548,6 +548,7 @@ class TestCatalogPlanGuards:
         "docs_hybrid_search_rrf",  # 1-row avgdl/n_docs broadcast (BM25 leg)
         "parts_copurchase_triangles",  # 1-row census scalars crossJoined
         "docs_length_batching",  # 1-row waste scalars crossJoined
+        "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):

@@ -141,3 +141,32 @@ class TestLengthGroupedBatches:
         r = QUERIES["docs_length_batching"](spark, sf_dir).collect()[0]
         assert r["waste_sorted"] <= r["waste_hashed"]
         assert r["n_batches"] == -(-r["n_docs"] // 32)
+
+
+class TestTheil:
+    def test_decomposition_identity_and_zero_case(self, spark, sf_dir):
+        """T_total == T_between + T_within up to the 1e-9 quantization,
+        and a perfectly equal corpus scores ~0 on all three."""
+        from etlutil_spark.queries import QUERIES
+
+        r = QUERIES["docs_theil_inequality"](spark, sf_dir).collect()[0]
+        assert r["theil_total"] >= 0
+        gap = abs(r["theil_total"] - r["theil_between"] - r["theil_within"])
+        assert gap < 1e-6
+
+    def test_equal_distribution_scores_zero(self, spark, monkeypatch):
+        """All docs the same length in every source -> every component
+        exactly 0 (ln(1) terms quantize to 0)."""
+        import etlutil_spark.queries as Q
+
+        df = spark.createDataFrame(
+            [(i, "w x y z", "s" + str(i % 3)) for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        monkeypatch.setattr(
+            Q, "load_table", lambda spark_, name, sf: df
+        )
+        r = Q.QUERIES["docs_theil_inequality"](spark, "ignored").collect()[0]
+        assert (r["theil_total"], r["theil_between"], r["theil_within"]) == (
+            0.0, 0.0, 0.0,
+        )
