@@ -17,7 +17,12 @@ mismatch.
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
+
+# `python tools/determinism_sweep.py` puts tools/ (the script dir) on
+# sys.path, not the repo root where __spark_entry__ lives — add it.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pandas as pd
 from pyspark.sql import SparkSession
