@@ -194,6 +194,7 @@ EXTENDED = [
     "docs_pii_redact",
     "docs_length_batching",
     "docs_theil_inequality",
+    "events_periodogram",
 ]
 
 

@@ -10384,6 +10384,103 @@ def docs_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_periodogram",
+    """
+    WITH hourly AS (
+      -- epoch() is DOUBLE and DuckDB's // does NOT floor doubles
+      -- (and CAST..BIGINT rounds half-even): floor explicitly
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    terms AS (
+      SELECT p.period, c,
+             CAST(floor(cos(2 * 3.141592653589793 * (h % p.period)
+                            / p.period) * 1e9 + 0.5) AS BIGINT) AS qc,
+             CAST(floor(sin(2 * 3.141592653589793 * (h % p.period)
+                            / p.period) * 1e9 + 0.5) AS BIGINT) AS qs
+      FROM hourly, (SELECT UNNEST([24, 168]) AS period) p),
+    agg AS (
+      SELECT period,
+             CAST(SUM(c * qc) AS BIGINT) AS cr,
+             CAST(SUM(c * qs) AS BIGINT) AS ci,
+             CAST(SUM(c) AS BIGINT) AS tot
+      FROM terms GROUP BY period)
+    SELECT CAST(period AS BIGINT) AS period_hours,
+           tot AS n_events,
+           (cr * 1.0 / 1e9) * (cr * 1.0 / 1e9)
+             + (ci * 1.0 / 1e9) * (ci * 1.0 / 1e9) AS power,
+           ((cr * 1.0 / 1e9) * (cr * 1.0 / 1e9)
+             + (ci * 1.0 / 1e9) * (ci * 1.0 / 1e9))
+             / (tot * 1.0 * tot) AS power_ratio
+    FROM agg
+    """,
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency periodogram (Goertzel shape) of the hourly event
+    volume at the two cycles an ops/traffic series actually has — daily
+    (24 h) and weekly (168 h): spectral power = |sum c_h * e^(-2 pi i
+    h/T)|^2, reported raw and normalized by total volume squared. High
+    power_ratio at 24 h means strong diurnal structure (seasonality the
+    anomaly detectors must model); the complement of
+    events_hourly_anomaly's time-domain baseline and
+    orders_seasonal_decompose's monthly STL-lite.
+
+    Scale: ONE hour-keyed count aggregate is the only data pass; the
+    trig projection is map-side over the collapsed hourly series and
+    the per-period reduction is a 2-group aggregate. Determinism:
+    cos/sin may differ in the last ulp across libms, so each factor is
+    quantized with the floor(x*1e9+0.5) BIGINT rule BEFORE multiplying
+    by the exact count and summing — all sums are exact integers and
+    the emitted doubles are raw divisions of exact integers (no
+    cross-engine round)."""
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.floor(F.unix_timestamp("ts") / F.lit(3600))
+            .cast("bigint")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    two_pi = 2 * 3.141592653589793
+    t = hourly.select(
+        "c", F.explode(F.array(F.lit(24), F.lit(168))).alias("period"), "h"
+    )
+    ang = F.lit(two_pi) * (F.col("h") % F.col("period")) / F.col("period")
+
+    def q(expr):
+        return F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+
+    agg = (
+        t.select(
+            "period",
+            "c",
+            q(F.cos(ang)).alias("qc"),
+            q(F.sin(ang)).alias("qs"),
+        )
+        .groupBy("period")
+        .agg(
+            F.sum(F.col("c") * F.col("qc")).cast("bigint").alias("cr"),
+            F.sum(F.col("c") * F.col("qs")).cast("bigint").alias("ci"),
+            F.sum("c").cast("bigint").alias("tot"),
+        )
+    )
+    re = F.col("cr") * F.lit(1.0) / F.lit(1e9)
+    im = F.col("ci") * F.lit(1.0) / F.lit(1e9)
+    power = re * re + im * im
+    return agg.select(
+        F.col("period").cast("bigint").alias("period_hours"),
+        F.col("tot").alias("n_events"),
+        power.alias("power"),
+        (power / (F.col("tot") * F.lit(1.0) * F.col("tot"))).alias(
+            "power_ratio"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -10417,6 +10514,7 @@ _DRIVER_FRONT = [
     "docs_pii_redact",
     "docs_length_batching",
     "docs_theil_inequality",
+    "events_periodogram",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -10459,7 +10557,6 @@ _DRIVER_FRONT = [
     "events_hopping_counts",
     "events_session_window_30m",
     "asof_purchase_attribution",
-    "scd2_apply_incremental",
 ]
 
 

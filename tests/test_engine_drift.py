@@ -183,6 +183,7 @@ class TestOracleGuards:
             "docs_pii_redact",
             "docs_length_batching",
             "docs_theil_inequality",
+            "events_periodogram",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

@@ -293,6 +293,9 @@ HEADLINE_BUDGETS = {
     # r8: source agg broadcast back + global scalar + map-side quantized
     # ln terms; 1-row scalars crossJoined
     "docs_theil_inequality": (8, 3),
+    # r8: hour-count agg is the data pass; quantized trig projection +
+    # 2-group reduction over the collapsed hourly series
+    "events_periodogram": (2, 0),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
