@@ -23,17 +23,26 @@ renames, so a crash mid-write never leaves a half-dimension behind.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 
 from etlutil_spark.operators.scd2 import scd2_apply, scd2_intervals
 
 
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) through the Hadoop API — the dimension may
+    live on any Spark-reachable store (s3a://, gs://, hdfs://, file:).
+    os.path/shutil answer only for the driver's local filesystem; with
+    them an object-store dimension silently reads as "absent" and every
+    batch restarts the dimension from scratch (the dedup-screen bug
+    class, r7 advice)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def read_dim(spark: SparkSession, dim_path: str) -> DataFrame | None:
     """Current dimension, or None before the first batch."""
-    if not os.path.exists(dim_path):
+    fs, jp = _fs(spark, dim_path)
+    if not fs.exists(jp):
         return None
     return spark.read.parquet(dim_path)
 
@@ -69,9 +78,15 @@ def scd2_upsert_batch(
         materialized = updated.localCheckpoint(eager=True)
         tmp = dim_path + ".tmp"
         materialized.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(dim_path):
-            shutil.rmtree(dim_path)
-        os.rename(tmp, dim_path)
+        # swap through the Hadoop FS so the sink works on object stores
+        # (rename is atomic on HDFS/local; on S3 it is copy+delete —
+        # same "atomic-ish" caveat the module docstring already states:
+        # real deployments swap this sink for a transactional format)
+        fs, jdim = _fs(spark, dim_path)
+        if fs.exists(jdim):
+            fs.delete(jdim, True)
+        _, jtmp = _fs(spark, tmp)
+        fs.rename(jtmp, jdim)
 
     return apply_batch
 

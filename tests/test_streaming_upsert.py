@@ -205,3 +205,30 @@ class TestStreamStreamJoin:
             map(tuple, want.collect()), key=key
         )
         assert got.count() > 0  # the window actually matches something
+
+
+class TestObjectStorePaths:
+    def test_dim_on_non_local_fs_uri(self, spark, tmp_path):
+        """The dimension path may be an object-store URI: a file: URI is
+        invisible to os.path (the dedup-screen bug class), so this pins
+        that read_dim/the swap go through the Hadoop FS API."""
+        from etlutil_spark.streaming.upsert import read_dim, scd2_upsert_batch
+
+        dim = "file:" + str(tmp_path / "dim")
+        fb = scd2_upsert_batch(dim, "k", "ts", "v")
+        b0 = spark.createDataFrame(
+            [(1, "2024-01-01", "a"), (2, "2024-01-01", "x")],
+            "k long, ts string, v string",
+        ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+        fb(b0, 0)
+        b1 = spark.createDataFrame(
+            [(1, "2024-02-01", "b")], "k long, ts string, v string"
+        ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+        fb(b1, 1)
+        d = read_dim(spark, dim)
+        assert d is not None, "file: URI dimension not detected"
+        rows = sorted(
+            (r["k"], r["v"], r["is_current"]) for r in d.collect()
+        )
+        # key 1 has history a->b (a closed, b current); key 2 current x
+        assert rows == [(1, "a", False), (1, "b", True), (2, "x", True)]
