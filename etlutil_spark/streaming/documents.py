@@ -47,6 +47,8 @@ def stream_documents_from_dir(
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
+    # local-FS-only check by design: object-store paths fall through to
+    # directory semantics (single-file layouts are a testdata artifact)
     if os.path.isfile(docs_dir):
         parent, name = os.path.split(docs_dir)
         reader = reader.option("pathGlobFilter", name)

@@ -105,7 +105,11 @@ def stream_events_from_dir(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     # file stream sources need a directory; a single-file path (the driver's
-    # testdata layout) is streamed as parent-dir + glob on the basename
+    # testdata layout) is streamed as parent-dir + glob on the basename.
+    # os.path.isfile is intentionally local-FS-only here: on an object
+    # store it is False and the path streams with directory semantics —
+    # the correct production behavior (single-file layouts are a
+    # local-testdata artifact)
     if os.path.isfile(events_dir):
         parent, name = os.path.split(events_dir)
         # the basename is used as a GLOB: bracket-escape metacharacters so
