@@ -195,6 +195,8 @@ EXTENDED = [
     "docs_length_batching",
     "docs_theil_inequality",
     "events_periodogram",
+    "io_schema_evolution_roundtrip",
+    "orders_bootstrap_ci",
 ]
 
 

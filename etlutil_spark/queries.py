@@ -10481,6 +10481,155 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "io_schema_evolution_roundtrip",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_orderpriority FROM orders
+                WHERE o_orderkey % 2 = 0),
+    v2 AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           WHERE o_orderkey % 2 = 1)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre_evolution,
+           CAST(SUM(CAST(COALESCE(price, 0) AS DECIMAL(38,4))) AS DOUBLE)
+             AS total_price
+    FROM (SELECT o_orderpriority, NULL AS price FROM v1
+          UNION ALL
+          SELECT o_orderpriority, o_totalprice FROM v2) u
+    GROUP BY o_orderpriority
+    """,
+)
+def io_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution roundtrip: a store written in two generations —
+    v1 (orderkey, priority) and v2 adds o_totalprice — read back as ONE
+    table with ``mergeSchema``, pre-evolution rows surfacing NULL for
+    the new column. The ingest reality of every long-lived 100 TB lake:
+    producers add columns mid-stream and the reader must union the
+    schema without rewriting history. Per priority: row count, how many
+    rows predate the evolution, and the price total over post-evolution
+    rows (exact DECIMAL sum).
+
+    Scale note: mergeSchema footer-merges every file's schema at
+    planning time — fine per-partition-write here; at very large file
+    counts pin the schema explicitly or maintain it in a catalog (the
+    read-side contract is identical). The oracle computes the same
+    union from the raw table, proving the two-generation write -> merge
+    -> aggregate chain lossless. Scratch store under TMPDIR, one
+    overwrite per generation dir, idempotent per run."""
+    import tempfile
+
+    base = (
+        f"{tempfile.gettempdir()}/etlutil_spark_schemaevo_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    o = load_table(spark, "orders", sf_dir)
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(base + "/gen=1")
+    v2.write.mode("overwrite").parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_pre_evolution"),
+        F.sum(_dec(F.coalesce(F.col("o_totalprice"), F.lit(0.0))))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "orders_bootstrap_ci",
+    """
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    x AS (SELECT k, p, CAST(r.b AS BIGINT) AS b
+          FROM o, UNNEST(range(1, 101)) AS r(b)),
+    u AS (SELECT p, b,
+            ('0x' || substr(md5('boot-v1' || CAST(k AS VARCHAR) || '|'
+                                 || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uu
+          FROM x),
+    w AS (SELECT p, b, CASE WHEN uu < 0.36787944117144233 THEN 0 WHEN uu < 0.7357588823428847 THEN 1 WHEN uu < 0.9196986029286058 THEN 2 WHEN uu < 0.9810118431238463 THEN 3 WHEN uu < 0.9963401531726563 THEN 4 WHEN uu < 0.9994058151824183 THEN 5 WHEN uu < 0.999916758850712 THEN 6 WHEN uu < 0.9999897508033253 THEN 7 ELSE 8 END AS w FROM u),
+    m AS (SELECT b,
+            CAST(SUM(w * CAST(p AS DECIMAL(38,4))) AS DOUBLE)
+              / CAST(SUM(w) AS BIGINT) AS mb
+          FROM w GROUP BY b),
+    r AS (SELECT mb, row_number() OVER (ORDER BY mb) AS rnk FROM m)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_orders,
+           (SELECT CAST(SUM(CAST(p AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+            FROM o) AS mean_price,
+           (SELECT mb FROM r WHERE rnk = 3) AS ci_lo,
+           (SELECT mb FROM r WHERE rnk = 98) AS ci_hi
+""",
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap: a 95% confidence interval for
+    the mean order value from B=100 resamples, each row's resample
+    weight drawn as Poisson(1) by inverting the CDF at a content-hash
+    uniform (the Poisson bootstrap of Chamandy et al. / Google's
+    large-scale estimation papers) — THE way to bootstrap on a cluster,
+    because multinomial resampling needs coordinated draws across the
+    dataset while Poisson weights are independent per row: a pure
+    map-side expression, reproducible across engines, retries, and
+    partitionings.
+
+    Determinism: u = md5-unit(key, b) is exact; the CDF thresholds are
+    literal doubles (identical in both engines); per-resample means are
+    exact DECIMAL weighted sums divided once; the CI bounds are the
+    nearest-rank 2.5th/97.5th percentiles (ranks 3 and 98 of the 100
+    sorted means — a rank window over 100 rows, scalar scale). Cost:
+    one map-side x100 weight explode + a 100-group aggregate — no
+    per-resample pass over the data, embarrassingly parallel at any
+    scale."""
+    from etlutil_spark.functions.hashing import md5_bigint
+    from pyspark.sql.window import Window
+
+    B = 100
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    x = o.select(
+        "k", "p",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.lit(B).cast("bigint"))).alias("b"),
+    )
+    uu = (
+        md5_bigint(
+            F.concat(F.col("k").cast("string"), F.lit("|"), F.col("b").cast("string")),
+            seed="boot-v1",
+        )
+        / F.lit(1152921504606846976.0)
+    )
+    w = F.when(F.col("uu") < 0.36787944117144233, 0).when(F.col("uu") < 0.7357588823428847, 1).when(F.col("uu") < 0.9196986029286058, 2).when(F.col("uu") < 0.9810118431238463, 3).when(F.col("uu") < 0.9963401531726563, 4).when(F.col("uu") < 0.9994058151824183, 5).when(F.col("uu") < 0.999916758850712, 6).when(F.col("uu") < 0.9999897508033253, 7).otherwise(8)
+    m = (
+        x.withColumn("uu", uu)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * _dec("p")).cast("double").alias("num"),
+            F.sum("w").cast("bigint").alias("den"),
+        )
+        .select((F.col("num") / F.col("den")).alias("mb"))
+    )
+    r = m.select(
+        "mb", F.row_number().over(Window.orderBy("mb")).alias("rnk")
+    )
+    stats = o.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        (F.sum(_dec("p")).cast("double") / F.count("*")).alias("mean_price"),
+    )
+    lo = r.where(F.col("rnk") == 3).select(F.col("mb").alias("ci_lo"))
+    hi = r.where(F.col("rnk") == 98).select(F.col("mb").alias("ci_hi"))
+    return stats.crossJoin(lo).crossJoin(hi)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -10515,6 +10664,8 @@ _DRIVER_FRONT = [
     "docs_length_batching",
     "docs_theil_inequality",
     "events_periodogram",
+    "io_schema_evolution_roundtrip",
+    "orders_bootstrap_ci",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -10555,8 +10706,6 @@ _DRIVER_FRONT = [
     "events_tumbling_hourly",
     "orders_latest_per_customer",
     "events_hopping_counts",
-    "events_session_window_30m",
-    "asof_purchase_attribution",
 ]
 
 

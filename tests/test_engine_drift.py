@@ -184,6 +184,8 @@ class TestOracleGuards:
             "docs_length_batching",
             "docs_theil_inequality",
             "events_periodogram",
+            "io_schema_evolution_roundtrip",
+            "orders_bootstrap_ci",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

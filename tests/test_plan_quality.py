@@ -296,6 +296,11 @@ HEADLINE_BUDGETS = {
     # r8: hour-count agg is the data pass; quantized trig projection +
     # 2-group reduction over the collapsed hourly series
     "events_periodogram": (2, 0),
+    # r8: merged two-generation scan + one priority aggregate
+    "io_schema_evolution_roundtrip": (1, 0),
+    # r8: map-side x100 Poisson-weight explode + 100-group mean agg;
+    # rank window + CI picks run over the 100-row resample table
+    "orders_bootstrap_ci": (3, 0),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
@@ -357,6 +362,7 @@ SCALAR_OK = {
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined
     "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
+    "orders_bootstrap_ci",  # rank window over the 100-row resample table
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

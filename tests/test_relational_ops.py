@@ -549,6 +549,7 @@ class TestCatalogPlanGuards:
         "parts_copurchase_triangles",  # 1-row census scalars crossJoined
         "docs_length_batching",  # 1-row waste scalars crossJoined
         "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
+        "orders_bootstrap_ci",  # 1-row CI-bound scalars crossJoined
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
