@@ -197,6 +197,7 @@ EXTENDED = [
     "events_periodogram",
     "io_schema_evolution_roundtrip",
     "orders_bootstrap_ci",
+    "sim_ivfadc_topk",
 ]
 
 

@@ -301,6 +301,9 @@ HEADLINE_BUDGETS = {
     # r8: map-side x100 Poisson-weight explode + 100-group mean agg;
     # rank window + CI picks run over the 100-row resample table
     "orders_bootstrap_ci": (3, 0),
+    # r8: serving = scan -> literal cell/code project -> probe filter ->
+    # TakeOrdered; training jobs sit behind the driver-side fits
+    "sim_ivfadc_topk": (0, 0),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
