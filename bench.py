@@ -198,6 +198,7 @@ EXTENDED = [
     "io_schema_evolution_roundtrip",
     "orders_bootstrap_ci",
     "sim_ivfadc_topk",
+    "lineitem_discount_did",
 ]
 
 

@@ -10737,6 +10737,91 @@ def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lineitem_discount_did",
+    """
+    WITH x AS (
+      SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             l_quantity AS q
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'),
+    cells AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS m
+      FROM x GROUP BY treated, post)
+    SELECT
+      CAST((SELECT SUM(n) FROM cells) AS BIGINT) AS n_rows,
+      (SELECT m FROM cells WHERE treated = 0 AND post = 0) AS mean_c_pre,
+      (SELECT m FROM cells WHERE treated = 0 AND post = 1) AS mean_c_post,
+      (SELECT m FROM cells WHERE treated = 1 AND post = 0) AS mean_t_pre,
+      (SELECT m FROM cells WHERE treated = 1 AND post = 1) AS mean_t_post,
+      ((SELECT m FROM cells WHERE treated = 1 AND post = 1)
+       - (SELECT m FROM cells WHERE treated = 1 AND post = 0))
+      - ((SELECT m FROM cells WHERE treated = 0 AND post = 1)
+         - (SELECT m FROM cells WHERE treated = 0 AND post = 0)) AS did
+    """,
+)
+def lineitem_discount_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2x2 cell-mean design (treated =
+    discount >= 5%, post = shipped in 1996 vs 1995) and the DiD
+    estimate (t_post - t_pre) - (c_post - c_pre) of the discount's
+    effect on quantity — the standard quasi-experimental readout when a
+    policy/price change lands at a known date and randomization isn't
+    available (the causal complement of events_ab_test_summary's
+    randomized design and events_mann_whitney's rank test).
+
+    Scale: one filtered scan -> one 4-group aggregate; the 2x2 pivot
+    and the DiD arithmetic run on 4 rows (scalar). Determinism: cell
+    means are exact DECIMAL sums divided once; the DiD is three
+    fixed-shape double subtractions of those quotients — identical in
+    both engines, emitted raw."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.to_date("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    x = li.select(
+        (F.col("l_discount") >= 0.05).cast("int").alias("treated"),
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01")).cast("int").alias("post"),
+        F.col("l_quantity").alias("q"),
+    )
+    cells = (
+        x.groupBy("treated", "post")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.sum(_dec("q")).cast("double") / F.count("*")).alias("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def cell(t, p, out):
+        return (
+            cells.where((F.col("treated") == t) & (F.col("post") == p))
+            .select(F.col("m").alias(out))
+        )
+
+    n = cells.agg(F.sum("n").cast("bigint").alias("n_rows"))
+    out = (
+        n.crossJoin(cell(0, 0, "mean_c_pre"))
+        .crossJoin(cell(0, 1, "mean_c_post"))
+        .crossJoin(cell(1, 0, "mean_t_pre"))
+        .crossJoin(cell(1, 1, "mean_t_post"))
+    )
+    return out.select(
+        "n_rows",
+        "mean_c_pre",
+        "mean_c_post",
+        "mean_t_pre",
+        "mean_t_post",
+        (
+            (F.col("mean_t_post") - F.col("mean_t_pre"))
+            - (F.col("mean_c_post") - F.col("mean_c_pre"))
+        ).alias("did"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
@@ -10774,6 +10859,7 @@ _DRIVER_FRONT = [
     "io_schema_evolution_roundtrip",
     "orders_bootstrap_ci",
     "sim_ivfadc_topk",
+    "lineitem_discount_did",
     # Re-proofs of queries whose code or oracle changed at r8 start:
     # the CC family gained the max_shingle_freq=50 cap (+ oracle
     # mirror), the minhash oracle was refactored into a vpairs CTE, and
@@ -10812,7 +10898,6 @@ _DRIVER_FRONT = [
     "events_value_outliers",
     "multimodal_features",
     "events_tumbling_hourly",
-    "orders_latest_per_customer",
 ]
 
 

@@ -187,6 +187,7 @@ class TestOracleGuards:
             "io_schema_evolution_roundtrip",
             "orders_bootstrap_ci",
             "sim_ivfadc_topk",
+            "lineitem_discount_did",
             # ...plus re-proofs whose code/oracle changed at r8 start
             # (CC stop-shingle cap + oracle mirror, minhash oracle
             # refactor, BPE guard reorder) — their green rows predate

@@ -304,6 +304,9 @@ HEADLINE_BUDGETS = {
     # r8: serving = scan -> literal cell/code project -> probe filter ->
     # TakeOrdered; training jobs sit behind the driver-side fits
     "sim_ivfadc_topk": (0, 0),
+    # r8: one filtered scan -> one 4-group aggregate; 2x2 pivot + DiD
+    # arithmetic run on 4 rows (scalar crossJoins)
+    "lineitem_discount_did": (1, 4),
     # r8: encode plan = scan spread + vocab-table join (stats-broadcast
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
@@ -366,6 +369,7 @@ SCALAR_OK = {
     "docs_length_batching",  # 1-row waste scalars crossJoined
     "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
     "orders_bootstrap_ci",  # rank window over the 100-row resample table
+    "lineitem_discount_did",  # 2x2 cell pivot over 4 rows
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

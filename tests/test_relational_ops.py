@@ -550,6 +550,7 @@ class TestCatalogPlanGuards:
         "docs_length_batching",  # 1-row waste scalars crossJoined
         "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
         "orders_bootstrap_ci",  # 1-row CI-bound scalars crossJoined
+        "lineitem_discount_did",  # 2x2 cell scalars crossJoined
     }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
