@@ -453,9 +453,21 @@ def wav_header_fields(payload: "F.Column") -> dict[str, "F.Column"]:
     parse_media_headers' Arrow marker-walk pattern, applied to RIFF
     instead of JPEG. At 100 TB the fixed-offset path is the fast lane
     (whole-stage codegen over the first 44 bytes); route the rare
-    chunked files to the Python walker by the NULL output here."""
-    is_wav = (F.hex(F.substring(payload, 1, 4)) == "52494646") & (
-        F.hex(F.substring(payload, 9, 8)) == "57415645666D7420"
+    chunked files to the Python walker by the NULL output here.
+
+    The gate checks the FULL canonical contract, not just the RIFF/WAVE
+    magic: fmt chunk size 16 + PCM format tag (a float/extensible fmt
+    has a different size/tag) and the 'data' marker at byte 37 (a
+    LIST/INFO chunk between fmt and data shifts every later offset).
+    Either deviation NULLs all four fields instead of emitting garbage
+    read from the wrong offsets."""
+    is_wav = (
+        (F.hex(F.substring(payload, 1, 4)) == "52494646")
+        & (F.hex(F.substring(payload, 9, 8)) == "57415645666D7420")
+        # fmt chunk length 16 (u32le) + audio format tag 1 = PCM (u16le)
+        & (F.hex(F.substring(payload, 17, 6)) == "100000000100")
+        # 'data' chunk id directly after the 16-byte fmt body
+        & (F.hex(F.substring(payload, 37, 4)) == "64617461")
     )
     ch = _u16le_parse(payload, 23)
     sr = _u32le_parse(payload, 25)

@@ -9535,7 +9535,14 @@ def _bpe_encode_oracle_sql(k: int = 8) -> str:
     round i-1 from scratch inside round i, going quadratic in k (k=8
     measured 4.1 s vs 0.3 s materialized at sf0.001; k=32 additionally
     exhausts parquet file handles re-opening the view). Results are
-    identical (verified k=8 both forms)."""
+    identical (verified k=8 both forms).
+
+    The replace step is a LEFT JOIN on the 1-row top-1 CTE, not a CROSS
+    JOIN: the Spark trainer (bpe_train_merges) breaks early when no
+    mergeable pair remains, and on such a corpus b{i} is EMPTY — a
+    CROSS JOIN would empty v{i} and cascade an empty oracle result
+    while Spark still returns rows. With the LEFT JOIN an exhausted
+    round passes w through unchanged, matching the trainer's break."""
     parts = [
         f"""tok AS MATERIALIZED (SELECT source, unnest({_DUCK_TOKENS}) AS tk
          FROM documents WHERE text IS NOT NULL)""",
@@ -9561,12 +9568,14 @@ def _bpe_encode_oracle_sql(k: int = 8) -> str:
         )
         parts.append(
             f"""v{i} AS MATERIALIZED (SELECT v.tk,
-               replace(v.w,
+               CASE WHEN b.pair IS NULL THEN v.w
+                    ELSE replace(v.w,
                        chr(1) || split_part(b.pair, chr(3), 1) || chr(2)
                          || chr(1) || split_part(b.pair, chr(3), 2) || chr(2),
-                       chr(1) || replace(b.pair, chr(3), '') || chr(2)) AS w,
+                       chr(1) || replace(b.pair, chr(3), '') || chr(2))
+               END AS w,
                v.c
-        FROM v{i - 1} v CROSS JOIN b{i} b)"""
+        FROM v{i - 1} v LEFT JOIN b{i} b ON TRUE)"""
         )
     parts.append(
         f"""enc AS MATERIALIZED (SELECT tk,

@@ -86,7 +86,14 @@ def scd2_upsert_batch(
         if fs.exists(jdim):
             fs.delete(jdim, True)
         _, jtmp = _fs(spark, tmp)
-        fs.rename(jtmp, jdim)
+        # Hadoop FileSystem.rename reports most failures by RETURNING
+        # false, not raising (unlike os.rename) — and the live dim dir
+        # is already deleted above, so a silently failed swap would
+        # leave NO dimension at dim_path and the next batch's read_dim
+        # would restart SCD2 history from scratch. Fail the batch loudly
+        # instead; the checkpoint replays it against the pre-batch state.
+        if not fs.rename(jtmp, jdim):
+            raise IOError(f"rename {tmp} -> {dim_path} failed")
 
     return apply_batch
 

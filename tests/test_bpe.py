@@ -150,6 +150,54 @@ class TestVocabEncode:
         assert set(rows) == {"a", "ab", "abc", "x"}
 
 
+class TestExhaustedOracle:
+    def test_oracle_exhausted_rounds_are_noops(self, spark):
+        """ADVICE r8: bpe_train_merges breaks early when no pair
+        remains; the unrolled oracle must treat those rounds as no-ops
+        (LEFT JOIN on the empty top-1 CTE), not empty the whole chain
+        via a CROSS JOIN. Tiny corpus: 'ab ab a b' exhausts after one
+        merge; the k=8 oracle must still price every token."""
+        import duckdb
+
+        from etlutil_spark.functions.text import tokens
+        from etlutil_spark.queries import _bpe_encode_oracle_sql
+
+        text = "ab ab a b"
+        merges = bpe_train_merges(
+            spark.createDataFrame([(text,)], "text string"), "text", k=8
+        )
+        assert len(merges) < 8  # the corpus really exhausts early
+
+        d = spark.createDataFrame([("s1", text)], "source string, text string")
+        tok = d.select("source", F.explode(tokens("text")).alias("tk"))
+        per = tok.select(
+            "source",
+            F.length("tk").cast("bigint").alias("nc"),
+            bpe_symbol_count("tk", merges).alias("ns"),
+        )
+        got = (
+            per.groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_tokens"),
+                F.sum("nc").cast("bigint").alias("n_chars"),
+                F.sum("ns").cast("bigint").alias("n_symbols"),
+            )
+            .collect()[0]
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT 's1' AS source, '{text}' AS text"
+        )
+        sql = _bpe_encode_oracle_sql(k=8)
+        want = con.execute(sql).fetchall()
+        assert len(want) == 1, "oracle must not collapse to zero rows"
+        w = want[0]  # (source, n_tokens, n_chars, n_symbols, ratios...)
+        assert (got["n_tokens"], got["n_chars"], got["n_symbols"]) == (
+            w[1], w[2], w[3],
+        )
+
+
 class TestRepresentation:
     def test_bracketed_roundtrip(self, spark):
         row = (

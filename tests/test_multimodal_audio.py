@@ -52,6 +52,35 @@ class TestWav:
             assert r["bits_per_sample"] == r["bits"]
             assert r["n_samples"] == r["ns"]
 
+    def test_non_canonical_riff_layouts_yield_nulls(self, spark):
+        """ADVICE r8: a RIFF/WAVE container that is NOT the canonical
+        44-byte PCM layout must NULL out (routing it to the Python
+        chunk walker), never emit garbage read from shifted offsets."""
+        import struct
+
+        def riff(fmt_tag=1, fmt_size=16, list_chunk=False):
+            fmt_body = struct.pack(
+                "<HHIIHH", fmt_tag, 1, 16000, 32000, 2, 16
+            ) + b"\x00" * (fmt_size - 16)
+            body = b"fmt " + struct.pack("<I", fmt_size) + fmt_body
+            if list_chunk:
+                body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+            body += b"data" + struct.pack("<I", 32000)
+            return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+        cases = [
+            ("float_fmt", riff(fmt_tag=3)),          # IEEE-float, not PCM
+            ("extensible", riff(fmt_size=18)),       # cbSize-bearing fmt
+            ("list_chunk", riff(list_chunk=True)),   # LIST between fmt+data
+        ]
+        df = spark.createDataFrame(cases, "name string, payload binary")
+        fields = wav_header_fields(F.col("payload"))
+        for r in df.select(
+            "name", *[c.alias(n) for n, c in fields.items()]
+        ).collect():
+            for n in ("sample_rate", "n_channels", "bits_per_sample", "n_samples"):
+                assert r[n] is None, (r["name"], n, r[n])
+
     def test_non_wav_payload_yields_nulls(self, spark):
         from etlutil_spark.operators.multimodal import make_png
 
