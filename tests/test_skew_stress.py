@@ -301,3 +301,82 @@ class TestHotShingleCap:
         for fn in (q.dedup_clusters, q.dedup_best_of_cluster, q.dedup_ngram_jaccard):
             src = inspect.getsource(fn)
             assert "max_shingle_freq=50" in src, fn.__name__
+
+
+class TestChainComponents:
+    """r9: large-star/small-star CC must converge on chain-shaped
+    components in O(log n) star rounds — the shape (template-drift
+    page A ≈ B ≈ C ≈ ...) where r1-r8's min-label propagation needed
+    O(diameter) rounds and died at the 20-round cap."""
+
+    def test_500_node_chain_converges_and_labels_min(self, spark):
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.dedup import duplicate_clusters
+
+        n = 500
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        # the old min-label algorithm provably needed diameter=499
+        # rounds; the star algorithm must land well inside the same
+        # 20-round cap that killed it
+        out = duplicate_clusters(pairs, max_iterations=20).collect()
+        assert len(out) == n
+        assert all(r["cluster_id"] == 0 for r in out)
+
+    def test_two_chains_and_isolated_edge(self, spark):
+        from etlutil_spark.operators.dedup import duplicate_clusters
+
+        edges = (
+            [(i, i + 1) for i in range(10, 60)]        # chain rooted 10
+            + [(i, i + 1) for i in range(100, 140)]    # chain rooted 100
+            + [(1000, 2000)]                           # isolated pair
+        )
+        out = {
+            r["member_id"]: r["cluster_id"]
+            for r in duplicate_clusters(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        assert all(out[i] == 10 for i in range(10, 61))
+        assert all(out[i] == 100 for i in range(100, 141))
+        assert out[1000] == 1000 and out[2000] == 1000
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        import random
+
+        from etlutil_spark.operators.dedup import duplicate_clusters
+
+        rnd = random.Random(20260815)
+        edges = list(
+            {
+                (a, b)
+                for a, b in (
+                    (rnd.randint(0, 299), rnd.randint(0, 299))
+                    for _ in range(250)
+                )
+                if a != b
+            }
+        )
+        out = {
+            r["member_id"]: r["cluster_id"]
+            for r in duplicate_clusters(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {node: find(node) for node in parent}
+        assert out == want
