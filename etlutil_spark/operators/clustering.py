@@ -481,6 +481,7 @@ def ivfadc_topk(
     pq_iters: int = 2,
     topk: int = 10,
     scale: int = DEFAULT_SCALE,
+    residual: bool = True,
 ) -> DataFrame:
     """IVFADC — the full FAISS billion-scale serving architecture:
     a k-means coarse quantizer prunes the corpus to the ``nprobe``
@@ -491,15 +492,25 @@ def ivfadc_topk(
     at 1e9+ vectors the scan touches nprobe/k of the corpus AND reads
     m-byte codes instead of raw floats.
 
-    Deliberate simplification vs FAISS: codebooks are trained on RAW
-    vectors, not per-cell residuals (residual encoding adds a
-    subtraction before code assignment and retrains per structure
-    change; the pruning + table-lookup serving shape — the part that
-    matters at scale — is identical). Serving plan: scan -> project
-    (cell + codes from literal centroids/codebooks) -> filter (cell in
-    probes) -> TakeOrderedAndProject; zero shuffles, zero joins.
-    Everything after quantization is exact integer math — the unrolled
-    SQL oracle reproduces probes, codes, and ranking bit for bit."""
+    ``residual=True`` (the FAISS default, and ours since r9): PQ
+    codebooks train on and encode RESIDUALS x - centroid(cell(x)), and
+    the per-query distance tables are computed PER PROBED CELL from the
+    query's residual against that cell's centroid. Raw-vector
+    codebooks (``residual=False``, the r8 behavior, kept for the
+    recall A/B in tests/test_ann_quality.py) waste code entropy
+    re-describing the coarse structure the cell id already encodes;
+    residual PQ spends all m*log2(ksub) bits on the within-cell offset
+    — the property that keeps ADC accurate at high compression.
+
+    Serving plan is unchanged by the residual step: scan -> project
+    (cell, residual, codes — centroids AND codebooks AND the k-cell
+    query tables all ride as literals) -> filter (cell in probes) ->
+    TakeOrderedAndProject; zero shuffles, zero joins. Training adds one
+    map-side subtraction before the codebook fits. Everything after
+    quantization is exact integer math (residuals are differences of
+    quantized integers) — the unrolled SQL oracle reproduces probes,
+    codes, and ranking bit for bit, including retraining every codebook
+    on the residual corpus."""
     if not 1 <= nprobe <= k:
         raise ValueError(f"nprobe must be in [1, k], got nprobe={nprobe} k={k}")
     centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters, scale=scale)
@@ -516,24 +527,59 @@ def ivfadc_topk(
     )
     probes = [int(j) for _, j in by_dist[:nprobe]]
 
-    codebooks = pq_train_codebooks(
-        df, id_col, vec_col, m=m, ksub=ksub, iters=pq_iters, scale=scale
-    )
-    tables = [
-        [sum((qv[s * dsub + t] - c[t]) ** 2 for t in range(dsub)) for c in cb]
-        for s, cb in enumerate(codebooks)
-    ]
-
     q = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
         F.col(id_col), _quantize(vec_col, scale).alias("_qv")
     )
     cell = _best_cluster(centroids)["c"]
+    cent_lit = F.array(*[F.lit(c).cast("array<bigint>") for c in centroids])
+
+    if residual:
+        # residuals are already exact integers: train with scale=1
+        # (floor(double(int)*1.0) is the identity below 2^53)
+        rv = F.zip_with(
+            "_qv",
+            F.element_at(cent_lit, (cell + 1).cast("int")),
+            lambda a, b: a - b,
+        )
+        resid = q.select(F.col(id_col), rv.alias("_rv"))
+        codebooks = pq_train_codebooks(
+            resid, id_col, "_rv", m=m, ksub=ksub, iters=pq_iters, scale=1
+        )
+        # per-probed-cell query tables: the query's residual against
+        # cell j scores against the shared codebooks; non-probed cells
+        # keep zero rows (they are filtered before the lookup)
+        tables = [[[0] * ksub for _ in range(m)] for _ in range(k)]
+        for j in probes:
+            qres = [a - b for a, b in zip(qv, centroids[j])]
+            for s, cb in enumerate(codebooks):
+                tables[j][s] = [
+                    sum((qres[s * dsub + t] - c[t]) ** 2 for t in range(dsub))
+                    for c in cb
+                ]
+        tbl_lit = F.lit(tables).cast("array<array<array<bigint>>>")
+        code_src = rv
+    else:
+        codebooks = pq_train_codebooks(
+            df, id_col, vec_col, m=m, ksub=ksub, iters=pq_iters, scale=scale
+        )
+        flat = [
+            [
+                sum((qv[s * dsub + t] - c[t]) ** 2 for t in range(dsub))
+                for c in cb
+            ]
+            for s, cb in enumerate(codebooks)
+        ]
+        tables = [flat for _ in range(k)]  # cell-independent tables
+        tbl_lit = F.lit(tables).cast("array<array<array<bigint>>>")
+        code_src = F.col("_qv")
+
+    cell_tbl = F.element_at(tbl_lit, (cell + 1).cast("int"))
     adc = None
     for s in range(m):
-        subq = F.slice("_qv", s * dsub + 1, dsub)
+        subq = F.slice(code_src, s * dsub + 1, dsub)
         code = _best_cluster(codebooks[s], subq)["c"]
         term = F.element_at(
-            F.lit(tables[s]).cast("array<bigint>"), (code + 1).cast("int")
+            F.element_at(cell_tbl, s + 1), (code + 1).cast("int")
         )
         adc = term if adc is None else adc + term
     return (

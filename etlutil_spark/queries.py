@@ -10662,10 +10662,15 @@ def _ivfadc_oracle_sql(
     dim: int = 64,
     topk: int = 10,
 ) -> str:
-    """IVFADC mirror: the coarse Lloyd's chain (sfx _c) prunes to the
-    nprobe cells nearest the query; the per-subspace chains train the
-    codebooks; ADC sums the per-query table hits over the probed
-    vectors only."""
+    """IVFADC mirror, residual form (r9): the coarse Lloyd's chain
+    (sfx _c) prunes to the nprobe cells nearest the query; the RESIDUAL
+    table (x - centroid(cell(x)), exact integer differences) feeds the
+    per-subspace codebook chains; the per-query distance tables are
+    computed PER PROBED CELL from the query's residual against that
+    cell's centroid, and ADC sums the (cell, code) table hits over the
+    probed vectors only. ``resid`` is MATERIALIZED: all m chains
+    reference it, and DuckDB would otherwise re-inline (and re-derive)
+    the whole coarse chain once per subspace — the BPE-oracle lesson."""
     dsub = dim // m
     rng = f"range(1, {dim + 1})"
     parts = [f"qfull AS (\n      {_DUCK_QUANTIZED_EMBEDDINGS})"]
@@ -10680,10 +10685,19 @@ def _ivfadc_oracle_sql(
                                         for i in {rng} ]) AS BIGINT),
                         {ccents}.cluster
                LIMIT {nprobe})""")
+    parts.append(f"""
+    resid AS MATERIALIZED (
+      SELECT a.vec_id, [ a.v[i] - cc.c[i] for i in {rng} ] AS v
+      FROM {cfinal} a JOIN {ccents} cc USING (cluster))""")
+    parts.append(f"""
+    qres AS (SELECT p.cluster AS cell,
+                    [ qv.v[i] - cc.c[i] for i in {rng} ] AS v
+             FROM probes p JOIN {ccents} cc ON cc.cluster = p.cluster
+             CROSS JOIN qv)""")
     cents, finals = [], []
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
-        src = f"SELECT vec_id, v[{lo}:{hi}] AS v FROM qfull"
+        src = f"SELECT vec_id, v[{lo}:{hi}] AS v FROM resid"
         chain, cname, aname = _kmeans_chain(
             ksub, pq_iters, dsub, sfx=f"_i{s}", source_sql=src
         )
@@ -10693,13 +10707,13 @@ def _ivfadc_oracle_sql(
     for s in range(m):
         off = s * dsub
         parts.append(f"""
-    ti{s} AS (SELECT {cents[s]}.cluster AS code,
-                    CAST(list_sum([ (qv.v[{off} + i] - {cents[s]}.c[i]) * (qv.v[{off} + i] - {cents[s]}.c[i])
+    ti{s} AS (SELECT qres.cell, {cents[s]}.cluster AS code,
+                    CAST(list_sum([ (qres.v[{off} + i] - {cents[s]}.c[i]) * (qres.v[{off} + i] - {cents[s]}.c[i])
                                     for i in range(1, {dsub + 1}) ]) AS BIGINT) AS d
-             FROM {cents[s]} CROSS JOIN qv)""")
+             FROM {cents[s]} CROSS JOIN qres)""")
     joins = "".join(
         f"\n    JOIN {finals[s]} f{s} ON b.vec_id = f{s}.vec_id"
-        f"\n    JOIN ti{s} ON f{s}.cluster = ti{s}.code"
+        f"\n    JOIN ti{s} ON f{s}.cluster = ti{s}.code AND ti{s}.cell = fc.cluster"
         for s in range(m)
     )
     total = " + ".join(f"ti{s}.d" for s in range(m))
@@ -10729,10 +10743,14 @@ def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors the scan touches nprobe/k of the corpus AND reads 8-byte
     codes instead of raw floats. Serving is scan -> literal-expression
     project -> probe filter -> TakeOrderedAndProject: zero shuffles.
-    The unrolled-SQL oracle re-trains the coarse quantizer AND all 8
-    codebooks and reproduces probes, codes, and ranking bit for bit.
-    Honest deviation from FAISS noted in the operator: codebooks train
-    on raw vectors, not per-cell residuals."""
+    r9: codebooks train on per-cell RESIDUALS (x - coarse centroid) and
+    the query tables are per-probed-cell, closing the r8 deviation from
+    the FAISS architecture — residual PQ spends all code entropy on the
+    within-cell offset, the property that preserves recall at high
+    compression (A/B pinned in tests/test_ann_quality.py). The
+    unrolled-SQL oracle re-trains the coarse quantizer AND all 8
+    residual codebooks and reproduces probes, codes, and ranking bit
+    for bit."""
     from etlutil_spark.operators.clustering import ivfadc_topk
 
     e = load_table(spark, "embeddings", sf_dir)

@@ -80,3 +80,71 @@ class TestRecallFloor:
         r2 = _recalls(spark, n_planes=8, radius=2)
         assert all(b >= a for a, b in zip(r1, r2))
         assert sum(r2) > sum(r1)  # strictly better somewhere
+
+
+class TestIvfadcResidualRecall:
+    """r9: residual-trained codebooks (the FAISS IVFADC architecture)
+    must beat raw-vector codebooks on a clustered corpus — raw PQ
+    spends its code entropy re-describing the coarse structure the cell
+    id already encodes, so within-cell candidates collapse to
+    near-identical codes and the top-k degenerates toward id order."""
+
+    def _corpus(self, spark):
+        import math as _math
+        import random
+
+        rnd = random.Random(42)
+        d, n_clusters, per = 16, 8, 40
+        centers = [
+            [rnd.uniform(-50, 50) for _ in range(d)] for _ in range(n_clusters)
+        ]
+        rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(per):
+                rows.append(
+                    (vid, [x + rnd.uniform(-0.5, 0.5) for x in c])
+                )
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qv = rows[0][1]
+        # exact ground truth in the operator's own metric: integer
+        # squared-L2 over floor(x * scale) quantized vectors
+        scale = 1_000_000
+        qq = [_math.floor(x * scale) for x in qv]
+        dists = sorted(
+            (
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip([_math.floor(x * scale) for x in v], qq)
+                ),
+                i,
+            )
+            for i, v in rows
+        )
+        exact = {i for _, i in dists[:10]}
+        return df, qv, exact
+
+    def test_residual_beats_raw_on_clustered_corpus(self, spark):
+        from etlutil_spark.operators.clustering import ivfadc_topk
+
+        df, qv, exact = self._corpus(spark)
+        kwargs = dict(
+            k=8, iters=3, nprobe=2, m=4, ksub=8, pq_iters=3, topk=10
+        )
+        res = {
+            r["vec_id"]
+            for r in ivfadc_topk(
+                df, "vec_id", "embedding", qv, residual=True, **kwargs
+            ).collect()
+        }
+        raw = {
+            r["vec_id"]
+            for r in ivfadc_topk(
+                df, "vec_id", "embedding", qv, residual=False, **kwargs
+            ).collect()
+        }
+        recall_res = len(res & exact) / 10
+        recall_raw = len(raw & exact) / 10
+        assert recall_res >= recall_raw, (recall_res, recall_raw)
+        assert recall_res >= 0.6, f"residual recall floor: {recall_res}"
