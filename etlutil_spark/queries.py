@@ -9880,52 +9880,51 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join through co-bucketed tables (sources/io.py:
-    write_bucketed): lineitem and orders are persisted bucketed by
-    orderkey into a scratch warehouse, then joined WITHOUT any
-    join-time shuffle — the write-time hash distribution is reused, so
-    a join that repeats daily pays its shuffle exactly once at write.
-    The 100 TB pattern for recurring orders-joins-lineitem workloads;
-    the oracle answers the same aggregate from the raw tables, proving
-    the bucketed roundtrip is lossless end to end (write -> bucketed
-    scan -> co-located join -> aggregate).
+    """Fact-fact join through co-bucketed tables: a READ-ONLY co-located
+    join over the bucketed store, which is built AT MOST ONCE per box by
+    the sources/io.py:ensure_bucketed_table fixture (r9 split, per the
+    r8 verdict: the r8 form re-wrote both tables on every invocation, so
+    the catalog entry measured write+join and mutated scratch state
+    inside a query function — at 100x the write dominates). Steady
+    state, including a FRESH session over a previously-built store, is
+    metadata-only reattach + bucketed scans; the write-time hash
+    distribution is reused so the join itself never shuffles — the
+    100 TB pattern for recurring orders-joins-lineitem workloads. The
+    oracle answers the same aggregate from the raw tables, proving the
+    roundtrip (write-once -> reattach -> co-located join) lossless.
 
     Plan contract: with size-based broadcasts disabled the join subtree
     has ZERO Exchange nodes (pinned by
-    tests/test_plan_quality.py::test_bucketed_join_reuses_write_distribution);
+    tests/test_plan_quality.py::test_bucketed_join_reuses_write_distribution,
+    which also pins the cross-session reattach path);
     in this returned plan the only shuffle is the priority aggregate.
     Values are exact: COUNT + DECIMAL(38,4)-quantized quantity sum cast
     to double at the end."""
     import tempfile
 
-    from etlutil_spark.sources.io import write_bucketed
+    from etlutil_spark.sources.io import ensure_bucketed_table
 
     sfx = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     db = f"bktq_{sfx}"
     loc = f"{tempfile.gettempdir()}/etlutil_spark_bucketed_{sfx}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    # a FRESH session's catalog does not know tables a previous session
-    # wrote into this scratch location, and saveAsTable refuses to
-    # create a managed table over an existing directory
-    # (LOCATION_ALREADY_EXISTS) — drop the stale dirs it cannot see
-    for t in ("li", "o"):
-        if not spark.catalog.tableExists(f"{db}.{t}"):
-            jp = spark._jvm.org.apache.hadoop.fs.Path(f"{loc}/{t}")
-            fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(jp, True)
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_quantity"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    ensure_bucketed_table(
+        spark,
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_quantity"
+        ),
+        f"{db}.li",
+        bucket_by=["l_orderkey"], n_buckets=8, sort_by=["l_orderkey"],
+        path=f"{loc}/li",
     )
-    o = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_orderpriority"
-    )
-    write_bucketed(
-        li, f"{db}.li", bucket_by=["l_orderkey"], n_buckets=8,
-        sort_by=["l_orderkey"],
-    )
-    write_bucketed(
-        o, f"{db}.o", bucket_by=["o_orderkey"], n_buckets=8,
-        sort_by=["o_orderkey"],
+    ensure_bucketed_table(
+        spark,
+        load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        f"{db}.o",
+        bucket_by=["o_orderkey"], n_buckets=8, sort_by=["o_orderkey"],
+        path=f"{loc}/o",
     )
     joined = spark.table(f"{db}.li").join(
         spark.table(f"{db}.o"), F.col("l_orderkey") == F.col("o_orderkey")

@@ -166,6 +166,65 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def ensure_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str,
+) -> str:
+    """Build-ONCE bucketed external table: the shuffle-paying write runs
+    only when no usable store exists; every later call — including from
+    a FRESH session whose in-memory catalog has forgotten the table —
+    is metadata-only. Returns which path was taken ('catalog',
+    'reattached', 'written') so callers/tests can assert steady state.
+
+    Three cases, checked in order:
+    1. catalog knows the table -> nothing to do.
+    2. the data directory exists with a _SUCCESS marker (a previous
+       session wrote it) -> re-register an EXTERNAL table over it with
+       the same CLUSTERED BY spec. Spark encodes the bucket id in each
+       file name, so re-declaring the spec over the same files restores
+       shuffle-free joins without rewriting a byte — the production
+       recovery path when a metastore is rebuilt over an object store.
+    3. no directory (or a partial, marker-less write from a crash,
+       which is deleted) -> bucketBy write, paying the shuffle once.
+
+    This is the fixture half of the r8 `orders_bucketed_join_stats`
+    split (r8 verdict): the catalog query is read-only in steady state
+    and the write lives here, reusable by any recurring-join pipeline.
+    """
+    if spark.catalog.tableExists(table):
+        return "catalog"
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")
+    if fs.exists(jp) and fs.exists(marker):
+        ddl = df._jdf.schema().toDDL()
+        sort = f" SORTED BY ({', '.join(sort_by)})" if sort_by else ""
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(bucket_by)}){sort} "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return "reattached"
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_by)
+        .option("path", path)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+    return "written"
+
+
 def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12):
     """Morton (z-order) interleave of min/max-normalized columns.
 

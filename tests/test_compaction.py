@@ -68,3 +68,54 @@ class TestCompactionPlan:
     def test_bad_params_raise(self, spark, fragmented):
         with pytest.raises(ValueError, match="target_bytes"):
             compaction_plan(spark, fragmented, target_bytes=0)
+
+
+class TestEnsureBucketedTable:
+    """r9 fixture split: the bucketed-store build must run at most once
+    per box; later sessions reattach metadata-only and the catalog-hot
+    path is a no-op."""
+
+    def test_three_states(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.sources.io import ensure_bucketed_table
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        path = str(tmp_path / "bkt")
+        kw = dict(bucket_by=["k"], n_buckets=4, sort_by=["k"], path=path)
+        t = "default.ensure_bkt_test"
+        try:
+            assert ensure_bucketed_table(spark, df, t, **kw) == "written"
+            assert ensure_bucketed_table(spark, df, t, **kw) == "catalog"
+            # simulate a fresh session: catalog forgets, files survive
+            spark.sql(f"DROP TABLE {t}")
+            assert ensure_bucketed_table(spark, df, t, **kw) == "reattached"
+            got = spark.table(t)
+            assert got.count() == 100
+            # the reattached spec must restore shuffle-free keyed aggs
+            agg = got.groupBy("k").count()
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_partial_write_without_marker_is_rebuilt(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.sources.io import ensure_bucketed_table
+
+        df = spark.range(10).select(F.col("id").alias("k"))
+        path = tmp_path / "partial"
+        path.mkdir()
+        (path / "part-00000-dead.parquet").write_bytes(b"not parquet")
+        t = "default.ensure_bkt_partial"
+        try:
+            state = ensure_bucketed_table(
+                spark, df, t, bucket_by=["k"], n_buckets=2, path=str(path)
+            )
+            assert state == "written"
+            assert spark.table(t).count() == 10
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
