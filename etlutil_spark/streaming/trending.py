@@ -170,6 +170,69 @@ def trending_batch(
     return apply_batch
 
 
+def trending_fold_batches(
+    batches: "list[DataFrame]",
+    key_col: str = "event_type",
+    *,
+    k: int = 10,
+    width: int = 1024,
+    depth: int = 4,
+    decay_num: int = 7,
+    decay_den: int = 8,
+    seed: str = "trend",
+) -> DataFrame:
+    """In-memory batch twin of ``trending_batch``'s fold: the SAME
+    per-batch semantics (decay -> merge -> candidate estimate -> top-k,
+    identical hash family / floor decay / tie order) over an ordered
+    list of batch DataFrames, without the state store. This is the
+    driver-checkable form (the `events_trending_heavy_hitters` catalog
+    query unrolls exactly this fold in its DuckDB oracle) and the
+    stream≡batch bridge: tests/test_streaming_trending.py pins that
+    folding the same batch split through the foreachBatch sink and
+    through this function yields the identical board.
+
+    Bounded-driver-state idiom (the kmeans pattern): each round is two
+    bounded aggregates; localCheckpoint() truncates the lineage so round
+    N never replays rounds 1..N-1, and the returned plan is a scan of
+    the final k-row checkpoint."""
+    if not 0 < decay_num < decay_den:
+        raise ValueError(
+            f"decay must satisfy 0 < num < den, got {decay_num}/{decay_den}"
+        )
+    if not batches:
+        raise ValueError("trending_fold_batches needs at least one batch")
+    folded = None
+    topk = None
+    for batch in batches:
+        batch = batch.where(F.col(key_col).isNotNull())
+        fresh = cms_sketch(batch, key_col, width=width, depth=depth, seed=seed)
+        if folded is not None:
+            decayed = folded.select(
+                "j",
+                "bucket",
+                F.floor(
+                    F.col("c") * F.lit(decay_num) / F.lit(decay_den)
+                ).alias("c"),
+            ).where(F.col("c") > 0)
+            folded = cms_merge(decayed, fresh)
+        else:
+            folded = fresh
+        folded = folded.localCheckpoint(eager=True)
+        cands = batch.select(F.col(key_col).alias("key")).distinct()
+        if topk is not None:
+            cands = cands.union(topk.select("key")).distinct()
+        est = cms_estimate(
+            folded, cands, "key", width=width, depth=depth, seed=seed,
+            out_col="est",
+        )
+        topk = (
+            est.orderBy(F.col("est").desc(), F.col("key"))
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+    return topk
+
+
 def run_trending_stream(
     stream: DataFrame,
     state_path: str,

@@ -311,11 +311,12 @@ HEADLINE_BUDGETS = {
     # at test SF) + one source-keyed aggregate; the 32 training rounds
     # and the segmentation table sit behind checkpoints
     "docs_bpe_vocab_encode_stats": (2, 1),
-    # serving plan = checkpointed CC labels -> rename projection; the
-    # banding join / candidate verify / min-label supersteps all sit
-    # behind localCheckpoints (pagerank/kmeans pattern), each superstep
-    # one keyed shuffle when it ran
-    "dedup_clusters_lsh": (0, 0),
+    # serving plan = node-keyed left join of the two checkpointed star
+    # tables (nodes x final star edges — both bounded by |V|, AQE
+    # stats-broadcasts at test SF); the banding join / candidate verify /
+    # large-star/small-star rounds all sit behind localCheckpoints
+    # (pagerank/kmeans pattern), each round two keyed shuffles when run
+    "dedup_clusters_lsh": (2, 0),
     # literal query-trigram array: map-side scoring + TakeOrdered top-15
     "part_trigram_search": (0, 0),
     # one segment-keyed decimal power-sum aggregate
@@ -325,6 +326,9 @@ HEADLINE_BUDGETS = {
     # customer-keyed LEAD window is the data pass; risk/product windows
     # run over the distinct-duration table
     "orders_km_survival": (4, 1),
+    # r9: decayed-CMS fold — every round's sketch/estimate sits behind a
+    # localCheckpoint; the returned plan scans the final 10-row board
+    "events_trending_heavy_hitters": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

@@ -121,3 +121,46 @@ class TestTrending:
         board = _board(spark, path)
         # folds: x 16->8->4, y 2->(1+2)=3->1, z 5 (file order = batch order)
         assert board == {"x": 4, "y": 1, "z": 5}
+
+
+class TestBatchTwin:
+    """r9: trending_fold_batches (the driver-checkable batch form behind
+    events_trending_heavy_hitters) must reproduce the foreachBatch
+    sink's board EXACTLY on the same batch split — the stream≡batch
+    bridge that lets the DuckDB gate stand in for the stream."""
+
+    def test_fold_equals_sink_board(self, spark, tmp_path):
+        from etlutil_spark.streaming.trending import trending_fold_batches
+
+        splits = [
+            {"x": 16, "y": 2},
+            {"y": 2, "w": 7},
+            {"z": 5, "x": 1},
+            {"z": 9},
+        ]
+        kw = dict(k=3, width=64, depth=4, decay_num=7, decay_den=8)
+        sink = trending_batch(str(tmp_path / "state"), "event_type", **kw)
+        for i, counts in enumerate(splits):
+            sink(_batch(spark, counts), i)
+        stream_board = _board(spark, str(tmp_path / "state"))
+
+        batch_board = {
+            r["key"]: r["est"]
+            for r in trending_fold_batches(
+                [_batch(spark, c) for c in splits], "event_type", **kw
+            ).collect()
+        }
+        assert batch_board == stream_board
+
+    def test_fold_rejects_empty_and_bad_decay(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.streaming.trending import trending_fold_batches
+
+        with _pytest.raises(ValueError, match="at least one batch"):
+            trending_fold_batches([], "event_type")
+        with _pytest.raises(ValueError, match="decay"):
+            trending_fold_batches(
+                [_batch(spark, {"a": 1})], "event_type",
+                decay_num=9, decay_den=8,
+            )
