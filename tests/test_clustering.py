@@ -216,3 +216,21 @@ class TestPqAdcTopk:
             pq_adc_topk(e, "vec_id", "embedding", [0.0] * 64, m=7)
         with _pytest.raises(ValueError, match="query dim"):
             pq_adc_topk(e, "vec_id", "embedding", [0.0] * 32, m=8)
+
+
+class TestSeedPlan:
+    def test_seed_stage_is_heap_not_sort(self, spark, sf_dir):
+        """r8 verdict follow-up: the smallest-id seed collect must plan
+        as TakeOrderedAndProject (per-partition k-heap, zero exchanges),
+        never a global Sort — at 1e9 vectors a full sort for k seed rows
+        is the difference between a scan and a shuffle of the corpus."""
+        from etlutil_spark.operators.clustering import _quantize
+        from etlutil_spark.sources.testdata import load_table
+
+        df = load_table(spark, "embeddings", sf_dir)
+        q = df.select("vec_id", _quantize("embedding", 1_000_000).alias("_qv"))
+        seed = q.orderBy("vec_id").limit(8)
+        plan = seed._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "+- *(1) Sort" not in plan, plan
