@@ -10984,68 +10984,74 @@ def _date_plus(day: str, n: int) -> str:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # r8 window (COVERAGE.md "Round-8 rotation plan"). CORRECTNESS_r07
-    # came back 50/50 green, so the unproven pool is exactly the four
-    # r7-overflow queries — they take positions 1-4.
-    "part_trigram_search",
-    "customer_balance_moments",
-    "lineitem_quantity_chi2",
-    "orders_km_survival",
-    # r8-new registrations front their own round's window (r6 rule);
-    # each displaces one rotating-green tail slot.
-    "dedup_clusters_lsh",
-    "docs_bpe_vocab_encode_stats",
-    "docs_hybrid_search_rrf",
-    "events_mann_whitney",
-    "orders_bucketed_join_stats",
-    "parts_copurchase_triangles",
-    "multimodal_audio_chunk_plan",
-    "docs_pii_redact",
-    "docs_length_batching",
-    "docs_theil_inequality",
-    "events_periodogram",
-    "io_schema_evolution_roundtrip",
-    "orders_bootstrap_ci",
-    "sim_ivfadc_topk",
-    "lineitem_discount_did",
-    # Re-proofs of queries whose code or oracle changed at r8 start:
-    # the CC family gained the max_shingle_freq=50 cap (+ oracle
-    # mirror), the minhash oracle was refactored into a vpairs CTE, and
-    # the BPE trainer's size>=2 guard moved below the explode.
+    # r9 window (COVERAGE.md "Round-9 rotation plan"). CORRECTNESS_r08
+    # came back 50/50 green, so no never-checked backlog exists; the
+    # window spends its slots on (a) the r9 registration, (b) re-proofs
+    # of every query whose code or oracle changed this round, (c) the
+    # 14 pool slots displaced from the r8 window, (d) the r6-start
+    # rotators never re-proven since, and (e) one driver row for every
+    # SURVEY §2 dict-operator/date-family representative (their newest
+    # rows date to r5 — verdict item 7's freshness ask).
+    # --- (a) new in r9 ---
+    "events_trending_heavy_hitters",
+    # --- (b) re-proofs: code/oracle changed at r9 start ---
+    # large-star/small-star CC replaced min-label propagation:
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "dedup_best_of_cluster",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # residual-trained IVFADC codebooks (+ mirrored oracle):
+    "sim_ivfadc_topk",
+    # read-only split over the build-once bucketed fixture:
+    "orders_bucketed_join_stats",
+    # BPE trainer oracle: exhausted rounds became LEFT-JOIN no-ops:
     "docs_bpe_encode_stats",
-    "docs_bpe_pair_merge",
-    # Rotating green representatives, oldest newest-green-row first:
-    # the r4-window block members not re-proven since r4/r5, then the
-    # r6-start rotator slots (ledger: COVERAGE.md Round-7/8 plans).
-    "sessionize_users_salted",
-    "pricing_rollup",
-    "parts_shipped_both_years",
-    "parts_1996_not_1997",
-    "orders_week_overlap",
-    "daily_active_users",
-    "salted_top_event_types",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "profile_lineitem",
-    "events_props_extract",
-    "revenue_percentiles",
-    "customer_order_moving_avg",
-    "asof_attribution_tolerance",
-    "scd2_customer_priority",
-    "events_pivot_daily_types",
-    "orders_unpivot_price_parts",
-    "events_gap_fill_daily",
-    "lineitem_price_histogram",
-    "lineitem_rollup_maintenance",
-    "orders_price_quartiles",
-    "cms_user_frequency",
-    "events_value_outliers",
-    "multimodal_features",
-    "events_tumbling_hourly",
+    "docs_bpe_vocab_encode_stats",
+    # strict canonical-PCM WAV gate (fmt size/tag + data marker):
+    "multimodal_audio_chunk_plan",
+    "multimodal_media_stats",
+    # --- (c) displaced r8 pool slots ---
+    "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "knn_join_topk",
+    "docs_contamination",
+    "docs_token_stats",
+    "pricing_cube",
+    "kmv_distinct_events",
+    "scd2_apply_incremental",
+    "asof_purchase_attribution",
+    "events_session_window_30m",
+    "events_hopping_counts",
+    "orders_latest_per_customer",
+    "events_top_types_daily",
+    "sessionize_users",
+    # --- (d) r6-start rotators, not re-proven since r6 ---
+    "docs_pack_token_budget",
+    "corpus_pipeline_e2e",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    # --- (e) SURVEY §2 operator/date representatives (rows from r5) ---
+    "op_flatten_struct",
+    "op_flatten_depth_limit",
+    "op_select_with_extras",
+    "op_convert_types",
+    "op_normalize_date_fields",
+    "op_normalize_dates_recursive",
+    "op_clean_hash_skip_rules",
+    "op_clean_replace_truncate",
+    "op_clean_fingerprint",
+    "op_prune_values",
+    "op_prune_keys_depth",
+    "op_jsonify",
+    "op_redact_pii",
+    "date_spine_days",
+    "date_spine_month_backward",
+    "events_relative_month_frame",
+    "events_8_8_8_rest",
+    "events_calendar_periods",
 ]
 
 

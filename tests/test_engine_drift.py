@@ -166,38 +166,22 @@ class TestOracleGuards:
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            # r8: the four r7-overflow queries that have never had a
-            # driver row (the entire remaining never-checked set)...
-            "part_trigram_search",
-            "customer_balance_moments",
-            "lineitem_quantity_chi2",
-            "orders_km_survival",
-            # ...plus the r8-new registrations (front their own window)
-            "dedup_clusters_lsh",
-            "docs_bpe_vocab_encode_stats",
-            "docs_hybrid_search_rrf",
-            "events_mann_whitney",
-            "orders_bucketed_join_stats",
-            "parts_copurchase_triangles",
-            "multimodal_audio_chunk_plan",
-            "docs_pii_redact",
-            "docs_length_batching",
-            "docs_theil_inequality",
-            "events_periodogram",
-            "io_schema_evolution_roundtrip",
-            "orders_bootstrap_ci",
-            "sim_ivfadc_topk",
-            "lineitem_discount_did",
-            # ...plus re-proofs whose code/oracle changed at r8 start
-            # (CC stop-shingle cap + oracle mirror, minhash oracle
-            # refactor, BPE guard reorder) — their green rows predate
-            # the change.
+            # r9: the one new registration fronts its own window...
+            "events_trending_heavy_hitters",
+            # ...plus re-proofs whose code or oracle changed at r9
+            # start (large-star/small-star CC, residual IVFADC,
+            # read-only bucketed-join split, BPE-oracle LEFT-JOIN
+            # no-ops, strict WAV gate) — their green rows predate the
+            # change.
             "dedup_clusters",
+            "dedup_clusters_lsh",
             "dedup_best_of_cluster",
-            "dedup_ngram_jaccard",
-            "dedup_minhash_lsh",
+            "sim_ivfadc_topk",
+            "orders_bucketed_join_stats",
             "docs_bpe_encode_stats",
-            "docs_bpe_pair_merge",
+            "docs_bpe_vocab_encode_stats",
+            "multimodal_audio_chunk_plan",
+            "multimodal_media_stats",
         }
         assert must_have <= set(front50)
 
