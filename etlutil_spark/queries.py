@@ -10970,6 +10970,324 @@ def _date_plus(day: str, n: int) -> str:
     return d.isoformat()
 
 
+_DUCK_CUPED = """
+    WITH u AS (
+      SELECT user_id,
+             (('0x' || substr(md5('exp-v1' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2) AS arm,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-14'
+                           THEN CAST(value AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                           THEN CAST(value AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    q AS (
+      SELECT arm, x, y,
+             CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS qx,
+             CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS qy,
+             CAST(floor(x * y * 1e2 + 0.5) AS BIGINT) AS qxy,
+             CAST(floor(x * x * 1e2 + 0.5) AS BIGINT) AS qxx,
+             CAST(floor(y * y * 1e2 + 0.5) AS BIGINT) AS qyy
+      FROM u),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+             CAST(SUM(qxy) AS BIGINT) AS sxy, CAST(SUM(qxx) AS BIGINT) AS sxx,
+             CAST(SUM(qyy) AS BIGINT) AS syy
+      FROM q),
+    a AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(qx) AS BIGINT) AS sxa, CAST(SUM(qy) AS BIGINT) AS sya
+      FROM q GROUP BY arm)
+    SELECT a.arm, a.n_users,
+           (a.sya / 1e6) / a.n_users AS mean_y,
+           (a.sya / 1e6) / a.n_users
+             - ((g.n * (g.sxy / 1e2) - (g.sx / 1e6) * (g.sy / 1e6))
+                / (g.n * (g.sxx / 1e2) - (g.sx / 1e6) * (g.sx / 1e6)))
+               * ((a.sxa / 1e6) / a.n_users - (g.sx / 1e6) / g.n) AS mean_y_cuped,
+           (g.n * (g.sxy / 1e2) - (g.sx / 1e6) * (g.sy / 1e6))
+             / (g.n * (g.sxx / 1e2) - (g.sx / 1e6) * (g.sx / 1e6)) AS theta,
+           1.0 - ((g.n * (g.sxy / 1e2) - (g.sx / 1e6) * (g.sy / 1e6))
+                  * (g.n * (g.sxy / 1e2) - (g.sx / 1e6) * (g.sy / 1e6)))
+                 / ((g.n * (g.sxx / 1e2) - (g.sx / 1e6) * (g.sx / 1e6))
+                    * (g.n * (g.syy / 1e2) - (g.sy / 1e6) * (g.sy / 1e6)))
+             AS var_ratio
+    FROM a CROSS JOIN g
+"""
+
+
+@register("events_cuped_adjusted", _DUCK_CUPED)
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13) —
+    the industry-standard pre-experiment covariate adjustment: per user,
+    X = pre-period value volume (Jan 1-14), Y = in-experiment volume
+    (Jan 15+); theta = cov(X,Y)/var(X) fit on ALL users; the adjusted
+    metric Y' = Y - theta (X - mean X) has variance var(Y)(1 - rho^2)
+    with identical mean — per hash-bucketed arm (events_ab_test_summary's
+    md5 bucketing), report the raw and CUPED-adjusted means plus theta
+    and the achieved variance ratio. At experimentation-platform scale
+    this halves-or-better the sample a test needs; the entire adjustment
+    is two aggregates.
+
+    Scale: ONE user-keyed conditional-sum aggregate is the data pass;
+    the theta fit is a 1-row global reduce over the per-user table and
+    the arm readout a 2-group reduce — the 1-row scalar crossJoin is
+    the SCALAR_OK exemption, not a funnel. Determinism: per-user sums
+    are exact DECIMAL; every second-moment term is floor-quantized to
+    BIGINT (sums at 1e6, products at 1e2 — products of ~1e3-scale
+    per-user sums stay far under 2^63 at any test SF) before the exact
+    integer global sums, and every emitted double derives from those
+    integers through an identical expression tree in both engines."""
+    from etlutil_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    zero = F.lit(0).cast("decimal(38,4)")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") <= F.lit("2024-01-14"), _dec("value")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.to_date("ts") >= F.lit("2024-01-15"), _dec("value")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("y"),
+    ).withColumn("arm", md5_bigint("user_id", seed="exp-v1") % 2)
+
+    def qz(expr, scale):
+        return F.floor(expr * F.lit(scale) + F.lit(0.5)).cast("bigint")
+
+    q = u.select(
+        "arm",
+        qz(F.col("x"), 1e6).alias("qx"),
+        qz(F.col("y"), 1e6).alias("qy"),
+        qz(F.col("x") * F.col("y"), 1e2).alias("qxy"),
+        qz(F.col("x") * F.col("x"), 1e2).alias("qxx"),
+        qz(F.col("y") * F.col("y"), 1e2).alias("qyy"),
+    ).localCheckpoint(eager=False)
+    g = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum("qxy").cast("bigint").alias("sxy"),
+        F.sum("qxx").cast("bigint").alias("sxx"),
+        F.sum("qyy").cast("bigint").alias("syy"),
+    )
+    a = q.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("qx").cast("bigint").alias("sxa"),
+        F.sum("qy").cast("bigint").alias("sya"),
+    )
+    j = a.crossJoin(g)
+    sx, sy = F.col("sx") / F.lit(1e6), F.col("sy") / F.lit(1e6)
+    sxy, sxx, syy = (
+        F.col("sxy") / F.lit(1e2),
+        F.col("sxx") / F.lit(1e2),
+        F.col("syy") / F.lit(1e2),
+    )
+    n = F.col("n")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    theta = cov_n / varx_n
+    mean_x_arm = (F.col("sxa") / F.lit(1e6)) / F.col("n_users")
+    mean_y_arm = (F.col("sya") / F.lit(1e6)) / F.col("n_users")
+    return j.select(
+        "arm",
+        "n_users",
+        mean_y_arm.alias("mean_y"),
+        (mean_y_arm - theta * (mean_x_arm - sx / n)).alias("mean_y_cuped"),
+        theta.alias("theta"),
+        (F.lit(1.0) - (cov_n * cov_n) / (varx_n * vary_n)).alias("var_ratio"),
+    )
+
+
+def _duck_dim_ablation_sql(dims: tuple[int, ...] = (16, 32, 64), k: int = 10) -> str:
+    """Per truncation width d: exact cosine top-k over the FIRST d
+    dimensions, then recall against the full-width top-k. Same
+    rounded-6 + id-tiebreak ordering contract as the hybrid-RRF vector
+    leg."""
+    base = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)"""
+
+    def leg(name: str, d: int) -> str:
+        return f"""{name} AS (
+      SELECT vec_id,
+             round(list_dot_product(e.v[1:{d}], q.v[1:{d}]) /
+                   (sqrt(list_dot_product(e.v[1:{d}], e.v[1:{d}]))
+                    * sqrt(list_dot_product(q.v[1:{d}], q.v[1:{d}]))), 6) AS cos_sim
+      FROM e, q
+      ORDER BY cos_sim DESC, vec_id LIMIT {k})"""
+
+    full_d = max(dims)
+    parts = [base, leg("tfull", full_d)]
+    sel = []
+    for d in dims:
+        parts.append(leg(f"t{d}", d))
+        sel.append(
+            f"SELECT CAST({d} AS BIGINT) AS dim_kept, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM t{d} "
+            f" WHERE vec_id IN (SELECT vec_id FROM tfull)) * 1.0 / {k} AS recall_at_{k}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@register("embeddings_dim_ablation", _duck_dim_ablation_sql())
+def embeddings_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-ablation readout: recall@10 of exact
+    cosine top-k computed over only the FIRST d dimensions (d = 16, 32,
+    64) against the full-width ranking — the number a vector-store
+    owner reads before truncating stored dimensions (MRL-trained
+    embeddings keep high prefix recall; isotropic synthetic ones, the
+    worst case, degrade fast — this measures, not assumes). Completes
+    the storage-cost family next to embeddings_quantize_err (precision
+    ablation) and sim_pq_adc_topk (code ablation): truncation is the
+    third axis (dimension) of the same serving-cost trade.
+
+    Scale: each leg is the brute-force serving shape — shuffle-free
+    scan + literal-query projection + TakeOrderedAndProject heap; the
+    recall joins run over <= 10-row sets (broadcast semi). Determinism:
+    cosines rounded at 6 with id tiebreaks (the hybrid-RRF contract);
+    recalls are exact small-integer ratios."""
+    from etlutil_spark.operators.similarity import cosine_lit
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, "embeddings", sf_dir))
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    dims, k = (16, 32, 64), 10
+
+    def top(d: int):
+        sub = F.slice(F.col("embedding").cast("array<double>"), 1, d)
+        return (
+            e.select(
+                "vec_id",
+                F.round(cosine_lit(sub, qvec[:d]), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(k)
+        )
+
+    full = top(max(dims)).select("vec_id").localCheckpoint(eager=False)
+    outs = []
+    for d in dims:
+        overlap = (
+            top(d)
+            .join(full, "vec_id", "semi")
+            .agg((F.count("*") * F.lit(1.0) / F.lit(k)).alias(f"recall_at_{k}"))
+            .select(
+                F.lit(d).cast("bigint").alias("dim_kept"),
+                f"recall_at_{k}",
+            )
+        )
+        outs.append(overlap)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _duck_kcore_sql(k: int = 2, rounds: int = 16) -> str:
+    """Unrolled parallel-peeling chain: round i recomputes degrees over
+    e{i-1} and keeps edges whose BOTH endpoints hold degree >= k. A
+    converged round is an identity filter, so unrolling more rounds
+    than the graph's peeling depth is a no-op — the idempotence that
+    lets a fixed unroll mirror the Spark loop's run-until-stable.
+    MATERIALIZED per round (each e{i} is referenced three times)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS s,
+                      greatest(a.l_partkey, b.l_partkey) AS t
+      FROM (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01'
+                                               AND DATE '1995-03-31') a
+      JOIN (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01'
+                                               AND DATE '1995-03-31') b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT s AS node FROM e{i - 1}
+            UNION ALL SELECT t FROM e{i - 1}) n GROUP BY node)"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+      SELECT e.s, e.t FROM e{i - 1} e
+      JOIN d{i} ds ON ds.node = e.s JOIN d{i} dt ON dt.node = e.t
+      WHERE ds.deg >= {k} AND dt.deg >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT (SELECT CAST(COUNT(DISTINCT node) AS BIGINT)
+            FROM (SELECT s AS node FROM e{rounds}
+                  UNION ALL SELECT t FROM e{rounds}) n) AS n_core_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e{rounds}) AS n_core_edges,
+           (SELECT CAST(coalesce(MIN(deg), 0) AS BIGINT)
+            FROM (SELECT node, COUNT(*) AS deg
+                  FROM (SELECT s AS node FROM e{rounds}
+                        UNION ALL SELECT t FROM e{rounds}) n
+                  GROUP BY node) d) AS min_core_degree"""
+    )
+
+
+@register("parts_copurchase_kcore", _duck_kcore_sql(k=2, rounds=16))
+def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-purchase graph (operators/graph.py:kcore,
+    Seidman's k-core by parallel peeling): repeatedly drop every part
+    with fewer than 2 distinct co-purchase partners until stable, then
+    report the surviving backbone (node/edge counts + its min degree —
+    which PROVES the core property held: min_core_degree >= 2 or the
+    core is empty). The density filter run before affinity/community
+    analysis on a basket graph: one-off co-occurrences and dangling
+    long-tail parts peel away; what remains is the stable cross-sell
+    structure (sf0.1: 1,577 raw edges -> 207 core edges).
+
+    Scale: same Q1-1995 window discipline as parts_copurchase_triangles
+    (pushed-down shipdate filter, per-order join groups bounded by
+    basket size); each peel round is one degree aggregate + one
+    two-sided semi-join over the CURRENT edge set (shrinking every
+    round), checkpoint-truncated — never all-pairs, no driver state but
+    the edge-count scalar. Peeling depth is single digits on dense-core
+    graphs; the operator raises past its round cap rather than return a
+    half-peeled graph, and the oracle's fixed 16-round unroll matches
+    because converged rounds are identity filters. Counts are exact
+    integers — bit-identical cross-engine."""
+    from etlutil_spark.operators.graph import kcore
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.to_date("l_shipdate").between("1995-01-01", "1995-03-31"))
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    core = kcore(edges, 2, max_rounds=40)
+    deg = (
+        core.select(F.col("a").alias("node"))
+        .union(core.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_core_nodes"))
+    n_edges = core.agg(F.count("*").cast("bigint").alias("n_core_edges"))
+    min_deg = deg.agg(
+        F.coalesce(F.min("deg"), F.lit(0)).cast("bigint").alias("min_core_degree")
+    )
+    return n_nodes.crossJoin(n_edges).crossJoin(min_deg)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
