@@ -481,3 +481,83 @@ def wav_header_fields(payload: "F.Column") -> dict[str, "F.Column"]:
         "bits_per_sample": F.when(is_wav, bits).otherwise(null),
         "n_samples": F.when(is_wav, n_samples).otherwise(null),
     }
+
+
+def make_flac(sample_rate, n_channels, bits, n_samples) -> "F.Column":
+    """Canonical 42-byte FLAC header (4-byte 'fLaC' magic + the
+    mandatory last-flagged STREAMINFO metadata block) — pure
+    expressions, the big-endian bit-packed sibling of make_wav.
+    Blocksize is pinned at 4096/4096, frame sizes and the audio md5
+    left zero (unknown), which is exactly what a metadata-only writer
+    emits. The data body is omitted (header-only blob); consumers here
+    are decode-free metadata passes.
+
+    STREAMINFO packs sample_rate(20b) | channels-1(3b) | bits-1(5b) |
+    total_samples(36b) across bytes 19-26; the constructor splits that
+    64-bit field into two 32-bit big-endian words so no expression ever
+    exceeds bigint range."""
+    sr = sample_rate if isinstance(sample_rate, F.Column) else F.lit(sample_rate)
+    ch = n_channels if isinstance(n_channels, F.Column) else F.lit(n_channels)
+    bt = bits if isinstance(bits, F.Column) else F.lit(bits)
+    ns = n_samples if isinstance(n_samples, F.Column) else F.lit(n_samples)
+    w1 = (
+        sr.cast("bigint") * F.lit(4096)
+        + (ch.cast("bigint") - 1) * F.lit(512)
+        + (bt.cast("bigint") - 1) * F.lit(16)
+        + F.floor(ns.cast("bigint") / F.lit(4294967296)).cast("bigint")
+    )
+    w2 = ns.cast("bigint") % F.lit(4294967296)
+
+    def be32(col):
+        return F.lpad(F.hex(col), 8, "0")
+
+    return F.unhex(
+        F.concat(
+            F.lit("664C6143"),        # 'fLaC'
+            F.lit("80"),              # last metadata block, type 0
+            F.lit("000022"),          # STREAMINFO length 34
+            F.lit("1000" + "1000"),   # min/max blocksize 4096
+            F.lit("000000" * 2),      # min/max framesize unknown
+            be32(w1),
+            be32(w2),
+            F.lit("00" * 16),         # audio md5 unknown
+        )
+    )
+
+
+def flac_streaminfo_fields(payload: "F.Column") -> dict[str, "F.Column"]:
+    """Parse a FLAC header whose FIRST metadata block is STREAMINFO with
+    pure column expressions: sample_rate, n_channels, bits_per_sample,
+    n_samples — NULL for anything else (wrong magic, a reordered or
+    non-34-byte first block), routing such files to a Python chunk
+    walker exactly like wav_header_fields' contract.
+
+    FLAC is big-endian, so extraction is hex -> conv -> shift/mask
+    (no byte swizzling): bytes 19-22 hold sample_rate(20b),
+    channels-1(3b), bits-1(5b) and the top 4 bits of the 36-bit sample
+    count; bytes 23-26 hold the count's low 32 bits. All shifts are on
+    <= 32-bit values — far inside bigint."""
+    is_flac = (
+        (F.hex(F.substring(payload, 1, 4)) == "664C6143")
+        # first block must be STREAMINFO (type 0; 0x80 = last-flag set)
+        & (
+            F.conv(F.hex(F.substring(payload, 5, 1)), 16, 10)
+            .cast("bigint")
+            .bitwiseAND(F.lit(127))
+            == 0
+        )
+        & (F.hex(F.substring(payload, 6, 3)) == "000022")
+    )
+    w1 = F.conv(F.hex(F.substring(payload, 19, 4)), 16, 10).cast("bigint")
+    w2 = F.conv(F.hex(F.substring(payload, 23, 4)), 16, 10).cast("bigint")
+    sr = F.shiftright(w1, 12)
+    ch = F.shiftright(w1, 9).bitwiseAND(F.lit(7)) + F.lit(1)
+    bits = F.shiftright(w1, 4).bitwiseAND(F.lit(31)) + F.lit(1)
+    ns = w1.bitwiseAND(F.lit(15)) * F.lit(4294967296) + w2
+    null = F.lit(None).cast("bigint")
+    return {
+        "sample_rate": F.when(is_flac, sr).otherwise(null),
+        "n_channels": F.when(is_flac, ch).otherwise(null),
+        "bits_per_sample": F.when(is_flac, bits).otherwise(null),
+        "n_samples": F.when(is_flac, ns).otherwise(null),
+    }

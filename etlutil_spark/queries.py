@@ -11101,6 +11101,74 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_flac_info",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+                  WHEN 1 THEN 48000 ELSE 96000 END AS sr,
+             CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 16 ELSE 24 END AS bits,
+             n_chars * 25 + 7 AS ns
+      FROM documents)
+    SELECT CAST(sr AS BIGINT) AS sample_rate,
+           CAST(bits AS BIGINT) AS bits_per_sample,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(ns) AS BIGINT) AS total_samples,
+           CAST(SUM((ns * 1000) // sr) AS BIGINT) AS total_duration_ms
+    FROM m GROUP BY 1, 2
+    """,
+)
+def multimodal_flac_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC catalog readout (operators/multimodal.py:make_flac /
+    flac_streaminfo_fields): payloads are built engine-side as canonical
+    'fLaC' + STREAMINFO headers (params cycling by doc columns), then
+    the BIG-ENDIAN BIT-PACKED stream parameters — sample_rate(20b) |
+    channels(3b) | bits(5b) | total_samples(36b) across a byte-unaligned
+    64-bit field — are read back with pure shift/mask column
+    expressions and aggregated per (rate, depth): file counts, total
+    samples, floor-ms durations. Extends the audio family beyond WAV's
+    little-endian fixed offsets to the compressed-container metadata
+    path (same contract: non-canonical layouts NULL out, routing to a
+    Python walker; the construct->parse roundtrip is independently
+    bit-checked in tests/test_multimodal_audio.py).
+
+    Scale: construct + parse + aggregate is one map-side pass over the
+    first 26 header bytes and a single small-group reduce — zero
+    Python, whole-stage codegen. The oracle derives the same aggregate
+    from the raw doc columns, so a green row proves the binary
+    construct->parse chain lossless. Integer-only outputs."""
+    from etlutil_spark.operators.multimodal import (
+        flac_streaminfo_fields,
+        make_flac,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    sr = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 48000)
+        .otherwise(96000)
+    )
+    bits = F.when(F.col("doc_id") % 2 == 0, 16).otherwise(24)
+    ns = F.col("n_chars") * 25 + 7
+    media = d.select(
+        make_flac(sr, F.lit(1) + F.col("doc_id") % 2, bits, ns).alias("payload")
+    )
+    f = flac_streaminfo_fields(F.col("payload"))
+    parsed = media.select(
+        f["sample_rate"].alias("sample_rate"),
+        f["bits_per_sample"].alias("bits_per_sample"),
+        f["n_samples"].alias("ns"),
+    )
+    return parsed.groupBy("sample_rate", "bits_per_sample").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("ns").cast("bigint").alias("total_samples"),
+        F.sum(F.floor(F.col("ns") * 1000 / F.col("sample_rate")))
+        .cast("bigint")
+        .alias("total_duration_ms"),
+    )
+
+
 def _duck_dim_ablation_sql(dims: tuple[int, ...] = (16, 32, 64), k: int = 10) -> str:
     """Per truncation width d: exact cosine top-k over the FIRST d
     dimensions, then recall against the full-width top-k. Same

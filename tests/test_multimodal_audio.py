@@ -91,3 +91,84 @@ class TestWav:
         r = df.select(*[c.alias(n) for n, c in fields.items()]).collect()[0]
         assert all(r[n] is None for n in
                    ("sample_rate", "n_channels", "bits_per_sample", "n_samples"))
+
+
+class TestFlac:
+    """make_flac / flac_streaminfo_fields (r9): the big-endian
+    bit-packed STREAMINFO roundtrip, independently verified by raw
+    Python bit arithmetic (no FLAC library exists in this container;
+    the packed-field layout is re-derived from bytes, not from the
+    code under test)."""
+
+    CASES = [
+        (44100, 2, 16, 441000),
+        (16000, 1, 24, 2**33 + 5),   # exercises the 36-bit sample count
+        (96000, 8, 32, 12345),
+    ]
+
+    def _payloads(self, spark):
+        from etlutil_spark.operators.multimodal import make_flac
+
+        df = spark.createDataFrame(
+            self.CASES, "sr long, ch long, bits long, ns long"
+        )
+        return df.select(
+            "sr", "ch", "bits", "ns",
+            make_flac(
+                F.col("sr"), F.col("ch"), F.col("bits"), F.col("ns")
+            ).alias("payload"),
+        )
+
+    def test_parser_inverts_constructor(self, spark):
+        from etlutil_spark.operators.multimodal import flac_streaminfo_fields
+
+        f = flac_streaminfo_fields(F.col("payload"))
+        for r in self._payloads(spark).select(
+            "sr", "ch", "bits", "ns", *[c.alias(n) for n, c in f.items()]
+        ).collect():
+            assert r["sample_rate"] == r["sr"]
+            assert r["n_channels"] == r["ch"]
+            assert r["bits_per_sample"] == r["bits"]
+            assert r["n_samples"] == r["ns"]
+
+    def test_independent_bit_layout(self, spark):
+        for r in self._payloads(spark).collect():
+            b = bytes(r["payload"])
+            assert b[:4] == b"fLaC"
+            assert b[4] == 0x80 and b[5:8] == b"\x00\x00\x22"
+            packed = int.from_bytes(b[18:26], "big")
+            assert packed >> 44 == r["sr"]
+            assert ((packed >> 41) & 7) + 1 == r["ch"]
+            assert ((packed >> 36) & 31) + 1 == r["bits"]
+            assert packed & ((1 << 36) - 1) == r["ns"]
+
+    def test_non_flac_payloads_yield_nulls(self, spark):
+        from etlutil_spark.operators.multimodal import (
+            flac_streaminfo_fields,
+            make_png,
+        )
+
+        df = spark.createDataFrame([(1,)], "id int").select(
+            make_png(F.lit(4), F.lit(4)).alias("payload")
+        )
+        f = flac_streaminfo_fields(F.col("payload"))
+        r = df.select(*[c.alias(n) for n, c in f.items()]).collect()[0]
+        assert all(v is None for v in r.asDict().values())
+
+    def test_non_streaminfo_first_block_yields_nulls(self, spark):
+        """A fLaC container whose first block is PADDING (type 1) or a
+        wrong-length STREAMINFO must NULL out, not parse garbage."""
+        from etlutil_spark.operators.multimodal import flac_streaminfo_fields
+
+        padding_first = b"fLaC" + bytes([0x81]) + b"\x00\x00\x22" + b"\x00" * 34
+        short_info = b"fLaC" + bytes([0x80]) + b"\x00\x00\x10" + b"\x00" * 16
+        df = spark.createDataFrame(
+            [("padding", padding_first), ("short", short_info)],
+            "name string, payload binary",
+        )
+        f = flac_streaminfo_fields(F.col("payload"))
+        for r in df.select(
+            "name", *[c.alias(n) for n, c in f.items()]
+        ).collect():
+            for n in ("sample_rate", "n_channels", "bits_per_sample", "n_samples"):
+                assert r[n] is None, (r["name"], n)
