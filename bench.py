@@ -201,6 +201,12 @@ EXTENDED = [
     "lineitem_discount_did",
     # r9 additions
     "events_trending_heavy_hitters",
+    "events_cuped_adjusted",
+    "parts_copurchase_kcore",
+    "embeddings_dim_ablation",
+    "multimodal_flac_info",
+    "docs_ccnet_buckets",
+    "orders_k_anonymity",
 ]
 
 

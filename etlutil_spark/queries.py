@@ -11102,6 +11102,165 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS VARCHAR)
+               AS qmonth,
+             o_orderpriority,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,
+             COUNT(*) AS class_size
+      FROM orders GROUP BY 1, 2, 3),
+    ks AS (SELECT UNNEST([2, 5, 10]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM qi) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN class_size < ks.k THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk
+    FROM qi CROSS JOIN ks
+    GROUP BY ks.k
+    """,
+)
+def orders_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) of a to-be-published orders
+    view: the quasi-identifier tuple is (order month, priority,
+    50k-price band) — the columns that survive naive "anonymization" —
+    and for k in {2, 5, 10} the audit counts equivalence classes
+    smaller than k and the rows they expose (a class of size 1 is a
+    re-identifiable individual). The governance gate a data-release
+    pipeline runs BEFORE handing a table to a training corpus or an
+    external party; the fix (coarser bands, suppression) is re-audited
+    with the same query.
+
+    Scale: ONE quasi-identifier groupBy is the only data pass; the
+    per-k readout is a 3-literal explode over the (tiny) class-size
+    table — cost is independent of k choices. Pure integer counts,
+    bit-identical cross-engine."""
+    o = load_table(spark, "orders", sf_dir)
+    qi = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("qmonth"),
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("price_band"),
+    ).agg(F.count("*").alias("class_size"))
+    qi = qi.localCheckpoint(eager=False)
+    n_classes = qi.agg(F.count("*").cast("bigint").alias("n_classes"))
+    per_k = (
+        qi.select(
+            "class_size",
+            F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("class_size") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(
+                F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+    )
+    return per_k.crossJoin(n_classes).select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_classes",
+        "n_violating_classes",
+        "n_rows_at_risk",
+    )
+
+
+_DUCK_CCNET_BUCKETS = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    db AS (SELECT doc_id, tk[r.i] AS w1, tk[r.i + 1] AS w2
+           FROM t, UNNEST(range(1, len(tk))) AS r(i)
+           WHERE len(tk) >= 2),
+    cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM db GROUP BY 1, 2),
+    ca AS (SELECT w1, COUNT(*) AS c_a FROM db GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT x) AS vocab
+          FROM (SELECT UNNEST(tk) AS x FROM t)),
+    sc AS (SELECT db.doc_id,
+                  round(ln((cab.c_ab + 0.5) / (ca.c_a + 0.5 * v.vocab)), 6)
+                    AS lp
+           FROM db
+           JOIN cab ON db.w1 = cab.w1 AND db.w2 = cab.w2
+           JOIN ca ON db.w1 = ca.w1, v),
+    lm AS (SELECT doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  round(CAST(SUM(CAST(lp AS DECIMAL(38,9))) AS DOUBLE)
+                        / COUNT(*), 6) AS lm_score
+           FROM sc GROUP BY doc_id),
+    r AS (SELECT d.lang, lm.doc_id, lm.n_bigrams, lm.lm_score,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY lm.lm_score DESC, lm.doc_id)
+                   AS rnk,
+                 COUNT(*) OVER (PARTITION BY d.lang) AS n
+          FROM lm JOIN documents d USING (doc_id))
+    SELECT lang,
+           CAST(LEAST(2, (3 * (rnk - 1)) // n) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           round(CAST(SUM(CAST(lm_score AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_lm_score
+    FROM r GROUP BY 1, 2
+"""
+
+
+@register("docs_ccnet_buckets", _DUCK_CCNET_BUCKETS)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020): per language,
+    rank documents by their bigram-LM fluency score (docs_lm_score's
+    signal standing in for the paper's KenLM perplexity) and cut the
+    ranking into thirds — head (most fluent, kept for pretraining),
+    middle (kept with caveats), tail (filtered or down-weighted). The
+    per-(lang, bucket) doc counts, bigram mass and mean scores are the
+    table a curation run publishes before choosing its keep policy; the
+    bucket boundary is the exact integer formula least(2, 3(rank-1) div
+    n), so the thirds are reproducible — not percentile-interpolated.
+
+    Scale: the LM fit + scoring is docs_lm_score's checkpointed plan
+    (one bigram explode, Heaps'-law count tables, keyed joins); the
+    ranking window is PARTITIONED BY lang — a keyed shuffle, never a
+    single-partition global sort — and the final reduce has <= 3x|langs|
+    groups. Determinism: scores round at 6 with doc_id tiebreaks; mean
+    scores sum as DECIMAL (partition-order-exact)."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.operators.text_analysis import lm_score
+
+    d = load_table(spark, "documents", sf_dir)
+    lm = lm_score(d.select("doc_id", "text"))
+    r = (
+        lm.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("lm_score").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+    )
+    bucket = F.least(
+        F.lit(2), F.floor((F.lit(3) * (F.col("rnk") - 1)) / F.col("n"))
+    ).cast("bigint")
+    return (
+        r.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.round(
+                F.sum(F.col("lm_score").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_lm_score"),
+        )
+    )
+
+
+@register(
     "multimodal_flac_info",
     """
     WITH m AS (
@@ -11380,6 +11539,12 @@ _DRIVER_FRONT = [
     # rows date to r5 — verdict item 7's freshness ask).
     # --- (a) new in r9 ---
     "events_trending_heavy_hitters",
+    "events_cuped_adjusted",
+    "parts_copurchase_kcore",
+    "embeddings_dim_ablation",
+    "multimodal_flac_info",
+    "docs_ccnet_buckets",
+    "orders_k_anonymity",
     # --- (b) re-proofs: code/oracle changed at r9 start ---
     # large-star/small-star CC replaced min-label propagation:
     "dedup_clusters",
@@ -11421,20 +11586,14 @@ _DRIVER_FRONT = [
     "dedup_embedding_lsh",
     # --- (e) SURVEY §2 operator/date representatives (rows from r5) ---
     "op_flatten_struct",
-    "op_flatten_depth_limit",
     "op_select_with_extras",
     "op_convert_types",
     "op_normalize_date_fields",
-    "op_normalize_dates_recursive",
     "op_clean_hash_skip_rules",
-    "op_clean_replace_truncate",
-    "op_clean_fingerprint",
     "op_prune_values",
-    "op_prune_keys_depth",
     "op_jsonify",
     "op_redact_pii",
     "date_spine_days",
-    "date_spine_month_backward",
     "events_relative_month_frame",
     "events_8_8_8_rest",
     "events_calendar_periods",

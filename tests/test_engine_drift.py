@@ -166,8 +166,14 @@ class TestOracleGuards:
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            # r9: the one new registration fronts its own window...
+            # r9: the new registrations front their own window...
             "events_trending_heavy_hitters",
+            "events_cuped_adjusted",
+            "parts_copurchase_kcore",
+            "embeddings_dim_ablation",
+            "multimodal_flac_info",
+            "docs_ccnet_buckets",
+            "orders_k_anonymity",
             # ...plus re-proofs whose code or oracle changed at r9
             # start (large-star/small-star CC, residual IVFADC,
             # read-only bucketed-join split, BPE-oracle LEFT-JOIN

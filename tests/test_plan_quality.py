@@ -329,6 +329,23 @@ HEADLINE_BUDGETS = {
     # r9: decayed-CMS fold — every round's sketch/estimate sits behind a
     # localCheckpoint; the returned plan scans the final 10-row board
     "events_trending_heavy_hitters": (0, 0),
+    # r9: one user-keyed conditional-sum aggregate + 1-row theta scalar
+    # + 2-group arm reduce (scalar crossJoin)
+    "events_cuped_adjusted": (2, 1),
+    # r9: peel rounds behind checkpoints; returned plan = core-edge
+    # degree agg + three 1-row census scalars crossJoined
+    "parts_copurchase_kcore": (3, 2),
+    # r9: four TakeOrdered heaps (full + 3 truncations) + <=10-row
+    # broadcast semi joins + 3-row union
+    "embeddings_dim_ablation": (5, 1),
+    # r9: construct + parse map-side, one (rate, depth) aggregate
+    "multimodal_flac_info": (1, 0),
+    # r9: lm_score's checkpoint-fed count tables + lang-keyed rank
+    # window + bucket reduce (vocabulary scalar broadcast)
+    "docs_ccnet_buckets": (6, 4),
+    # r9: one quasi-identifier groupBy + literal-k explode reduce +
+    # 1-row class-count scalar
+    "orders_k_anonymity": (2, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -374,6 +391,10 @@ SCALAR_OK = {
     "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
     "orders_bootstrap_ci",  # rank window over the 100-row resample table
     "lineitem_discount_did",  # 2x2 cell pivot over 4 rows
+    "events_cuped_adjusted",  # 1-row theta/moments scalar crossJoined
+    "parts_copurchase_kcore",  # three 1-row core-census scalars crossJoined
+    "orders_k_anonymity",  # 1-row class-count scalar crossJoined
+    "docs_ccnet_buckets",  # lm_score's 1-row vocabulary scalar
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

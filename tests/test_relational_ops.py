@@ -551,7 +551,11 @@ class TestCatalogPlanGuards:
         "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
         "orders_bootstrap_ci",  # 1-row CI-bound scalars crossJoined
         "lineitem_discount_did",  # 2x2 cell scalars crossJoined
-    }
+            "events_cuped_adjusted",
+        "parts_copurchase_kcore",
+        "orders_k_anonymity",
+        "docs_ccnet_buckets",
+}
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
         from etlutil_spark.plans.inspect import formatted_plan
