@@ -207,6 +207,8 @@ EXTENDED = [
     "multimodal_flac_info",
     "docs_ccnet_buckets",
     "orders_k_anonymity",
+    "sketch_join_cardinality",
+    "dedup_minhash_recall",
 ]
 
 

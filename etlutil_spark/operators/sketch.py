@@ -283,3 +283,87 @@ def hll_rollup(
             sketch_col,
         )
     )
+
+
+def countsketch_table(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = 512,
+    depth: int = 5,
+    seed: str = "",
+) -> DataFrame:
+    """Count-sketch / Fast-AGMS table (Charikar-Chen-Farach-Colton;
+    Cormode-Garofalakis): like the count-min table but each occurrence
+    adds a +-1 SIGN drawn from a second hash, so collision noise
+    cancels in expectation instead of accumulating — the estimator
+    family is UNBIASED (median over the ``depth`` rows), where
+    count-min only upper-bounds. The sketch of choice for inner-product
+    work (join-size estimation, F2/self-join size) because the
+    mean-zero cross terms make sum_b a[b]*b[b] an unbiased estimate of
+    sum_k fA(k) fB(k) with variance ~ F2(A) F2(B) / width.
+
+    One keyed aggregate collapsing the table to depth*width signed
+    counters; both hashes ride the portable md5 family so every cell is
+    engine-reproducible. ``depth`` should be odd (deterministic exact
+    median)."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
+    df = df.where(F.col(value_col).isNotNull())
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.pmod(
+                        md5_bigint(F.col(value_col), seed=f"{seed}cs{j}"),
+                        F.lit(width),
+                    ).alias("bucket"),
+                    (
+                        F.pmod(
+                            md5_bigint(F.col(value_col), seed=f"{seed}sg{j}"),
+                            F.lit(2),
+                        )
+                        * 2
+                        - 1
+                    ).alias("sgn"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(pairs.alias("p"))
+        .select("p.j", "p.bucket", "p.sgn")
+        .groupBy("j", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("c"))
+    )
+
+
+def countsketch_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, *, depth: int = 5
+) -> DataFrame:
+    """Unbiased join-size estimate from two count-sketches built with
+    the SAME (width, depth, seed): per hash row the cellwise inner
+    product, then the exact median over rows (depth odd -> the middle
+    order statistic, deterministic in every engine). Returns one row
+    (est_size bigint)."""
+    ip = (
+        sketch_a.alias("a")
+        .join(sketch_b.alias("b"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("est"))
+    )
+    # exact median of <= depth values: order them, take the middle rank
+    # (rows with no surviving cells contribute no estimate; the median
+    # is over the rows present — mirrored in the oracle)
+    from pyspark.sql.window import Window
+
+    ranked = ip.select(
+        "est",
+        F.row_number().over(Window.orderBy("est", "j")).alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.where(
+        F.col("rnk") == (F.col("n") + 1) / 2
+    ).select(F.col("est").alias("est_size"))

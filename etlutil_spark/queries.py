@@ -1679,6 +1679,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Candidate-recall eval: the same minhash chain, with the final select
+# swapped for a (truth, candidates, hits) readout. `exact` is the
+# UNCAPPED ground truth and `vpairs` = cands ∩ exact = the hits.
+_DUCK_MINHASH_RECALL = _duck_minhash_lsh_sql().replace(
+    "SELECT id_a, id_b, jaccard FROM vpairs",
+    """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_true_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidate_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vpairs) AS n_hits,
+           round((SELECT COUNT(*) FROM vpairs) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM exact), 0), 6) AS recall,
+           round((SELECT COUNT(*) FROM vpairs) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM cands), 0), 6) AS precision_at_t""",
+    1,
+)
+
+
+@register("dedup_minhash_recall", _DUCK_MINHASH_RECALL)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality eval for the MinHash-LSH index (the dedup twin
+    of sim_ann_recall): banding candidates (32 perms / 8 bands, NO
+    verify stage) measured against the exact uncapped Jaccard >= 0.6
+    ground truth — recall (what fraction of true near-dup pairs the
+    banding surfaces) and precision-at-threshold (what fraction of
+    candidates survive exact verification). The acceptance measurement
+    run BEFORE trusting a banding configuration on a real corpus: too
+    few bands → recall collapses; too many → the verify stage drowns.
+
+    Scale honesty: the ground-truth side is the quadratic shingle
+    self-join, so this query is an EVAL harness for a sampled corpus
+    (exactly how ANN/dedup indexes are qualified in practice) — the
+    production path remains dedup_minhash_lsh, which never computes
+    exact pairs outside the banded candidates. Counts are exact
+    integers; ratios are integer divisions rounded at 6."""
+    from etlutil_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    cands = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=None
+    ).localCheckpoint(eager=False)
+    exact = (
+        ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    hits = cands.join(exact, ["id_a", "id_b"], "semi")
+    n_true = exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+    n_cand = cands.agg(F.count("*").cast("bigint").alias("n_candidate_pairs"))
+    n_hits = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_hits",
+            F.round(
+                F.col("n_hits")
+                * F.lit(1.0)
+                / F.nullif(F.col("n_true_pairs"), F.lit(0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits")
+                * F.lit(1.0)
+                / F.nullif(F.col("n_candidate_pairs"), F.lit(0)),
+                6,
+            ).alias("precision_at_t"),
+        )
+    )
+
+
 # LSH-fed CC oracle: the minhash chain's verified-pair CTE (vpairs) feeds
 # the same recursive reach CTE the exact-pair CC oracle uses.
 _DUCK_LSH_CC = (
@@ -11101,6 +11175,139 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_join_card_sql(width: int = 512, cm_depth: int = 4, cs_depth: int = 5) -> str:
+    """CMS (min of inner products, upper bound) and count-sketch /
+    Fast-AGMS (median of signed inner products, unbiased) join-size
+    estimates, mirrored cell for cell via the portable md5 family."""
+
+    def h(seed: str, j: int, col: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{seed}{j}' || CAST({col} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {width})"
+        )
+
+    def sgn(j: int, col: str) -> str:
+        return (
+            f"((('0x' || substr(md5('jcesg{j}' || CAST({col} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % 2) * 2 - 1)"
+        )
+
+    def cm(src: str, col: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT {j} AS j, {h('jcecms', j, col)} AS bucket, "
+            f"CAST(COUNT(*) AS BIGINT) AS c FROM {src} "
+            f"WHERE {col} IS NOT NULL GROUP BY 2"
+            for j in range(cm_depth)
+        )
+
+    def cs(src: str, col: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT {j} AS j, {h('jcecs', j, col)} AS bucket, "
+            f"CAST(SUM({sgn(j, col)}) AS BIGINT) AS c FROM {src} "
+            f"WHERE {col} IS NOT NULL GROUP BY 2"
+            for j in range(cs_depth)
+        )
+
+    return f"""
+    WITH cma AS ({cm('events', 'user_id')}),
+    cmb AS ({cm('orders', 'o_custkey')}),
+    cmip AS (SELECT cma.j, CAST(SUM(cma.c * cmb.c) AS BIGINT) AS est
+             FROM cma JOIN cmb USING (j, bucket) GROUP BY cma.j),
+    csa AS ({cs('events', 'user_id')}),
+    csb AS ({cs('orders', 'o_custkey')}),
+    csip AS (SELECT csa.j, CAST(SUM(csa.c * csb.c) AS BIGINT) AS est
+             FROM csa JOIN csb USING (j, bucket) GROUP BY csa.j),
+    med AS (SELECT est FROM (
+              SELECT est, row_number() OVER (ORDER BY est, j) AS rnk,
+                     COUNT(*) OVER () AS n
+              FROM csip) r WHERE rnk = (n + 1) // 2),
+    tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_size
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+    SELECT tru.true_size,
+           (SELECT CAST(MIN(est) AS BIGINT) FROM cmip) AS cms_est,
+           (SELECT CAST(est AS BIGINT) FROM med) AS agms_est,
+           round(((SELECT MIN(est) FROM cmip) - tru.true_size) * 1.0
+                 / tru.true_size, 6) AS cms_rel_err,
+           round(abs((SELECT est FROM med) - tru.true_size) * 1.0
+                 / tru.true_size, 6) AS agms_rel_err
+    FROM tru"""
+
+
+@register("sketch_join_cardinality", _duck_join_card_sql())
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation, both classical estimators
+    side by side: |A ⋈ B| on a key equals sum_k fA(k) fB(k), which (a)
+    two count-min sketches UPPER-BOUND by the min-over-rows cellwise
+    inner product (collision mass only adds, bias ~ Na*Nb/width — the
+    readout shows exactly that blowup), and (b) two count-sketches
+    (Fast-AGMS, operators/sketch.py:countsketch_table) estimate
+    UNBIASEDLY via the median of signed inner products, variance ~
+    F2(A) F2(B)/width — the estimator a cost-based planner or a
+    broadcast-vs-shuffle decision actually wants. Reported against the
+    exact join size with both relative errors; the exact join is the
+    oracle's ground truth at test SF — production reads ONLY the
+    sketches (that is the point: join-size estimates from two
+    fixed-size summaries, no data touched).
+
+    Scale: each sketch is one keyed aggregate collapsing its table to
+    depth x width cells; the inner products join ~2,000-row summaries —
+    metadata-scale, SCALAR_OK territory. Determinism: every cell rides
+    the portable md5 family (bucket AND sign hashes), inner products
+    are exact integer sums, and the median is the exact middle order
+    statistic of an odd row count — bit-identical cross-engine."""
+    from etlutil_spark.operators.sketch import (
+        cms_sketch,
+        countsketch_join_size,
+        countsketch_table,
+    )
+
+    width = 512
+    ev = load_table(spark, "events", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("user_id")
+    )
+    cma = cms_sketch(ev, "user_id", width=width, depth=4, seed="jce")
+    cmb = cms_sketch(o, "user_id", width=width, depth=4, seed="jce")
+    cmip = (
+        cma.alias("a")
+        .join(cmb.alias("b"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("est"))
+    )
+    cms_est = cmip.agg(F.min("est").cast("bigint").alias("cms_est"))
+    csa = countsketch_table(ev, "user_id", width=width, depth=5, seed="jce")
+    csb = countsketch_table(o, "user_id", width=width, depth=5, seed="jce")
+    agms = countsketch_join_size(csa, csb, depth=5).select(
+        F.col("est_size").cast("bigint").alias("agms_est")
+    )
+    tru = (
+        ev.join(
+            load_table(spark, "orders", sf_dir),
+            F.col("user_id") == F.col("o_custkey"),
+        )
+        .agg(F.count("*").cast("bigint").alias("true_size"))
+    )
+    return (
+        tru.crossJoin(cms_est)
+        .crossJoin(agms)
+        .select(
+            "true_size",
+            "cms_est",
+            "agms_est",
+            F.round(
+                (F.col("cms_est") - F.col("true_size")) * F.lit(1.0)
+                / F.col("true_size"),
+                6,
+            ).alias("cms_rel_err"),
+            F.round(
+                F.abs(F.col("agms_est") - F.col("true_size")) * F.lit(1.0)
+                / F.col("true_size"),
+                6,
+            ).alias("agms_rel_err"),
+        )
+    )
+
+
 @register(
     "orders_k_anonymity",
     """
@@ -11545,6 +11752,8 @@ _DRIVER_FRONT = [
     "multimodal_flac_info",
     "docs_ccnet_buckets",
     "orders_k_anonymity",
+    "sketch_join_cardinality",
+    "dedup_minhash_recall",
     # --- (b) re-proofs: code/oracle changed at r9 start ---
     # large-star/small-star CC replaced min-label propagation:
     "dedup_clusters",
@@ -11595,8 +11804,6 @@ _DRIVER_FRONT = [
     "op_redact_pii",
     "date_spine_days",
     "events_relative_month_frame",
-    "events_8_8_8_rest",
-    "events_calendar_periods",
 ]
 
 

@@ -174,6 +174,8 @@ class TestOracleGuards:
             "multimodal_flac_info",
             "docs_ccnet_buckets",
             "orders_k_anonymity",
+            "sketch_join_cardinality",
+            "dedup_minhash_recall",
             # ...plus re-proofs whose code or oracle changed at r9
             # start (large-star/small-star CC, residual IVFADC,
             # read-only bucketed-join split, BPE-oracle LEFT-JOIN

@@ -346,6 +346,12 @@ HEADLINE_BUDGETS = {
     # r9: one quasi-identifier groupBy + literal-k explode reduce +
     # 1-row class-count scalar
     "orders_k_anonymity": (2, 1),
+    # r9: four sketch aggregates + two summary-table inner-product joins
+    # + exact-truth join + three 1-row scalars crossJoined
+    "sketch_join_cardinality": (9, 5),
+    # r9: banding candidates + uncapped exact-pair truth (EVAL harness)
+    # + semi-join hits + three 1-row scalars crossJoined
+    "dedup_minhash_recall": (5, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -395,6 +401,8 @@ SCALAR_OK = {
     "parts_copurchase_kcore",  # three 1-row core-census scalars crossJoined
     "orders_k_anonymity",  # 1-row class-count scalar crossJoined
     "docs_ccnet_buckets",  # lm_score's 1-row vocabulary scalar
+    "sketch_join_cardinality",  # three 1-row estimate scalars + 5-row median window
+    "dedup_minhash_recall",  # three 1-row count scalars crossJoined
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

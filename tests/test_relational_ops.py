@@ -555,6 +555,8 @@ class TestCatalogPlanGuards:
         "parts_copurchase_kcore",
         "orders_k_anonymity",
         "docs_ccnet_buckets",
+        "sketch_join_cardinality",
+        "dedup_minhash_recall",
 }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
