@@ -144,3 +144,51 @@ class TestCms:
 
         with pytest.raises(ValueError, match="width"):
             cms_sketch(events, "user_id", width=1, depth=0)
+
+
+class TestCountSketch:
+    """countsketch_table / countsketch_join_size (r9): signed counters,
+    unbiased inner-product estimation, exact odd-depth median."""
+
+    def test_inner_product_exact_when_no_collisions(self, spark):
+        """With width >> keys, every key owns its cells and the signed
+        inner product recovers sum_k fA(k) fB(k) EXACTLY (signs square
+        away) — per row, so the median equals the true value."""
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.sketch import (
+            countsketch_join_size,
+            countsketch_table,
+        )
+
+        a = spark.createDataFrame(
+            [(k,) for k in [1, 1, 1, 2, 2, 3]], "k long"
+        )
+        b = spark.createDataFrame(
+            [(k,) for k in [1, 2, 2, 2, 4]], "k long"
+        )
+        # true join size = 3*1 + 2*3 = 9
+        sa = countsketch_table(a, "k", width=4096, depth=5, seed="t")
+        sb = countsketch_table(b, "k", width=4096, depth=5, seed="t")
+        est = countsketch_join_size(sa, sb, depth=5).collect()
+        assert len(est) == 1 and est[0]["est_size"] == 9
+
+    def test_counters_are_signed(self, spark):
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.sketch import countsketch_table
+
+        df = spark.createDataFrame([(k,) for k in range(200)], "k long")
+        t = countsketch_table(df, "k", width=8, depth=1, seed="s").collect()
+        cs = [r["c"] for r in t]
+        assert any(c < 0 for c in cs), cs  # signs must actually cancel
+        assert sum(cs) != sum(abs(c) for c in cs)
+
+    def test_bad_params_raise(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.sketch import countsketch_table
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError):
+            countsketch_table(df, "k", width=1, depth=0)
