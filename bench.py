@@ -209,6 +209,7 @@ EXTENDED = [
     "orders_k_anonymity",
     "sketch_join_cardinality",
     "dedup_minhash_recall",
+    "supplier_late_rate_wilson",
 ]
 
 

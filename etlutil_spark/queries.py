@@ -1679,6 +1679,93 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_late_rate_wilson",
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_shipments,
+             CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                               - CAST(o_orderdate AS DATE) > 90
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_suppkey),
+    w AS (
+      SELECT l_suppkey, n_shipments, n_late,
+             round(n_late * 1.0 / n_shipments, 6) AS late_rate,
+             round(((n_late * 1.0 / n_shipments)
+                     + 1.9208 / n_shipments
+                     - 1.96 * sqrt((n_late * 1.0 / n_shipments)
+                                   * (1.0 - n_late * 1.0 / n_shipments)
+                                   / n_shipments
+                                   + 0.9604 / (n_shipments * 1.0 * n_shipments)))
+                   / (1.0 + 3.8416 / n_shipments), 6) AS wilson_lb
+      FROM s)
+    SELECT l_suppkey, n_shipments, n_late, late_rate, wilson_lb
+    FROM w
+    ORDER BY wilson_lb DESC, l_suppkey LIMIT 20
+    """,
+)
+def supplier_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-ranked supplier SLA enforcement: per supplier, the
+    >90-day ship-lag rate with its WILSON SCORE lower bound (z = 1.96),
+    top-20 by the bound — the "sort by confident badness" fix for the
+    classic small-n ranking trap: a supplier that shipped 2/2 late
+    (raw rate 1.0) must NOT outrank one at 80/100 (raw 0.8) whose
+    lateness is statistically certain. The same ranking rule that
+    orders reviews, defect rates, and data-source quality tables at
+    scale.
+
+    Scale: one orderkey-keyed fact-fact join (the TPC-H q4 shape) into
+    one supplier-keyed conditional-count aggregate; the Wilson algebra
+    is a closed-form map-side expression over two exact integers and
+    the top-20 a TakeOrderedAndProject heap. Determinism: every float
+    derives from (n_late, n_shipments) through an identical literal
+    expression tree in both engines (the events_ab_test z-score
+    contract), rounded at 6 with suppkey tiebreaks."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    s = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shipments"),
+            F.sum(
+                (
+                    F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                    > 90
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+    )
+    p = F.col("n_late") * F.lit(1.0) / F.col("n_shipments")
+    n = F.col("n_shipments")
+    z2 = F.lit(3.8416)
+    wilson = (
+        p
+        + F.lit(1.9208) / n
+        - F.lit(1.96)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n + F.lit(0.9604) / (n * F.lit(1.0) * n)
+        )
+    ) / (F.lit(1.0) + z2 / n)
+    return (
+        s.select(
+            "l_suppkey",
+            "n_shipments",
+            "n_late",
+            F.round(p, 6).alias("late_rate"),
+            F.round(wilson, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), F.col("l_suppkey"))
+        .limit(20)
+    )
+
+
 # Candidate-recall eval: the same minhash chain, with the final select
 # swapped for a (truth, candidates, hits) readout. `exact` is the
 # UNCAPPED ground truth and `vpairs` = cands ∩ exact = the hits.

@@ -352,6 +352,9 @@ HEADLINE_BUDGETS = {
     # r9: banding candidates + uncapped exact-pair truth (EVAL harness)
     # + semi-join hits + three 1-row scalars crossJoined
     "dedup_minhash_recall": (5, 2),
+    # r9: orderkey fact-fact join (AQE may broadcast at test SF) +
+    # supplier-keyed conditional-count agg + TakeOrdered heap
+    "supplier_late_rate_wilson": (3, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
