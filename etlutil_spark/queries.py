@@ -1770,6 +1770,9 @@ def supplier_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 # swapped for a (truth, candidates, hits) readout. `exact` is the
 # UNCAPPED ground truth and `vpairs` = cands ∩ exact = the hits.
 _DUCK_MINHASH_RECALL = _duck_minhash_lsh_sql().replace(
+    "FROM documents",
+    "FROM documents WHERE doc_id % 3 = 0",
+).replace(
     "SELECT id_a, id_b, jaccard FROM vpairs",
     """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_true_pairs,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidate_pairs,
@@ -1794,8 +1797,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     few bands → recall collapses; too many → the verify stage drowns.
 
     Scale honesty: the ground-truth side is the quadratic shingle
-    self-join, so this query is an EVAL harness for a sampled corpus
-    (exactly how ANN/dedup indexes are qualified in practice) — the
+    self-join, so this query is an EVAL harness over a DETERMINISTIC
+    1/3 sample (doc_id % 3 = 0 — exactly how ANN/dedup indexes are
+    qualified in practice: measure on a sample, deploy on the corpus;
+    the sample predicate is mirrored in the oracle) — the
     production path remains dedup_minhash_lsh, which never computes
     exact pairs outside the banded candidates. Counts are exact
     integers; ratios are integer divisions rounded at 6."""
@@ -1804,7 +1809,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 3 == 0)
     cands = minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=None
     ).localCheckpoint(eager=False)
