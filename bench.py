@@ -210,6 +210,7 @@ EXTENDED = [
     "sketch_join_cardinality",
     "dedup_minhash_recall",
     "supplier_late_rate_wilson",
+    "customer_scd2_cdc_deletes",
 ]
 
 

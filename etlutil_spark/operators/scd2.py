@@ -144,3 +144,146 @@ def scd2_apply(
     return untouched.select(
         *keys, *states, valid_from_col, valid_to_col, current_col
     ).unionByName(rebuilt)
+
+
+def _as_list(v: str | list[str]) -> list[str]:
+    return [v] if isinstance(v, str) else list(v)
+
+
+def scd2_cdc_intervals(
+    log: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    state_cols: str | list[str],
+    *,
+    op_col: str = "op",
+    delete_op: str = "D",
+    tie_break: str | list[str] | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD2 intervals from a CDC log WITH DELETE TOMBSTONES: rows where
+    ``op_col == delete_op`` close the key's open run at their timestamp
+    and open nothing — a later upsert re-opens the key. A key whose last
+    event is a delete ends with every interval closed and NO current
+    row (the "customer left" truth an upsert-only dimension cannot
+    represent).
+
+    Mechanics: a delete is modeled as a state change to an internal
+    tombstone state (``_del = 1``, real state columns NULLed), run
+    collapse happens over the EXTENDED state, and tombstone runs are
+    dropped after the lead() has already used their timestamps as the
+    preceding run's ``valid_to``. Consecutive deletes collapse like any
+    unchanged run; delete-then-reinsert of the SAME state starts a new
+    run (the tombstone between them breaks the run), which is exactly
+    the history a CDC consumer expects. Same single-shuffle plan as
+    :func:`scd2_intervals` — the tombstone column rides the existing
+    state struct."""
+    keys = _as_list(key_cols)
+    states = _as_list(state_cols)
+    up = log.where(F.col(op_col) != F.lit(delete_op)).select(
+        *keys, ts_col,
+        *(tie_break and _as_list(tie_break) or []),
+        *states,
+    ).withColumn("_del", F.lit(0))
+    dl = log.where(F.col(op_col) == F.lit(delete_op)).select(
+        *keys, ts_col,
+        *(tie_break and _as_list(tie_break) or []),
+        *[F.lit(None).cast(log.schema[s].dataType).alias(s) for s in states],
+    ).withColumn("_del", F.lit(1))
+    iv = scd2_intervals(
+        up.unionByName(dl), keys, ts_col, states + ["_del"],
+        tie_break=tie_break, valid_from_col=valid_from_col,
+        valid_to_col=valid_to_col, current_col=current_col,
+    )
+    return iv.where(F.col("_del") == 0).drop("_del")
+
+
+def scd2_apply_cdc(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    state_cols: str | list[str],
+    *,
+    op_col: str = "op",
+    delete_op: str = "D",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    strict: bool = False,
+) -> DataFrame:
+    """Incrementally apply a CDC batch (upserts AND delete tombstones)
+    to an SCD2 dimension — the MERGE a lakehouse CDC sink actually
+    needs; :func:`scd2_apply` covers the upsert-only case. Same
+    touched/untouched split (broadcast semi/anti on the batch's keys,
+    rebuild sized by the batch, not the dimension), with one extra
+    reconstruction rule: a touched key whose dimension rows are ALL
+    closed (no ``is_current`` row) was previously deleted, so a
+    tombstone event is synthesized at its max ``valid_to`` before the
+    rebuild — without it, rebuilding from run starts alone would
+    silently resurrect the deleted key's last state as current.
+
+    Invariant (pinned in tests/test_temporal_ops.py):
+    incremental apply over any batch split == :func:`scd2_cdc_intervals`
+    over the concatenated log. ``strict=True`` raises when a change
+    predates its key's latest event (run start OR tombstone)."""
+    keys = _as_list(key_cols)
+    states = _as_list(state_cols)
+
+    affected = F.broadcast(changes.select(*keys).distinct())
+    touched = dim.join(affected, keys, "left_semi")
+    untouched = dim.join(affected, keys, "left_anti")
+
+    if strict:
+        latest = touched.groupBy(*keys).agg(
+            F.max(
+                F.greatest(
+                    F.col(valid_from_col),
+                    F.coalesce(F.col(valid_to_col), F.col(valid_from_col)),
+                )
+            ).alias("_latest_ev")
+        )
+        n_bad = (
+            changes.join(latest, keys)
+            .where(F.col(ts_col) < F.col("_latest_ev"))
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                "scd2_apply_cdc: change batch contains out-of-order rows "
+                "(before a key's latest run start or tombstone); rebuild "
+                "from the full log instead"
+            )
+
+    log_dim = touched.select(
+        *keys, F.col(valid_from_col).alias(ts_col), *states
+    ).withColumn(op_col, F.lit("U"))
+    open_keys = touched.where(F.col(current_col) == 1).select(*keys)
+    tomb = (
+        touched.groupBy(*keys)
+        .agg(F.max(valid_to_col).alias(ts_col))
+        .join(open_keys, keys, "left_anti")
+        .select(
+            *keys, ts_col,
+            *[
+                F.lit(None).cast(dim.schema[s].dataType).alias(s)
+                for s in states
+            ],
+        )
+        .withColumn(op_col, F.lit(delete_op))
+    )
+    log = log_dim.unionByName(tomb).unionByName(
+        changes.select(*keys, ts_col, *states, op_col)
+    )
+    rebuilt = scd2_cdc_intervals(
+        log, keys, ts_col, states,
+        op_col=op_col, delete_op=delete_op,
+        valid_from_col=valid_from_col, valid_to_col=valid_to_col,
+        current_col=current_col,
+    )
+    return untouched.select(
+        *keys, *states, valid_from_col, valid_to_col, current_col
+    ).unionByName(rebuilt)

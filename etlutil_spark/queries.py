@@ -1680,6 +1680,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_scd2_cdc_deletes",
+    """
+    WITH log AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS ts,
+             o_orderkey AS tb,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderpriority END AS st,
+             CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS del
+      FROM orders),
+    c AS (
+      SELECT *,
+             (lag(st) OVER w IS DISTINCT FROM st)
+               OR (lag(del) OVER w IS DISTINCT FROM del) AS chg
+      FROM log WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+    runs AS (SELECT * FROM c WHERE chg),
+    iv AS (
+      SELECT k, st, del, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      FROM runs)
+    SELECT CAST(k AS BIGINT) AS custkey, st AS priority,
+           valid_from, valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM iv WHERE del = 0
+    """,
+)
+def customer_scd2_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 from a CDC log WITH delete tombstones
+    (operators/scd2.py:scd2_cdc_intervals, r9): the orders log is read
+    as a per-customer priority-state CDC feed in which every 11th order
+    is a DELETE event — a delete closes the customer's open run at its
+    timestamp and opens nothing, a later order re-opens the key, and a
+    customer whose last event is a delete ends with NO current row (the
+    churn truth an upsert-only dimension cannot represent; completes
+    scd2_customer_priority / scd2_apply_incremental with the MERGE
+    semantics a real lakehouse CDC sink needs — the incremental twin
+    `scd2_apply_cdc` is pinned incremental==full in
+    tests/test_temporal_ops.py).
+
+    Scale: identical to the upsert-only SCD2 — ONE (key, ts, tie)
+    shuffle; the tombstone rides the run-collapse state struct, so
+    deletes add zero plan surface. The oracle re-derives the same
+    lag/lead interval algebra with IS DISTINCT FROM null-safe compares
+    and drops tombstone runs after their timestamps have closed the
+    preceding intervals."""
+    from etlutil_spark.operators.scd2 import scd2_cdc_intervals
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    iv = scd2_cdc_intervals(
+        o, "custkey", "ts", "priority", op_col="op", tie_break="tb"
+    )
+    return iv.select(
+        F.col("custkey").cast("bigint").alias("custkey"),
+        "priority",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("bigint").alias("is_current"),
+    )
+
+
+@register(
     "supplier_late_rate_wilson",
     """
     WITH s AS (

@@ -355,6 +355,9 @@ HEADLINE_BUDGETS = {
     # r9: orderkey fact-fact join (AQE may broadcast at test SF) +
     # supplier-keyed conditional-count agg + TakeOrdered heap
     "supplier_late_rate_wilson": (3, 0),
+    # r9: ONE (key, ts, tie) shuffle — tombstones ride the run-collapse
+    # state struct, deletes add zero plan surface
+    "customer_scd2_cdc_deletes": (1, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

@@ -383,3 +383,70 @@ class TestAsofVsPandas:
                 assert x_null == y_null, (col, i, x, y)
                 if not x_null:
                     assert x == y, (col, i, x, y)
+
+
+class TestScd2CdcDeletes:
+    """scd2_cdc_intervals / scd2_apply_cdc (r9): delete tombstones
+    close runs, re-inserts re-open, incremental == full on any split."""
+
+    ROWS = [
+        (1, 10, "a", "U"), (1, 20, "b", "U"), (1, 30, None, "D"), (1, 40, "b", "U"),
+        (2, 10, "x", "U"), (2, 25, None, "D"),
+        (3, 15, "z", "U"),
+        (4, 5, None, "D"), (4, 8, None, "D"), (4, 12, "q", "U"),
+    ]
+
+    def _log(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "k long, ts long, st string, op string"
+        )
+
+    def test_delete_closes_and_reinsert_reopens(self, spark):
+        from etlutil_spark.operators.scd2 import scd2_cdc_intervals
+
+        iv = {
+            (r["k"], r["st"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_cdc_intervals(self._log(spark), "k", "ts", "st").collect()
+        }
+        assert iv == {
+            (1, "a", 10, 20, 0),
+            (1, "b", 20, 30, 0),   # closed by the delete at 30
+            (1, "b", 40, None, 1), # SAME state re-opens as a NEW run
+            (2, "x", 10, 25, 0),   # key 2 fully deleted: no current row
+            (3, "z", 15, None, 1),
+            (4, "q", 12, None, 1), # leading deletes collapse and vanish
+        }
+
+    def test_incremental_equals_full_any_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.scd2 import (
+            scd2_apply_cdc,
+            scd2_cdc_intervals,
+        )
+
+        log = self._log(spark)
+        full = {tuple(r) for r in scd2_cdc_intervals(log, "k", "ts", "st").collect()}
+        for cut in (12, 20, 30):
+            dim = scd2_cdc_intervals(log.where(F.col("ts") <= cut), "k", "ts", "st")
+            out = scd2_apply_cdc(
+                dim, log.where(F.col("ts") > cut), "k", "ts", "st", strict=True
+            )
+            assert {tuple(r) for r in out.collect()} == full, cut
+
+    def test_strict_rejects_out_of_order_behind_tombstone(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.scd2 import (
+            scd2_apply_cdc,
+            scd2_cdc_intervals,
+        )
+
+        log = self._log(spark)
+        dim = scd2_cdc_intervals(log.where(F.col("k") == 2), "k", "ts", "st")
+        late = spark.createDataFrame(
+            [(2, 20, "y", "U")], "k long, ts long, st string, op string"
+        )  # predates key 2's tombstone at 25
+        with _pytest.raises(ValueError, match="out-of-order"):
+            scd2_apply_cdc(dim, late, "k", "ts", "st", strict=True)
