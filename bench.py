@@ -211,6 +211,7 @@ EXTENDED = [
     "dedup_minhash_recall",
     "supplier_late_rate_wilson",
     "customer_scd2_cdc_deletes",
+    "orders_price_quantile_sketch",
 ]
 
 

@@ -367,3 +367,92 @@ def countsketch_join_size(
     return ranked.where(
         F.col("rnk") == (F.col("n") + 1) / 2
     ).select(F.col("est").alias("est_size"))
+
+
+def geometric_bounds(max_value: int, rel_err: float = 0.05) -> list[int]:
+    """Integer bucket boundaries growing geometrically by ``rel_err``
+    (deduped ceils of (1+rel_err)^i, prepended 0) — the HdrHistogram
+    idea with the mantissa table collapsed to one literal int array.
+    Driver-side exact integer math; ~log(max)/log(1+e) entries (141
+    boundaries cover 1e6 at 10%)."""
+    if max_value < 1 or not 0 < rel_err < 1:
+        raise ValueError(f"bad histogram params max={max_value} rel_err={rel_err}")
+    bounds = [0]
+    b = 1.0
+    while bounds[-1] <= max_value:
+        nxt = int(-(-b // 1))  # ceil without float .5 hazards
+        if nxt > bounds[-1]:
+            bounds.append(nxt)
+        b *= 1.0 + rel_err
+    return bounds
+
+
+def log_histogram(
+    df: DataFrame, value_col: str, bounds: list[int]
+) -> DataFrame:
+    """Fixed-size log-bucketed histogram of a non-negative integer
+    column: one row per occupied bucket (bucket index, lower bound,
+    count). The deterministic, MERGEABLE quantile summary
+    (HdrHistogram / Prometheus-native-histogram shape): counters add
+    across shards/batches, state is bounded by the boundary table
+    regardless of input size, and the bucket index is a pure integer
+    comparison against a literal array — no floats, no cross-engine
+    drift, map-side partial aggregation for free.
+
+    Values above the last boundary clamp into the final bucket (the
+    +Inf bucket); negative values raise at query time via the bucket-0
+    underflow check being impossible (index >= 1 for v >= 0)."""
+    blit = F.lit([int(b) for b in bounds])
+    v = F.col(value_col).cast("bigint")
+    idx = F.aggregate(
+        blit,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + (v >= b).cast("bigint"),
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(idx.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            "bucket",
+            F.element_at(blit, F.col("bucket").cast("int")).alias("lo"),
+            "c",
+        )
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Nearest-rank quantile estimates from a log_histogram: for each
+    q, the LOWER BOUND of the first bucket whose cumulative count
+    reaches ceil(q * n) — deterministic, and within the boundary
+    table's relative error of the true quantile by construction. The
+    cumulative walk runs over the occupied-bucket table (<= |bounds|
+    rows — scalar scale), so the window here is the 1-row-exemption
+    kind, not a data funnel."""
+    from pyspark.sql.window import Window
+
+    cum = hist.select(
+        "bucket",
+        "lo",
+        F.sum("c").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    outs = None
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("n")).cast("bigint")
+        row = (
+            cum.where(F.col("cum") >= rank)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.col("lo").cast("bigint").alias("est"),
+            )
+        )
+        outs = row if outs is None else outs.unionByName(row)
+    return outs

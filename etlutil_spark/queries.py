@@ -1679,6 +1679,72 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_price_qsketch_sql(qs=(0.5, 0.95, 0.99), rel_err: float = 0.05) -> str:
+    """Mirror of the log-histogram quantile sketch: the SAME integer
+    boundary table (built once driver-side by geometric_bounds) rides
+    both engines as a literal array; bucketing is a pure count of
+    boundaries <= v and the quantile pick a nearest-rank walk over the
+    occupied buckets."""
+    from etlutil_spark.operators.sketch import geometric_bounds
+
+    bounds = geometric_bounds(1_000_000, rel_err)
+    blit = "[" + ", ".join(str(b) for b in bounds) + "]"
+    legs = "\n    UNION ALL ".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+           (SELECT CAST(lo AS BIGINT) FROM cum
+            WHERE c_cum >= CAST(ceil({q} * n) AS BIGINT)
+            ORDER BY bucket LIMIT 1) AS est
+    FROM (SELECT 1)"""
+        for q in qs
+    )
+    return f"""
+    WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT v, len(list_filter({blit}, b -> v.v >= b)) AS bucket FROM v),
+    h AS (SELECT bucket, {blit}[bucket] AS lo, COUNT(*) AS c
+          FROM b GROUP BY bucket),
+    cum AS (SELECT bucket, lo,
+                   SUM(c) OVER (ORDER BY bucket) AS c_cum,
+                   SUM(c) OVER () AS n
+            FROM h)
+    {legs}"""
+
+
+@register("orders_price_quantile_sketch", _duck_price_qsketch_sql())
+def orders_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-histogram quantile sketch
+    (operators/sketch.py:log_histogram — the HdrHistogram / native-
+    histogram shape): order values bucketed by a 5%-geometric integer
+    boundary table, p50/p95/p99 read as nearest-rank bucket lower
+    bounds. THE production latency/value-percentile structure at scale:
+    counters add across shards, batches, and days (unlike exact
+    percentiles, which need the data), state is bounded by the ~290-row
+    boundary table forever, and the relative error is capped by the
+    boundary ratio BY CONSTRUCTION (pinned <= 5% vs exact in
+    tests/test_sketch.py). Complements the exact-percentile family
+    (orders_price_quartiles, revenue_percentiles): exact when you can
+    afford the shuffle, this when you need mergeable fixed-size state.
+
+    Scale: one map-side integer bucketing (literal-array compare, no
+    floats) + one bucket-keyed count aggregate with map-side partials;
+    the cumulative quantile walk runs over <= |bounds| occupied rows —
+    scalar scale (SCALAR_OK). Determinism: only exact integers cross
+    engines; the boundary table is built once driver-side and shared
+    with the oracle verbatim."""
+    from etlutil_spark.operators.sketch import (
+        geometric_bounds,
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.floor("o_totalprice").cast("bigint").alias("v")
+    )
+    bounds = geometric_bounds(1_000_000, 0.05)
+    hist = log_histogram(o, "v", bounds)
+    return histogram_quantiles(hist, [0.5, 0.95, 0.99])
+
+
 @register(
     "customer_scd2_cdc_deletes",
     """

@@ -358,6 +358,9 @@ HEADLINE_BUDGETS = {
     # r9: ONE (key, ts, tie) shuffle — tombstones ride the run-collapse
     # state struct, deletes add zero plan surface
     "customer_scd2_cdc_deletes": (1, 0),
+    # r9: map-side literal-array bucketing + one bucket-keyed count agg;
+    # cumulative walk over <= |bounds| occupied buckets (scalar window)
+    "orders_price_quantile_sketch": (2, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -409,6 +412,7 @@ SCALAR_OK = {
     "docs_ccnet_buckets",  # lm_score's 1-row vocabulary scalar
     "sketch_join_cardinality",  # three 1-row estimate scalars + 5-row median window
     "dedup_minhash_recall",  # three 1-row count scalars crossJoined
+    "orders_price_quantile_sketch",  # cum walk over <= |bounds| bucket rows
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

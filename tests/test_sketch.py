@@ -192,3 +192,67 @@ class TestCountSketch:
         df = spark.createDataFrame([(1,)], "k long")
         with _pytest.raises(ValueError):
             countsketch_table(df, "k", width=1, depth=0)
+
+
+class TestLogHistogramQuantiles:
+    """log_histogram / histogram_quantiles (r9): mergeable, exact-error
+    bound vs true nearest-rank quantiles."""
+
+    def test_error_bound_vs_exact(self, spark, sf_dir):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.sketch import (
+            geometric_bounds,
+            histogram_quantiles,
+            log_histogram,
+        )
+        from etlutil_spark.sources.testdata import load_table
+
+        rel = 0.05
+        o = load_table(spark, "orders", sf_dir).select(
+            F.floor("o_totalprice").cast("bigint").alias("v")
+        )
+        vals = sorted(r["v"] for r in o.collect())
+        bounds = geometric_bounds(1_000_000, rel)
+        est = {
+            r["q"]: r["est"]
+            for r in histogram_quantiles(
+                log_histogram(o, "v", bounds), [0.5, 0.95, 0.99]
+            ).collect()
+        }
+        for q, e in est.items():
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            assert abs(e - exact) <= rel * exact + 1, (q, e, exact)
+
+    def test_histogram_is_mergeable(self, spark):
+        """Counters add: hist(A ∪ B) == cellwise-sum(hist(A), hist(B))."""
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.sketch import geometric_bounds, log_histogram
+
+        bounds = geometric_bounds(10_000, 0.1)
+        a = spark.range(0, 500).select((F.col("id") * 7 % 9999).alias("v"))
+        b = spark.range(0, 300).select((F.col("id") * 13 % 9999).alias("v"))
+        ha = log_histogram(a, "v", bounds)
+        hb = log_histogram(b, "v", bounds)
+        merged = (
+            ha.unionByName(hb)
+            .groupBy("bucket", "lo")
+            .agg(F.sum("c").alias("c"))
+        )
+        direct = log_histogram(a.unionByName(b), "v", bounds)
+        assert {tuple(r) for r in merged.collect()} == {
+            tuple(r) for r in direct.collect()
+        }
+
+    def test_bad_bounds_raise(self):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.sketch import geometric_bounds
+
+        with _pytest.raises(ValueError):
+            geometric_bounds(0)
+        with _pytest.raises(ValueError):
+            geometric_bounds(100, 1.5)
