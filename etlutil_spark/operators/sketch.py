@@ -434,6 +434,9 @@ def histogram_quantiles(
     kind, not a data funnel."""
     from pyspark.sql.window import Window
 
+    # every q-leg filters this table; the lazy checkpoint materializes
+    # the histogram + cumulative walk ONCE (<= |bounds| rows) instead of
+    # re-deriving the data pass per quantile
     cum = hist.select(
         "bucket",
         "lo",
@@ -441,7 +444,7 @@ def histogram_quantiles(
             Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
         ).alias("cum"),
         F.sum("c").over(Window.partitionBy()).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     outs = None
     for q in qs:
         rank = F.ceil(F.lit(float(q)) * F.col("n")).cast("bigint")

@@ -358,9 +358,10 @@ HEADLINE_BUDGETS = {
     # r9: ONE (key, ts, tie) shuffle — tombstones ride the run-collapse
     # state struct, deletes add zero plan surface
     "customer_scd2_cdc_deletes": (1, 0),
-    # r9: map-side literal-array bucketing + one bucket-keyed count agg;
-    # cumulative walk over <= |bounds| occupied buckets (scalar window)
-    "orders_price_quantile_sketch": (2, 0),
+    # r9: the histogram pass (one bucket-keyed count agg + scalar-scale
+    # cumulative walk) sits behind a checkpoint shared by all q-legs;
+    # the returned plan is three TakeOrdered picks over that table
+    "orders_price_quantile_sketch": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
