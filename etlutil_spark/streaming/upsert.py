@@ -122,3 +122,52 @@ def run_scd2_upsert_stream(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def scd2_cdc_batch(
+    dim_path: str,
+    key_cols: str | list[str],
+    ts_col: str,
+    state_cols: str | list[str],
+    *,
+    op_col: str = "op",
+    delete_op: str = "D",
+    strict: bool = True,
+):
+    """CDC variant of :func:`scd2_upsert_batch` (r9): micro-batches
+    carry an op column and DELETE tombstones close runs —
+    operators/scd2.py:scd2_apply_cdc (scd2_cdc_intervals on the first
+    batch) runs per batch, so the streamed dimension can represent
+    "the key left" with every interval closed and no current row. Same
+    sink mechanics (read -> merge -> checkpoint -> tmp write -> swap
+    with a raising rename); same per-key event-time-order contract,
+    which for deletes also means a tombstone arrives after the run it
+    closes (strict=True enforces both)."""
+    from etlutil_spark.operators.scd2 import scd2_apply_cdc, scd2_cdc_intervals
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        dim = read_dim(spark, dim_path)
+        if dim is None:
+            updated = scd2_cdc_intervals(
+                batch, key_cols, ts_col, state_cols,
+                op_col=op_col, delete_op=delete_op,
+            )
+        else:
+            updated = scd2_apply_cdc(
+                dim, batch, key_cols, ts_col, state_cols,
+                op_col=op_col, delete_op=delete_op, strict=strict,
+            )
+        materialized = updated.localCheckpoint(eager=True)
+        tmp = dim_path + ".tmp"
+        materialized.write.mode("overwrite").parquet(tmp)
+        fs, jdim = _fs(spark, dim_path)
+        if fs.exists(jdim):
+            fs.delete(jdim, True)
+        _, jtmp = _fs(spark, tmp)
+        if not fs.rename(jtmp, jdim):
+            raise IOError(f"rename {tmp} -> {dim_path} failed")
+
+    return apply_batch

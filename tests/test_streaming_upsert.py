@@ -232,3 +232,43 @@ class TestObjectStorePaths:
         )
         # key 1 has history a->b (a closed, b current); key 2 current x
         assert rows == [(1, "a", False), (1, "b", True), (2, "x", True)]
+
+
+class TestScd2CdcStream:
+    """r9: the CDC sink (scd2_cdc_batch) must converge to the full-log
+    scd2_cdc_intervals rebuild — deletes close runs mid-stream and the
+    dimension survives a key's complete departure."""
+
+    def test_cdc_stream_converges_with_deletes(self, spark, tmp_path):
+        from etlutil_spark.operators.scd2 import scd2_cdc_intervals
+        from etlutil_spark.streaming.upsert import scd2_cdc_batch
+
+        rows = [
+            (1, 10, "a", "U"), (1, 20, "b", "U"), (1, 30, None, "D"),
+            (1, 40, "b", "U"),
+            (2, 10, "x", "U"), (2, 25, None, "D"),
+            (3, 15, "z", "U"),
+        ]
+        log = spark.createDataFrame(
+            rows, "k long, ts long, st string, op string"
+        )
+        dim_path = str(tmp_path / "dim")
+        sink = scd2_cdc_batch(dim_path, "k", "ts", "st", strict=True)
+        # in-order time slices, one per micro-batch (the sink contract)
+        for lo, hi in ((0, 15), (15, 28), (28, 99)):
+            sink(
+                log.where((F.col("ts") > lo) & (F.col("ts") <= hi)), lo
+            )
+        got = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+        want = {
+            tuple(r)
+            for r in scd2_cdc_intervals(log, "k", "ts", "st").collect()
+        }
+        assert got == want
+        # the churned key must have NO current row
+        cur = [
+            r
+            for r in spark.read.parquet(dim_path).collect()
+            if r["k"] == 2 and r["is_current"] == 1
+        ]
+        assert cur == []
