@@ -235,9 +235,10 @@ EXTENDED = [
 # scan-normalized headline is the preferred cross-round number.
 CALIB_REF_SEC = 1.07
 # Reference wall-clock of the scan calibration on the r9 build box
-# (quiet by the CPU calib's own metric); r9+ scan-normalized numbers
-# are relative to THIS box class.
-SCAN_CALIB_REF_SEC = 0.55
+# (quietest of three closing-bench runs: 0.389 s at cpu-calib 0.95;
+# loaded runs measured up to 0.61 at calib 1.35, tracking load); r9+
+# scan-normalized numbers are relative to THIS box class.
+SCAN_CALIB_REF_SEC = 0.40
 
 
 def main() -> None:
