@@ -212,6 +212,7 @@ EXTENDED = [
     "supplier_late_rate_wilson",
     "customer_scd2_cdc_deletes",
     "orders_price_quantile_sketch",
+    "embeddings_top_pc",
 ]
 
 

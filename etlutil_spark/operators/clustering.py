@@ -596,3 +596,107 @@ def ivfadc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    scale: int = 1_000,
+    center: bool = True,
+) -> tuple[list[list[int]], int]:
+    """Exact integer Gram (scatter) matrix of a quantized embedding
+    column: G[i][j] = sum_rows c_i * c_j with c = quantize(x) - mean
+    (mean-centered when ``center``, integer floor mean — mirrored in
+    the oracle). Returns (G as d x d ints, n_rows).
+
+    Distribution shape: ONE pass computing per-dim integer sums (the
+    kmeans posexplode idiom) for the mean, then ONE pass exploding each
+    row's d^2 outer-product cells into a (i, j)-keyed partial-sum
+    aggregate — map-side combine collapses every partition to at most
+    d^2 cells, so the shuffle carries O(partitions * d^2) regardless of
+    row count. At d in the hundreds switch the cell explode for a
+    per-partition mapInPandas Gram (same exact sums); at d = 64 the
+    explode stays in whole-stage codegen and is simpler to oracle.
+    Driver state is the d^2 integer matrix — bounded."""
+    q = df.where(F.col(vec_col).isNotNull()).select(
+        _quantize(vec_col, scale).alias("_qv")
+    ).localCheckpoint(eager=False)
+    first = q.first()
+    if first is None:
+        raise ValueError("gram_matrix: no non-null vectors")
+    d = len(first["_qv"])
+    n_row = q.count()
+    if center:
+        sums = (
+            q.select(F.posexplode("_qv").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        mean = [0] * d
+        for r in sums:
+            mean[int(r["pos"])] = math.floor(float(r["s"]) / n_row)
+        mlit = F.lit(mean).cast("array<bigint>")
+        c = F.zip_with("_qv", mlit, lambda a, b: a - b)
+    else:
+        c = F.col("_qv").cast("array<bigint>")
+    cells = F.flatten(
+        F.transform(
+            c,
+            lambda vi, i: F.transform(
+                c, lambda vj, j: F.struct(
+                    i.alias("i"), j.alias("j"), (vi * vj).alias("p")
+                )
+            ),
+        )
+    )
+    agg = (
+        q.select(F.explode(cells).alias("c"))
+        .groupBy("c.i", "c.j")
+        .agg(F.sum("c.p").alias("g"))
+        .collect()
+    )
+    G = [[0] * d for _ in range(d)]
+    for r in agg:
+        G[int(r["i"])][int(r["j"])] = int(r["g"])
+    return G, n_row
+
+
+def power_iteration_top_pc(
+    G: list[list[int]], *, rounds: int = 15, vscale: int = 1_000_000
+) -> tuple[list[int], float]:
+    """Top eigenvector of an integer Gram matrix by INTEGER-EXACT power
+    iteration: G is pre-scaled to <= vscale per entry (floor division),
+    v starts as the all-ones vector at vscale, and each round computes
+    w = G'v exactly in int64 range then renormalizes v' = floor(w *
+    vscale / max|w|) — no floats anywhere until the final Rayleigh
+    quotient, so every round (and the returned vector) is reproducible
+    bit for bit in any engine, including the unrolled-SQL oracle.
+    Returns (v at vscale, rayleigh = v'Gv / (v'v) in the PRE-scaled
+    G's units — the top explained scatter).
+
+    Fixed round count, no convergence test: the result is defined as
+    "rounds steps of this exact recurrence" (the kmeans determinism
+    contract), which is as close to the eigenvector as power iteration
+    gets with the dominant-eigenvalue gap — callers needing certified
+    convergence compare successive rounds themselves. Driver-side only:
+    G is d x d ints (bounded collect from gram_matrix)."""
+    d = len(G)
+    gmax = max((abs(x) for row in G for x in row), default=0)
+    if gmax == 0:
+        raise ValueError("power_iteration_top_pc: zero Gram matrix")
+    Gs = [[(x * vscale) // gmax for x in row] for row in G]
+    v = [vscale] * d
+    for _ in range(rounds):
+        w = [sum(Gs[i][j] * v[j] for j in range(d)) for i in range(d)]
+        wmax = max(abs(x) for x in w)
+        if wmax == 0:
+            raise ValueError("power_iteration_top_pc: iterate vanished")
+        v = [(x * vscale) // wmax for x in w]
+    num = sum(
+        v[i] * sum(Gs[i][j] * v[j] for j in range(d)) for i in range(d)
+    )
+    den = sum(x * x for x in v)
+    rayleigh = (float(num) / float(den)) * (float(gmax) / float(vscale))
+    return v, rayleigh

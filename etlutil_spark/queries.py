@@ -1816,6 +1816,119 @@ def customer_scd2_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_top_pc_sql(
+    dim: int = 64, scale: int = 1_000, vscale: int = 1_000_000, rounds: int = 15
+) -> str:
+    """Mirror of gram_matrix + power_iteration_top_pc: quantize,
+    integer floor mean, centered integer Gram, offset-trick floor
+    prescale, and ``rounds`` unrolled integer matvec+renorm steps.
+    The offset form ((x + m) * s) // m - s keeps every // operand
+    non-negative, so floor-vs-truncate ambiguity never arises; renorm
+    products exceed int64, so the oracle lifts them to HUGEINT (the
+    Python driver side is arbitrary-precision by nature)."""
+    rng = f"range(1, {dim + 1})"
+    parts = [
+        f"""q AS MATERIALIZED (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {scale}) AS BIGINT)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL)""",
+        """n AS (SELECT COUNT(*) AS n FROM q)""",
+        f"""msum AS (SELECT r.i AS i, CAST(SUM(v[r.i]) AS BIGINT) AS s
+             FROM q, UNNEST({rng}) r(i) GROUP BY r.i)""",
+        """m AS (SELECT list(CAST(floor(s * 1.0 / n.n) AS BIGINT) ORDER BY i) AS m
+           FROM msum, n GROUP BY n.n)""",
+        f"""cent AS MATERIALIZED (
+      SELECT [ q.v[i] - m.m[i] for i in {rng} ] AS c FROM q, m)""",
+        f"""gcells AS MATERIALIZED (
+      SELECT ii.i AS i, jj.j AS j,
+             CAST(SUM(c[ii.i] * c[jj.j]) AS BIGINT) AS g
+      FROM cent, UNNEST({rng}) ii(i), UNNEST({rng}) jj(j)
+      GROUP BY 1, 2)""",
+        """gm AS (SELECT MAX(abs(g)) AS gm FROM gcells)""",
+        f"""grows AS (SELECT i,
+                    list(CAST(((g + gm.gm) * {vscale}) // gm.gm - {vscale}
+                              AS BIGINT) ORDER BY j) AS row
+             FROM gcells, gm GROUP BY i, gm.gm)""",
+        """g AS MATERIALIZED (SELECT list(row ORDER BY i) AS G FROM grows)""",
+        f"""v0 AS (SELECT list_transform({rng}, x -> CAST({vscale} AS BIGINT)) AS v)""",
+    ]
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""w{r} AS (SELECT list_transform(g.G,
+                    row -> CAST(list_sum([ row[j] * v[j] for j in {rng} ])
+                               AS BIGINT)) AS w
+           FROM g, {prev})"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT [ CAST((CAST(x + wm AS HUGEINT) * {vscale}) // wm - {vscale}
+                    AS BIGINT)
+               for x in w ] AS v
+      FROM (SELECT w, list_aggregate(list_transform(w, x -> abs(x)), 'max')
+                      AS wm FROM w{r}))"""
+        )
+        prev = f"v{r}"
+    parts.append(
+        f"""ray AS (SELECT
+          CAST(list_sum([ CAST(v[i] AS HUGEINT)
+                          * list_sum([ g.G[i][j] * v[j] for j in {rng} ])
+                          for i in {rng} ]) AS DOUBLE)
+          / CAST(list_sum([ CAST(v[i] AS HUGEINT) * v[i] for i in {rng} ])
+                 AS DOUBLE)
+          * (CAST(gm.gm AS DOUBLE) / {vscale}) AS rayleigh
+        FROM {prev}, g, gm)"""
+    )
+    joined = ",\n    ".join(parts)
+    return (
+        "WITH "
+        + joined
+        + f"""
+    SELECT CAST(r.i AS BIGINT) AS dim, v[r.i] AS component, ray.rayleigh
+    FROM {prev}, UNNEST({rng}) r(i), ray"""
+    )
+
+
+@register("embeddings_top_pc", _duck_top_pc_sql())
+def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus
+    (operators/clustering.py:gram_matrix + power_iteration_top_pc):
+    mean-centered integer Gram matrix built distributed (one per-dim
+    sum pass + one d^2-cell outer-product aggregate, map-side combined
+    to O(partitions * d^2) shuffle rows), then 15 rounds of
+    INTEGER-EXACT power iteration on the driver's d x d matrix — the
+    classic embedding-diagnostics readout (dominant direction +
+    Rayleigh scatter share tells you whether the space has collapsed
+    onto one axis, the anisotropy problem every embedding-quality
+    audit checks first; feeds whitening / dim-ablation decisions next
+    to embeddings_dim_stats and embeddings_dim_ablation).
+
+    Determinism: quantized inputs, floor mean, exact integer Gram; the
+    iteration renormalizes with the offset floor-division trick so
+    every step is integer-exact and reproducible bit for bit — the
+    oracle re-runs the whole recurrence (15 unrolled matvec CTEs,
+    HUGEINT-lifted renorms) and must land on the identical vector. No
+    convergence test: the result is DEFINED as 15 steps of the exact
+    recurrence (the kmeans contract). Scale: driver state is d^2 ints;
+    the eigensolve cost is independent of corpus size."""
+    from etlutil_spark.operators.clustering import (
+        gram_matrix,
+        power_iteration_top_pc,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    G, _n = gram_matrix(e, "embedding", scale=1_000, center=True)
+    v, rayleigh = power_iteration_top_pc(G, rounds=15, vscale=1_000_000)
+    # rayleigh stays UNROUNDED: both engines derive it from the same
+    # exact integers through identical IEEE double arithmetic (a Python
+    # round here would be banker's rounding vs the engines' half-away —
+    # the verify-skill float hazard)
+    rows = [(i + 1, int(c), rayleigh) for i, c in enumerate(v)]
+    return spark.createDataFrame(
+        rows, "dim bigint, component bigint, rayleigh double"
+    )
+
+
 @register(
     "supplier_late_rate_wilson",
     """

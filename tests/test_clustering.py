@@ -234,3 +234,47 @@ class TestSeedPlan:
         assert "TakeOrderedAndProject" in plan, plan
         assert "Exchange" not in plan, plan
         assert "+- *(1) Sort" not in plan, plan
+
+
+class TestTopPc:
+    """gram_matrix + power_iteration_top_pc (r9): the integer recurrence
+    must recover a planted dominant direction."""
+
+    def test_recovers_planted_direction(self, spark):
+        import math
+        import random
+
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.clustering import (
+            gram_matrix,
+            power_iteration_top_pc,
+        )
+
+        rnd = random.Random(9)
+        d = 8
+        axis = [1.0 if i == 2 else 0.0 for i in range(d)]
+        rows = []
+        for i in range(400):
+            t = rnd.gauss(0, 5)  # dominant variance along the axis
+            rows.append(
+                (i, [t * a + rnd.gauss(0, 0.3) for a in axis])
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        G, n = gram_matrix(df, "embedding", scale=1_000)
+        assert n == 400 and len(G) == d
+        v, rayleigh = power_iteration_top_pc(G, rounds=15)
+        norm = math.sqrt(sum(x * x for x in v))
+        unit = [x / norm for x in v]
+        # cosine with the planted axis must be ~1 (sign-free)
+        cos = abs(sum(u * a for u, a in zip(unit, axis)))
+        assert cos > 0.99, (cos, unit)
+        assert rayleigh > 0
+
+    def test_zero_matrix_raises(self):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.clustering import power_iteration_top_pc
+
+        with _pytest.raises(ValueError):
+            power_iteration_top_pc([[0, 0], [0, 0]])

@@ -362,6 +362,9 @@ HEADLINE_BUDGETS = {
     # cumulative walk) sits behind a checkpoint shared by all q-legs;
     # the returned plan is three TakeOrdered picks over that table
     "orders_price_quantile_sketch": (0, 0),
+    # r9: the mean pass + d^2-cell Gram aggregate run behind the
+    # bounded driver collects; the returned 64-row PC table is local
+    "embeddings_top_pc": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
