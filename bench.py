@@ -213,6 +213,8 @@ EXTENDED = [
     "customer_scd2_cdc_deletes",
     "orders_price_quantile_sketch",
     "embeddings_top_pc",
+    "docs_pmi_collocations",
+    "customer_rfm_migration",
 ]
 
 

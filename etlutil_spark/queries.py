@@ -1816,6 +1816,184 @@ def customer_scd2_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_rfm_half(pred: str, as_of: str, sfx: str) -> str:
+    return f"""c{sfx} AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '{as_of}') AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS monetary
+      FROM orders WHERE {pred} GROUP BY o_custkey),
+    s{sfx} AS (
+      SELECT o_custkey,
+             CAST(NTILE(4) OVER (ORDER BY recency_days ASC NULLS FIRST, o_custkey ASC) AS INTEGER) AS r_q,
+             CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER) AS f_q,
+             CAST(NTILE(4) OVER (ORDER BY monetary DESC NULLS FIRST, o_custkey ASC) AS INTEGER) AS m_q
+      FROM c{sfx})"""
+
+
+@register(
+    "customer_rfm_migration",
+    "WITH "
+    + _duck_rfm_half(
+        "CAST(o_orderdate AS DATE) <= DATE '1996-12-31'", "1996-12-31", "1"
+    )
+    + ",\n    "
+    + _duck_rfm_half(
+        "CAST(o_orderdate AS DATE) > DATE '1996-12-31'", "1998-12-31", "2"
+    )
+    + """
+    SELECT CAST(s1.r_q AS VARCHAR) || CAST(s1.f_q AS VARCHAR)
+             || CAST(s1.m_q AS VARCHAR) AS seg_p1,
+           CAST(s2.r_q AS VARCHAR) || CAST(s2.f_q AS VARCHAR)
+             || CAST(s2.m_q AS VARCHAR) AS seg_p2,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM s1 JOIN s2 USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment MIGRATION matrix (the customer-movement readout that
+    turns orders_rfm_segments' static snapshot into a retention story):
+    score every customer independently in two periods — orders through
+    1996 (as-of 1996-12-31) and 1997-98 (as-of 1998-12-31) — and count
+    customers per (period-1 segment, period-2 segment) cell. The
+    off-diagonal mass IS the churn/upgrade signal a lifecycle team
+    acts on; diagonal cells are stable cohorts (pairs with
+    orders_cohort_ltv / user_retention_weekly).
+
+    Scale: two period-filtered per-customer aggregates, each scored by
+    the same single-partition-free exact-NTILE machinery as
+    orders_rfm_segments (quantiles.exact_ntile — range repartition +
+    rank offsets, customer-key tiebreaks), one customer-keyed join, one
+    cell aggregate. Determinism: exact DECIMAL monetary sums, ANSI
+    NTILE equivalence pinned by the shared oracle phrasing."""
+    from etlutil_spark.operators.analytics import rfm_scores
+
+    o = load_table(spark, "orders", sf_dir)
+    p1 = rfm_scores(
+        o.where(F.to_date("o_orderdate") <= "1996-12-31"), as_of="1996-12-31"
+    ).select(
+        F.col("o_custkey"),
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("seg_p1"),
+    )
+    p2 = rfm_scores(
+        o.where(F.to_date("o_orderdate") > "1996-12-31"), as_of="1998-12-31"
+    ).select(
+        F.col("o_custkey"),
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("seg_p2"),
+    )
+    return (
+        p1.join(p2, "o_custkey")
+        .groupBy("seg_p1", "seg_p2")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+@register(
+    "docs_pmi_collocations",
+    f"""
+    WITH t AS (SELECT {_DUCK_TOKENS} AS tk FROM documents),
+    uni AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT UNNEST(tk) AS u FROM t) GROUP BY u),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bg AS (SELECT tk[r.i] AS w1, tk[r.i + 1] AS w2,
+                  CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM t, UNNEST(range(1, len(tk))) AS r(i)
+           WHERE len(tk) >= 2 GROUP BY 1, 2),
+    b AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS b FROM bg)
+    SELECT w1 || ' ' || w2 AS bigram, c_ab,
+           round(ln((c_ab * 1.0 * n.n * n.n)
+                    / (b.b * 1.0 * u1.c * u2.c)), 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON u1.w = bg.w1
+    JOIN uni u2 ON u2.w = bg.w2
+    CROSS JOIN n CROSS JOIN b
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, bigram ASC LIMIT 20
+    """,
+)
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: top-20
+    adjacent-token pairs by pmi = ln(p(a,b) / (p(a) p(b))) with a
+    c_ab >= 5 support floor — the classic phrase detector (Church &
+    Hanks; the word2phrase pass every corpus pipeline runs before
+    tokenizer/vocabulary decisions, and the statistic behind
+    multi-word-entity merging). Raw bigram COUNTS rank frequent pairs
+    like "of the"; PMI ranks pairs frequent RELATIVE to their parts —
+    true collocations.
+
+    Scale: one token explode feeding the unigram aggregate, one
+    map-side zip-shifted bigram aggregate (no self-join), two keyed
+    joins of the bigram table onto the (Heaps'-law small) unigram
+    table, two 1-row scalars crossJoined, TakeOrderedAndProject top-k.
+    Determinism: counts exact; the single ln rounds at 6 with bigram
+    tiebreaks (the established ln contract)."""
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(
+        load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    )
+    tk = d.select(tokens("text").alias("tk")).localCheckpoint(eager=False)
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    sz = F.size("tk")
+    bg = (
+        tk.where(sz >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("tk", 1, sz - 1),
+                    F.slice("tk", 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    btot = (
+        tk.where(sz >= 2)
+        .select((sz - 1).cast("bigint").alias("nb"))
+        .agg(F.sum("nb").cast("bigint").alias("b"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * F.lit(1.0) * F.col("n") * F.col("n"))
+            / (F.col("b") * F.lit(1.0) * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(n)
+        .crossJoin(btot)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 def _duck_top_pc_sql(
     dim: int = 64, scale: int = 1_000, vscale: int = 1_000_000, rounds: int = 15
 ) -> str:

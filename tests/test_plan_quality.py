@@ -365,6 +365,12 @@ HEADLINE_BUDGETS = {
     # r9: the mean pass + d^2-cell Gram aggregate run behind the
     # bounded driver collects; the returned 64-row PC table is local
     "embeddings_top_pc": (0, 0),
+    # r9: unigram agg + zip-shifted bigram agg + two keyed joins onto
+    # the Heaps'-law unigram table + two 1-row scalars crossJoined
+    "docs_pmi_collocations": (6, 3),
+    # r9: two period aggregates through exact_ntile's range
+    # repartitions + one customer-keyed join + cell aggregate
+    "customer_rfm_migration": (6, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -417,6 +423,7 @@ SCALAR_OK = {
     "sketch_join_cardinality",  # three 1-row estimate scalars + 5-row median window
     "dedup_minhash_recall",  # three 1-row count scalars crossJoined
     "orders_price_quantile_sketch",  # cum walk over <= |bounds| bucket rows
+    "docs_pmi_collocations",  # two 1-row total scalars crossJoined
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

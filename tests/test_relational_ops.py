@@ -557,6 +557,7 @@ class TestCatalogPlanGuards:
         "docs_ccnet_buckets",
         "sketch_join_cardinality",
         "dedup_minhash_recall",
+        "docs_pmi_collocations",
 }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
