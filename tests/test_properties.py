@@ -502,3 +502,52 @@ class TestR5Properties:
             want = float(sum(Decimal(str(round(x, 6))) for x in frame))
             assert got[i][1] == len(frame)
             assert abs(got[i][0] - round(want, 6)) < 1e-9, (i, got[i], want)
+
+
+# --- r9: large-star/small-star connected components vs union-find ----------
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edges=_edges_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_star_cc_matches_union_find(spark, edges):
+    """duplicate_clusters (alternating large-star/small-star) must equal
+    a union-find reference on ANY generated graph — self-loops,
+    duplicate edges, singletons-by-absence, and arbitrary component
+    shapes included."""
+    from etlutil_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["member_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
