@@ -215,6 +215,7 @@ EXTENDED = [
     "embeddings_top_pc",
     "docs_pmi_collocations",
     "customer_rfm_migration",
+    "docs_js_divergence_sources",
 ]
 
 

@@ -1816,6 +1816,113 @@ def customer_scd2_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_js_divergence_sources",
+    f"""
+    WITH t AS (SELECT source, unnest({_DUCK_TOKENS}) AS w
+               FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM t GROUP BY 1, 2),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM d GROUP BY 1),
+    p AS (SELECT a.source AS s1, b.source AS s2
+          FROM n a JOIN n b ON a.source < b.source),
+    v AS (SELECT DISTINCT w FROM d),
+    grid AS (SELECT p.s1, p.s2, v.w FROM p CROSS JOIN v),
+    j AS (SELECT g.s1, g.s2, g.w,
+                 coalesce(d1.c, 0) AS c1, coalesce(d2.c, 0) AS c2,
+                 n1.n AS n1, n2.n AS n2
+          FROM grid g
+          LEFT JOIN d d1 ON d1.source = g.s1 AND d1.w = g.w
+          LEFT JOIN d d2 ON d2.source = g.s2 AND d2.w = g.w
+          JOIN n n1 ON n1.source = g.s1
+          JOIN n n2 ON n2.source = g.s2),
+    terms AS (
+      SELECT s1, s2,
+             CAST(floor((CASE WHEN c1 > 0 THEN (c1 * 1.0 / n1)
+                    * ln((c1 * 1.0 / n1)
+                         / ((c1 * 1.0 / n1 + c2 * 1.0 / n2) / 2)) ELSE 0 END
+                  + CASE WHEN c2 > 0 THEN (c2 * 1.0 / n2)
+                    * ln((c2 * 1.0 / n2)
+                         / ((c1 * 1.0 / n1 + c2 * 1.0 / n2) / 2)) ELSE 0 END)
+                  * 1e9 + 0.5) AS BIGINT) AS qt
+      FROM j WHERE c1 > 0 OR c2 > 0)
+    SELECT s1 AS source_a, s2 AS source_b,
+           round(CAST(SUM(qt) AS BIGINT) / 2.0 / 1e9, 6) AS js_nats
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def docs_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions — the corpus-mixture similarity matrix a data-mixing
+    run reads before weighting sources (JS is the symmetric, bounded
+    [0, ln 2] cousin of the KL the drift monitors use; near-0 pairs are
+    redundant sources, near-ln2 pairs are disjoint registers). One row
+    per unordered source pair with js in nats.
+
+    Scale: ONE tokenize+count pass builds the (source, token) table;
+    the pair grid is |pairs| x |vocab| rows over the Heaps'-law
+    vocabulary (never the corpus), with two keyed left joins supplying
+    each side's counts. Determinism: probabilities are exact-integer
+    ratios; each pair-token JS term is floor(x*1e9+0.5)-quantized
+    BEFORE the exact integer sum (the Theil/periodogram contract), so
+    no float addition order exists."""
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    dd = ensure_min_partitions(
+        load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    )
+    d = (
+        dd.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n = d.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    pairs = (
+        n.select(F.col("source").alias("s1"))
+        .crossJoin(n.select(F.col("source").alias("s2")))
+        .where(F.col("s1") < F.col("s2"))
+    )
+    v = d.select("w").distinct()
+    grid = pairs.crossJoin(v)
+    d1 = d.select(F.col("source").alias("s1"), "w", F.col("c").alias("c1"))
+    d2 = d.select(F.col("source").alias("s2"), "w", F.col("c").alias("c2"))
+    n1 = n.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    n2 = n.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    j = (
+        grid.join(d1, ["s1", "w"], "left")
+        .join(d2, ["s2", "w"], "left")
+        .join(n1, "s1")
+        .join(n2, "s2")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            "n1",
+            "n2",
+        )
+        .where((F.col("c1") > 0) | (F.col("c2") > 0))
+    )
+    pp = F.col("c1") * F.lit(1.0) / F.col("n1")
+    qq = F.col("c2") * F.lit(1.0) / F.col("n2")
+    mm = (pp + qq) / F.lit(2)
+    term = F.when(F.col("c1") > 0, pp * F.log(pp / mm)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c2") > 0, qq * F.log(qq / mm)).otherwise(F.lit(0.0))
+    qt = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return (
+        j.select("s1", "s2", qt.alias("qt"))
+        .groupBy(F.col("s1").alias("source_a"), F.col("s2").alias("source_b"))
+        .agg(
+            F.round(
+                F.sum("qt").cast("bigint") / F.lit(2.0) / F.lit(1e9), 6
+            ).alias("js_nats")
+        )
+    )
+
+
 def _duck_rfm_half(pred: str, as_of: str, sfx: str) -> str:
     return f"""c{sfx} AS (
       SELECT o_custkey,

@@ -371,6 +371,9 @@ HEADLINE_BUDGETS = {
     # r9: two period aggregates through exact_ntile's range
     # repartitions + one customer-keyed join + cell aggregate
     "customer_rfm_migration": (6, 0),
+    # r9: (source,token)-count pass + pair-grid expansion over the
+    # Heaps'-law vocab (15-row pair side broadcast) + two keyed joins
+    "docs_js_divergence_sources": (6, 4),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

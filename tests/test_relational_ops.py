@@ -558,6 +558,10 @@ class TestCatalogPlanGuards:
         "sketch_join_cardinality",
         "dedup_minhash_recall",
         "docs_pmi_collocations",
+        # pair grid: the |source-pairs|-row (15) side is broadcast and
+        # nested-looped against the Heaps'-law vocab — bounded small
+        # side by construction, not a data-scale cartesian
+        "docs_js_divergence_sources",
 }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
