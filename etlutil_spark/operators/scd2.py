@@ -219,11 +219,15 @@ def scd2_apply_cdc(
     needs; :func:`scd2_apply` covers the upsert-only case. Same
     touched/untouched split (broadcast semi/anti on the batch's keys,
     rebuild sized by the batch, not the dimension), with one extra
-    reconstruction rule: a touched key whose dimension rows are ALL
-    closed (no ``is_current`` row) was previously deleted, so a
-    tombstone event is synthesized at its max ``valid_to`` before the
-    rebuild — without it, rebuilding from run starts alone would
-    silently resurrect the deleted key's last state as current.
+    reconstruction rule: every COVERAGE GAP in a touched key's existing
+    intervals marks a past delete, so a tombstone event is synthesized
+    at each ``valid_to`` that the next run's ``valid_from`` does not
+    immediately continue (including the trailing case — a fully-closed
+    key with no next run was deleted outright). Without the interior-gap
+    tombstones, rebuilding from run starts alone would resurrect a
+    deleted period whenever a batch touches a key again after a
+    delete-then-reinsert: dim [10,20)a,[30,∞)a + batch U@50:c must stay
+    [10,20)a,[30,50)a,[50,∞)c — not collapse to [10,50)a.
 
     Invariant (pinned in tests/test_temporal_ops.py):
     incremental apply over any batch split == :func:`scd2_cdc_intervals`
@@ -261,13 +265,24 @@ def scd2_apply_cdc(
     log_dim = touched.select(
         *keys, F.col(valid_from_col).alias(ts_col), *states
     ).withColumn(op_col, F.lit("U"))
-    open_keys = touched.where(F.col(current_col) == 1).select(*keys)
+    # Tombstone at every coverage gap: valid_to with no next run starting
+    # exactly there (interior delete-then-reinsert) or no next run at all
+    # (trailing delete). The window runs over the touched sliver only, so
+    # its shuffle is batch-sized like the rebuild itself.
+    w_gap = Window.partitionBy(*keys).orderBy(F.col(valid_from_col).asc())
     tomb = (
-        touched.groupBy(*keys)
-        .agg(F.max(valid_to_col).alias(ts_col))
-        .join(open_keys, keys, "left_anti")
+        touched.withColumn(
+            "_next_from", F.lead(valid_from_col).over(w_gap)
+        )
+        .where(
+            F.col(valid_to_col).isNotNull()
+            & (
+                F.col("_next_from").isNull()
+                | (F.col(valid_to_col) < F.col("_next_from"))
+            )
+        )
         .select(
-            *keys, ts_col,
+            *keys, F.col(valid_to_col).alias(ts_col),
             *[
                 F.lit(None).cast(dim.schema[s].dataType).alias(s)
                 for s in states

@@ -341,12 +341,15 @@ def countsketch_table(
 
 
 def countsketch_join_size(
-    sketch_a: DataFrame, sketch_b: DataFrame, *, depth: int = 5
+    sketch_a: DataFrame, sketch_b: DataFrame
 ) -> DataFrame:
     """Unbiased join-size estimate from two count-sketches built with
     the SAME (width, depth, seed): per hash row the cellwise inner
-    product, then the exact median over rows (depth odd -> the middle
-    order statistic, deterministic in every engine). Returns one row
+    product, then the exact median over the rows that survive the cell
+    join — lower median (n+1)//2 so an EVEN survivor count (a hash row
+    whose cells never collide across the two sketches contributes no
+    estimate) still selects exactly one rank. Depth is carried by the
+    sketches' ``j`` column, not a parameter. Returns one row
     (est_size bigint)."""
     ip = (
         sketch_a.alias("a")
@@ -354,9 +357,11 @@ def countsketch_join_size(
         .groupBy("j")
         .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("est"))
     )
-    # exact median of <= depth values: order them, take the middle rank
-    # (rows with no surviving cells contribute no estimate; the median
-    # is over the rows present — mirrored in the oracle)
+    # exact lower median of <= depth values: order them, take rank
+    # (n+1)//2 — integer floor, so even n (some hash rows share no
+    # buckets and drop out of the join) still matches one row; Spark's
+    # bare (n+1)/2 is double division and would match NOTHING on even n.
+    # Mirrored in the oracle's integer (n+1)//2.
     from pyspark.sql.window import Window
 
     ranked = ip.select(
@@ -365,7 +370,7 @@ def countsketch_join_size(
         F.count("*").over(Window.partitionBy()).alias("n"),
     )
     return ranked.where(
-        F.col("rnk") == (F.col("n") + 1) / 2
+        F.col("rnk") == F.floor((F.col("n") + 1) / 2).cast("bigint")
     ).select(F.col("est").alias("est_size"))
 
 

@@ -11904,7 +11904,7 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms_est = cmip.agg(F.min("est").cast("bigint").alias("cms_est"))
     csa = countsketch_table(ev, "user_id", width=width, depth=5, seed="jce")
     csb = countsketch_table(o, "user_id", width=width, depth=5, seed="jce")
-    agms = countsketch_join_size(csa, csb, depth=5).select(
+    agms = countsketch_join_size(csa, csb).select(
         F.col("est_size").cast("bigint").alias("agms_est")
     )
     tru = (
@@ -12297,7 +12297,7 @@ def _duck_kcore_sql(k: int = 2, rounds: int = 16) -> str:
     )
 
 
-@register("parts_copurchase_kcore", _duck_kcore_sql(k=2, rounds=16))
+@register("parts_copurchase_kcore", _duck_kcore_sql(k=2, rounds=40))
 def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the part co-purchase graph (operators/graph.py:kcore,
     Seidman's k-core by parallel peeling): repeatedly drop every part
@@ -12316,8 +12316,10 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round), checkpoint-truncated — never all-pairs, no driver state but
     the edge-count scalar. Peeling depth is single digits on dense-core
     graphs; the operator raises past its round cap rather than return a
-    half-peeled graph, and the oracle's fixed 16-round unroll matches
-    because converged rounds are identity filters. Counts are exact
+    half-peeled graph, and the oracle's unroll is pinned to the SAME
+    40 rounds as ``max_rounds`` (r9 advice: a 16-round oracle against a
+    40-round Spark cap would leave depth-17..40 graphs half-peeled on
+    the oracle side only) — converged rounds are identity filters. Counts are exact
     integers — bit-identical cross-engine."""
     from etlutil_spark.operators.graph import kcore
 

@@ -184,34 +184,64 @@ def ensure_bucketed_table(
 
     Three cases, checked in order:
     1. catalog knows the table -> nothing to do.
-    2. the data directory exists with a _SUCCESS marker (a previous
-       session wrote it) -> re-register an EXTERNAL table over it with
-       the same CLUSTERED BY spec. Spark encodes the bucket id in each
-       file name, so re-declaring the spec over the same files restores
-       shuffle-free joins without rewriting a byte — the production
-       recovery path when a metastore is rebuilt over an object store.
-    3. no directory (or a partial, marker-less write from a crash,
-       which is deleted) -> bucketBy write, paying the shuffle once.
+    2. the data directory exists with a _SUCCESS marker AND a
+       _bucket_spec.json that matches the requested (bucket_by,
+       n_buckets, sort_by) -> re-register an EXTERNAL table over it
+       with the same CLUSTERED BY spec. Spark encodes the bucket id in
+       each file name, so re-declaring the spec over the same files
+       restores shuffle-free joins without rewriting a byte — the
+       production recovery path when a metastore is rebuilt over an
+       object store. The spec file is the r9-advice guard: reattaching
+       from the CALLER's current arguments alone would, after any spec
+       change across code versions, declare a distribution the files
+       on disk don't have and silently mis-join; a missing or
+       mismatched spec falls through to rebuild instead.
+    3. no directory (or a partial, marker-less write from a crash, or
+       a spec mismatch — all deleted) -> bucketBy write, paying the
+       shuffle once, then the spec file is stamped next to _SUCCESS.
 
     This is the fixture half of the r8 `orders_bucketed_join_stats`
     split (r8 verdict): the catalog query is read-only in steady state
     and the write lives here, reusable by any recurring-join pipeline.
     """
+    import json
+
     if spark.catalog.tableExists(table):
         return "catalog"
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(path)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-    marker = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")
+    base = path.rstrip("/")
+    marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
+    spec_path = jvm.org.apache.hadoop.fs.Path(base + "/_bucket_spec.json")
+    spec = {
+        "bucket_by": list(bucket_by),
+        "n_buckets": int(n_buckets),
+        "sort_by": list(sort_by) if sort_by else [],
+    }
     if fs.exists(jp) and fs.exists(marker):
-        ddl = df._jdf.schema().toDDL()
-        sort = f" SORTED BY ({', '.join(sort_by)})" if sort_by else ""
-        spark.sql(
-            f"CREATE TABLE {table} ({ddl}) USING PARQUET "
-            f"CLUSTERED BY ({', '.join(bucket_by)}){sort} "
-            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
-        )
-        return "reattached"
+        spec_ok = False
+        if fs.exists(spec_path):
+            stream = fs.open(spec_path)
+            try:
+                txt = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            try:
+                spec_ok = json.loads(txt) == spec
+            except ValueError:
+                spec_ok = False
+        if spec_ok:
+            ddl = df._jdf.schema().toDDL()
+            sort = f" SORTED BY ({', '.join(sort_by)})" if sort_by else ""
+            spark.sql(
+                f"CREATE TABLE {table} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(bucket_by)}){sort} "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+            return "reattached"
     if fs.exists(jp):
         fs.delete(jp, True)
     writer = (
@@ -222,6 +252,11 @@ def ensure_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+    out = fs.create(spec_path, True)
+    try:
+        out.write(bytearray(json.dumps(spec, sort_keys=True).encode()))
+    finally:
+        out.close()
     return "written"
 
 

@@ -101,6 +101,41 @@ class TestEnsureBucketedTable:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    def test_spec_mismatch_rebuilds_instead_of_reattaching(
+        self, spark, tmp_path
+    ):
+        """r9 advice: a surviving store whose _bucket_spec.json differs
+        from the caller's current spec must be REBUILT — reattaching
+        would declare a distribution the files don't have and silently
+        mis-join. A store with no spec file at all (legacy / tampered)
+        rebuilds too."""
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.sources.io import ensure_bucketed_table
+
+        df = spark.range(50).select(F.col("id").alias("k"))
+        path = tmp_path / "bkt_spec"
+        t = "default.ensure_bkt_spec"
+        try:
+            kw4 = dict(bucket_by=["k"], n_buckets=4, path=str(path))
+            assert ensure_bucketed_table(spark, df, t, **kw4) == "written"
+            assert (path / "_bucket_spec.json").exists()
+            spark.sql(f"DROP TABLE {t}")
+            # same spec -> metadata-only reattach
+            assert ensure_bucketed_table(spark, df, t, **kw4) == "reattached"
+            spark.sql(f"DROP TABLE {t}")
+            # changed bucket count -> spec mismatch -> rebuild
+            kw8 = dict(bucket_by=["k"], n_buckets=8, path=str(path))
+            assert ensure_bucketed_table(spark, df, t, **kw8) == "written"
+            assert spark.table(t).count() == 50
+            spark.sql(f"DROP TABLE {t}")
+            # missing spec next to a _SUCCESS-marked store -> rebuild
+            (path / "_bucket_spec.json").unlink()
+            assert ensure_bucketed_table(spark, df, t, **kw8) == "written"
+            assert spark.table(t).count() == 50
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     def test_partial_write_without_marker_is_rebuilt(self, spark, tmp_path):
         from pyspark.sql import functions as F
 

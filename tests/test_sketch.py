@@ -170,8 +170,27 @@ class TestCountSketch:
         # true join size = 3*1 + 2*3 = 9
         sa = countsketch_table(a, "k", width=4096, depth=5, seed="t")
         sb = countsketch_table(b, "k", width=4096, depth=5, seed="t")
-        est = countsketch_join_size(sa, sb, depth=5).collect()
+        est = countsketch_join_size(sa, sb).collect()
         assert len(est) == 1 and est[0]["est_size"] == 9
+
+    def test_even_surviving_rows_still_yield_one_median(self, spark):
+        """Regression (r9 advice): when a hash row shares NO buckets
+        across the sketches it drops out of the cell join, leaving an
+        EVEN row count; the lower median (n+1)//2 must still select
+        exactly one rank (the old (n+1)/2 double division matched
+        nothing and returned zero rows)."""
+        from etlutil_spark.operators.sketch import countsketch_join_size
+
+        sa = spark.createDataFrame(
+            [(0, 0, 2), (1, 0, 3), (2, 5, 1)], "j int, bucket long, c long"
+        )
+        sb = spark.createDataFrame(
+            [(0, 0, 4), (1, 0, 1), (2, 9, 7)], "j int, bucket long, c long"
+        )
+        # survivors: j=0 est=8, j=1 est=3; j=2 shares no bucket -> n=2,
+        # lower median rank (2+1)//2 = 1 -> est 3
+        est = countsketch_join_size(sa, sb).collect()
+        assert len(est) == 1 and est[0]["est_size"] == 3
 
     def test_counters_are_signed(self, spark):
         from pyspark.sql import functions as F

@@ -394,6 +394,10 @@ class TestScd2CdcDeletes:
         (2, 10, "x", "U"), (2, 25, None, "D"),
         (3, 15, "z", "U"),
         (4, 5, None, "D"), (4, 8, None, "D"), (4, 12, "q", "U"),
+        # key 5: delete-then-reinsert of the SAME state, touched again
+        # later — the interior gap [20,30) must survive incremental apply
+        # (r9 advice: run-starts-only rebuild resurrected it as [10,50)a).
+        (5, 10, "a", "U"), (5, 20, None, "D"), (5, 30, "a", "U"), (5, 50, "c", "U"),
     ]
 
     def _log(self, spark):
@@ -415,6 +419,9 @@ class TestScd2CdcDeletes:
             (2, "x", 10, 25, 0),   # key 2 fully deleted: no current row
             (3, "z", 15, None, 1),
             (4, "q", 12, None, 1), # leading deletes collapse and vanish
+            (5, "a", 10, 20, 0),
+            (5, "a", 30, 50, 0),   # gap [20,30) stays deleted
+            (5, "c", 50, None, 1),
         }
 
     def test_incremental_equals_full_any_split(self, spark):
@@ -427,7 +434,9 @@ class TestScd2CdcDeletes:
 
         log = self._log(spark)
         full = {tuple(r) for r in scd2_cdc_intervals(log, "k", "ts", "st").collect()}
-        for cut in (12, 20, 30):
+        # cut=30 and cut=45 split key 5 AFTER its delete+reinsert, so the
+        # batch touches a key whose history already holds an interior gap
+        for cut in (12, 20, 30, 45):
             dim = scd2_cdc_intervals(log.where(F.col("ts") <= cut), "k", "ts", "st")
             out = scd2_apply_cdc(
                 dim, log.where(F.col("ts") > cut), "k", "ts", "st", strict=True
