@@ -216,6 +216,9 @@ EXTENDED = [
     "docs_pmi_collocations",
     "customer_rfm_migration",
     "docs_js_divergence_sources",
+    # r10 additions
+    "sim_ivfadc_serve",
+    "hll_weekly_users_accuracy",
 ]
 
 
@@ -318,6 +321,12 @@ def main() -> None:
                 "value_calib_normalized": round(total * (CALIB_REF_SEC / calib), 4),
                 "scan_calib_sec": scan_calib,
                 "value_scan_normalized": round(total * (SCAN_CALIB_REF_SEC / scan_calib), 4),
+                # derived host-contention ratios vs the quiet-box
+                # references (r9 verdict item 7): >1 = this run's box was
+                # slower than the reference class; judges read shares
+                # first, these second, raw swing last
+                "contention_cpu": round(calib / CALIB_REF_SEC, 3),
+                "contention_scan": round(scan_calib / SCAN_CALIB_REF_SEC, 3),
             }
         )
     )
@@ -338,6 +347,12 @@ def main() -> None:
                 "value_calib_normalized": round(total * (CALIB_REF_SEC / calib), 4),
                 "scan_calib_sec": scan_calib,
                 "value_scan_normalized": round(total * (SCAN_CALIB_REF_SEC / scan_calib), 4),
+                # derived host-contention ratios vs the quiet-box
+                # references (r9 verdict item 7): >1 = this run's box was
+                # slower than the reference class; judges read shares
+                # first, these second, raw swing last
+                "contention_cpu": round(calib / CALIB_REF_SEC, 3),
+                "contention_scan": round(scan_calib / SCAN_CALIB_REF_SEC, 3),
             }
         )
     )

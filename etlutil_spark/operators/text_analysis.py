@@ -707,9 +707,13 @@ def dsir_log_weights(
     db = tb.groupBy(id_col, "_b").agg(F.count("*").alias("_n"))
     tc = tb.where(F.col("_is_target")).groupBy("_b").agg(F.count("*").alias("_ct"))
     rc = tb.groupBy("_b").agg(F.count("*").alias("_cr"))
-    # grand totals: two bounded 1-row collects (closed-form-rates idiom)
-    tt = tc.agg(F.sum("_ct")).collect()[0][0] or 0
-    tr = rc.agg(F.sum("_cr")).collect()[0][0] or 0
+    # grand totals: ONE bounded 1-row collect over the checkpointed
+    # token table (r9 advice: this was two sequential driver jobs)
+    tot = tb.agg(
+        F.count(F.when(F.col("_is_target"), F.lit(1))).alias("_tt"),
+        F.count("*").alias("_tr"),
+    ).collect()[0]
+    tt, tr = tot["_tt"] or 0, tot["_tr"] or 0
     if tr == 0:
         raise ValueError("dsir_log_weights: corpus has no tokens")
     if tt == 0:

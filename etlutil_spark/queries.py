@@ -4290,6 +4290,48 @@ def hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_weekly_users_accuracy",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           TRUE AS within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def hll_weekly_users_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-accuracy twin of hll_weekly_users (r9 verdict item 4):
+    per week, ``abs(hll_est - exact)/exact <= 0.05`` — the oracle
+    computes the EXACT side and expects every week TRUE, which brings
+    the engine-specific HLL estimate under the driver's hash gate (the
+    rows-only original keeps publishing the estimates; a drift in the
+    register-merge logic now flips a boolean the driver can see).
+    lg_k=12 gives ~1.6% standard error — 5% is >3 sigma, so the gate is
+    deterministic in practice at every test SF. Plan: the sketch
+    rollup and one exact distinct-count aggregate, joined on the
+    handful of week rows (broadcast-scale)."""
+    from etlutil_spark.operators.sketch import hll_distinct, hll_rollup
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "user_id",
+    )
+    daily = hll_distinct(ev, ["week", "day"], "user_id", lg_k=12)
+    est = hll_rollup(daily, ["week"]).select(
+        "week", F.col("est_distinct").cast("double").alias("est")
+    )
+    exact = ev.groupBy("week").agg(
+        F.count_distinct("user_id").cast("double").alias("exact")
+    )
+    return exact.join(F.broadcast(est), "week").select(
+        "week",
+        (
+            F.abs(F.col("est") - F.col("exact")) / F.col("exact")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+
+
+@register(
     "embeddings_dim_stats",
     """
     WITH e AS (
@@ -11462,6 +11504,47 @@ def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", qvec,
         k=8, iters=3, nprobe=3, m=8, ksub=16, pq_iters=2, topk=10,
     )
+
+
+@register(
+    "sim_ivfadc_serve",
+    _ivfadc_oracle_sql(k=8, iters=3, nprobe=3, m=8, ksub=16, pq_iters=2, dim=64, topk=10),
+)
+def sim_ivfadc_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC in its PRODUCTION serving shape (r9 verdict item 3):
+    operators/clustering.py:ensure_ivfadc_index trains once and
+    persists (vec_id, cell, codes) hive-partitioned by cell with the
+    model in an _ivfadc_model.json sidecar; ivfadc_serve then answers
+    the query READ-ONLY — model sidecar loaded driver-side, per-cell
+    ADC tables as literals, and a partition-PRUNED scan that lists only
+    the 3 probed cell directories (the predicate is a PartitionFilter,
+    pinned in tests/test_plan_quality.py). Steady state pays zero
+    training jobs, zero shuffles, zero joins per query — codes are
+    8 x 1-byte lookups per vector instead of 64 floats. Same params as
+    sim_ivfadc_topk, same unrolled-SQL oracle: the stored codes are
+    assigned by the same integer argmin at write time, so the served
+    ranking is bit-identical to the train-and-serve twin."""
+    import tempfile
+
+    from etlutil_spark.operators.clustering import (
+        ensure_ivfadc_index,
+        ivfadc_serve,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_ivfadc_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_ivfadc_index(
+        spark, e, "vec_id", "embedding", path,
+        k=8, iters=3, m=8, ksub=16, pq_iters=2,
+    )
+    return ivfadc_serve(spark, path, qvec, nprobe=3, topk=10)
 
 
 @register(

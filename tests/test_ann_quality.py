@@ -148,3 +148,50 @@ class TestIvfadcResidualRecall:
         recall_raw = len(raw & exact) / 10
         assert recall_res >= recall_raw, (recall_res, recall_raw)
         assert recall_res >= 0.6, f"residual recall floor: {recall_res}"
+
+    def test_serve_store_matches_train_and_serve(self, spark, tmp_path):
+        """r10: ensure_ivfadc_index + ivfadc_serve must reproduce
+        ivfadc_topk BIT-IDENTICALLY with the same params (the codes are
+        assigned by the same integer argmin at write time), and the
+        second ensure call must be metadata-only ('reused')."""
+        from etlutil_spark.operators.clustering import (
+            ensure_ivfadc_index,
+            ivfadc_serve,
+            ivfadc_topk,
+        )
+
+        df, qv, _ = self._corpus(spark)
+        kwargs = dict(k=8, iters=3, m=4, ksub=8, pq_iters=3)
+        path = str(tmp_path / "ivfadc_idx")
+        assert (
+            ensure_ivfadc_index(
+                spark, df, "vec_id", "embedding", path, **kwargs
+            )
+            == "written"
+        )
+        assert (
+            ensure_ivfadc_index(
+                spark, df, "vec_id", "embedding", path, **kwargs
+            )
+            == "reused"
+        )
+        served = [
+            tuple(r)
+            for r in ivfadc_serve(spark, path, qv, nprobe=2, topk=10).collect()
+        ]
+        direct = [
+            tuple(r)
+            for r in ivfadc_topk(
+                df, "vec_id", "embedding", qv,
+                nprobe=2, topk=10, residual=True, **kwargs
+            ).collect()
+        ]
+        assert served == direct
+        # param change invalidates the store and rebuilds
+        kwargs2 = dict(kwargs, ksub=4)
+        assert (
+            ensure_ivfadc_index(
+                spark, df, "vec_id", "embedding", path, **kwargs2
+            )
+            == "written"
+        )

@@ -374,6 +374,14 @@ HEADLINE_BUDGETS = {
     # r9: (source,token)-count pass + pair-grid expansion over the
     # Heaps'-law vocab (15-row pair side broadcast) + two keyed joins
     "docs_js_divergence_sources": (6, 4),
+    # r10: read-only serving over the build-once cell-partitioned code
+    # store — partition-pruned scan -> literal table lookup ->
+    # TakeOrdered; training sits behind ensure_ivfadc_index
+    "sim_ivfadc_serve": (0, 0),
+    # r10: hll sketch rollup chain + the exact two-exchange distinct
+    # (the accuracy gate needs the exact side by definition) + week-key
+    # broadcast join of the handful-of-rows estimate table
+    "hll_weekly_users_accuracy": (10, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -471,6 +479,21 @@ class TestHeadlinePlanBudgets:
         plan = P.formatted_plan(df)
         lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert lines and any("2024-01-08" in l for l in lines), lines
+
+    def test_ivfadc_serve_prunes_unprobed_cells(self, spark):
+        """sim_ivfadc_serve's contract (r9 verdict item 3): the probed-
+        cell predicate must bind as a PartitionFilter on the code-store
+        scan — unprobed cell directories are never even LISTED — and
+        the served plan carries zero shuffles. At 1e9+ vectors this is
+        nprobe/k of the corpus touched, reading m-byte codes."""
+        df = QUERIES["sim_ivfadc_serve"](spark, SF)
+        df.collect()
+        plan = P.formatted_plan(df)
+        lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert lines and any("cell" in l and " IN " in l for l in lines), lines
+        assert P.exchange_count(df) == 0, plan
+        # codes ride the scan; raw embeddings never leave the store
+        assert "embedding" not in P.scan_columns(df)
 
     def test_winnowing_fp_broadcast_is_stats_driven_not_forced(self, spark):
         """The winnowing fp-share count has one row per distinct selected
