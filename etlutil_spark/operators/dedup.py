@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etlutil_spark.functions.hashing import md5_bigint
 from etlutil_spark.functions.text import tokens, word_shingles
@@ -805,4 +806,92 @@ def containment_pairs(
         .withColumn("cont_b_in_a", cont_ba)
         .where(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= F.lit(float(threshold)))
         .select("id_a", "id_b", "n_common", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_len: int = 12,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated token spans — exact-substring
+    dedup at finer-than-shingle grain (the Lee et al. 2022 suffix-array
+    primitive, re-expressed as seed-and-chain so it distributes):
+    docs_dup_span_fraction answers "how much of this doc is duplicated
+    somewhere"; this answers "WHICH exact spans are shared with WHOM
+    and how long are they" — the span list an exact-substring cut stage
+    consumes.
+
+    Returns one row per maximal duplicated span instance:
+    (id_a, id_b, a_start, b_start, span_tokens), id_a < id_b, spans of
+    at least ``min_len`` tokens (>= ``k``, the seed width).
+
+    How it distributes (vs. a suffix array, which needs a global sorted
+    order no cluster shuffle provides cheaply):
+    1. per-doc k-gram seed table (position, hash) built MAP-SIDE from
+       each doc's token array (one transform, no token-level explode);
+    2. seeds join cross-doc on hash — a duplicated span of length L
+       yields L-k+1 seed matches on ONE (id_a, id_b, a_pos - b_pos)
+       diagonal; ``max_gram_freq`` drops boilerplate grams before the
+       join so pair volume is bounded by duplicate mass, not by the
+       quadratic blowup of hot shingles (the stop-shingle cap);
+    3. consecutive seeds on a diagonal merge into maximal runs with the
+       gaps-and-islands window (pos - row_number is constant within a
+       run), giving span_tokens = run_length + k - 1 exactly.
+
+    Everything after the seed join is bounded by duplicate volume. All
+    arithmetic is integer; the portable md5 gram hash makes the span
+    list engine-reproducible bit for bit."""
+    if k < 2 or min_len < k:
+        raise ValueError(f"need k >= 2 and min_len >= k, got k={k} min_len={min_len}")
+    t = ensure_min_partitions(df).select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    )
+    sh = t.where(F.size("_tk") >= k).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {k - 1}), i -> struct("
+                "cast(i as bigint) as p, "
+                f"cast(conv(substring(md5(concat_ws(' ', slice(_tk, i, {k}))), 1, 15), 16, 10) as bigint) as h))"
+            )
+        ).alias("_s"),
+    ).select("_id", "_s.p", "_s.h").localCheckpoint(eager=False)
+    keep = (
+        sh.groupBy("h")
+        .agg(
+            F.count("*").alias("c"),
+            F.count_distinct("_id").alias("nd"),
+        )
+        .where((F.col("nd") >= 2) & (F.col("c") <= max_gram_freq))
+        .select("h")
+    )
+    seeds = (
+        sh.join(keep, "h", "left_semi").alias("a")
+        .join(sh.join(keep, "h", "left_semi").alias("b"), "h")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+            (F.col("a.p") - F.col("b.p")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        seeds.withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_tokens"),
+        )
+    )
+    return runs.where(F.col("span_tokens") >= min_len).select(
+        "id_a", "id_b", "a_start", "b_start", "span_tokens"
     )

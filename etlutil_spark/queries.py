@@ -7877,6 +7877,58 @@ def docs_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_duplicate_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS p,
+             ('0x' || substr(md5(array_to_string(tk[r.i:r.i+7], ' ')), 1, 15))::BIGINT AS h
+      FROM t, UNNEST(range(1, len(tk) - 6)) AS r(i)
+      WHERE len(tk) >= 8),
+    keep AS MATERIALIZED (
+      SELECT h FROM (SELECT h, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS nd
+                     FROM sh GROUP BY h)
+      WHERE nd >= 2 AND c <= 50),
+    fs AS MATERIALIZED (SELECT sh.doc_id, sh.p, sh.h FROM sh JOIN keep USING (h)),
+    seeds AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.p AS pa, b.p AS pb, a.p - b.p AS diag
+              FROM fs a JOIN fs b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (SELECT id_a, id_b, pa, pb, diag,
+                   pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                           ORDER BY pa) AS g
+            FROM seeds),
+    runs AS (SELECT id_a, id_b,
+                    CAST(MIN(pa) AS BIGINT) AS a_start,
+                    CAST(MIN(pb) AS BIGINT) AS b_start,
+                    CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+             FROM isl GROUP BY id_a, id_b, diag, g)
+    SELECT id_a, id_b, a_start, b_start, span_tokens
+    FROM runs WHERE span_tokens >= 16
+    """,
+)
+def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans
+    (operators/dedup.py:duplicate_spans) — the Lee et al. 2022
+    exact-substring dedup primitive at finer-than-shingle grain,
+    re-expressed as seed-and-chain: 8-gram seeds (map-side from each
+    doc's token array), cross-doc hash join bounded by the
+    stop-shingle frequency cap, then consecutive seeds on a
+    (pair, diagonal) merge into MAXIMAL runs via the gaps-and-islands
+    window — span_tokens = run + 7 exactly. Where
+    docs_dup_span_fraction reports per-doc duplicate coverage, this
+    emits the actual (doc_a, doc_b, positions, length) span list a cut
+    stage consumes. Everything after the seed join scales with
+    duplicate volume, not corpus size; integer math + portable md5
+    gram hashes make the list bit-identical cross-engine."""
+    from etlutil_spark.operators.dedup import duplicate_spans
+
+    d = load_table(spark, "documents", sf_dir)
+    return duplicate_spans(
+        d, "doc_id", "text", k=8, min_len=16, max_gram_freq=50
+    )
+
+
+@register(
     "docs_quality_deciles",
     f"""
     WITH t AS (SELECT doc_id, lang, n_chars, text, {_DUCK_TOKENS} AS tk FROM documents),
@@ -10557,6 +10609,138 @@ def docs_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_HYBRID_RERANK = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    postings AS (
+      SELECT doc_id, len(tk) AS dl, term, COUNT(*) AS tf
+      FROM t, UNNEST(tk) AS u(term)
+      WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, len(tk), term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(len(tk) AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+              FROM t),
+    contribs AS (
+      SELECT doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               9) AS DECIMAL(38,9)) AS contrib
+      FROM postings JOIN dfreq USING (term) CROSS JOIN stats),
+    bm AS (
+      SELECT doc_id, round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+      FROM contribs GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    ec AS (
+      SELECT vec_id,
+             round(list_dot_product(e.v, q.v) /
+                   (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 20),
+    cand AS (SELECT COALESCE(b.doc_id, v.vec_id) AS doc_id,
+                    COALESCE(b.bm25, 0.0) AS bm25,
+                    COALESCE(v.cos_sim, 0.0) AS cos_sim
+             FROM bm b FULL OUTER JOIN ec v ON b.doc_id = v.vec_id),
+    bmax AS (SELECT MAX(bm25) AS mx FROM cand),
+    cov AS (SELECT t.doc_id,
+                   CAST((CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(tk, 'join') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(tk, 'stream') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS terms_hit
+            FROM t JOIN cand USING (doc_id))
+    SELECT c.doc_id, c.bm25, c.cos_sim, cov.terms_hit,
+           CAST(floor((0.5 * c.bm25 / bmax.mx + 0.3 * c.cos_sim
+                       + 0.2 * cov.terms_hit / 3.0) * 1000000 + 0.5)
+                AS BIGINT) AS rerank_micro
+    FROM cand c JOIN cov USING (doc_id) CROSS JOIN bmax
+    ORDER BY rerank_micro DESC, c.doc_id ASC LIMIT 10
+"""
+
+
+@register("docs_hybrid_rerank", _DUCK_HYBRID_RERANK)
+def docs_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate rerank over the hybrid retrieval stack (r9 verdict
+    item 6b): where docs_hybrid_search_rrf fuses RANK-ONLY, this stage
+    re-scores the union of both legs' top-20 with CONTINUOUS features
+    — the cross-encoder-shaped second pass of a production retrieval
+    pipeline (retrieve wide and cheap, re-score the ~40 survivors with
+    the expensive model). The scorer is a deterministic stand-in for a
+    learned cross-encoder: candidate-set-normalized BM25 (0.5), exact
+    cosine (0.3), and a query-term coverage interaction feature
+    recomputed against the candidate DOCUMENTS (0.2) — the shape
+    (per-candidate feature extraction touching the raw docs, scores
+    quantized to integer micro-units) is exactly what swapping in a
+    real model inference UDF preserves.
+
+    Scale: both retriever legs keep their scale-correct plans
+    (postings-only BM25, shuffle-free TakeOrdered cosine); everything
+    downstream — the fusion join, the max normalizer, the coverage
+    join back to documents — runs on <= 40 candidate rows broadcast
+    against the corpus scan (the rerank economics: corpus cost is paid
+    by retrieval once, the expensive features touch candidates only).
+    Determinism: features are 6-decimal-rounded (identical doubles
+    cross-engine), the blend is quantized floor(x * 1e6 + 0.5) — exact
+    integer output."""
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.similarity import cosine_topk
+    from etlutil_spark.operators.text_analysis import bm25_search
+
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    lex = bm25_search(d, ["vector", "join", "stream"], k=20).select(
+        "doc_id", "bm25"
+    )
+    vec = cosine_topk(e, qvec, k=20).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    cand = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+            F.coalesce("cos_sim", F.lit(0.0)).alias("cos_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bmax = cand.agg(F.max("bm25").alias("mx"))
+    cov = d.join(F.broadcast(cand.select("doc_id")), "doc_id").select(
+        "doc_id",
+        (
+            F.array_contains(tokens("text"), "vector").cast("bigint")
+            + F.array_contains(tokens("text"), "join").cast("bigint")
+            + F.array_contains(tokens("text"), "stream").cast("bigint")
+        ).alias("terms_hit"),
+    )
+    score = (
+        F.lit(0.5) * F.col("bm25") / F.col("mx")
+        + F.lit(0.3) * F.col("cos_sim")
+        + F.lit(0.2) * F.col("terms_hit") / F.lit(3.0)
+    )
+    return (
+        cand.join(F.broadcast(cov), "doc_id")
+        .crossJoin(F.broadcast(bmax))
+        .select(
+            "doc_id", "bm25", "cos_sim", "terms_hit",
+            F.floor(score * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("rerank_micro"),
+        )
+        .orderBy(F.col("rerank_micro").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 @register(
     "events_mann_whitney",
     """
@@ -12448,74 +12632,75 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # r9 window (COVERAGE.md "Round-9 rotation plan"). CORRECTNESS_r08
-    # came back 50/50 green, so no never-checked backlog exists; the
-    # window spends its slots on (a) the r9 registration, (b) re-proofs
-    # of every query whose code or oracle changed this round, (c) the
-    # 14 pool slots displaced from the r8 window, (d) the r6-start
-    # rotators never re-proven since, and (e) one driver row for every
-    # SURVEY §2 dict-operator/date-family representative (their newest
-    # rows date to r5 — verdict item 7's freshness ask).
-    # --- (a) new in r9 ---
-    "events_trending_heavy_hitters",
-    "events_cuped_adjusted",
-    "parts_copurchase_kcore",
-    "embeddings_dim_ablation",
-    "multimodal_flac_info",
-    "docs_ccnet_buckets",
-    "orders_k_anonymity",
-    "sketch_join_cardinality",
-    "dedup_minhash_recall",
-    # --- (b) re-proofs: code/oracle changed at r9 start ---
-    # large-star/small-star CC replaced min-label propagation:
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_best_of_cluster",
-    # residual-trained IVFADC codebooks (+ mirrored oracle):
+    # r10 window (COVERAGE.md "Round-10 rotation plan"; r9 verdict item
+    # 1). CORRECTNESS_r09 came back 50/50 green, so the window spends
+    # its slots on (a) the 7 r9 post-window registrations that have
+    # NEVER had a driver row + the 4 new r10 registrations, (b) re-
+    # proofs of every query whose operator code or oracle changed at
+    # r10 start, (c) the eight SURVEY-2 second-of-family slots whose
+    # newest rows date to r5, (d) the r5-window block never re-proven
+    # since r5, in ledger order, and (e) the verdict-named pool picks
+    # (sim_ann_recall, dedup_screen_new_batch, TPC-H q2-q22 block).
+    # --- (a) never driver-checked: r9 post-window + r10 new ---
+    "supplier_late_rate_wilson",
+    "customer_scd2_cdc_deletes",   # also (b): interior-gap tombstone fix
+    "orders_price_quantile_sketch",
+    "embeddings_top_pc",
+    "docs_pmi_collocations",
+    "customer_rfm_migration",
+    "docs_js_divergence_sources",
+    "sim_ivfadc_serve",            # r10: build-once cell-partitioned store
+    "hll_weekly_users_accuracy",   # r10: HLL estimate under the hash gate
+    "docs_duplicate_spans",        # r10: exact-substring span primitive
+    "docs_hybrid_rerank",          # r10: continuous-feature rerank stage
+    # --- (b) re-proofs: operator code/oracle changed at r10 start ---
+    # clustering fit/train split + one-checkpoint corpus threading:
     "sim_ivfadc_topk",
-    # read-only split over the build-once bucketed fixture:
+    "sim_ivf_kmeans_topk",
+    "sim_pq_adc_topk",
+    "embeddings_semdedup",
+    "embeddings_cluster_purity",
+    "embeddings_kmeans",
+    # countsketch lower-median (n+1)//2 fix:
+    "sketch_join_cardinality",
+    # oracle unroll aligned to the Spark 40-round cap:
+    "parts_copurchase_kcore",
+    # _bucket_spec.json guard on the reattach path:
     "orders_bucketed_join_stats",
-    # BPE trainer oracle: exhausted rounds became LEFT-JOIN no-ops:
-    "docs_bpe_encode_stats",
-    "docs_bpe_vocab_encode_stats",
-    # strict canonical-PCM WAV gate (fmt size/tag + data marker):
-    "multimodal_audio_chunk_plan",
-    "multimodal_media_stats",
-    # --- (c) displaced r8 pool slots ---
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "knn_join_topk",
-    "docs_contamination",
-    "docs_token_stats",
-    "pricing_cube",
-    "kmv_distinct_events",
-    "scd2_apply_incremental",
-    "asof_purchase_attribution",
-    "events_session_window_30m",
-    "events_hopping_counts",
-    "orders_latest_per_customer",
-    "events_top_types_daily",
-    "sessionize_users",
-    # --- (d) r6-start rotators, not re-proven since r6 ---
-    "docs_pack_token_budget",
-    "corpus_pipeline_e2e",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    # --- (e) SURVEY §2 operator/date representatives (rows from r5) ---
-    "op_flatten_struct",
-    "op_select_with_extras",
-    "op_convert_types",
-    "op_normalize_date_fields",
-    "op_clean_hash_skip_rules",
-    "op_prune_values",
-    "op_jsonify",
-    "op_redact_pii",
-    "date_spine_days",
-    "events_relative_month_frame",
+    # single-job grand totals in dsir_log_weights:
+    "docs_dsir_weights",
+    # --- (c) SURVEY-2 second-of-family slots (rows from r5) ---
+    "op_flatten_depth_limit",
+    "op_normalize_dates_recursive",
+    "op_clean_replace_truncate",
+    "op_clean_fingerprint",
+    "op_prune_keys_depth",
+    "date_spine_month_backward",
+    "events_8_8_8_rest",
+    "events_calendar_periods",
+    # --- (d) r5-window block never re-proven since r5 (ledger order) ---
+    "docs_tfidf_topk",
+    "docs_bm25_search",
+    "docs_bigram_topk",
+    "docs_weighted_sample",
+    "orders_open_concurrency",
+    "embeddings_dim_stats",
+    "events_rolling_7d",
+    "lineitem_price_drift",
+    "purchase_click_pairs",
+    "docs_token_drift",
+    "events_funnel",
+    "user_retention_weekly",
+    "events_transition_matrix",
+    "q4_late_orders",
+    "q14_promo_share",
+    # --- (e) verdict-named pool picks ---
+    "sim_ann_recall",
+    "dedup_screen_new_batch",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_customer_distribution",
 ]
 
 

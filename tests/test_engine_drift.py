@@ -166,30 +166,35 @@ class TestOracleGuards:
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            # r9: the new registrations front their own window...
-            "events_trending_heavy_hitters",
-            "events_cuped_adjusted",
-            "parts_copurchase_kcore",
-            "embeddings_dim_ablation",
-            "multimodal_flac_info",
-            "docs_ccnet_buckets",
-            "orders_k_anonymity",
-            "sketch_join_cardinality",
-            "dedup_minhash_recall",
-            # ...plus re-proofs whose code or oracle changed at r9
-            # start (large-star/small-star CC, residual IVFADC,
-            # read-only bucketed-join split, BPE-oracle LEFT-JOIN
-            # no-ops, strict WAV gate) — their green rows predate the
+            # r10: the 7 r9 post-window registrations that have never
+            # had a driver row + the 4 new r10 registrations...
+            "supplier_late_rate_wilson",
+            "customer_scd2_cdc_deletes",
+            "orders_price_quantile_sketch",
+            "embeddings_top_pc",
+            "docs_pmi_collocations",
+            "customer_rfm_migration",
+            "docs_js_divergence_sources",
+            "sim_ivfadc_serve",
+            "hll_weekly_users_accuracy",
+            "docs_duplicate_spans",
+            "docs_hybrid_rerank",
+            # ...plus re-proofs whose operator code or oracle changed
+            # at r10 start (clustering fit/train split + one-checkpoint
+            # corpus, countsketch lower-median, kcore oracle unroll,
+            # bucket-spec reattach guard, dsir single-job totals, SCD2
+            # interior-gap tombstones) — their green rows predate the
             # change.
-            "dedup_clusters",
-            "dedup_clusters_lsh",
-            "dedup_best_of_cluster",
             "sim_ivfadc_topk",
+            "sim_ivf_kmeans_topk",
+            "sim_pq_adc_topk",
+            "embeddings_semdedup",
+            "embeddings_cluster_purity",
+            "embeddings_kmeans",
+            "sketch_join_cardinality",
+            "parts_copurchase_kcore",
             "orders_bucketed_join_stats",
-            "docs_bpe_encode_stats",
-            "docs_bpe_vocab_encode_stats",
-            "multimodal_audio_chunk_plan",
-            "multimodal_media_stats",
+            "docs_dsir_weights",
         }
         assert must_have <= set(front50)
 

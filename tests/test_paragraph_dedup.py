@@ -140,6 +140,71 @@ class TestBoilerplateSkew:
         assert later["text"] == "unique body 19999"
 
 
+class TestDuplicateSpans:
+    """r10: maximal cross-doc duplicated token spans (seed-and-chain
+    form of the Lee et al. exact-substring primitive)."""
+
+    def test_maximal_spans_exact_positions(self, spark):
+        from etlutil_spark.operators.dedup import duplicate_spans
+
+        common = " ".join(f"w{i}" for i in range(20))  # 20 shared tokens
+        rows = [
+            (1, f"{common} tail one two three"),
+            (2, f"lead in {common} other stuff here"),
+            (3, "completely different text with no overlap at all xyz"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            (r["id_a"], r["id_b"]): (r["a_start"], r["b_start"], r["span_tokens"])
+            for r in duplicate_spans(
+                df, "doc_id", "text", k=8, min_len=10
+            ).collect()
+        }
+        # exactly one maximal span: docs 1&2 share the 20-token block;
+        # doc 1 starts at token 1, doc 2 after its 2-token lead (pos 3)
+        assert out == {(1, 2): (1, 3, 20)}
+
+    def test_two_separate_spans_stay_separate(self, spark):
+        from etlutil_spark.operators.dedup import duplicate_spans
+
+        a = " ".join(f"a{i}" for i in range(10))
+        b = " ".join(f"b{i}" for i in range(12))
+        rows = [
+            (1, f"{a} xxx yyy zzz {b}"),
+            (2, f"{b} ppp qqq rrr sss ttt {a}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        spans = sorted(
+            (r["span_tokens"], r["a_start"], r["b_start"])
+            for r in duplicate_spans(
+                df, "doc_id", "text", k=8, min_len=8
+            ).collect()
+        )
+        # two islands on two different diagonals, never merged
+        assert spans == [(10, 1, 18), (12, 14, 1)]
+
+    def test_frequency_cap_drops_boilerplate_grams(self, spark):
+        from etlutil_spark.operators.dedup import duplicate_spans
+
+        boiler = " ".join(f"c{i}" for i in range(8))
+        rows = [(i, f"{boiler} unique tail {i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        # the 8-gram appears in 10 docs; cap at 5 occurrences kills it
+        assert (
+            duplicate_spans(
+                df, "doc_id", "text", k=8, min_len=8, max_gram_freq=5
+            ).count()
+            == 0
+        )
+        # without the cap all 45 pairs report the span
+        assert (
+            duplicate_spans(
+                df, "doc_id", "text", k=8, min_len=8, max_gram_freq=1000
+            ).count()
+            == 45
+        )
+
+
 @pytest.fixture(scope="module")
 def spark_session_global(spark):
     return spark

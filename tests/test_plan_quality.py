@@ -382,6 +382,12 @@ HEADLINE_BUDGETS = {
     # (the accuracy gate needs the exact side by definition) + week-key
     # broadcast join of the handful-of-rows estimate table
     "hll_weekly_users_accuracy": (10, 1),
+    # r10: seed-gram census + capped cross-doc seed join (semi sides
+    # broadcast at test SF) + one (pair, diagonal) islands window
+    "docs_duplicate_spans": (5, 2),
+    # r10: postings-only BM25 leg is the data shuffle; candidate-set
+    # rerank joins are all <=40-row broadcasts (+1-row bmax scalar)
+    "docs_hybrid_rerank": (3, 3),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -421,6 +427,7 @@ SCALAR_OK = {
     "lineitem_quantity_chi2",  # 1-row closed-form reduction
     "orders_km_survival",  # cumulative windows over distinct durations
     "docs_hybrid_search_rrf",  # rank/fusion windows over the <=40 top-k rows
+    "docs_hybrid_rerank",  # bmax/avgdl 1-row scalars over the <=40 candidates
     "events_mann_whitney",  # 1-row closed-form U/z reduction
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined

@@ -546,6 +546,7 @@ class TestCatalogPlanGuards:
         "lineitem_abc_classes",  # 1-row revenue-total broadcast
         "orders_km_survival",  # 1-row horizon-date broadcast
         "docs_hybrid_search_rrf",  # 1-row avgdl/n_docs broadcast (BM25 leg)
+        "docs_hybrid_rerank",  # 1-row avgdl + bmax scalar broadcasts
         "parts_copurchase_triangles",  # 1-row census scalars crossJoined
         "docs_length_batching",  # 1-row waste scalars crossJoined
         "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
