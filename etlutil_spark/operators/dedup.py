@@ -895,3 +895,73 @@ def duplicate_spans(
     return runs.where(F.col("span_tokens") >= min_len).select(
         "id_a", "id_b", "a_start", "b_start", "span_tokens"
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_len: int = 12,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """The CUT half of exact-substring dedup (Lee et al. 2022: find the
+    duplicated spans, then REMOVE one copy and keep the other):
+    :func:`duplicate_spans` supplies the span list; this stage cuts each
+    span from the HIGHER doc id — keep-first-occurrence, the same
+    deterministic survivor rule the exact/minhash families use — merges
+    overlapping or touching cut intervals per doc (a doc duplicated
+    against many partners gets ONE union mask, not double-counted
+    cuts), and reports per-doc cut accounting:
+
+        (id, n_tokens, cut_tokens, kept_fraction)
+
+    kept_fraction = (n_tokens - |interval union|) / n_tokens; docs with
+    no duplicated span pass through with cut_tokens = 0.
+
+    Interval union is the gaps-and-islands sweep: per doc, intervals
+    sorted by start, an island opens where start > max(previous ends)
+    (running-max window over only the CUT intervals — bounded by
+    duplicate volume, never by token count). A production rewrite stage
+    maps the union back onto the original characters (the
+    strip_boilerplate_prefixes anchoring trick); the accounting here is
+    what the curation decision (drop vs cut vs keep) consumes."""
+    spans = duplicate_spans(
+        df, id_col, text_col, k=k, min_len=min_len, max_gram_freq=max_gram_freq
+    )
+    cuts = spans.select(
+        F.col("id_b").alias("_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_tokens")).alias("e"),
+    )
+    w = Window.partitionBy("_id").orderBy("s", "e")
+    pme = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = F.sum(
+        F.when(pme.isNull() | (F.col("s") > pme), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (
+        cuts.withColumn("isl", isl)
+        .groupBy("_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    cut = iv.groupBy("_id").agg(
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("cut_tokens")
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    return base.join(
+        cut.withColumnRenamed("_id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        "n_tokens",
+        F.coalesce("cut_tokens", F.lit(0)).cast("bigint").alias("cut_tokens"),
+        F.round(
+            (F.col("n_tokens") - F.coalesce("cut_tokens", F.lit(0)))
+            / F.col("n_tokens"),
+            6,
+        ).alias("kept_fraction"),
+    )

@@ -179,6 +179,7 @@ class TestOracleGuards:
             "hll_weekly_users_accuracy",
             "docs_duplicate_spans",
             "docs_hybrid_rerank",
+            "docs_span_cut_plan",
             # ...plus re-proofs whose operator code or oracle changed
             # at r10 start (clustering fit/train split + one-checkpoint
             # corpus, countsketch lower-median, kcore oracle unroll,

@@ -205,6 +205,51 @@ class TestDuplicateSpans:
         )
 
 
+class TestCutDuplicateSpans:
+    """r10: the CUT half — keep-first-occurrence, per-doc interval
+    union, exact cut accounting."""
+
+    def test_overlapping_cuts_union_not_double_count(self, spark):
+        from etlutil_spark.operators.dedup import cut_duplicate_spans
+
+        base = " ".join(f"w{i}" for i in range(30))
+        rows = [
+            (1, base),                                   # first occurrence: kept
+            (2, base + " different ending here now"),    # dup of 1 -> cut
+            (3, " ".join(f"w{i}" for i in range(10, 30))),  # overlaps doc 1 tail
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["cut_tokens"])
+            for r in cut_duplicate_spans(
+                df, "doc_id", "text", k=8, min_len=8
+            ).collect()
+        }
+        # doc 1 is the lowest id everywhere -> never cut
+        assert out[1] == (30, 0)
+        # doc 2 shares w0..w29 with doc 1 AND w10..w29 with... no: doc 3
+        # has higher id than... doc 2 < doc 3, so doc 2 only cuts vs doc 1;
+        # the two spans (vs doc1: all 30; vs doc3 none since 2<3 cuts doc3)
+        assert out[2] == (34, 30)
+        # doc 3 (highest id) duplicates w10..29 against BOTH doc 1 and
+        # doc 2 — two identical 20-token cut intervals must union to 20
+        assert out[3] == (20, 20)
+
+    def test_clean_docs_pass_through(self, spark):
+        from etlutil_spark.operators.dedup import cut_duplicate_spans
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "one two three four five six seven eight nine ten"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = cut_duplicate_spans(df, "doc_id", "text", k=8, min_len=8).collect()
+        assert {(r["doc_id"], r["cut_tokens"], r["kept_fraction"]) for r in out} == {
+            (1, 0, 1.0),
+            (2, 0, 1.0),
+        }
+
+
 @pytest.fixture(scope="module")
 def spark_session_global(spark):
     return spark

@@ -388,6 +388,9 @@ HEADLINE_BUDGETS = {
     # r10: postings-only BM25 leg is the data shuffle; candidate-set
     # rerank joins are all <=40-row broadcasts (+1-row bmax scalar)
     "docs_hybrid_rerank": (3, 3),
+    # r10: the span seed chain + per-doc interval-union windows over
+    # only the cut intervals + doc-count left join
+    "docs_span_cut_plan": (8, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
