@@ -12256,6 +12256,99 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_l_diversity",
+    """
+    WITH qi AS (
+      SELECT CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS VARCHAR)
+               AS qmonth,
+             o.o_orderpriority,
+             CAST(floor(o.o_totalprice / 50000) AS BIGINT) AS price_band,
+             COUNT(*) AS class_size,
+             COUNT(DISTINCT c.c_mktsegment) AS n_sensitive
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3),
+    ls AS (SELECT UNNEST([2, 3, 5]) AS l)
+    SELECT CAST(ls.l AS BIGINT) AS l,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM qi) AS n_classes,
+           CAST(SUM(CASE WHEN n_sensitive < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN n_sensitive < ls.l THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           (SELECT CAST(MIN(n_sensitive) AS BIGINT) FROM qi) AS min_diversity
+    FROM qi CROSS JOIN ls
+    GROUP BY ls.l
+    """,
+)
+def orders_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the gate
+    k-anonymity misses: a class can be large (k-anonymous) yet leak the
+    sensitive attribute outright when every member SHARES it (the
+    homogeneity attack). Same quasi-identifier classes as
+    orders_k_anonymity, sensitive attribute = the owning customer's
+    market segment; for l in {2, 3, 5} count classes whose distinct
+    sensitive-value count falls below l and the rows they expose, plus
+    the table-wide minimum diversity (the single number a release
+    checklist records). Run together with the k-audit before any
+    data release.
+
+    Scale: one orders-to-customer keyed join (dimension side
+    stats-broadcast at test SF; co-partitioned fact join at 100 TB) +
+    ONE quasi-identifier aggregate carrying both count and
+    count_distinct; the per-l readout explodes 3 literals over the
+    tiny class table. Integer counts — bit-identical cross-engine."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    qi = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("qmonth"),
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") / 50000)
+            .cast("bigint")
+            .alias("price_band"),
+        )
+        .agg(
+            F.count("*").alias("class_size"),
+            F.count_distinct("c_mktsegment").alias("n_sensitive"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = qi.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+    )
+    per_l = (
+        qi.select(
+            "class_size",
+            "n_sensitive",
+            F.explode(F.array(F.lit(2), F.lit(3), F.lit(5))).alias("l"),
+        )
+        .groupBy("l")
+        .agg(
+            F.sum(F.when(F.col("n_sensitive") < F.col("l"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(
+                F.when(
+                    F.col("n_sensitive") < F.col("l"), F.col("class_size")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+    )
+    return per_l.crossJoin(F.broadcast(totals)).select(
+        F.col("l").cast("bigint").alias("l"),
+        "n_classes",
+        "n_violating_classes",
+        "n_rows_at_risk",
+        "min_diversity",
+    )
+
+
+@register(
     "orders_k_anonymity",
     """
     WITH qi AS (

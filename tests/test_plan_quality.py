@@ -391,6 +391,9 @@ HEADLINE_BUDGETS = {
     # r10: the span seed chain + per-doc interval-union windows over
     # only the cut intervals + doc-count left join
     "docs_span_cut_plan": (8, 2),
+    # r10: one fact-dim join + one QI aggregate; 3-literal explode +
+    # 1-row totals scalar over the tiny class table
+    "orders_l_diversity": (3, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -431,6 +434,7 @@ SCALAR_OK = {
     "orders_km_survival",  # cumulative windows over distinct durations
     "docs_hybrid_search_rrf",  # rank/fusion windows over the <=40 top-k rows
     "docs_hybrid_rerank",  # bmax/avgdl 1-row scalars over the <=40 candidates
+    "orders_l_diversity",  # 1-row totals scalar over the class table
     "events_mann_whitney",  # 1-row closed-form U/z reduction
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined

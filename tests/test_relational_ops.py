@@ -547,6 +547,7 @@ class TestCatalogPlanGuards:
         "orders_km_survival",  # 1-row horizon-date broadcast
         "docs_hybrid_search_rrf",  # 1-row avgdl/n_docs broadcast (BM25 leg)
         "docs_hybrid_rerank",  # 1-row avgdl + bmax scalar broadcasts
+        "orders_l_diversity",  # 1-row totals broadcast
         "parts_copurchase_triangles",  # 1-row census scalars crossJoined
         "docs_length_batching",  # 1-row waste scalars crossJoined
         "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
