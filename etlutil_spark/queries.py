@@ -12349,6 +12349,161 @@ def orders_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_t_closeness",
+    """
+    WITH j AS MATERIALIZED (
+      SELECT CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS VARCHAR)
+               AS qmonth,
+             o.o_orderpriority,
+             CAST(floor(o.o_totalprice / 50000) AS BIGINT) AS price_band,
+             c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j),
+    gs AS MATERIALIZED (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_s FROM j GROUP BY seg),
+    cls AS MATERIALIZED (
+      SELECT qmonth, o_orderpriority, price_band,
+             CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM j GROUP BY 1, 2, 3),
+    cs AS MATERIALIZED (
+      SELECT qmonth, o_orderpriority, price_band, seg,
+             CAST(COUNT(*) AS BIGINT) AS n_cs
+      FROM j GROUP BY 1, 2, 3, 4),
+    tvd AS MATERIALIZED (
+      SELECT cls.qmonth, cls.o_orderpriority, cls.price_band,
+             ANY_VALUE(cls.n_c) AS n_c, ANY_VALUE(tot.n) AS n,
+             CAST(SUM(abs(COALESCE(cs.n_cs, 0) * tot.n - gs.n_s * cls.n_c))
+                  AS BIGINT) AS num
+      FROM cls CROSS JOIN gs CROSS JOIN tot
+      LEFT JOIN cs ON cs.qmonth = cls.qmonth
+                  AND cs.o_orderpriority = cls.o_orderpriority
+                  AND cs.price_band = cls.price_band
+                  AND cs.seg = gs.seg
+      GROUP BY 1, 2, 3),
+    ts AS (SELECT UNNEST([20, 35, 50]) AS t_pct)
+    SELECT CAST(ts.t_pct AS BIGINT) AS t_pct,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tvd) AS n_classes,
+           CAST(SUM(CASE WHEN num * 100 > ts.t_pct * 2 * n_c * n
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN num * 100 > ts.t_pct * 2 * n_c * n
+                         THEN n_c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           (SELECT round(MAX(num * 1.0 / (2 * n_c * n)), 6) FROM tvd)
+             AS max_tvd
+    FROM tvd CROSS JOIN ts
+    GROUP BY ts.t_pct
+    """,
+)
+def orders_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the third privacy-release
+    gate: a class can be large (k-anonymous) AND diverse (l-diverse)
+    yet still leak by SKEW — e.g. a class that is 95% one market
+    segment against a uniform population reveals the segment with high
+    confidence. Per quasi-identifier class (same classes as the k/l
+    audits), the total-variation distance between the class's
+    sensitive-value distribution and the table-wide one:
+
+        TVD = sum_s |n_cs/n_c - n_s/N| / 2
+            = sum_s |n_cs*N - n_s*n_c| / (2 * n_c * N)
+
+    kept EXACT: the violation gate compares num*100 > t_pct*2*n_c*N in
+    64-bit integers (no float compare can flip cross-engine); only the
+    reported max_tvd is a rounded ratio. Exact below ~3e9 rows
+    (n_s*n_c < 2^63); switch the products to DECIMAL(38,0) beyond.
+
+    Scale: one fact-dim join, one (class, seg) aggregate; the dense
+    class x segment grid multiplies the class table by |segments| = 5
+    (the js-divergence pair-grid idiom, segment side broadcast), never
+    the fact table. Thresholds explode 3 literals over the tiny TVD
+    table."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("qmonth"),
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") / 50000)
+            .cast("bigint")
+            .alias("price_band"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = j.agg(F.count("*").cast("bigint").alias("n"))
+    gs = j.groupBy("seg").agg(F.count("*").cast("bigint").alias("n_s"))
+    cls = j.groupBy("qmonth", "o_orderpriority", "price_band").agg(
+        F.count("*").cast("bigint").alias("n_c")
+    )
+    cs = j.groupBy("qmonth", "o_orderpriority", "price_band", "seg").agg(
+        F.count("*").cast("bigint").alias("n_cs")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gs))
+        .crossJoin(F.broadcast(tot))
+        .join(cs, ["qmonth", "o_orderpriority", "price_band", "seg"], "left")
+        .select(
+            "qmonth", "o_orderpriority", "price_band", "n_c", "n",
+            F.abs(
+                F.coalesce("n_cs", F.lit(0)) * F.col("n")
+                - F.col("n_s") * F.col("n_c")
+            ).alias("term"),
+        )
+    )
+    tvd = (
+        grid.groupBy("qmonth", "o_orderpriority", "price_band")
+        .agg(
+            F.first("n_c").alias("n_c"),
+            F.first("n").alias("n"),
+            F.sum("term").cast("bigint").alias("num"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = tvd.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.round(
+            F.max(F.col("num") / (F.lit(2.0) * F.col("n_c") * F.col("n"))), 6
+        ).alias("max_tvd"),
+    )
+    per_t = (
+        tvd.select(
+            "num", "n_c", "n",
+            F.explode(F.array(F.lit(20), F.lit(35), F.lit(50))).alias("t_pct"),
+        )
+        .groupBy("t_pct")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("num") * 100
+                    > F.col("t_pct") * 2 * F.col("n_c") * F.col("n"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(
+                F.when(
+                    F.col("num") * 100
+                    > F.col("t_pct") * 2 * F.col("n_c") * F.col("n"),
+                    F.col("n_c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+    )
+    return per_t.crossJoin(F.broadcast(totals)).select(
+        F.col("t_pct").cast("bigint").alias("t_pct"),
+        "n_classes",
+        "n_violating_classes",
+        "n_rows_at_risk",
+        "max_tvd",
+    )
+
+
+@register(
     "orders_k_anonymity",
     """
     WITH qi AS (

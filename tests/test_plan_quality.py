@@ -394,6 +394,9 @@ HEADLINE_BUDGETS = {
     # r10: one fact-dim join + one QI aggregate; 3-literal explode +
     # 1-row totals scalar over the tiny class table
     "orders_l_diversity": (3, 1),
+    # r10: joined pass checkpointed; class/seg aggregates + 5-row grid
+    # broadcast + 1-row N scalar; exact-integer TVD gate
+    "orders_t_closeness": (4, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -435,6 +438,7 @@ SCALAR_OK = {
     "docs_hybrid_search_rrf",  # rank/fusion windows over the <=40 top-k rows
     "docs_hybrid_rerank",  # bmax/avgdl 1-row scalars over the <=40 candidates
     "orders_l_diversity",  # 1-row totals scalar over the class table
+    "orders_t_closeness",  # 1-row N + totals scalars over the class table
     "events_mann_whitney",  # 1-row closed-form U/z reduction
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined

@@ -548,6 +548,7 @@ class TestCatalogPlanGuards:
         "docs_hybrid_search_rrf",  # 1-row avgdl/n_docs broadcast (BM25 leg)
         "docs_hybrid_rerank",  # 1-row avgdl + bmax scalar broadcasts
         "orders_l_diversity",  # 1-row totals broadcast
+        "orders_t_closeness",  # 1-row N + totals broadcasts
         "parts_copurchase_triangles",  # 1-row census scalars crossJoined
         "docs_length_batching",  # 1-row waste scalars crossJoined
         "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
