@@ -1269,6 +1269,84 @@ def docs_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD_MICRO = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+@register(
+    "audit_benford_totalprice",
+    f"""
+    WITH c AS (
+      SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+          FROM c),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY digit),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    exp AS (SELECT UNNEST(range(1, 10)) AS digit,
+                   UNNEST({_BENFORD_MICRO}) AS share_micro)
+    SELECT CAST(exp.digit AS BIGINT) AS digit,
+           CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+           round(COALESCE(obs.n_obs, 0) * 1.0 / tot.n, 6) AS share_obs,
+           CAST(exp.share_micro AS BIGINT) AS expected_micro,
+           CAST(COALESCE(obs.n_obs, 0) * 1000000 - tot.n * exp.share_micro
+                AS BIGINT) AS dev_count_micro
+    FROM exp CROSS JOIN tot LEFT JOIN obs ON obs.digit = exp.digit
+    """,
+)
+def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals — the
+    fabricated/synthetic-data screen a data-quality gate runs on any
+    monetary column (organic multiplicative amounts follow
+    log10(1+1/d); uniform or hand-entered data does not). Per digit:
+    observed count, observed share, Benford's expected share in exact
+    integer micro-units, and the deviation n_obs*1e6 - N*share_micro —
+    EXACT 64-bit arithmetic end to end, so the gate ("is digit d over-
+    represented") never rides a float compare. First digit is taken
+    from the integer CENTS (decimal(15,2)*100 is exact; leading digit
+    is scale-invariant) via the bigint's string head — portable, no
+    log10 boundary hazard at exact powers of ten.
+
+    Scale: one scan -> map-side digit projection -> 9-group count; the
+    9-row expected grid and the 1-row N are literal/scalar broadcasts.
+    (This synthetic TPC-H price column is roughly UNIFORM in [900,
+    600k], so the audit correctly reports a strong Benford violation —
+    the point of the gate; see share_obs vs expected.)"""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            (F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    tot = d.agg(F.count("*").cast("bigint").alias("n"))
+    exp = spark.createDataFrame(
+        [(i + 1, m) for i, m in enumerate(_BENFORD_MICRO)],
+        "digit long, share_micro long",
+    )
+    return (
+        exp.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            F.round(
+                F.coalesce("n_obs", F.lit(0)) * F.lit(1.0) / F.col("n"), 6
+            ).alias("share_obs"),
+            F.col("share_micro").cast("bigint").alias("expected_micro"),
+            (
+                F.coalesce("n_obs", F.lit(0)) * F.lit(1000000)
+                - F.col("n") * F.col("share_micro")
+            )
+            .cast("bigint")
+            .alias("dev_count_micro"),
+        )
+    )
+
+
 @register(
     "audit_fk_orphans",
     """

@@ -397,6 +397,8 @@ HEADLINE_BUDGETS = {
     # r10: joined pass checkpointed; class/seg aggregates + 5-row grid
     # broadcast + 1-row N scalar; exact-integer TVD gate
     "orders_t_closeness": (4, 1),
+    # r10: one digit count agg; 9-row expected grid + 1-row N scalar
+    "audit_benford_totalprice": (2, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -439,6 +441,7 @@ SCALAR_OK = {
     "docs_hybrid_rerank",  # bmax/avgdl 1-row scalars over the <=40 candidates
     "orders_l_diversity",  # 1-row totals scalar over the class table
     "orders_t_closeness",  # 1-row N + totals scalars over the class table
+    "audit_benford_totalprice",  # 1-row N scalar over the 9-digit grid
     "events_mann_whitney",  # 1-row closed-form U/z reduction
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined

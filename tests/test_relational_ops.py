@@ -549,6 +549,7 @@ class TestCatalogPlanGuards:
         "docs_hybrid_rerank",  # 1-row avgdl + bmax scalar broadcasts
         "orders_l_diversity",  # 1-row totals broadcast
         "orders_t_closeness",  # 1-row N + totals broadcasts
+        "audit_benford_totalprice",  # 1-row N broadcast
         "parts_copurchase_triangles",  # 1-row census scalars crossJoined
         "docs_length_batching",  # 1-row waste scalars crossJoined
         "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
