@@ -551,3 +551,75 @@ def test_star_cc_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+class TestDuplicateSpanProperties:
+    """duplicate_spans (operators/dedup.py) vs a brute-force maximal
+    matched-run finder on tiny random corpora: the seed-and-chain
+    diagonal merge must produce EXACTLY the maximal shared-token runs
+    of length >= min_len, for every pair, at every offset."""
+
+    @staticmethod
+    def _brute(docs: dict, k: int, min_len: int):
+        out = set()
+        ids = sorted(docs)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = docs[ids[x]], docs[ids[y]]
+                seeds = {
+                    (i, j)
+                    for i in range(len(a) - k + 1)
+                    for j in range(len(b) - k + 1)
+                    if a[i : i + k] == b[j : j + k]
+                }
+                by_diag = {}
+                for i, j in seeds:
+                    by_diag.setdefault(i - j, []).append(i)
+                for d, pos in by_diag.items():
+                    pos.sort()
+                    run_start = pos[0]
+                    prev = pos[0]
+                    for p in pos[1:] + [None]:
+                        if p is None or p != prev + 1:
+                            span = prev - run_start + k
+                            if span >= min_len:
+                                out.add(
+                                    (
+                                        ids[x],
+                                        ids[y],
+                                        run_start + 1,       # 1-based
+                                        run_start - d + 1,
+                                        span,
+                                    )
+                                )
+                            if p is not None:
+                                run_start = p
+                        if p is not None:
+                            prev = p
+        return out
+
+    @PROP
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+            min_size=2,
+            max_size=4,
+        )
+    )
+    def test_matches_bruteforce(self, spark, docs):
+        from etlutil_spark.operators.dedup import duplicate_spans
+
+        k, min_len = 3, 4
+        corpus = {i + 1: toks for i, toks in enumerate(docs)}
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in corpus.items()],
+            "doc_id bigint, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["a_start"], r["b_start"], r["span_tokens"])
+            for r in duplicate_spans(
+                df, "doc_id", "text", k=k, min_len=min_len,
+                max_gram_freq=10_000,
+            ).collect()
+        }
+        assert got == self._brute(corpus, k, min_len)
