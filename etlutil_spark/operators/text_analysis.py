@@ -742,3 +742,172 @@ def dsir_log_weights(
             ).alias("dsir_logw"),
         )
     )
+
+
+def ensure_postings_store(
+    spark,
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> str:
+    """Build-ONCE inverted-index store — the lexical twin of
+    ensure_ivfadc_index: tokenize the corpus once, persist the postings
+    (term, doc, tf, dl) hive-partitioned by a portable term-hash bucket,
+    and stamp the corpus constants BM25 needs (n_docs, exact total
+    token count) into a ``_postings_meta.json`` sidecar next to
+    _SUCCESS. Every later call with the same params is metadata-only;
+    a param mismatch or partial write rebuilds (the ensure_* contract).
+
+    Why bucket-partitioned: a query touches a handful of terms, and
+    each term lives in exactly one bucket directory — serving lists
+    only the probed buckets (PartitionFilters), so a search reads
+    ~|query terms| / n_buckets of the index no matter how large the
+    corpus grows. The write repartitions by bucket first so each dir
+    gets well-sized files, not one file per upstream task."""
+    import json
+
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = path.rstrip("/")
+    marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_postings_meta.json")
+    params = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "n_buckets": int(n_buckets),
+    }
+    if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
+        stream = fs.open(meta_path)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        try:
+            if json.loads(txt).get("params") == params:
+                return "reused"
+        except ValueError:
+            pass
+    if fs.exists(jp):
+        fs.delete(jp, True)
+
+    from etlutil_spark.functions.hashing import md5_bigint
+
+    stats = df.select(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(X.token_count(text_col).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_dl"),
+    ).collect()[0]
+    postings = (
+        df.select(
+            F.col(id_col),
+            X.token_count(text_col).alias("dl"),
+            F.explode(X.tokens(text_col)).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(md5_bigint("term"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    (
+        postings.repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    meta = {
+        "params": params,
+        "n_docs": int(stats["n_docs"]),
+        "sum_dl": int(stats["sum_dl"] or 0),
+    }
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+    return "written"
+
+
+def bm25_serve(
+    spark,
+    path: str,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Read-only BM25 over an :func:`ensure_postings_store` index:
+    corpus constants come from the sidecar (driver-side, two ints),
+    the probed bucket set is computed in Python with the SAME portable
+    md5 hash the writer used, and the scan lists ONLY those bucket
+    directories (the term predicate additionally pushes into parquet
+    row groups). doc_freq derives from the probed postings themselves
+    — one aggregate bounded by the query terms' posting lists, never
+    corpus-scale. Scoring is bit-identical to :func:`bm25_search`
+    (same idf/contribution expressions, 9-decimal quantized DECIMAL
+    sum, 6-decimal final round, doc-id tiebreak), so the same oracle
+    verifies both the search math AND the store roundtrip."""
+    import hashlib
+    import json
+
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_postings_meta.json")
+    fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(meta_path)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    meta = json.loads(txt)
+    n_buckets = meta["params"]["n_buckets"]
+    id_col = meta["params"]["id_col"]
+    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    if n_docs == 0:
+        raise ValueError("bm25_serve: empty postings store")
+    terms = [t.lower() for t in query_terms]
+    probes = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+            for t in terms
+        }
+    )
+    # same IEEE division bm25_search's stats row performs: double(sum
+    # of exact decimal dl) / bigint count
+    avgdl = float(sum_dl) / n_docs
+    # NO checkpoint here (unlike bm25_search): both consumers re-scan,
+    # but each scan is partition-pruned to the probed buckets and
+    # term-filtered at the row-group level — trivially cheap, and the
+    # pruning stays VISIBLE in the executed plan (a checkpoint would
+    # hide the FileScan behind an RDD scan; plan test pins the filter)
+    postings = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(probes))
+        .where(F.col("term").isin(terms))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .withColumn("contrib", F.round(contrib, 9).cast("decimal(38,9)"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("contrib").cast("double"), 6).alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

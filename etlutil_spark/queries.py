@@ -4259,6 +4259,63 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_bm25_serve",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    postings AS (
+      SELECT doc_id, len(tk) AS dl, term, COUNT(*) AS tf
+      FROM t, UNNEST(tk) AS u(term)
+      WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, len(tk), term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(len(tk) AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+              FROM t),
+    contribs AS (
+      SELECT doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               9) AS DECIMAL(38,9)) AS contrib
+      FROM postings JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT doc_id,
+           round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25,
+           COUNT(*) AS n_matched_terms
+    FROM contribs GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def docs_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 in its PRODUCTION serving shape — the lexical twin of
+    sim_ivfadc_serve: text_analysis.py:ensure_postings_store tokenizes
+    the corpus ONCE and persists the postings hive-partitioned by a
+    portable term-hash bucket (corpus constants in a sidecar);
+    bm25_serve then answers the query READ-ONLY, listing only the
+    probed bucket directories (the bucket predicate is a
+    PartitionFilter computed driver-side with the same md5 the writer
+    used) — a search reads ~|query terms|/64 of the index regardless
+    of corpus size, and steady state pays zero tokenize/index jobs.
+    Scoring is bit-identical to docs_bm25_search (same quantized
+    DECIMAL contribution sum), so the SAME oracle verifies the search
+    math AND the store roundtrip end to end."""
+    import tempfile
+
+    from etlutil_spark.operators.text_analysis import (
+        bm25_serve,
+        ensure_postings_store,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_postings_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_postings_store(spark, d, path, id_col="doc_id", text_col="text")
+    return bm25_serve(spark, path, ["vector", "join", "stream"], k=20)
+
+
+@register(
     "docs_bigram_topk",
     f"""
     WITH t AS (SELECT {_DUCK_TOKENS} AS tk FROM documents),

@@ -399,6 +399,10 @@ HEADLINE_BUDGETS = {
     "orders_t_closeness": (4, 1),
     # r10: one digit count agg; 9-row expected grid + 1-row N scalar
     "audit_benford_totalprice": (2, 2),
+    # r10: read-only serving over the bucket-partitioned postings store
+    # — two pruned scans (dfreq + scoring), doc-keyed score agg,
+    # TakeOrdered; tokenize/index jobs sit behind ensure_postings_store
+    "docs_bm25_serve": (2, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -515,6 +519,19 @@ class TestHeadlinePlanBudgets:
         assert P.exchange_count(df) == 0, plan
         # codes ride the scan; raw embeddings never leave the store
         assert "embedding" not in P.scan_columns(df)
+
+    def test_bm25_serve_prunes_unprobed_buckets(self, spark):
+        """docs_bm25_serve's contract: the probed-bucket predicate must
+        bind as a PartitionFilter on the postings-store scan (query
+        terms' buckets only — ~|terms|/64 of the index listed at any
+        corpus size), and the term predicate must additionally push to
+        the parquet row groups."""
+        df = QUERIES["docs_bm25_serve"](spark, SF)
+        df.collect()
+        plan = P.formatted_plan(df)
+        lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert lines and any("bucket" in l and " IN " in l for l in lines), lines
+        assert any("term" in f for f in P.pushed_filters(df)), P.pushed_filters(df)
 
     def test_winnowing_fp_broadcast_is_stats_driven_not_forced(self, spark):
         """The winnowing fp-share count has one row per distinct selected
