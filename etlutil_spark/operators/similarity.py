@@ -277,6 +277,59 @@ def build_ivf_store(
     )
 
 
+def ensure_ivf_store(
+    spark,
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> str:
+    """Build-ONCE wrapper around :func:`build_ivf_store` (the ensure_*
+    contract shared with the bucketed-table / IVFADC / postings
+    fixtures): a surviving store with a _SUCCESS marker and a matching
+    _ivf_meta.json is reused metadata-free; a param mismatch or partial
+    write rebuilds. build_ivf_store itself stays overwrite-always for
+    callers that want the write path exercised per run."""
+    import json
+
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = path.rstrip("/")
+    marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_ivf_meta.json")
+    params = {
+        "id_col": id_col, "vec_col": vec_col,
+        "n_planes": int(n_planes), "seed": int(seed),
+    }
+    if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
+        stream = fs.open(meta_path)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        try:
+            if json.loads(txt).get("params") == params:
+                return "reused"
+        except ValueError:
+            pass
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    build_ivf_store(
+        docs, path, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, seed=seed,
+    )
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(json.dumps({"params": params}, sort_keys=True).encode()))
+    finally:
+        out.close()
+    return "written"
+
+
 def ivf_topk(
     spark,
     path: str,

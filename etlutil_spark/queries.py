@@ -10929,6 +10929,124 @@ def docs_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_hybrid_serve_sql() -> str:
+    """Hybrid-serve oracle: the bm25 chain (LIMIT 20) fused by RRF with
+    the LSH-cosine chain (hamming<=1 candidate rule, LIMIT 20) — the
+    exact math of docs_bm25_search + sim_ivf_topk composed, so the
+    oracle verifies both STORES' roundtrips and the fusion at once."""
+    return f"""{_duck_ann_cte(6, 64)},
+    t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    postings AS (
+      SELECT doc_id, len(tk) AS dl, term, COUNT(*) AS tf
+      FROM t, UNNEST(tk) AS u(term)
+      WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, len(tk), term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(len(tk) AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+              FROM t),
+    contribs AS (
+      SELECT doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               9) AS DECIMAL(38,9)) AS contrib
+      FROM postings JOIN dfreq USING (term) CROSS JOIN stats),
+    bm AS (
+      SELECT doc_id, round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+      FROM contribs GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+    lexr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                         AS BIGINT) AS lex_rank
+             FROM bm),
+    ec AS (SELECT b.vec_id, {_DUCK_ANN_COS} AS cos_sim
+           FROM b, q
+           WHERE bit_count(xor(vb::BIGINT, qb::BIGINT)) <= 1
+           ORDER BY cos_sim DESC, vec_id LIMIT 20),
+    vecr AS (SELECT vec_id AS doc_id,
+                    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                         AS BIGINT) AS vec_rank
+             FROM ec),
+    f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 l.lex_rank, v.vec_rank
+          FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+    SELECT doc_id,
+           round(COALESCE(1.0 / (60 + lex_rank), 0)
+                 + COALESCE(1.0 / (60 + vec_rank), 0), 9) AS rrf_score,
+           lex_rank, vec_rank
+    FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 15
+"""
+
+
+@register("docs_hybrid_serve", _duck_hybrid_serve_sql())
+def docs_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval stack in STEADY-STATE serving shape: both
+    legs read prebuilt stores — BM25 over the bucket-partitioned
+    postings store (docs_bm25_serve's fixture) and cosine over the
+    LSH-bucket-partitioned IVF store (sim_ivf_topk's fixture) — fused
+    by reciprocal-rank fusion exactly as docs_hybrid_search_rrf. Each
+    leg's scan is partition-PRUNED (term buckets / hamming<=1 LSH
+    buckets), so a query touches ~|terms|/64 of the postings and ~10%
+    of the vectors regardless of corpus size, with zero tokenize or
+    index jobs per query. One oracle verifies both store roundtrips
+    AND the fusion arithmetic."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from etlutil_spark.operators.similarity import ensure_ivf_store, ivf_topk
+    from etlutil_spark.operators.text_analysis import (
+        bm25_serve,
+        ensure_postings_store,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    sfx = sf_dir.strip("/").replace("/", "_")
+    p_path = f"{tempfile.gettempdir()}/etlutil_spark_postings_{sfx}"
+    v_path = f"{tempfile.gettempdir()}/etlutil_spark_ivfserve_{sfx}"
+    ensure_postings_store(spark, d, p_path, id_col="doc_id", text_col="text")
+    ensure_ivf_store(spark, e, v_path, n_planes=6)
+    lex = bm25_serve(spark, p_path, ["vector", "join", "stream"], k=20)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    vec = ivf_topk(spark, v_path, qvec, k=20, n_planes=6, multiprobe_hamming=1)
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .cast("bigint")
+        .alias("vec_rank"),
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 9).alias("rrf_score"),
+            "lex_rank",
+            "vec_rank",
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+
+
 @register(
     "events_mann_whitney",
     """

@@ -403,6 +403,9 @@ HEADLINE_BUDGETS = {
     # — two pruned scans (dfreq + scoring), doc-keyed score agg,
     # TakeOrdered; tokenize/index jobs sit behind ensure_postings_store
     "docs_bm25_serve": (2, 1),
+    # r10: both retrieval legs read prebuilt stores (pruned scans);
+    # rank/fusion windows run over the <=40 surviving candidates
+    "docs_hybrid_serve": (3, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -443,6 +446,7 @@ SCALAR_OK = {
     "orders_km_survival",  # cumulative windows over distinct durations
     "docs_hybrid_search_rrf",  # rank/fusion windows over the <=40 top-k rows
     "docs_hybrid_rerank",  # bmax/avgdl 1-row scalars over the <=40 candidates
+    "docs_hybrid_serve",  # rank/fusion windows over the <=40 store candidates
     "orders_l_diversity",  # 1-row totals scalar over the class table
     "orders_t_closeness",  # 1-row N + totals scalars over the class table
     "audit_benford_totalprice",  # 1-row N scalar over the 9-digit grid
