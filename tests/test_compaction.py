@@ -154,3 +154,44 @@ class TestEnsureBucketedTable:
             assert spark.table(t).count() == 10
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestEnsureServingStores:
+    """r10: the build-once contract on the postings and IVF stores
+    (same _SUCCESS + sidecar rule as the bucketed table)."""
+
+    def test_postings_store_reuse_and_param_invalidation(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.operators.text_analysis import (
+            bm25_serve,
+            ensure_postings_store,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta gamma delta"), (3, "alpha")],
+            "doc_id bigint, text string",
+        )
+        path = str(tmp_path / "postings")
+        assert ensure_postings_store(spark, df, path, n_buckets=8) == "written"
+        assert ensure_postings_store(spark, df, path, n_buckets=8) == "reused"
+        out = {r["doc_id"]: r["n_matched_terms"]
+               for r in bm25_serve(spark, path, ["alpha", "beta"], k=10).collect()}
+        assert out == {1: 2, 2: 1, 3: 1}
+        # param change invalidates
+        assert ensure_postings_store(spark, df, path, n_buckets=4) == "written"
+
+    def test_ivf_store_reuse(self, spark, tmp_path):
+        from etlutil_spark.operators.similarity import ensure_ivf_store, ivf_topk
+
+        df = spark.createDataFrame(
+            [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(30)],
+            "vec_id bigint, embedding array<double>",
+        )
+        path = str(tmp_path / "ivf")
+        assert ensure_ivf_store(spark, df, path, n_planes=3) == "written"
+        assert ensure_ivf_store(spark, df, path, n_planes=3) == "reused"
+        got = ivf_topk(spark, path, [1.0, -1.0, 1.0, 0.5], k=3,
+                       n_planes=3, multiprobe_hamming=1).collect()
+        assert len(got) == 3
+        assert ensure_ivf_store(spark, df, path, n_planes=4) == "written"
