@@ -911,3 +911,92 @@ def bm25_serve(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def update_postings_store(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    *,
+    batch_id: str,
+) -> str:
+    """Incrementally merge a NEW batch of documents into an
+    :func:`ensure_postings_store` index — the maintenance half of the
+    lexical serving stack (an index that must be fully rebuilt per
+    batch is not a production index): the batch's postings append into
+    the same bucket directories (one bucket-keyed shuffle sized by the
+    BATCH, the existing index is never read or rewritten), and the
+    sidecar's corpus constants advance by the batch's exact counts.
+    bm25_serve derives every score input from postings + sidecar, so
+    serve-after-increment is BIT-IDENTICAL to a full rebuild over the
+    union corpus (pinned in tests and by the catalog oracle).
+
+    Replay guard (the dedup_screen lesson): each batch stamps a
+    ``_applied_<batch_id>`` marker; a retried batch whose marker exists
+    is a no-op ('skipped'), so at-least-once schedulers cannot double-
+    count postings. The marker is written LAST — a crash between the
+    append and the sidecar update leaves a batch that will re-apply;
+    plain directories cannot roll back appended files (use a table
+    format for transactional index maintenance), which is why the
+    marker, not the file listing, is the applied-state of record."""
+    import json
+
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_postings_meta.json")
+    fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(meta_path):
+        raise ValueError(f"no postings store at {path}; build one first")
+    marker = jvm.org.apache.hadoop.fs.Path(base + f"/_applied_{batch_id}")
+    if fs.exists(marker):
+        return "skipped"
+    stream = fs.open(meta_path)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    meta = json.loads(txt)
+    id_col = meta["params"]["id_col"]
+    text_col = meta["params"]["text_col"]
+    n_buckets = meta["params"]["n_buckets"]
+
+    from etlutil_spark.functions.hashing import md5_bigint
+
+    stats = new_docs.select(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(X.token_count(text_col).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_dl"),
+    ).collect()[0]
+    postings = (
+        new_docs.select(
+            F.col(id_col),
+            X.token_count(text_col).alias("dl"),
+            F.explode(X.tokens(text_col)).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(md5_bigint("term"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    (
+        postings.repartition(n_buckets, "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n_docs"])
+    meta["sum_dl"] = int(meta["sum_dl"]) + int(stats["sum_dl"] or 0)
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+    out2 = fs.create(marker, True)
+    try:
+        out2.write(bytearray(b"1"))
+    finally:
+        out2.close()
+    return "applied"

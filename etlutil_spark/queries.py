@@ -4316,6 +4316,64 @@ def docs_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_bm25_serve_incremental",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    postings AS (
+      SELECT doc_id, len(tk) AS dl, term, COUNT(*) AS tf
+      FROM t, UNNEST(tk) AS u(term)
+      WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, len(tk), term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(len(tk) AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+              FROM t),
+    contribs AS (
+      SELECT doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               9) AS DECIMAL(38,9)) AS contrib
+      FROM postings JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT doc_id,
+           round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25,
+           COUNT(*) AS n_matched_terms
+    FROM contribs GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def docs_bm25_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE invariant, driver-gated: build the postings
+    store from two-thirds of the corpus, merge the remaining third with
+    text_analysis.py:update_postings_store (batch-sized bucket append +
+    sidecar advance + replay marker), and serve — the oracle is the
+    FULL-corpus BM25, so the green row proves incremental == rebuild
+    bit for bit. Steady state (store built, batch marker present) both
+    maintenance calls are metadata-only no-ops and the query is a pure
+    pruned-scan serve; a retried batch is absorbed by the
+    ``_applied_<id>`` marker instead of double-counting postings."""
+    import tempfile
+
+    from etlutil_spark.operators.text_analysis import (
+        bm25_serve,
+        ensure_postings_store,
+        update_postings_store,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    base = d.where(F.col("doc_id") % 3 != 0)
+    batch = d.where(F.col("doc_id") % 3 == 0)
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_postings_inc_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_postings_store(spark, base, path, id_col="doc_id", text_col="text")
+    update_postings_store(spark, batch, path, batch_id="mod3")
+    return bm25_serve(spark, path, ["vector", "join", "stream"], k=20)
+
+
+@register(
     "docs_bigram_topk",
     f"""
     WITH t AS (SELECT {_DUCK_TOKENS} AS tk FROM documents),

@@ -195,3 +195,33 @@ class TestEnsureServingStores:
                        n_planes=3, multiprobe_hamming=1).collect()
         assert len(got) == 3
         assert ensure_ivf_store(spark, df, path, n_planes=4) == "written"
+
+    def test_postings_increment_equals_rebuild_and_absorbs_replay(
+        self, spark, tmp_path
+    ):
+        from etlutil_spark.operators.text_analysis import (
+            bm25_serve,
+            ensure_postings_store,
+            update_postings_store,
+        )
+
+        rows = [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta gamma delta"),
+            (3, "alpha epsilon"),
+            (4, "beta beta alpha zeta"),
+        ]
+        full = spark.createDataFrame(rows, "doc_id bigint, text string")
+        base = full.where("doc_id <= 2")
+        batch = full.where("doc_id > 2")
+        inc_path = str(tmp_path / "inc")
+        ensure_postings_store(spark, base, inc_path, n_buckets=8)
+        assert update_postings_store(spark, batch, inc_path, batch_id="b1") == "applied"
+        # replay of the same batch is a no-op
+        assert update_postings_store(spark, batch, inc_path, batch_id="b1") == "skipped"
+        full_path = str(tmp_path / "full")
+        ensure_postings_store(spark, full, full_path, n_buckets=8)
+        q = ["alpha", "beta"]
+        got = [tuple(r) for r in bm25_serve(spark, inc_path, q, k=10).collect()]
+        want = [tuple(r) for r in bm25_serve(spark, full_path, q, k=10).collect()]
+        assert got == want

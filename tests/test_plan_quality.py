@@ -406,6 +406,9 @@ HEADLINE_BUDGETS = {
     # r10: both retrieval legs read prebuilt stores (pruned scans);
     # rank/fusion windows run over the <=40 surviving candidates
     "docs_hybrid_serve": (3, 1),
+    # r10: steady-state = the bm25_serve plan (maintenance calls are
+    # marker-absorbed no-ops before the returned frame is built)
+    "docs_bm25_serve_incremental": (2, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
