@@ -701,8 +701,9 @@ def ensure_ivfadc_index(
     marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
     model_path = jvm.org.apache.hadoop.fs.Path(base + "/_ivfadc_model.json")
     params = {
-        "id_col": id_col, "k": int(k), "iters": int(iters), "m": int(m),
-        "ksub": int(ksub), "pq_iters": int(pq_iters), "scale": int(scale),
+        "id_col": id_col, "vec_col": vec_col, "k": int(k),
+        "iters": int(iters), "m": int(m), "ksub": int(ksub),
+        "pq_iters": int(pq_iters), "scale": int(scale),
     }
     if fs.exists(jp) and fs.exists(marker) and fs.exists(model_path):
         stream = fs.open(model_path)
@@ -826,6 +827,91 @@ def ivfadc_serve(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def update_ivfadc_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    *,
+    batch_id: str,
+) -> str:
+    """Incrementally encode a NEW vector batch into an
+    :func:`ensure_ivfadc_index` store with the FROZEN model — the
+    maintenance half of the ANN serving stack (FAISS `add` after
+    `train`): the sidecar's centroids and codebooks are read back,
+    the batch is assigned+encoded with exactly the write-time integer
+    argmins, and the (id, cell, codes) rows append into the existing
+    cell directories — one batch-sized job, the index is never read or
+    rewritten, and the model (being corpus-constant-free at serve
+    time) needs no sidecar update. Serving after the increment is
+    bit-identical to encode-everything-with-the-same-model (pinned by
+    the catalog oracle, which retrains on the base slice only and
+    encodes the full corpus).
+
+    Same ``_applied_<batch_id>`` replay marker as
+    update_postings_store: a retried batch is a no-op, not a double
+    insert. Model drift is the caveat frozen-model adds grow into —
+    re-train (rebuild) when the batch distribution departs from the
+    training corpus; the recall eval harness (dedup_minhash_recall's
+    pattern) is the gate for that decision."""
+    import json
+
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    model_path = jvm.org.apache.hadoop.fs.Path(base + "/_ivfadc_model.json")
+    fs = model_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(model_path):
+        raise ValueError(f"no ivfadc index at {path}; build one first")
+    marker = jvm.org.apache.hadoop.fs.Path(base + f"/_applied_{batch_id}")
+    if fs.exists(marker):
+        return "skipped"
+    stream = fs.open(model_path)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    model = json.loads(txt)
+    params = model["params"]
+    centroids, codebooks = model["centroids"], model["codebooks"]
+    id_col, scale = params["id_col"], params["scale"]
+    m = params["m"]
+    d = len(centroids[0])
+    dsub = d // m
+    vec_col = params.get("vec_col", "embedding")
+
+    q = _quantized_corpus(new_docs, id_col, vec_col, scale)
+    cell = _best_cluster(centroids)["c"]
+    cent_lit = F.array(*[F.lit(c).cast("array<bigint>") for c in centroids])
+    rv = F.zip_with(
+        "_qv",
+        F.element_at(cent_lit, (cell + 1).cast("int")),
+        lambda a, b: a - b,
+    )
+    enc = q.select(
+        F.col(id_col), cell.cast("int").alias("cell"), rv.alias("_qv")
+    )
+    codes = F.array(
+        *[
+            _best_cluster(codebooks[s], F.slice("_qv", s * dsub + 1, dsub))[
+                "c"
+            ].cast("int")
+            for s in range(m)
+        ]
+    )
+    (
+        enc.select(F.col(id_col), F.col("cell"), codes.alias("codes"))
+        .repartition(len(centroids), "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(b"1"))
+    finally:
+        out.close()
+    return "applied"
 
 
 def gram_matrix(

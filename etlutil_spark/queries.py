@@ -12020,6 +12020,108 @@ def _ivfadc_oracle_sql(
     )
 
 
+def _ivfadc_incremental_oracle_sql(
+    train_where: str,
+    k: int = 8,
+    iters: int = 3,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+) -> str:
+    """IVFADC mirror for the FROZEN-MODEL incremental index: the coarse
+    quantizer and the residual codebooks train ONLY on the
+    ``train_where`` slice (the base build), but assignment, encoding,
+    and serving cover the FULL corpus — exactly what
+    ensure_ivfadc_index(base) + update_ivfadc_index(rest) produce. The
+    full-corpus cell assignment (``fullassign``) and per-subspace codes
+    (``fullcode{s}``) are separate argmin CTEs against the base-trained
+    tables; everything else mirrors _ivfadc_oracle_sql."""
+    dsub = dim // m
+    rng = f"range(1, {dim + 1})"
+    parts = [f"qfull AS MATERIALIZED (\n      {_DUCK_QUANTIZED_EMBEDDINGS})"]
+    cchain, ccents, _cfinal = _kmeans_chain(
+        k, iters, dim, sfx="_c",
+        source_sql=f"SELECT vec_id, v FROM qfull WHERE {train_where}",
+    )
+    parts.extend(cchain)
+    parts.append("qv AS (SELECT v FROM qfull WHERE vec_id = 0)")
+    parts.append(f"""
+    probes AS (SELECT {ccents}.cluster FROM {ccents} CROSS JOIN qv
+               ORDER BY CAST(list_sum([ (qv.v[i] - {ccents}.c[i]) * (qv.v[i] - {ccents}.c[i])
+                                        for i in {rng} ]) AS BIGINT),
+                        {ccents}.cluster
+               LIMIT {nprobe})""")
+    # FULL-corpus assignment against the base-trained centroids
+    fdist = (
+        f"CAST(list_sum([ (qfull.v[i] - {ccents}.c[i]) * (qfull.v[i] - {ccents}.c[i])"
+        f" for i in {rng} ]) AS BIGINT)"
+    )
+    parts.append(f"""
+    fullassign AS MATERIALIZED (SELECT vec_id, v, cluster FROM (
+        SELECT qfull.vec_id, qfull.v, {ccents}.cluster, {fdist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY qfull.vec_id
+                                  ORDER BY {fdist}, {ccents}.cluster) AS rn
+        FROM qfull CROSS JOIN {ccents}) WHERE rn = 1)""")
+    parts.append(f"""
+    resid AS MATERIALIZED (
+      SELECT a.vec_id, [ a.v[i] - cc.c[i] for i in {rng} ] AS v
+      FROM fullassign a JOIN {ccents} cc USING (cluster))""")
+    parts.append(f"""
+    qres AS (SELECT p.cluster AS cell,
+                    [ qv.v[i] - cc.c[i] for i in {rng} ] AS v
+             FROM probes p JOIN {ccents} cc ON cc.cluster = p.cluster
+             CROSS JOIN qv)""")
+    cents = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        src = (
+            f"SELECT vec_id, v[{lo}:{hi}] AS v FROM resid WHERE {train_where}"
+        )
+        chain, cname, _aname = _kmeans_chain(
+            ksub, pq_iters, dsub, sfx=f"_i{s}", source_sql=src
+        )
+        parts.extend(chain)
+        cents.append(cname)
+    # FULL-corpus per-subspace codes against the base-trained codebooks
+    for s in range(m):
+        off = s * dsub
+        cdist = (
+            f"CAST(list_sum([ (r.v[{off} + i] - {cents[s]}.c[i]) * (r.v[{off} + i] - {cents[s]}.c[i])"
+            f" for i in range(1, {dsub + 1}) ]) AS BIGINT)"
+        )
+        parts.append(f"""
+    fullcode{s} AS (SELECT vec_id, cluster FROM (
+        SELECT r.vec_id, {cents[s]}.cluster, {cdist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY r.vec_id
+                                  ORDER BY {cdist}, {cents[s]}.cluster) AS rn
+        FROM resid r CROSS JOIN {cents[s]}) WHERE rn = 1)""")
+        parts.append(f"""
+    ti{s} AS (SELECT qres.cell, {cents[s]}.cluster AS code,
+                    CAST(list_sum([ (qres.v[{off} + i] - {cents[s]}.c[i]) * (qres.v[{off} + i] - {cents[s]}.c[i])
+                                    for i in range(1, {dsub + 1}) ]) AS BIGINT) AS d
+             FROM {cents[s]} CROSS JOIN qres)""")
+    joins = "".join(
+        f"\n    JOIN fullcode{s} f{s} ON b.vec_id = f{s}.vec_id"
+        f"\n    JOIN ti{s} ON f{s}.cluster = ti{s}.code AND ti{s}.cell = fc.cluster"
+        for s in range(m)
+    )
+    total = " + ".join(f"ti{s}.d" for s in range(m))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT b.vec_id, CAST({total} AS BIGINT) AS adc_dist
+    FROM qfull b
+    JOIN fullassign fc ON b.vec_id = fc.vec_id
+    JOIN probes ON fc.cluster = probes.cluster{joins}
+    ORDER BY adc_dist, b.vec_id
+    LIMIT {topk}"""
+    )
+
+
 @register(
     "sim_ivfadc_topk",
     _ivfadc_oracle_sql(k=8, iters=3, nprobe=3, m=8, ksub=16, pq_iters=2, dim=64, topk=10),
@@ -12092,6 +12194,51 @@ def sim_ivfadc_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, e, "vec_id", "embedding", path,
         k=8, iters=3, m=8, ksub=16, pq_iters=2,
     )
+    return ivfadc_serve(spark, path, qvec, nprobe=3, topk=10)
+
+
+@register(
+    "sim_ivfadc_serve_incremental",
+    _ivfadc_incremental_oracle_sql(
+        "vec_id % 3 != 0",
+        k=8, iters=3, nprobe=3, m=8, ksub=16, pq_iters=2, dim=64, topk=10,
+    ),
+)
+def sim_ivfadc_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index MAINTENANCE invariant, driver-gated (the FAISS
+    train-then-add lifecycle): the IVFADC index trains on two-thirds of
+    the corpus (vec_id % 3 != 0), the remaining third is encoded with
+    the FROZEN model by clustering.py:update_ivfadc_index (batch-sized
+    cell append + replay marker, model untouched), and serving runs
+    over the merged store. The oracle retrains coarse+codebooks on the
+    SAME base slice and encodes the full corpus, so the green row
+    proves frozen-model increment == encode-everything-with-that-model
+    bit for bit. Steady state both maintenance calls are metadata
+    no-ops and the plan is the pure partition-pruned serve."""
+    import tempfile
+
+    from etlutil_spark.operators.clustering import (
+        ensure_ivfadc_index,
+        ivfadc_serve,
+        update_ivfadc_index,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    base = e.where(F.col("vec_id") % 3 != 0)
+    batch = e.where(F.col("vec_id") % 3 == 0)
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_ivfadc_inc_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_ivfadc_index(
+        spark, base, "vec_id", "embedding", path,
+        k=8, iters=3, m=8, ksub=16, pq_iters=2,
+    )
+    update_ivfadc_index(spark, batch, path, batch_id="mod3")
     return ivfadc_serve(spark, path, qvec, nprobe=3, topk=10)
 
 

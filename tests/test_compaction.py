@@ -225,3 +225,26 @@ class TestEnsureServingStores:
         got = [tuple(r) for r in bm25_serve(spark, inc_path, q, k=10).collect()]
         want = [tuple(r) for r in bm25_serve(spark, full_path, q, k=10).collect()]
         assert got == want
+
+    def test_ivfadc_increment_replay_noop_and_count(self, spark, tmp_path):
+        from etlutil_spark.operators.clustering import (
+            ensure_ivfadc_index,
+            update_ivfadc_index,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 7), float(-i % 5), 1.0, 0.5]) for i in range(40)],
+            "vec_id bigint, embedding array<double>",
+        )
+        base = df.where("vec_id < 30")
+        batch = df.where("vec_id >= 30")
+        path = str(tmp_path / "ivfadc_inc")
+        kw = dict(k=4, iters=2, m=2, ksub=4, pq_iters=2)
+        ensure_ivfadc_index(spark, base, "vec_id", "embedding", path, **kw)
+        assert update_ivfadc_index(spark, batch, path, batch_id="b1") == "applied"
+        assert update_ivfadc_index(spark, batch, path, batch_id="b1") == "skipped"
+        assert spark.read.parquet(path).count() == 40
+        # no index row duplicated by the replayed batch
+        assert (
+            spark.read.parquet(path).select("vec_id").distinct().count() == 40
+        )

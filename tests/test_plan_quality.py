@@ -409,6 +409,9 @@ HEADLINE_BUDGETS = {
     # r10: steady-state = the bm25_serve plan (maintenance calls are
     # marker-absorbed no-ops before the returned frame is built)
     "docs_bm25_serve_incremental": (2, 1),
+    # r10: steady-state = the ivfadc_serve plan (frozen-model encode
+    # append + marker both no-op before the returned frame is built)
+    "sim_ivfadc_serve_incremental": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
