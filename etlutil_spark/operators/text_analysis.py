@@ -1000,3 +1000,89 @@ def update_postings_store(
     finally:
         out2.close()
     return "applied"
+
+
+def bm25_serve_many(
+    spark,
+    path: str,
+    queries: dict[str, list[str]],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched BM25 serving: score MANY queries against the postings
+    store in ONE pruned scan — the throughput shape of production
+    retrieval (and of offline query-set evaluation): per-query scans
+    would re-list and re-read shared buckets once per query; here the
+    probed-bucket set is the UNION over all queries' terms, the
+    (query_id, term) map rides in as a broadcast literal table, and
+    the per-query top-k is a window over only the scored candidates,
+    partitioned by query — no single-partition funnel, cost amortized
+    across the batch. Scoring math is bm25_serve's bit for bit; returns
+    (query_id, doc_id, bm25, n_matched_terms, rank<=k), ranked ties
+    broken by doc id."""
+    import hashlib
+    import json
+
+    from pyspark.sql.window import Window
+
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_postings_meta.json")
+    fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(meta_path)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    meta = json.loads(txt)
+    n_buckets = meta["params"]["n_buckets"]
+    id_col = meta["params"]["id_col"]
+    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    if n_docs == 0:
+        raise ValueError("bm25_serve_many: empty postings store")
+    pairs = sorted(
+        {(qid, t.lower()) for qid, ts in queries.items() for t in ts}
+    )
+    terms = sorted({t for _, t in pairs})
+    probes = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+            for t in terms
+        }
+    )
+    avgdl = float(sum_dl) / n_docs
+    qmap = spark.createDataFrame(pairs, "query_id string, term string")
+    postings = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(probes))
+        .where(F.col("term").isin(terms))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        postings.join(F.broadcast(qmap), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("contrib", F.round(contrib, 9).cast("decimal(38,9)"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(F.sum("contrib").cast("double"), 6).alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "bm25", "n_matched_terms", "rank")
+    )

@@ -4316,6 +4316,82 @@ def docs_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_bm25_serve_batch",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    qmap(query_id, term) AS (VALUES
+      ('q_infra', 'vector'), ('q_infra', 'join'), ('q_infra', 'stream'),
+      ('q_ops', 'latency'), ('q_ops', 'shuffle'), ('q_ops', 'stream'),
+      ('q_ml', 'model'), ('q_ml', 'vector')),
+    postings AS (
+      SELECT doc_id, len(tk) AS dl, term, COUNT(*) AS tf
+      FROM t, UNNEST(tk) AS u(term)
+      WHERE term IN (SELECT DISTINCT term FROM qmap)
+      GROUP BY doc_id, len(tk), term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(len(tk) AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+              FROM t),
+    contribs AS (
+      SELECT qmap.query_id, doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               9) AS DECIMAL(38,9)) AS contrib
+      FROM postings JOIN qmap USING (term)
+      JOIN dfreq USING (term) CROSS JOIN stats),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25,
+             COUNT(*) AS n_matched_terms
+      FROM contribs GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, bm25, n_matched_terms,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id ASC)
+                  AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, doc_id, bm25, n_matched_terms, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def docs_bm25_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval serving (text_analysis.py:bm25_serve_many):
+    three queries scored against the postings store in ONE
+    partition-pruned scan — the probed buckets are the union of all
+    queries' term buckets, the (query, term) map broadcasts as a
+    literal table, and the per-query top-5 is a query-partitioned
+    window over only the scored candidates. This is how both a serving
+    tier and an offline eval set amortize index reads: per-query scans
+    re-list shared buckets once per query; the batch pays once.
+    Scoring math shared with docs_bm25_search/serve bit for bit."""
+    import tempfile
+
+    from etlutil_spark.operators.text_analysis import (
+        bm25_serve_many,
+        ensure_postings_store,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_postings_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_postings_store(spark, d, path, id_col="doc_id", text_col="text")
+    return bm25_serve_many(
+        spark,
+        path,
+        {
+            "q_infra": ["vector", "join", "stream"],
+            "q_ops": ["latency", "shuffle", "stream"],
+            "q_ml": ["model", "vector"],
+        },
+        k=5,
+    )
+
+
+@register(
     "docs_bm25_serve_incremental",
     f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),

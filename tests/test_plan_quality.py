@@ -412,6 +412,9 @@ HEADLINE_BUDGETS = {
     # r10: steady-state = the ivfadc_serve plan (frozen-model encode
     # append + marker both no-op before the returned frame is built)
     "sim_ivfadc_serve_incremental": (0, 0),
+    # r10: ONE pruned scan for 3 queries — (query,term) map + dfreq
+    # broadcast, (query,doc) score agg, query-partitioned top-5 window
+    "docs_bm25_serve_batch": (3, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
