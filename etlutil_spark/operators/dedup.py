@@ -965,3 +965,78 @@ def cut_duplicate_spans(
             6,
         ).alias("kept_fraction"),
     )
+
+
+def self_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_len: int = 12,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """Maximal WITHIN-document repeated token spans — the intra-doc
+    case of exact-substring dedup (:func:`duplicate_spans` covers
+    cross-doc): a span that appears twice in the same document is the
+    fingerprint of template boilerplate, scraper loops, or model
+    generation cycles, and token-ratio signals (quality_score's ``dup``)
+    only say THAT a doc repeats, not which span or how long. Same
+    seed-and-chain shape: per-doc k-gram table, self-join on (id, hash)
+    with p_a < p_b (each repeated pair appears once), consecutive seeds
+    on an (id, offset) diagonal merge via gaps-and-islands into maximal
+    runs of span run+k-1. ``max_gram_freq`` caps a gram's PER-DOC
+    occurrences before the self-join (a doc of one token repeated n
+    times would otherwise seed n^2/2 pairs).
+
+    Returns one row per repeated-span instance:
+    (id, first_start, second_start, offset, span_tokens), spans >=
+    min_len, offset = second_start - first_start > 0."""
+    if k < 2 or min_len < k:
+        raise ValueError(f"need k >= 2 and min_len >= k, got k={k} min_len={min_len}")
+    t = ensure_min_partitions(df).select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    )
+    sh = t.where(F.size("_tk") >= k).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {k - 1}), i -> struct("
+                "cast(i as bigint) as p, "
+                f"cast(conv(substring(md5(concat_ws(' ', slice(_tk, i, {k}))), 1, {15}), 16, 10) as bigint) as h))"
+            )
+        ).alias("_s"),
+    ).select("_id", "_s.p", "_s.h").localCheckpoint(eager=False)
+    keep = (
+        sh.groupBy("_id", "h")
+        .agg(F.count("*").alias("c"))
+        .where((F.col("c") >= 2) & (F.col("c") <= max_gram_freq))
+        .select("_id", "h")
+    )
+    fs = sh.join(keep, ["_id", "h"], "left_semi")
+    seeds = (
+        fs.alias("a")
+        .join(fs.alias("b"), ["_id", "h"])
+        .where(F.col("a.p") < F.col("b.p"))
+        .select(
+            F.col("_id"),
+            F.col("a.p").alias("pa"),
+            (F.col("b.p") - F.col("a.p")).alias("off"),
+        )
+    )
+    w = Window.partitionBy("_id", "off").orderBy("pa")
+    runs = (
+        seeds.withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("_id", "off", "isl")
+        .agg(
+            F.min("pa").alias("first_start"),
+            (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_tokens"),
+        )
+    )
+    return runs.where(F.col("span_tokens") >= min_len).select(
+        F.col("_id").alias(id_col),
+        "first_start",
+        (F.col("first_start") + F.col("off")).alias("second_start"),
+        F.col("off").alias("offset"),
+        "span_tokens",
+    )

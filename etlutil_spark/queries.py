@@ -8251,6 +8251,59 @@ def docs_span_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_self_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS p,
+             ('0x' || substr(md5(array_to_string(tk[r.i:r.i+3], ' ')), 1, 15))::BIGINT AS h
+      FROM t, UNNEST(range(1, len(tk) - 2)) AS r(i)
+      WHERE len(tk) >= 4),
+    keep AS MATERIALIZED (
+      SELECT doc_id, h
+      FROM (SELECT doc_id, h, COUNT(*) AS c FROM sh GROUP BY doc_id, h)
+      WHERE c >= 2 AND c <= 50),
+    fs AS MATERIALIZED (
+      SELECT sh.doc_id, sh.p, sh.h FROM sh JOIN keep USING (doc_id, h)),
+    seeds AS (SELECT a.doc_id, a.p AS pa, b.p - a.p AS off
+              FROM fs a JOIN fs b ON a.doc_id = b.doc_id AND a.h = b.h
+              WHERE a.p < b.p),
+    isl AS (SELECT doc_id, pa, off,
+                   pa - ROW_NUMBER() OVER (PARTITION BY doc_id, off
+                                           ORDER BY pa) AS g
+            FROM seeds),
+    runs AS (SELECT doc_id,
+                    CAST(MIN(pa) AS BIGINT) AS first_start, off,
+                    CAST(COUNT(*) + 3 AS BIGINT) AS span_tokens
+             FROM isl GROUP BY doc_id, off, g)
+    SELECT doc_id, first_start,
+           CAST(first_start + off AS BIGINT) AS second_start,
+           CAST(off AS BIGINT) AS offset,
+           span_tokens
+    FROM runs WHERE span_tokens >= 4
+    """,
+)
+def docs_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated spans
+    (operators/dedup.py:self_repeated_spans) — the intra-doc case of
+    exact-substring dedup: template boilerplate, scraper loops, and
+    generation cycles repeat a long span inside ONE document, which the
+    cheap repeated-token ratio flags but cannot localize. Same
+    seed-and-chain diagonal merge as docs_duplicate_spans, self-joined
+    with p_a < p_b and a PER-DOC gram-frequency cap bounding the pair
+    volume. Emits (doc, first_start, second_start, offset,
+    span_tokens). Registered at 4-gram grain (the synthetic corpus's
+    intra-doc repeats are short) so the driver row carries live
+    spans; production boilerplate runs use k=8/min_len=16+."""
+    from etlutil_spark.operators.dedup import self_repeated_spans
+
+    d = load_table(spark, "documents", sf_dir)
+    return self_repeated_spans(
+        d, "doc_id", "text", k=4, min_len=4, max_gram_freq=50
+    )
+
+
+@register(
     "docs_quality_deciles",
     f"""
     WITH t AS (SELECT doc_id, lang, n_chars, text, {_DUCK_TOKENS} AS tk FROM documents),

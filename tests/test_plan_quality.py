@@ -415,6 +415,9 @@ HEADLINE_BUDGETS = {
     # r10: ONE pruned scan for 3 queries — (query,term) map + dfreq
     # broadcast, (query,doc) score agg, query-partitioned top-5 window
     "docs_bm25_serve_batch": (3, 2),
+    # r10: per-doc gram census + capped self-join + (doc, offset)
+    # islands window — all bounded by intra-doc repeat volume
+    "docs_self_repetition": (4, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
