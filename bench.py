@@ -219,6 +219,18 @@ EXTENDED = [
     # r10 additions
     "sim_ivfadc_serve",
     "hll_weekly_users_accuracy",
+    "docs_duplicate_spans",
+    "docs_span_cut_plan",
+    "docs_hybrid_rerank",
+    "docs_bm25_serve",
+    "docs_hybrid_serve",
+    "docs_bm25_serve_incremental",
+    "docs_bm25_serve_batch",
+    "sim_ivfadc_serve_incremental",
+    "docs_self_repetition",
+    "orders_l_diversity",
+    "orders_t_closeness",
+    "audit_benford_totalprice",
 ]
 
 
