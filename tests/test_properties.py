@@ -623,3 +623,92 @@ class TestDuplicateSpanProperties:
             ).collect()
         }
         assert got == self._brute(corpus, k, min_len)
+
+
+    @PROP
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=16),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def test_self_spans_match_bruteforce(self, spark, docs):
+        from etlutil_spark.operators.dedup import self_repeated_spans
+
+        k, min_len = 3, 3
+        corpus = {i + 1: toks for i, toks in enumerate(docs)}
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in corpus.items()],
+            "doc_id bigint, text string",
+        )
+        got = {
+            (r["doc_id"], r["first_start"], r["second_start"], r["span_tokens"])
+            for r in self_repeated_spans(
+                df, "doc_id", "text", k=k, min_len=min_len,
+                max_gram_freq=10_000,
+            ).collect()
+        }
+        want = set()
+        for did, a in corpus.items():
+            seeds = {
+                (i, j)
+                for i in range(len(a) - k + 1)
+                for j in range(len(a) - k + 1)
+                if i < j and a[i : i + k] == a[j : j + k]
+            }
+            by_off = {}
+            for i, j in seeds:
+                by_off.setdefault(j - i, []).append(i)
+            for off, pos in by_off.items():
+                pos.sort()
+                run_start, prev = pos[0], pos[0]
+                for p in pos[1:] + [None]:
+                    if p is None or p != prev + 1:
+                        span = prev - run_start + k
+                        if span >= min_len:
+                            want.add(
+                                (did, run_start + 1, run_start + off + 1, span)
+                            )
+                        if p is not None:
+                            run_start = p
+                    if p is not None:
+                        prev = p
+        assert got == want
+
+    @PROP
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+            min_size=2,
+            max_size=4,
+        )
+    )
+    def test_cut_accounting_matches_bruteforce_union(self, spark, docs):
+        from etlutil_spark.operators.dedup import cut_duplicate_spans
+
+        k, min_len = 3, 4
+        corpus = {i + 1: toks for i, toks in enumerate(docs)}
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in corpus.items()],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["cut_tokens"])
+            for r in cut_duplicate_spans(
+                df, "doc_id", "text", k=k, min_len=min_len,
+                max_gram_freq=10_000,
+            ).collect()
+        }
+        spans = self._brute(corpus, k, min_len)
+        cut_positions = {}
+        for _ida, idb, _a_start, b_start, span in spans:
+            cut_positions.setdefault(idb, set()).update(
+                range(b_start, b_start + span)
+            )
+        want = {
+            did: (len(toks), len(cut_positions.get(did, set())))
+            for did, toks in corpus.items()
+            if len(toks) > 0
+        }
+        assert got == want
