@@ -11235,6 +11235,96 @@ def docs_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ks_test",
+    """
+    WITH s AS (SELECT value, event_type FROM events
+               WHERE event_type IN ('click', 'purchase')
+                 AND value IS NOT NULL),
+    pv AS (SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1_v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2_v
+           FROM s GROUP BY value),
+    c AS (SELECT value, n1_v, n2_v,
+             CAST(SUM(n1_v) OVER (ORDER BY value) AS BIGINT) AS cum1,
+             CAST(SUM(n2_v) OVER (ORDER BY value) AS BIGINT) AS cum2
+          FROM pv),
+    tot AS (SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+                   CAST(SUM(n2_v) AS BIGINT) AS n2 FROM pv)
+    SELECT tot.n1, tot.n2,
+           CAST(MAX(abs(c.cum1 * tot.n2 - c.cum2 * tot.n1)) AS BIGINT)
+             AS ks_num,
+           round(CAST(MAX(abs(c.cum1 * tot.n2 - c.cum2 * tot.n1)) AS DOUBLE)
+                 / (tot.n1 * tot.n2), 6) AS ks_d
+    FROM c CROSS JOIN tot
+    GROUP BY tot.n1, tot.n2
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate between the click and
+    purchase value distributions — the distribution-shape companion to
+    events_mann_whitney (MW tests location shift; KS catches ANY ECDF
+    divergence: variance, tails, multimodality). Kept EXACT: D is the
+    max over distinct values of |cum1*n2 - cum2*n1| in 64-bit integers
+    (ks_num; exact below ~3e9 rows per side) with only the reported
+    ratio rounded — a drift threshold compares ks_num against
+    t*n1*n2 in integers, never a float.
+
+    Scale shape (the Mann-Whitney recipe): ONE value-keyed aggregate
+    collapses the events to their distinct values; the ECDF cumulative
+    runs over THAT bounded table (value cardinality, not row count) —
+    the only ordered pass is over the collapsed distribution. The
+    1-row totals ride a scalar crossJoin."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    pv = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1_v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2_v"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = pv.select(
+        F.sum("n1_v").over(w).cast("bigint").alias("cum1"),
+        F.sum("n2_v").over(w).cast("bigint").alias("cum2"),
+    )
+    tot = pv.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n2_v").cast("bigint").alias("n2"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            )
+            .cast("bigint")
+            .alias("ks_num"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum1") * F.col("n2")
+                        - F.col("cum2") * F.col("n1")
+                    )
+                ).cast("double")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("ks_d"),
+        )
+    )
+
+
+@register(
     "events_mann_whitney",
     """
     WITH s AS (SELECT value, event_type FROM events

@@ -418,6 +418,9 @@ HEADLINE_BUDGETS = {
     # r10: per-doc gram census + capped self-join + (doc, offset)
     # islands window — all bounded by intra-doc repeat volume
     "docs_self_repetition": (4, 2),
+    # r10: one value-keyed agg; ECDF window + max-D reduce over the
+    # collapsed distinct-value table (the Mann-Whitney recipe)
+    "events_ks_test": (4, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -463,6 +466,7 @@ SCALAR_OK = {
     "orders_t_closeness",  # 1-row N + totals scalars over the class table
     "audit_benford_totalprice",  # 1-row N scalar over the 9-digit grid
     "events_mann_whitney",  # 1-row closed-form U/z reduction
+    "events_ks_test",  # ECDF window over the collapsed value table
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined
     "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
