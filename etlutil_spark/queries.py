@@ -12417,6 +12417,78 @@ def sim_ivfadc_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfadc_recall",
+    f"""
+    WITH adc AS (
+      {_ivfadc_oracle_sql(k=8, iters=3, nprobe=3, m=8, ksub=16, pq_iters=2, dim=64, topk=10)}
+    ),
+    qf AS ({_DUCK_QUANTIZED_EMBEDDINGS}),
+    qv2 AS (SELECT v FROM qf WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT b.vec_id,
+               CAST(list_sum([ (qv2.v[i] - b.v[i]) * (qv2.v[i] - b.v[i])
+                               for i in range(1, 65) ]) AS BIGINT) AS d
+        FROM qf b CROSS JOIN qv2)
+      ORDER BY d, vec_id LIMIT 10)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+           round(COUNT(*) / 10.0, 6) AS recall_at_10
+    FROM adc JOIN exact USING (vec_id)
+    """,
+)
+def sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 acceptance gate for the IVFADC index — the
+    dedup_minhash_recall pattern applied to the vector family: before
+    compressed+pruned serving replaces an exact scan, measure what the
+    approximation actually loses. Exact ground truth is the integer
+    squared-L2 top-10 in the SAME quantized metric space ADC
+    approximates (a TakeOrdered heap, zero shuffles); the ADC side is
+    ivfadc_topk itself; recall = |intersection| / 10 joined over two
+    10-row frames. The oracle recomputes BOTH sides (full retrain +
+    exact scan), so the driver row pins the recall NUMBER, not just
+    the mechanism — a codebook or probe regression that silently
+    degrades recall flips this row."""
+    from etlutil_spark.operators.clustering import (
+        _best_cluster,
+        _quantized_corpus,
+        ivfadc_topk,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    import math as _math
+
+    qv = [_math.floor(float(x) * 1_000_000) for x in qvec]
+    q = _quantized_corpus(e, "vec_id", "embedding", 1_000_000)
+    dist = F.aggregate(
+        F.zip_with(
+            "_qv",
+            F.lit(qv).cast("array<bigint>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        q.select("vec_id", dist.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    adc = ivfadc_topk(
+        e, "vec_id", "embedding", qvec,
+        k=8, iters=3, nprobe=3, m=8, ksub=16, pq_iters=2, topk=10,
+    ).select("vec_id")
+    return adc.join(F.broadcast(exact), "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.round(F.count("*") / F.lit(10.0), 6).alias("recall_at_10"),
+    )
+
+
+@register(
     "sim_ivfadc_serve_incremental",
     _ivfadc_incremental_oracle_sql(
         "vec_id % 3 != 0",

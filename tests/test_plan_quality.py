@@ -421,6 +421,9 @@ HEADLINE_BUDGETS = {
     # r10: one value-keyed agg; ECDF window + max-D reduce over the
     # collapsed distinct-value table (the Mann-Whitney recipe)
     "events_ks_test": (4, 1),
+    # r10: two TakeOrdered heaps (exact + ADC serve) joined over 10
+    # rows; training sits behind the driver-side fits
+    "sim_ivfadc_recall": (0, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
