@@ -1086,3 +1086,38 @@ def bm25_serve_many(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "bm25", "n_matched_terms", "rank")
     )
+
+
+def postings_update_sink(index_path: str):
+    """foreachBatch function for STREAMING inverted-index maintenance:
+    each micro-batch of new documents merges into the postings store
+    with :func:`update_postings_store`, keyed by Spark's monotonically
+    increasing ``batch_id`` — so the sink inherits both halves of the
+    contract for free: the append is batch-sized (the index is never
+    read or rewritten), and a foreachBatch RETRY of the same batch_id
+    hits the ``_applied_<id>`` marker and no-ops instead of
+    double-counting postings (exactly the at-least-once guarantee
+    foreachBatch provides and the dedup-screen sink taught us to
+    absorb). The serving side (bm25_serve / bm25_serve_many) sees every
+    completed batch on its next query — no restart, no reindex.
+
+    Usage::
+
+        q = (docs_stream.writeStream
+             .foreachBatch(postings_update_sink(index_path))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+
+    The store must exist before the first batch (ensure_postings_store
+    on the initial corpus, possibly empty)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_postings_store(
+            batch_df.sparkSession, batch_df, index_path,
+            batch_id=f"stream_{batch_id}",
+        )
+
+    return _apply
