@@ -1348,6 +1348,58 @@ def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_doc_embedding_coverage",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id, len(embedding) AS dim FROM embeddings)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_vecs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+       WHERE doc_id NOT IN (SELECT vec_id FROM e)) AS docs_without_vec,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+       WHERE vec_id NOT IN (SELECT doc_id FROM d)) AS vecs_without_doc,
+      (SELECT CAST(COUNT(DISTINCT dim) AS BIGINT) FROM e) AS n_distinct_dims,
+      (SELECT CAST(MIN(dim) AS BIGINT) FROM e) AS min_dim,
+      (SELECT CAST(MAX(dim) AS BIGINT) FROM e) AS max_dim
+    """,
+)
+def audit_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal coverage audit between the text corpus and its
+    embedding table — the pre-flight check every retrieval/semantic
+    stage above assumes (doc_id == vec_id): docs missing a vector fall
+    silently out of ANN candidacy and semantic dedup; orphan vectors
+    rank ids retrieval can't fetch; a mixed embedding dimension breaks
+    every vector operator at runtime. One row: counts both ways, plus
+    the dim census (n_distinct_dims must be 1).
+
+    Scale: two scans + two anti semi-joins (id side broadcast-able at
+    dimension scale, co-partitioned keyed join at fact scale) + a
+    bounded dim aggregate; all 1-row outputs crossJoined (the
+    audit_fk_orphans shape)."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.size("embedding").alias("dim")
+    )
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_vecs = e.agg(F.count("*").cast("bigint").alias("n_vecs"))
+    d_wo = d.join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_anti"
+    ).agg(F.count("*").cast("bigint").alias("docs_without_vec"))
+    v_wo = e.join(
+        d.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    ).agg(F.count("*").cast("bigint").alias("vecs_without_doc"))
+    dims = e.agg(
+        F.count_distinct("dim").cast("bigint").alias("n_distinct_dims"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+    )
+    return (
+        n_docs.crossJoin(n_vecs).crossJoin(d_wo).crossJoin(v_wo).crossJoin(dims)
+    )
+
+
+@register(
     "audit_fk_orphans",
     """
     SELECT 'lineitem->orders' AS relation,

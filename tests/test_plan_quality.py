@@ -424,6 +424,9 @@ HEADLINE_BUDGETS = {
     # r10: two TakeOrdered heaps (exact + ADC serve) joined over 10
     # rows; training sits behind the driver-side fits
     "sim_ivfadc_recall": (0, 1),
+    # r10: two scans + two anti-joins + dim census — seven 1-row
+    # audit aggregates crossJoined (the audit_fk_orphans shape)
+    "audit_doc_embedding_coverage": (6, 4),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -470,6 +473,7 @@ SCALAR_OK = {
     "audit_benford_totalprice",  # 1-row N scalar over the 9-digit grid
     "events_mann_whitney",  # 1-row closed-form U/z reduction
     "events_ks_test",  # ECDF window over the collapsed value table
+    "audit_doc_embedding_coverage",  # 1-row audit aggregates crossJoined
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined
     "docs_theil_inequality",  # 1-row decomposition scalars crossJoined

@@ -552,6 +552,7 @@ class TestCatalogPlanGuards:
         "orders_t_closeness",  # 1-row N + totals broadcasts
         "audit_benford_totalprice",  # 1-row N broadcast
         "events_ks_test",  # 1-row totals broadcast over the value table
+        "audit_doc_embedding_coverage",  # 1-row audit aggregates
         "parts_copurchase_triangles",  # 1-row census scalars crossJoined
         "docs_length_batching",  # 1-row waste scalars crossJoined
         "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
