@@ -914,6 +914,96 @@ def update_ivfadc_index(
     return "applied"
 
 
+def ivfadc_serve_many(
+    spark,
+    path: str,
+    queries: dict[int, list[float]],
+    *,
+    nprobe: int = 3,
+    topk: int = 10,
+) -> DataFrame:
+    """Batched IVFADC serving: score MANY queries against the code
+    store in ONE partition-pruned scan (the bm25_serve_many shape for
+    vectors): the scanned cell set is the UNION of every query's
+    probes, a literal (query, cell) probe map broadcast-joins each
+    candidate row to exactly the queries probing its cell, and the ADC
+    lookup indexes a per-query table literal (|Q| x k x m x ksub ints —
+    driver-side constants). Per-query top-k is a query-partitioned
+    window over the scored candidates; at extreme corpus scale swap it
+    for per-query TakeOrdered fan-out — the scan amortization is the
+    point either way. Returns (query_id, id, adc_dist, rank <= topk),
+    bit-identical per query to :func:`ivfadc_serve`."""
+    import json
+
+    from pyspark.sql.window import Window
+
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    model_path = jvm.org.apache.hadoop.fs.Path(base + "/_ivfadc_model.json")
+    fs = model_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(model_path)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    model = json.loads(txt)
+    params = model["params"]
+    centroids, codebooks = model["centroids"], model["codebooks"]
+    k, m, scale = params["k"], params["m"], params["scale"]
+    id_col = params["id_col"]
+    if not 1 <= nprobe <= k:
+        raise ValueError(f"nprobe must be in [1, k], got nprobe={nprobe} k={k}")
+    d = len(centroids[0])
+    qids = sorted(queries)
+    probe_pairs = []           # (qid, cell)
+    all_tables = []            # per qid: k x m x ksub
+    for qid in qids:
+        qvec = queries[qid]
+        if len(qvec) != d:
+            raise ValueError(f"query {qid}: dim {len(qvec)} != index dim {d}")
+        qv = [math.floor(float(x) * scale) for x in qvec]
+        by_dist = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), j)
+            for j, c in enumerate(centroids)
+        )
+        probes = [int(j) for _, j in by_dist[:nprobe]]
+        probe_pairs += [(qid, j) for j in probes]
+        all_tables.append(
+            _ivfadc_query_tables(qvec, centroids, codebooks, probes, scale)
+        )
+    union_cells = sorted({c for _, c in probe_pairs})
+    pm = spark.createDataFrame(
+        [(qid, c, qi + 1) for qi, qid in enumerate(qids)
+         for (q2, c) in probe_pairs if q2 == qid],
+        "query_id long, cell int, qidx int",
+    )
+    tbl_lit = F.lit(all_tables).cast("array<array<array<array<bigint>>>>")
+    cell_tbl = F.element_at(
+        F.element_at(tbl_lit, F.col("qidx")), (F.col("cell") + 1).cast("int")
+    )
+    adc = None
+    for s in range(m):
+        code = F.element_at("codes", s + 1)
+        term = F.element_at(
+            F.element_at(cell_tbl, s + 1), (code + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(union_cells))
+        .join(F.broadcast(pm), "cell")
+        .select("query_id", F.col(id_col), adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
 def gram_matrix(
     df: DataFrame,
     vec_col: str,

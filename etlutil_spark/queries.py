@@ -12291,6 +12291,96 @@ def _ivfadc_oracle_sql(
     )
 
 
+def _ivfadc_batch_oracle_sql(
+    query_ids: list[int],
+    k: int = 8,
+    iters: int = 3,
+    nprobe: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+) -> str:
+    """Multi-query IVFADC mirror: ONE training chain (coarse +
+    residual codebooks over the full corpus — the same model every
+    query shares), then per-query probes, per-(query, cell) distance
+    tables, and a per-query rank over the probed vectors. Mirrors
+    ivfadc_serve_many bit for bit."""
+    dsub = dim // m
+    rng = f"range(1, {dim + 1})"
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    parts = [f"qfull AS MATERIALIZED (\n      {_DUCK_QUANTIZED_EMBEDDINGS})"]
+    cchain, ccents, cfinal = _kmeans_chain(
+        k, iters, dim, sfx="_c", source_sql="SELECT vec_id, v FROM qfull"
+    )
+    parts.extend(cchain)
+    parts.append(
+        f"qv AS (SELECT vec_id AS qid, v FROM qfull WHERE vec_id IN ({ids}))"
+    )
+    pdist = (
+        f"CAST(list_sum([ (qv.v[i] - {ccents}.c[i]) * (qv.v[i] - {ccents}.c[i])"
+        f" for i in {rng} ]) AS BIGINT)"
+    )
+    parts.append(f"""
+    probes AS (SELECT qid, cluster FROM (
+        SELECT qv.qid, {ccents}.cluster, {pdist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY qv.qid
+                                  ORDER BY {pdist}, {ccents}.cluster) AS rn
+        FROM {ccents} CROSS JOIN qv) WHERE rn <= {nprobe})""")
+    parts.append(f"""
+    resid AS MATERIALIZED (
+      SELECT a.vec_id, [ a.v[i] - cc.c[i] for i in {rng} ] AS v
+      FROM {cfinal} a JOIN {ccents} cc USING (cluster))""")
+    parts.append(f"""
+    qres AS (SELECT p.qid, p.cluster AS cell,
+                    [ qv.v[i] - cc.c[i] for i in {rng} ] AS v
+             FROM probes p JOIN {ccents} cc ON cc.cluster = p.cluster
+             JOIN qv ON qv.qid = p.qid)""")
+    cents, finals = [], []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        src = f"SELECT vec_id, v[{lo}:{hi}] AS v FROM resid"
+        chain, cname, aname = _kmeans_chain(
+            ksub, pq_iters, dsub, sfx=f"_b{s}", source_sql=src
+        )
+        parts.extend(chain)
+        cents.append(cname)
+        finals.append(aname)
+    for s in range(m):
+        off = s * dsub
+        parts.append(f"""
+    ti{s} AS (SELECT qres.qid, qres.cell, {cents[s]}.cluster AS code,
+                    CAST(list_sum([ (qres.v[{off} + i] - {cents[s]}.c[i]) * (qres.v[{off} + i] - {cents[s]}.c[i])
+                                    for i in range(1, {dsub + 1}) ]) AS BIGINT) AS d
+             FROM {cents[s]} CROSS JOIN qres)""")
+    joins = "".join(
+        f"\n      JOIN {finals[s]} f{s} ON b.vec_id = f{s}.vec_id"
+        f"\n      JOIN ti{s} ON f{s}.cluster = ti{s}.code"
+        f" AND ti{s}.cell = fc.cluster AND ti{s}.qid = p.qid"
+        for s in range(m)
+    )
+    total = " + ".join(f"ti{s}.d" for s in range(m))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    scored AS (
+      SELECT p.qid AS query_id, b.vec_id,
+             CAST({total} AS BIGINT) AS adc_dist
+      FROM qfull b
+      JOIN {cfinal} fc ON b.vec_id = fc.vec_id
+      JOIN probes p ON fc.cluster = p.cluster{joins})
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT query_id, vec_id, adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vec_id)
+                  AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= {topk}"""
+    )
+
+
 def _ivfadc_incremental_oracle_sql(
     train_where: str,
     k: int = 8,
@@ -12466,6 +12556,48 @@ def sim_ivfadc_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8, iters=3, m=8, ksub=16, pq_iters=2,
     )
     return ivfadc_serve(spark, path, qvec, nprobe=3, topk=10)
+
+
+@register(
+    "sim_ivfadc_serve_batch",
+    _ivfadc_batch_oracle_sql(
+        [0, 1, 2],
+        k=8, iters=3, nprobe=3, m=8, ksub=16, pq_iters=2, dim=64, topk=5,
+    ),
+)
+def sim_ivfadc_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving (clustering.py:ivfadc_serve_many) — the
+    vector twin of docs_bm25_serve_batch: three query vectors answered
+    from the prebuilt code store in ONE partition-pruned scan (the
+    scanned cells are the union of all queries' probes, a literal
+    (query, cell) probe map fans each candidate row to the queries
+    probing its cell, and per-query ADC tables ride as one nested
+    literal). Per-query top-5 by a query-partitioned window. The
+    oracle trains once and ranks per query — bit-identical per query
+    to the single-query serve."""
+    import tempfile
+
+    from etlutil_spark.operators.clustering import (
+        ensure_ivfadc_index,
+        ivfadc_serve_many,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id").isin(0, 1, 2))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_ivfadc_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_ivfadc_index(
+        spark, e, "vec_id", "embedding", path,
+        k=8, iters=3, m=8, ksub=16, pq_iters=2,
+    )
+    return ivfadc_serve_many(spark, path, qvecs, nprobe=3, topk=5)
 
 
 @register(

@@ -427,6 +427,9 @@ HEADLINE_BUDGETS = {
     # r10: two scans + two anti-joins + dim census — seven 1-row
     # audit aggregates crossJoined (the audit_fk_orphans shape)
     "audit_doc_embedding_coverage": (6, 4),
+    # r10: ONE pruned scan for 3 ANN queries — (query,cell) probe map
+    # broadcast + literal per-query ADC tables + per-query rank window
+    "sim_ivfadc_serve_batch": (1, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
