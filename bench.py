@@ -231,6 +231,10 @@ EXTENDED = [
     "orders_l_diversity",
     "orders_t_closeness",
     "audit_benford_totalprice",
+    "events_ks_test",
+    "audit_doc_embedding_coverage",
+    "sim_ivfadc_recall",
+    "sim_ivfadc_serve_batch",
 ]
 
 
