@@ -1040,3 +1040,28 @@ def self_repeated_spans(
         F.col("off").alias("offset"),
         "span_tokens",
     )
+
+
+def lsh_banding_plan(
+    threshold: float, num_hashes: int = 32
+) -> dict[str, float | int]:
+    """Pick the banding (bands, rows) for a target Jaccard threshold —
+    the driver-side planner for minhash_lsh_pairs: among divisors of
+    ``num_hashes``, choose the banding whose S-curve midpoint
+    s50 = (1/bands)^(1/rows) sits closest to ``threshold`` (the
+    classic MMDS rule). Returns bands/rows/s50; pair with the
+    dedup_lsh_scurve catalog query (the full theoretical curve) and
+    dedup_minhash_recall (the measured curve) to close the loop:
+    plan -> predict -> measure."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        s50 = (1.0 / bands) ** (1.0 / rows)
+        gap = abs(s50 - threshold)
+        if best is None or gap < best[0]:
+            best = (gap, bands, rows, s50)
+    return {"bands": best[1], "rows": best[2], "s50": round(best[3], 6)}

@@ -8303,6 +8303,51 @@ def docs_span_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_scurve",
+    """
+    WITH g AS (SELECT CAST(r.i AS BIGINT) AS step,
+                      r.i / 20.0 AS s
+               FROM UNNEST(range(1, 21)) AS r(i)),
+    p AS (SELECT step, s,
+                 (s * s) * (s * s) AS s4
+          FROM g),
+    q AS (SELECT step, s, 1.0 - s4 AS m FROM p),
+    e AS (SELECT step, s,
+                 ((m * m) * (m * m)) * ((m * m) * (m * m)) AS m8
+          FROM q)
+    SELECT step, round(s, 6) AS s,
+           round(1.0 - m8, 6) AS p_candidate
+    FROM e
+    """,
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The theoretical MinHash-LSH S-curve for the catalog's banding
+    (32 hashes, 8 bands x 4 rows): p_candidate(s) = 1 - (1 - s^4)^8,
+    the probability two docs at Jaccard s collide in some band. The
+    prediction half of the loop dedup_lsh closes —
+    operators/dedup.py:lsh_banding_plan picks (bands, rows) for a
+    threshold, THIS query publishes the curve the choice implies, and
+    dedup_minhash_recall measures the realized recall; drift between
+    curve and measurement is how banding bugs surface. Determinism:
+    powers are explicit multiplication chains (s4 = (s*s)*(s*s), m8 by
+    three squarings) on identical doubles — no POWER(), whose last ulp
+    is engine-specific. 20-row literal grid; trivially driver-gated."""
+    g = spark.range(1, 21).select(
+        F.col("id").cast("bigint").alias("step"),
+        (F.col("id") / F.lit(20.0)).alias("s"),
+    )
+    s4 = (F.col("s") * F.col("s")) * (F.col("s") * F.col("s"))
+    p = g.withColumn("m", F.lit(1.0) - s4)
+    m2 = F.col("m") * F.col("m")
+    m8 = (m2 * m2) * (m2 * m2)
+    return p.select(
+        "step",
+        F.round("s", 6).alias("s"),
+        F.round(F.lit(1.0) - m8, 6).alias("p_candidate"),
+    )
+
+
+@register(
     "docs_self_repetition",
     f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),

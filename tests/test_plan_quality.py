@@ -430,6 +430,8 @@ HEADLINE_BUDGETS = {
     # r10: ONE pruned scan for 3 ANN queries — (query,cell) probe map
     # broadcast + literal per-query ADC tables + per-query rank window
     "sim_ivfadc_serve_batch": (1, 1),
+    # r10: 20-row literal grid, pure projection
+    "dedup_lsh_scurve": (0, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

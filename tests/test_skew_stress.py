@@ -380,3 +380,19 @@ class TestChainComponents:
                 parent[max(ra, rb)] = min(ra, rb)
         want = {node: find(node) for node in parent}
         assert out == want
+
+
+class TestLshBandingPlan:
+    def test_planner_midpoints(self):
+        from etlutil_spark.operators.dedup import lsh_banding_plan
+
+        # 32 hashes: threshold 0.6 -> the catalog's 8x4 banding
+        assert lsh_banding_plan(0.6, 32) == {"bands": 8, "rows": 4, "s50": 0.594604}
+        # high-precision target prefers fewer, longer bands
+        assert lsh_banding_plan(0.85, 32)["rows"] == 8
+        # recall-heavy target prefers many short bands
+        assert lsh_banding_plan(0.3, 32)["bands"] == 16
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            lsh_banding_plan(0.0)
