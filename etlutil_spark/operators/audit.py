@@ -117,3 +117,52 @@ def value_rule_counts(
             ).select("relation", "rule", "n_rows", "n_violations")
         )
     return reduce(DataFrame.unionByName, parts)
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Release diff between two versions of a keyed dataset — the
+    audit a corpus publisher runs before shipping v(N+1): how many
+    rows were added, removed, changed (same id, different content),
+    and unchanged. Content equality is a NULL-safe struct compare over
+    ``content_cols`` (the scd2_intervals idiom), so NULL vs '' vs 0
+    diffs are real diffs and NULL == NULL is unchanged.
+
+    One full-outer keyed join is the whole plan — both sides shuffle
+    once on the id (co-partitioned/bucketed stores join shuffle-free);
+    the four counts reduce map-side. Returns one row:
+    (n_old, n_new, n_added, n_removed, n_changed, n_unchanged)."""
+    o = old.select(
+        F.col(id_col),
+        F.struct(*[F.col(c) for c in content_cols]).alias("_oc"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.struct(*[F.col(c) for c in content_cols]).alias("_nc"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    return j.agg(
+        F.count("_oc").cast("bigint").alias("n_old"),
+        F.count("_nc").cast("bigint").alias("n_new"),
+        F.sum(
+            F.when(F.col("_oc").isNull() & F.col("_nc").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_added"),
+        F.sum(
+            F.when(F.col("_oc").isNotNull() & F.col("_nc").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("_oc").isNotNull()
+                & F.col("_nc").isNotNull()
+                & ~F.col("_oc").eqNullSafe(F.col("_nc")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_changed"),
+        F.sum(
+            F.when(F.col("_oc").eqNullSafe(F.col("_nc")), 1).otherwise(0)
+        ).cast("bigint").alias("n_unchanged"),
+    )

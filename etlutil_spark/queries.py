@@ -1348,6 +1348,63 @@ def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_dataset_diff",
+    """
+    WITH oldv AS (SELECT doc_id, text, lang FROM documents
+                  WHERE doc_id % 7 != 0),
+    newv AS (SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN text || ' [rev]' ELSE text END AS text,
+                    lang
+             FROM documents),
+    j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 o.doc_id IS NOT NULL AS has_old,
+                 n.doc_id IS NOT NULL AS has_new,
+                 (o.text IS NOT DISTINCT FROM n.text)
+                   AND (o.lang IS NOT DISTINCT FROM n.lang) AS same
+          FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+    SELECT CAST(SUM(CASE WHEN has_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+           CAST(SUM(CASE WHEN has_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN NOT has_old AND has_new THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN has_old AND NOT has_new THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN has_old AND has_new AND NOT same THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN has_old AND has_new AND same THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM j
+    """,
+)
+def audit_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff (operators/audit.py:dataset_diff): rows
+    added / removed / changed / unchanged between two dataset versions
+    by keyed NULL-safe content compare — the audit a corpus publisher
+    ships with v(N+1), and the input to incremental reprocessing
+    decisions (only added+changed re-enter the pipeline). Demonstrated
+    against a deterministic synthetic v2 of the documents table (every
+    7th doc removed in v1's view; every 5th text revised): the two
+    version frames are derived in-query so the driver can hash the
+    diff, while the operator itself takes any two keyed DataFrames.
+    One full-outer keyed join is the entire plan; counts reduce
+    map-side."""
+    from etlutil_spark.operators.audit import dataset_diff
+
+    d = load_table(spark, "documents", sf_dir)
+    old = d.where(F.col("doc_id") % 7 != 0).select("doc_id", "text", "lang")
+    new = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    return dataset_diff(old, new, "doc_id", ["text", "lang"])
+
+
+@register(
     "audit_doc_embedding_coverage",
     """
     WITH d AS (SELECT doc_id FROM documents),

@@ -432,6 +432,8 @@ HEADLINE_BUDGETS = {
     "sim_ivfadc_serve_batch": (1, 1),
     # r10: 20-row literal grid, pure projection
     "dedup_lsh_scurve": (0, 0),
+    # r10: one full-outer keyed join + 1-row global diff reduce
+    "audit_dataset_diff": (3, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -479,6 +481,7 @@ SCALAR_OK = {
     "events_mann_whitney",  # 1-row closed-form U/z reduction
     "events_ks_test",  # ECDF window over the collapsed value table
     "audit_doc_embedding_coverage",  # 1-row audit aggregates crossJoined
+    "audit_dataset_diff",  # 1-row global diff reduce
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined
     "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
