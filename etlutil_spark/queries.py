@@ -11426,11 +11426,12 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     t*n1*n2 in integers, never a float.
 
     Scale shape (the Mann-Whitney recipe): ONE value-keyed aggregate
-    collapses the events to their distinct values; the ECDF cumulative
-    runs over THAT bounded table (value cardinality, not row count) —
-    the only ordered pass is over the collapsed distribution. The
-    1-row totals ride a scalar crossJoin."""
-    from pyspark.sql.window import Window
+    collapses the events to their distinct values, and the ECDF
+    cumulatives run over that table via quantiles.exact_cumsum (range
+    repartition + exact prefix offsets) — NOT a global ordered window,
+    which would single-partition-funnel a CONTINUOUS column whose
+    distinct-value count approaches row count at 100 TB. The 1-row
+    totals ride a scalar crossJoin."""
 
     ev = load_table(spark, "events", sf_dir).where(
         F.col("event_type").isin("click", "purchase")
@@ -11444,12 +11445,12 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n2_v"),
     )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = pv.select(
-        F.sum("n1_v").over(w).cast("bigint").alias("cum1"),
-        F.sum("n2_v").over(w).cast("bigint").alias("cum2"),
+    from etlutil_spark.operators.quantiles import exact_cumsum
+
+    c = exact_cumsum(pv, "n1_v", ["value"], cumsum_col="cum1")
+    c = exact_cumsum(c, "n2_v", ["value"], cumsum_col="cum2").select(
+        F.coalesce("cum1", F.lit(0)).cast("bigint").alias("cum1"),
+        F.coalesce("cum2", F.lit(0)).cast("bigint").alias("cum2"),
     )
     tot = pv.agg(
         F.sum("n1_v").cast("bigint").alias("n1"),
