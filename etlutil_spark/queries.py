@@ -11321,6 +11321,139 @@ def _duck_hybrid_serve_sql() -> str:
 """
 
 
+def _duck_retrieval_pipeline_sql() -> str:
+    """End-to-end serving-stack oracle: store-shape BM25 top-20 +
+    LSH-pruned cosine top-20 (the two serve legs' exact math), then the
+    continuous-feature rerank blend (docs_hybrid_rerank's scorer) over
+    the candidate union — retrieve wide from indexes, re-score the
+    survivors with document-level features."""
+    return f"""{_duck_ann_cte(6, 64)},
+    t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    postings AS (
+      SELECT doc_id, len(tk) AS dl, term, COUNT(*) AS tf
+      FROM t, UNNEST(tk) AS u(term)
+      WHERE term IN ('vector', 'join', 'stream')
+      GROUP BY doc_id, len(tk), term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM postings GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(len(tk) AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS avgdl
+              FROM t),
+    contribs AS (
+      SELECT doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               9) AS DECIMAL(38,9)) AS contrib
+      FROM postings JOIN dfreq USING (term) CROSS JOIN stats),
+    bm AS (
+      SELECT doc_id, round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+      FROM contribs GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+    ec AS (SELECT b.vec_id, {_DUCK_ANN_COS} AS cos_sim
+           FROM b, q
+           WHERE bit_count(xor(vb::BIGINT, qb::BIGINT)) <= 1
+           ORDER BY cos_sim DESC, vec_id LIMIT 20),
+    cand AS (SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+                    COALESCE(l.bm25, 0.0) AS bm25,
+                    COALESCE(v.cos_sim, 0.0) AS cos_sim
+             FROM bm l FULL OUTER JOIN ec v ON l.doc_id = v.vec_id),
+    bmax AS (SELECT MAX(bm25) AS mx FROM cand),
+    cov AS (SELECT t.doc_id,
+                   CAST((CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(tk, 'join') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(tk, 'stream') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS terms_hit
+            FROM t JOIN cand USING (doc_id))
+    SELECT c.doc_id, c.bm25, c.cos_sim, cov.terms_hit,
+           CAST(floor((0.5 * c.bm25 / bmax.mx + 0.3 * c.cos_sim
+                       + 0.2 * cov.terms_hit / 3.0) * 1000000 + 0.5)
+                AS BIGINT) AS rerank_micro
+    FROM cand c JOIN cov USING (doc_id) CROSS JOIN bmax
+    ORDER BY rerank_micro DESC, c.doc_id ASC LIMIT 10
+"""
+
+
+@register("docs_retrieval_pipeline_serve", _duck_retrieval_pipeline_sql())
+def docs_retrieval_pipeline_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE retrieval stack in steady-state serving shape —
+    the capstone composition of the r10 serving family: (1) retrieve
+    wide and cheap from both prebuilt indexes (bm25_serve over the
+    bucket-partitioned postings store; ivf_topk over the LSH-
+    partitioned vector store — both scans partition-pruned, zero
+    tokenize/train jobs), (2) re-score the <=40 surviving candidates
+    with the continuous-feature cross-encoder stand-in
+    (candidate-normalized BM25 + cosine + term-coverage recomputed
+    against the candidate documents, integer-quantized blend), (3)
+    return the top-10. Retrieval cost scales with index fan-in, rerank
+    cost with candidate count — the economics a production RAG stack
+    lives on. One oracle verifies both stores' roundtrips, the fusion
+    of their scores, and the rerank arithmetic end to end."""
+    import tempfile
+
+    from etlutil_spark.functions.text import tokens
+    from etlutil_spark.operators.similarity import ensure_ivf_store, ivf_topk
+    from etlutil_spark.operators.text_analysis import (
+        bm25_serve,
+        ensure_postings_store,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    sfx = sf_dir.strip("/").replace("/", "_")
+    p_path = f"{tempfile.gettempdir()}/etlutil_spark_postings_{sfx}"
+    v_path = f"{tempfile.gettempdir()}/etlutil_spark_ivfserve_{sfx}"
+    ensure_postings_store(spark, d, p_path, id_col="doc_id", text_col="text")
+    ensure_ivf_store(spark, e, v_path, n_planes=6)
+    lex = bm25_serve(spark, p_path, ["vector", "join", "stream"], k=20).select(
+        "doc_id", "bm25"
+    )
+    vec = ivf_topk(
+        spark, v_path, qvec, k=20, n_planes=6, multiprobe_hamming=1
+    ).select(F.col("vec_id").alias("doc_id"), "cos_sim")
+    cand = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+            F.coalesce("cos_sim", F.lit(0.0)).alias("cos_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bmax = cand.agg(F.max("bm25").alias("mx"))
+    cov = d.join(F.broadcast(cand.select("doc_id")), "doc_id").select(
+        "doc_id",
+        (
+            F.array_contains(tokens("text"), "vector").cast("bigint")
+            + F.array_contains(tokens("text"), "join").cast("bigint")
+            + F.array_contains(tokens("text"), "stream").cast("bigint")
+        ).alias("terms_hit"),
+    )
+    score = (
+        F.lit(0.5) * F.col("bm25") / F.col("mx")
+        + F.lit(0.3) * F.col("cos_sim")
+        + F.lit(0.2) * F.col("terms_hit") / F.lit(3.0)
+    )
+    return (
+        cand.join(F.broadcast(cov), "doc_id")
+        .crossJoin(F.broadcast(bmax))
+        .select(
+            "doc_id", "bm25", "cos_sim", "terms_hit",
+            F.floor(score * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("rerank_micro"),
+        )
+        .orderBy(F.col("rerank_micro").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 @register("docs_hybrid_serve", _duck_hybrid_serve_sql())
 def docs_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full retrieval stack in STEADY-STATE serving shape: both

@@ -434,6 +434,9 @@ HEADLINE_BUDGETS = {
     "dedup_lsh_scurve": (0, 0),
     # r10: one full-outer keyed join + 1-row global diff reduce
     "audit_dataset_diff": (3, 0),
+    # r10 capstone: both legs read prebuilt stores (pruned scans);
+    # rerank joins all <=40-row broadcasts (+1-row bmax scalar)
+    "docs_retrieval_pipeline_serve": (2, 3),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -475,6 +478,7 @@ SCALAR_OK = {
     "docs_hybrid_search_rrf",  # rank/fusion windows over the <=40 top-k rows
     "docs_hybrid_rerank",  # bmax/avgdl 1-row scalars over the <=40 candidates
     "docs_hybrid_serve",  # rank/fusion windows over the <=40 store candidates
+    "docs_retrieval_pipeline_serve",  # bmax scalar over <=40 store candidates
     "orders_l_diversity",  # 1-row totals scalar over the class table
     "orders_t_closeness",  # 1-row N + totals scalars over the class table
     "audit_benford_totalprice",  # 1-row N scalar over the 9-digit grid

@@ -548,6 +548,7 @@ class TestCatalogPlanGuards:
         "docs_hybrid_search_rrf",  # 1-row avgdl/n_docs broadcast (BM25 leg)
         "docs_hybrid_rerank",  # 1-row avgdl + bmax scalar broadcasts
         "docs_hybrid_serve",  # rank windows over <=40 store candidates
+        "docs_retrieval_pipeline_serve",  # 1-row bmax broadcast
         "orders_l_diversity",  # 1-row totals broadcast
         "orders_t_closeness",  # 1-row N + totals broadcasts
         "audit_benford_totalprice",  # 1-row N broadcast
