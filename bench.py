@@ -235,6 +235,9 @@ EXTENDED = [
     "audit_doc_embedding_coverage",
     "sim_ivfadc_recall",
     "sim_ivfadc_serve_batch",
+    "dedup_lsh_scurve",
+    "audit_dataset_diff",
+    "docs_retrieval_pipeline_serve",
 ]
 
 
