@@ -248,3 +248,69 @@ class TestEnsureServingStores:
         assert (
             spark.read.parquet(path).select("vec_id").distinct().count() == 40
         )
+
+    def test_bm25_batch_serve_equals_per_query(self, spark, tmp_path):
+        """r10: bm25_serve_many must reproduce bm25_serve per query
+        bit for bit (same store, same math, only the scan amortized)."""
+        from etlutil_spark.operators.text_analysis import (
+            bm25_serve,
+            bm25_serve_many,
+            ensure_postings_store,
+        )
+
+        rows = [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta gamma delta"),
+            (3, "alpha epsilon beta"),
+            (4, "zeta eta theta alpha beta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        path = str(tmp_path / "batch_eq")
+        ensure_postings_store(spark, df, path, n_buckets=8)
+        queries = {"qa": ["alpha", "beta"], "qb": ["delta", "epsilon"]}
+        batch = bm25_serve_many(spark, path, queries, k=10).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["bm25"], r["n_matched_terms"])
+            )
+        for qid, terms in queries.items():
+            single = [
+                (i + 1, r["doc_id"], r["bm25"], r["n_matched_terms"])
+                for i, r in enumerate(bm25_serve(spark, path, terms, k=10).collect())
+            ]
+            assert sorted(by_q[qid]) == sorted(single), qid
+
+    def test_ivfadc_batch_serve_equals_per_query(self, spark, tmp_path):
+        from etlutil_spark.operators.clustering import (
+            ensure_ivfadc_index,
+            ivfadc_serve,
+            ivfadc_serve_many,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float((i * 7) % 11), float((i * 3) % 5), 1.0, float(i % 4)])
+             for i in range(40)],
+            "vec_id bigint, embedding array<double>",
+        )
+        path = str(tmp_path / "adc_batch_eq")
+        kw = dict(k=4, iters=2, m=2, ksub=4, pq_iters=2)
+        ensure_ivfadc_index(spark, df, "vec_id", "embedding", path, **kw)
+        queries = {
+            0: [0.0, 3.0, 1.0, 0.0],
+            1: [7.0, 1.0, 1.0, 1.0],
+        }
+        batch = ivfadc_serve_many(spark, path, queries, nprobe=2, topk=5).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["adc_dist"])
+            )
+        for qid, qv in queries.items():
+            single = [
+                (i + 1, r["vec_id"], r["adc_dist"])
+                for i, r in enumerate(
+                    ivfadc_serve(spark, path, qv, nprobe=2, topk=5).collect()
+                )
+            ]
+            assert sorted(by_q[qid]) == sorted(single), qid
