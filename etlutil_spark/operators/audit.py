@@ -145,24 +145,27 @@ def dataset_diff(
         F.struct(*[F.col(c) for c in content_cols]).alias("_nc"),
     )
     j = o.join(n, id_col, "full_outer")
+    # count(), not sum(when) — SUM over ZERO rows is NULL, so diffing
+    # two empty versions would report NULL counts instead of 0 (caught
+    # by the hypothesis property test)
     return j.agg(
         F.count("_oc").cast("bigint").alias("n_old"),
         F.count("_nc").cast("bigint").alias("n_new"),
-        F.sum(
-            F.when(F.col("_oc").isNull() & F.col("_nc").isNotNull(), 1).otherwise(0)
+        F.count(
+            F.when(F.col("_oc").isNull() & F.col("_nc").isNotNull(), F.lit(1))
         ).cast("bigint").alias("n_added"),
-        F.sum(
-            F.when(F.col("_oc").isNotNull() & F.col("_nc").isNull(), 1).otherwise(0)
+        F.count(
+            F.when(F.col("_oc").isNotNull() & F.col("_nc").isNull(), F.lit(1))
         ).cast("bigint").alias("n_removed"),
-        F.sum(
+        F.count(
             F.when(
                 F.col("_oc").isNotNull()
                 & F.col("_nc").isNotNull()
                 & ~F.col("_oc").eqNullSafe(F.col("_nc")),
-                1,
-            ).otherwise(0)
+                F.lit(1),
+            )
         ).cast("bigint").alias("n_changed"),
-        F.sum(
-            F.when(F.col("_oc").eqNullSafe(F.col("_nc")), 1).otherwise(0)
+        F.count(
+            F.when(F.col("_oc").eqNullSafe(F.col("_nc")), F.lit(1))
         ).cast("bigint").alias("n_unchanged"),
     )

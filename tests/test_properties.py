@@ -712,3 +712,47 @@ class TestDuplicateSpanProperties:
             if len(toks) > 0
         }
         assert got == want
+
+
+class TestDatasetDiffProperties:
+    """r10: dataset_diff vs a Python reference over generated keyed
+    versions — counts must satisfy the identities and NULL-safe
+    content compare."""
+
+    @PROP
+    @given(
+        old_keys=st.sets(st.integers(0, 15), max_size=10),
+        new_keys=st.sets(st.integers(0, 15), max_size=10),
+        flips=st.sets(st.integers(0, 15), max_size=8),
+        nulls=st.sets(st.integers(0, 15), max_size=6),
+    )
+    def test_matches_reference(self, spark, old_keys, new_keys, flips, nulls):
+        from etlutil_spark.operators.audit import dataset_diff
+
+        def content(k, side):
+            if k in nulls:
+                return None
+            if side == "new" and k in flips:
+                return f"v{k}x"
+            return f"v{k}"
+
+        old_rows = [(k, content(k, "old")) for k in sorted(old_keys)]
+        new_rows = [(k, content(k, "new")) for k in sorted(new_keys)]
+        old = spark.createDataFrame(old_rows, "id bigint, c string") if old_rows else \
+            spark.createDataFrame([], "id bigint, c string")
+        new = spark.createDataFrame(new_rows, "id bigint, c string") if new_rows else \
+            spark.createDataFrame([], "id bigint, c string")
+        r = dataset_diff(old, new, "id", ["c"]).collect()[0]
+        both = old_keys & new_keys
+        changed = {k for k in both if content(k, "old") != content(k, "new")}
+        assert r["n_old"] == len(old_keys)
+        assert r["n_new"] == len(new_keys)
+        assert r["n_added"] == len(new_keys - old_keys)
+        assert r["n_removed"] == len(old_keys - new_keys)
+        assert r["n_changed"] == len(changed)
+        assert r["n_unchanged"] == len(both) - len(changed)
+        # identity: every joined row lands in exactly one bucket
+        assert (
+            r["n_added"] + r["n_removed"] + r["n_changed"] + r["n_unchanged"]
+            == len(old_keys | new_keys)
+        )
