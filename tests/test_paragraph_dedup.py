@@ -250,6 +250,51 @@ class TestCutDuplicateSpans:
         }
 
 
+class TestSpanFamilyEdgeCases:
+    """r10 hardening: degenerate corpora must return empty frames with
+    the right schema, never error."""
+
+    def test_empty_and_single_doc_corpora(self, spark):
+        from etlutil_spark.operators.dedup import (
+            cut_duplicate_spans,
+            duplicate_spans,
+            self_repeated_spans,
+        )
+
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        one = spark.createDataFrame(
+            [(1, "just one lonely document here")], "doc_id bigint, text string"
+        )
+        short = spark.createDataFrame(
+            [(1, "too short"), (2, "also tiny")], "doc_id bigint, text string"
+        )
+        for df in (empty, one, short):
+            assert duplicate_spans(df, "doc_id", "text", k=8, min_len=8).count() == 0
+            assert (
+                self_repeated_spans(df, "doc_id", "text", k=8, min_len=8).count()
+                == 0
+            )
+        # cut accounting passes every non-empty doc through untouched
+        out = {r["doc_id"]: r["cut_tokens"]
+               for r in cut_duplicate_spans(short, "doc_id", "text", k=8, min_len=8).collect()}
+        assert out == {1: 0, 2: 0}
+        assert cut_duplicate_spans(empty, "doc_id", "text", k=8, min_len=8).count() == 0
+
+    def test_bad_params_raise(self, spark):
+        import pytest as _p
+
+        from etlutil_spark.operators.dedup import (
+            duplicate_spans,
+            self_repeated_spans,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        with _p.raises(ValueError):
+            duplicate_spans(df, "doc_id", "text", k=1, min_len=1)
+        with _p.raises(ValueError):
+            self_repeated_spans(df, "doc_id", "text", k=4, min_len=2)
+
+
 @pytest.fixture(scope="module")
 def spark_session_global(spark):
     return spark
