@@ -314,3 +314,28 @@ class TestEnsureServingStores:
                 )
             ]
             assert sorted(by_q[qid]) == sorted(single), qid
+
+    def test_serve_unknown_terms_and_increment_then_batch(self, spark, tmp_path):
+        """r10 hardening: unknown query terms yield an empty result
+        (not an error); batched serve composes with a prior increment."""
+        from etlutil_spark.operators.text_analysis import (
+            bm25_serve,
+            bm25_serve_many,
+            ensure_postings_store,
+            update_postings_store,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], "doc_id bigint, text string"
+        )
+        path = str(tmp_path / "unknown")
+        ensure_postings_store(spark, df, path, n_buckets=4)
+        assert bm25_serve(spark, path, ["zzz", "qqq"], k=5).count() == 0
+        batch = spark.createDataFrame(
+            [(3, "delta alpha")], "doc_id bigint, text string"
+        )
+        update_postings_store(spark, batch, path, batch_id="x")
+        out = bm25_serve_many(
+            spark, path, {"q1": ["delta"], "q2": ["zzz"]}, k=5
+        ).collect()
+        assert {(r["query_id"], r["doc_id"]) for r in out} == {("q1", 3)}
