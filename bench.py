@@ -238,6 +238,13 @@ EXTENDED = [
     "dedup_lsh_scurve",
     "audit_dataset_diff",
     "docs_retrieval_pipeline_serve",
+    "lineitem_theilsen_drift",
+    "docs_quality_calibration",
+    "dedup_agreement_ari",
+    "docs_robust_scaling",
+    "docs_source_concentration",
+    "docs_mixture_temperature",
+    "sim_topk_whitened",
 ]
 
 

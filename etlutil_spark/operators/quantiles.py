@@ -275,3 +275,59 @@ def exact_running_max(
         .withColumn(out_col, F.greatest("_local", "_pre"))
         .drop("_pid", "_local", "_pre")
     )
+
+
+def exact_grouped_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    group_cols: list[str],
+    order_cols: list[str],
+    *,
+    bucket_col: str = "bucket",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``bucket_col`` = ``ntile(n_buckets) OVER (PARTITION BY
+    group_cols ORDER BY order_cols)`` — per-STRATUM exact quantile
+    buckets (per-source score quartiles, per-language length deciles)
+    — without the per-group window whose partitions are as large as the
+    biggest stratum (a handful of corpus-sized window partitions is the
+    same funnel shape as one, just sliced; at 100 TB a single source can
+    be tens of TB).
+
+    Recipe generalizes exact_ntile: range-repartition on the COMPOSITE
+    key (group, order) so each group occupies a contiguous partition
+    span while staying spread over many partitions; per-partition local
+    ranks windowed by (partition, group) — bounded partitions, no
+    global funnel; per-(partition, group) counts collected (range
+    contiguity bounds that at n_partitions + n_groups tiny rows),
+    turned into per-group rank offsets and group totals, broadcast
+    back; ntile's closed-form bucket rule applied with the row's own
+    group total. Bit-identical to the window form whenever
+    ``group_cols + order_cols`` is a unique total order (the same
+    determinism requirement ntile itself has). Intended for BOUNDED
+    group counts (sources, languages, tenants — the strata of a
+    curation corpus); the driver round-trip is O(n_partitions +
+    n_groups) scalars. NULL group keys form one group, as in SQL
+    PARTITION BY."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from etlutil_spark.operators.quantiles_grouped import _grouped_rank_frame
+
+    joined, empty = _grouped_rank_frame(
+        df, group_cols, order_cols, n_partitions
+    )
+    if empty:
+        return joined.withColumn(bucket_col, F.lit(None).cast("int"))
+    rank = F.col("_off") + F.col("_lr")
+    n_col = F.col("_n")
+    base = F.expr(f"_n div {n_buckets}")
+    rem = n_col % n_buckets
+    big_span = rem * (base + 1)
+    in_big = (rank - 1 - ((rank - 1) % (base + 1))) / (base + 1)
+    base_safe = F.greatest(base, F.lit(1))
+    r2 = rank - big_span - 1
+    in_small = rem + (r2 - (r2 % base_safe)) / base_safe
+    bucket = (
+        F.when(rank <= big_span, in_big).otherwise(in_small).cast("int") + 1
+    )
+    return joined.withColumn(bucket_col, bucket).drop("_lr", "_off", "_n")

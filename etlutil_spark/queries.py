@@ -14088,6 +14088,661 @@ def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_nodes.crossJoin(n_edges).crossJoin(min_deg)
 
 
+@register(
+    "lineitem_theilsen_drift",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))
+                             AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS sum_q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1),
+    pts AS (
+      SELECT CAST(day - DATE '1995-01-01' AS INTEGER) AS x,
+             sum_q / (cnt * 10000.0) AS y
+      FROM daily),
+    slopes AS (
+      SELECT a.x AS xa, b.x AS xb, (b.y - a.y) / (b.x - a.x) AS slope
+      FROM pts a JOIN pts b ON a.x < b.x),
+    t AS (
+      SELECT slope,
+             CAST(NTILE(2) OVER (ORDER BY slope, xa, xb) AS INTEGER) AS half
+      FROM slopes)
+    SELECT (SELECT COUNT(*) FROM pts) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(MAX(CASE WHEN half = 1 THEN slope END), 9)
+             AS theilsen_slope_per_day
+    FROM t
+    """,
+)
+def lineitem_theilsen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust price-drift estimate: the Theil-Sen slope (median of all
+    pairwise slopes) of mean daily extended price over calendar 1995 —
+    the drift monitor that, unlike an OLS fit, a few corrupt days cannot
+    drag (29.3% breakdown point). The shape every metric-drift gate
+    wants at scale: ONE map-side-combining aggregate reduces the corpus
+    to <=365 daily points (calendar-bounded — STILL <=365 at 100 TB), so
+    the quadratic pair stage is a broadcast nested-loop join over a
+    driver-small frame whose cost is fixed regardless of corpus size.
+
+    Determinism: daily means are ratios of integer-quantized DECIMAL
+    sums (exact, partition-order-free), pair slopes are single IEEE
+    divisions of those identical doubles, and the median is the LOWER
+    median — max of the first ntile(2) bucket under the unique total
+    order (slope, xa, xb), i.e. the ceil(n/2)-th smallest slope in both
+    parities — computed with quantiles.exact_ntile (range repartition +
+    rank offsets; no single-partition window even when the pair frame is
+    large). The oracle mirrors bucket rule and quantization exactly."""
+    from etlutil_spark.operators.quantiles import exact_ntile
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    li = load_table(spark, "lineitem", sf_dir)
+    daily = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.floor(
+                F.sum(_dec("l_extendedprice")).cast("double") * 10000 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sum_q"),
+        )
+    )
+    pts = daily.select(
+        F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("x"),
+        (F.col("sum_q") / (F.col("cnt") * F.lit(10000.0))).alias("y"),
+    ).localCheckpoint(eager=False)
+    a = pts.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
+        "xa",
+        "xb",
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("slope"),
+    )
+    halved = exact_ntile(
+        ensure_min_partitions(slopes), 2, ["slope", "xa", "xb"], bucket_col="half"
+    )
+    n_days = pts.agg(F.count("*").alias("n_days"))
+    med = halved.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.max(F.when(F.col("half") == 1, F.col("slope"))), 9
+        ).alias("theilsen_slope_per_day"),
+    )
+    return n_days.crossJoin(med).select(
+        "n_days", "n_pairs", "theilsen_slope_per_day"
+    )
+
+
+@register(
+    "docs_quality_calibration",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, tk, len(tk) AS n, {_DUCK_QUALITY_SCORE} AS model_score
+          FROM t),
+    m AS (SELECT doc_id, model_score, n,
+            CASE WHEN n > 0 THEN
+              list_aggregate(list_transform(tk, x -> len(x)), 'sum')
+                / CAST(n AS DOUBLE) END AS mwl,
+            CASE WHEN n > 0 THEN
+              len(list_filter(tk, x -> x IN ('the','and','of','to','a',
+                                             'in','is','it','that','for')))
+                / CAST(n AS DOUBLE) END AS swr,
+            CASE WHEN n > 0 THEN
+              round(1.0 - len(list_distinct(tk))
+                          / CAST(n AS DOUBLE), 6) END AS dup
+          FROM s),
+    k AS (SELECT doc_id, model_score,
+            CASE WHEN n IS NULL OR n = 0 THEN FALSE
+                 ELSE n >= 30 AND n <= 10000
+                      AND mwl >= 3.0 AND mwl <= 10.0
+                      AND swr >= 0.03 AND dup <= 0.6 END AS keep
+          FROM m WHERE model_score IS NOT NULL),
+    d AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY model_score DESC, doc_id ASC)
+                         AS INTEGER) AS decile
+          FROM k)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(FLOOR(model_score * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS avg_score,
+           round(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS keep_rate
+    FROM d GROUP BY decile
+    """,
+)
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-vs-rules reliability table: exact deciles of the linear
+    quality model's score, each reporting the observed pass rate of the
+    independent Gopher RULE filter — the acceptance reading before a
+    cheap learned filter replaces (or pre-screens for) the expensive
+    rule cascade, exactly the distillation step FineWeb/DCLM-style
+    curation pipelines run. A healthy model shows keep_rate monotone in
+    avg_score; the per-decile gap says WHERE on the score axis the model
+    disagrees with the rules (e.g. decile 1 keep_rate << 1 means the
+    model over-promotes docs the rules reject).
+
+    One scan: both the score and the rule verdict are map-side column
+    expressions over a single tokenize (quality_model_score then
+    gopher_quality_filter composed on the same frame — no doc_id
+    re-join), deciles are quantiles.exact_ntile (range repartition, no
+    single-partition window), and per-decile means integer-quantize each
+    rounded score so every reported number is a ratio of exact integer
+    sums — bit-identical cross-engine at any corpus size."""
+    from etlutil_spark.operators.quantiles import exact_ntile
+    from etlutil_spark.operators.text_analysis import (
+        gopher_quality_filter,
+        quality_model_score,
+    )
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    labeled = gopher_quality_filter(quality_model_score(d, "text"), "text")
+    f = labeled.where(F.col("model_score").isNotNull()).select(
+        "doc_id",
+        "model_score",
+        "keep",
+        (-F.col("model_score")).alias("_neg"),
+    )
+    dec = exact_ntile(f, 10, ["_neg", "doc_id"], bucket_col="decile")
+    return dec.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.floor(F.col("model_score") * 1000000 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            / (F.count("*") * F.lit(1000000.0)),
+            6,
+        ).alias("avg_score"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)) * F.lit(1.0) / F.count("*"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
+# LSH-vs-exact ARI oracle: the minhash chain's verified-pair CTE (vpairs)
+# plus the FREQ50-capped exact-pair chain (the fragment's `ex` matches the
+# minhash SQL's own uncapped shingle table, so _DUCK_SHINGLES_FREQ50 splices
+# in unchanged), each fed through its own recursive reach CTE, then the
+# pair-counting ARI over the full doc universe with singleton fill.
+_DUCK_ARI = (
+    _duck_minhash_lsh_sql()
+    .replace("WITH toks", "WITH RECURSIVE toks", 1)
+    .replace(
+        "SELECT id_a, id_b, jaccard FROM vpairs",
+        _DUCK_SHINGLES_FREQ50
+        + """,
+    pairs_e AS (
+      SELECT id_a, id_b
+      FROM interf
+      JOIN szf sa ON sa.doc_id = id_a
+      JOIN szf sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
+    edges_e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs_e
+      UNION
+      SELECT id_b, id_a FROM pairs_e),
+    reach_e(n, r) AS (
+      SELECT s, s FROM edges_e
+      UNION
+      SELECT e.s, reach_e.r FROM edges_e e JOIN reach_e ON e.d = reach_e.n),
+    cl_e AS (SELECT n AS member_id, MIN(r) AS cluster_id
+             FROM reach_e GROUP BY n),
+    edges_l AS (
+      SELECT id_a AS s, id_b AS d FROM vpairs
+      UNION
+      SELECT id_b, id_a FROM vpairs),
+    reach_l(n, r) AS (
+      SELECT s, s FROM edges_l
+      UNION
+      SELECT e.s, reach_l.r FROM edges_l e JOIN reach_l ON e.d = reach_l.n),
+    cl_l AS (SELECT n AS member_id, MIN(r) AS cluster_id
+             FROM reach_l GROUP BY n),
+    nd AS (
+      SELECT u.doc_id,
+             COALESCE(ce.cluster_id, u.doc_id) AS ca,
+             COALESCE(clh.cluster_id, u.doc_id) AS cb
+      FROM documents u
+      LEFT JOIN cl_e ce ON ce.member_id = u.doc_id
+      LEFT JOIN cl_l clh ON clh.member_id = u.doc_id),
+    cont AS (SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS nij
+             FROM nd GROUP BY ca, cb),
+    sums AS (SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM nd) AS n_docs,
+      (SELECT CAST(COALESCE(SUM((nij * (nij - 1)) // 2), 0) AS BIGINT)
+       FROM cont) AS pairs_both,
+      (SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT)
+       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nd GROUP BY ca))
+        AS pairs_exactcc,
+      (SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT)
+       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nd GROUP BY cb))
+        AS pairs_lsh)
+    SELECT n_docs, pairs_both, pairs_exactcc, pairs_lsh,
+           round((pairs_both
+                  - (pairs_exactcc * 1.0 * pairs_lsh)
+                    / ((n_docs * (n_docs - 1)) // 2))
+                 / NULLIF((pairs_exactcc + pairs_lsh) / 2.0
+                          - (pairs_exactcc * 1.0 * pairs_lsh)
+                            / ((n_docs * (n_docs - 1)) // 2), 0.0), 6) AS ari
+    FROM sums
+    """,
+        1,
+    )
+)
+
+
+@register("dedup_agreement_ari", _DUCK_ARI)
+def dedup_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the ground-truth near-dup partition
+    (exact 3-gram Jaccard >= 0.6 connected components, stop-shingle cap
+    50) and the production partition (MinHash(32)+LSH(8 bands)
+    candidates verified at the same threshold, then CC) over the FULL
+    doc universe (docs in neither labeling are singletons on both
+    sides). This is the chance-corrected acceptance score a curation
+    team reads before LSH clustering replaces the exact pipeline: ARI
+    = 1 means cluster-identical partitions; banding misses depress it
+    below 1 (pair-level recall is dedup_minhash_recall — ARI is the
+    stricter CLUSTER-level agreement, where one missed bridge edge can
+    split a whole family).
+
+    Everything is pair COUNTING, never pair materialization: two keyed
+    labelings (each already bounded — capped shingle join / banded
+    bucket join, CC in O(log n) star rounds), one full-outer singleton
+    fill, a (ca, cb)-keyed contingency aggregate bounded by corpus
+    rows, and exact-integer C(n,2) `div` arithmetic; the only doubles
+    are the final chance-correction ratios, op-order-mirrored in the
+    oracle. Scale: one shuffle per labeling + three keyed aggregates;
+    nothing quadratic in corpus size."""
+    from etlutil_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    cl_e = duplicate_clusters(
+        ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50)
+    ).withColumnsRenamed({"member_id": "m_e", "cluster_id": "c_e"})
+    cl_l = duplicate_clusters(
+        minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
+        )
+    ).withColumnsRenamed({"member_id": "m_l", "cluster_id": "c_l"})
+    nd = (
+        d.select("doc_id")
+        .join(F.broadcast(cl_e), F.col("doc_id") == F.col("m_e"), "left")
+        .join(F.broadcast(cl_l), F.col("doc_id") == F.col("m_l"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c_e"), F.col("doc_id")).alias("ca"),
+            F.coalesce(F.col("c_l"), F.col("doc_id")).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c2 = lambda c: F.expr(f"({c} * ({c} - 1)) div 2")  # noqa: E731
+    n_docs = nd.agg(F.count("*").cast("bigint").alias("n_docs"))
+    p_both = (
+        nd.groupBy("ca", "cb")
+        .agg(F.count("*").cast("bigint").alias("nij"))
+        .agg(F.coalesce(F.sum(c2("nij")), F.lit(0)).cast("bigint").alias("pairs_both"))
+    )
+    p_a = (
+        nd.groupBy("ca")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(
+            F.coalesce(F.sum(c2("c")), F.lit(0)).cast("bigint").alias("pairs_exactcc")
+        )
+    )
+    p_b = (
+        nd.groupBy("cb")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(F.coalesce(F.sum(c2("c")), F.lit(0)).cast("bigint").alias("pairs_lsh"))
+    )
+    s = n_docs.crossJoin(p_both).crossJoin(p_a).crossJoin(p_b)
+    c2n = F.expr("(n_docs * (n_docs - 1)) div 2")
+    exp = (F.col("pairs_exactcc") * F.lit(1.0) * F.col("pairs_lsh")) / c2n
+    denom = (F.col("pairs_exactcc") + F.col("pairs_lsh")) / F.lit(2.0) - exp
+    return s.select(
+        "n_docs",
+        "pairs_both",
+        "pairs_exactcc",
+        "pairs_lsh",
+        F.round(
+            (F.col("pairs_both") - exp) / F.nullif(denom, F.lit(0.0)), 6
+        ).alias("ari"),
+    )
+
+
+@register(
+    "docs_robust_scaling",
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_DUCK_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, source, {_DUCK_QUALITY_SCORE} AS model_score FROM t),
+    f AS (SELECT * FROM s WHERE model_score IS NOT NULL),
+    b AS (SELECT *, CAST(NTILE(4) OVER (PARTITION BY source
+                                        ORDER BY model_score, doc_id)
+                         AS INTEGER) AS q
+          FROM f),
+    qs AS (SELECT source,
+             MAX(CASE WHEN q = 1 THEN model_score END) AS q1,
+             MAX(CASE WHEN q <= 2 THEN model_score END) AS q2,
+             MAX(CASE WHEN q <= 3 THEN model_score END) AS q3
+           FROM b GROUP BY source),
+    z AS (SELECT b.source, qs.q1 AS q1v, qs.q2 AS q2v, qs.q3 AS q3v,
+                 (b.model_score - qs.q2) / NULLIF(qs.q3 - qs.q1, 0.0) AS rz
+          FROM b JOIN qs USING (source))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(q1v) AS q1, MIN(q2v) AS q2, MIN(q3v) AS q3,
+           CAST(SUM(CASE WHEN rz > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           CAST(SUM(CASE WHEN rz < -2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+    FROM z GROUP BY source
+    """,
+)
+def docs_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust score normalization — the batch-effect
+    correction a multi-source corpus needs before one global quality
+    threshold is applied: each source's quality scores are centered on
+    the source MEDIAN and scaled by the source IQR (both exact order
+    statistics), so "2 IQRs above this source's median" means the same
+    thing for a clean-encyclopedia source and a noisy-crawl source. The
+    report is the per-source card: exact quartiles plus robust-outlier
+    counts on either tail (|robust z| > 2).
+
+    The per-stratum quartiles are quantiles.exact_grouped_ntile —
+    ntile(4) PARTITION BY source computed with composite-key range
+    repartitioning and per-(partition, group) rank offsets, NOT a
+    per-source window (whose partitions are as large as the biggest
+    source: tens of TB at corpus scale). The quartile table is
+    |sources| rows, broadcast back for the z pass; scores are rounded-6
+    ratios (cross-engine identical) and the only division is one IEEE
+    op on identical operands, NULLIF-guarded for degenerate IQR=0
+    strata. Two keyed aggregates + one broadcast join, no funnels."""
+    from etlutil_spark.operators.quantiles import exact_grouped_ntile
+    from etlutil_spark.operators.text_analysis import quality_model_score
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    f = (
+        quality_model_score(d, "text")
+        .where(F.col("model_score").isNotNull())
+        .select("doc_id", "source", "model_score")
+    )
+    b = exact_grouped_ntile(
+        f, 4, ["source"], ["model_score", "doc_id"], bucket_col="q"
+    )
+    qs = b.groupBy("source").agg(
+        F.max(F.when(F.col("q") == 1, F.col("model_score"))).alias("q1"),
+        F.max(F.when(F.col("q") <= 2, F.col("model_score"))).alias("q2"),
+        F.max(F.when(F.col("q") <= 3, F.col("model_score"))).alias("q3"),
+    )
+    z = b.join(F.broadcast(qs), "source").select(
+        "source",
+        F.col("q1").alias("q1v"),
+        F.col("q2").alias("q2v"),
+        F.col("q3").alias("q3v"),
+        (
+            (F.col("model_score") - F.col("q2"))
+            / F.nullif(F.col("q3") - F.col("q1"), F.lit(0.0))
+        ).alias("rz"),
+    )
+    return z.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("q1v").alias("q1"),
+        F.min("q2v").alias("q2"),
+        F.min("q3v").alias("q3"),
+        F.sum(F.when(F.col("rz") > 2.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hi"),
+        F.sum(F.when(F.col("rz") < -2.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lo"),
+    )
+
+
+@register(
+    "docs_source_concentration",
+    f"""
+    WITH t AS (SELECT doc_id, source, n_chars, text, {_DUCK_TOKENS} AS tk
+               FROM documents),
+    s AS (SELECT doc_id, source, n_chars,
+                 {_DUCK_QUALITY_SCORE} AS model_score FROM t),
+    f AS (SELECT * FROM s WHERE model_score IS NOT NULL),
+    r AS (SELECT source, CAST(n_chars AS BIGINT) AS w,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY model_score, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM f)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS total_chars,
+           round((2.0 * CAST(SUM(rk * w) AS BIGINT)
+                  - (COUNT(*) + 1) * CAST(SUM(w) AS BIGINT))
+                 / (COUNT(*) * 1.0 * CAST(SUM(w) AS BIGINT)), 6)
+             AS concentration,
+           round(CAST(SUM(CASE WHEN rk > n - (n // 4) THEN w ELSE 0 END)
+                      AS BIGINT) * 1.0
+                 / CAST(SUM(w) AS BIGINT), 6) AS top_quartile_share
+    FROM r GROUP BY source
+    """,
+)
+def docs_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-mass concentration card: rank every doc within
+    its source by quality score (ascending) and measure how the CHAR
+    mass distributes across that order — the concentration index
+    (rank-weighted Gini twin; positive = chars concentrated in the
+    high-quality tail, negative = the junk is long) plus the char share
+    of the top quality quartile (by count, floor(n/4) docs). This is
+    the question a mixture planner asks before per-source quality
+    thresholds: "if I keep only this source's best quarter, how much of
+    its volume survives?"
+
+    Per-stratum ranks come from quantiles_grouped.exact_grouped_rank
+    (composite-key range repartition + per-(partition, group) offsets
+    — no per-source window partitions, which at 100 TB are as large as
+    the biggest source). Both statistics are then ratios of exact
+    integer sums (rank x chars products), computed in one source-keyed
+    aggregate — the doubles appear only in the final divisions,
+    op-order mirrored in the oracle."""
+    from etlutil_spark.operators.quantiles_grouped import exact_grouped_rank
+    from etlutil_spark.operators.text_analysis import quality_model_score
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    f = (
+        quality_model_score(d, "text")
+        .where(F.col("model_score").isNotNull())
+        .select("doc_id", "source", "n_chars", "model_score")
+    )
+    r = exact_grouped_rank(
+        f, ["source"], ["model_score", "doc_id"], rank_col="rk", n_col="n"
+    ).select("source", F.col("n_chars").cast("bigint").alias("w"), "rk", "n")
+    cnt = F.count("*")
+    sum_w = F.sum("w").cast("bigint")
+    sum_rw = F.sum(F.col("rk") * F.col("w")).cast("bigint")
+    top_w = F.sum(
+        F.when(F.col("rk") > F.col("n") - F.expr("n div 4"), F.col("w")).otherwise(
+            0
+        )
+    ).cast("bigint")
+    return r.groupBy("source").agg(
+        cnt.cast("bigint").alias("n_docs"),
+        sum_w.alias("total_chars"),
+        F.round(
+            (F.lit(2.0) * sum_rw - (cnt + 1) * sum_w) / (cnt * F.lit(1.0) * sum_w),
+            6,
+        ).alias("concentration"),
+        F.round(top_w * F.lit(1.0) / sum_w, 6).alias("top_quartile_share"),
+    )
+
+
+@register(
+    "docs_mixture_temperature",
+    """
+    WITH w AS (
+      SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM w),
+    u AS (SELECT w.source, w.chars, tot.total,
+                 CAST(FLOOR(sqrt(w.chars * 1.0 / tot.total) * 1000000000 + 0.5)
+                      AS BIGINT) AS u_q
+          FROM w, tot),
+    z AS (SELECT CAST(SUM(u_q) AS BIGINT) AS z_q FROM u)
+    SELECT u.source,
+           u.chars AS n_chars,
+           round(u.chars * 1.0 / u.total, 6) AS nat_share,
+           round(u.u_q * 1.0 / z.z_q, 6) AS temp_share,
+           round((u.u_q * 1.0 / z.z_q) * (u.total * 1.0 / u.chars), 6)
+             AS epochs_at_full_budget
+    FROM u, z
+    """,
+)
+def docs_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (alpha = 0.5): each source's
+    sampling weight is proportional to sqrt(its natural char share) —
+    the multilingual/multi-source rebalancing rule (mBERT/XLM-R style)
+    that upsamples small sources without letting any single giant
+    source dominate an epoch. Reports natural share, temperature share,
+    and the implied epochs-per-source when one full corpus-budget is
+    drawn at the temperature weights (epochs > 1 on small sources =
+    they repeat; the overfitting signal a mixture planner watches).
+
+    alpha = 0.5 is chosen so the power is `sqrt` — correctly rounded in
+    IEEE 754 on both engines, hence bit-reproducible (an arbitrary
+    pow() is not guaranteed to the last ulp). The sqrt outputs are
+    integer-quantized at 1e9 before the normalizing sum, so the weight
+    denominator is an exact integer — the final shares are single
+    IEEE divisions of identical operands. One source-keyed aggregate +
+    two 1-row scalars broadcast; cost independent of corpus size."""
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    # the |sources|-row aggregate feeds three branches (total, weights,
+    # final select) — pin it so the corpus is scanned once, not thrice
+    w = (
+        d.groupBy("source")
+        .agg(F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars"))
+        .localCheckpoint(eager=False)
+    )
+    tot = w.agg(F.sum("chars").cast("bigint").alias("total"))
+    u = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars",
+        "total",
+        F.floor(
+            F.sqrt(F.col("chars") * F.lit(1.0) / F.col("total")) * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("u_q"),
+    ).localCheckpoint(eager=False)
+    z = u.agg(F.sum("u_q").cast("bigint").alias("z_q"))
+    return u.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("chars").alias("n_chars"),
+        F.round(F.col("chars") * F.lit(1.0) / F.col("total"), 6).alias("nat_share"),
+        F.round(F.col("u_q") * F.lit(1.0) / F.col("z_q"), 6).alias("temp_share"),
+        F.round(
+            (F.col("u_q") * F.lit(1.0) / F.col("z_q"))
+            * (F.col("total") * F.lit(1.0) / F.col("chars")),
+            6,
+        ).alias("epochs_at_full_budget"),
+    )
+
+
+@register(
+    "sim_topk_whitened",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT CAST(r.i AS INTEGER) AS i, v[r.i] AS x
+           FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
+    m AS (SELECT i,
+            round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+              AS mu,
+            round(sqrt((CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+                        - CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                          * CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                          / COUNT(*))
+                       / (COUNT(*) - 1)), 6) AS sd
+          FROM ex GROUP BY i),
+    ma AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds
+           FROM m),
+    w AS (SELECT e.vec_id,
+                 list_transform(range(1, len(e.v) + 1),
+                                i -> CASE WHEN ma.sds[i] = 0 THEN 0.0
+                                          ELSE (e.v[i] - ma.mus[i]) / ma.sds[i]
+                                     END) AS wv
+          FROM e, ma),
+    q AS (SELECT wv AS qv FROM w WHERE vec_id = 0)
+    SELECT w.vec_id AS vec_id,
+           round(list_dot_product(w.wv, q.qv) /
+                 (sqrt(list_dot_product(w.wv, w.wv))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS white_cos
+    FROM w, q
+    ORDER BY white_cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened (per-dimension standardized) cosine top-10 — the cheap
+    anisotropy correction for embedding retrieval: dimensions with
+    large variance dominate raw cosine, so each coordinate is centered
+    on its corpus mean and scaled by its corpus std (diagonal
+    whitening) before scoring. The whitening parameters are the SAME
+    exact per-dim moments embeddings_dim_stats publishes (DECIMAL-exact
+    sums, rounded to 6 — cross-engine identical), collected once as a
+    |dim|-scalar literal (bounded, corpus-size-independent), so serving
+    stays a single shuffle-free scan -> literal projection ->
+    TakeOrderedAndProject heap, exactly the sim_topk_bruteforce plan
+    with 2|dim| extra codegen flops per row. Constant dims (sd = 0)
+    contribute 0 on both engines."""
+    from etlutil_spark.operators.profile import embedding_dim_profile
+    from etlutil_spark.operators.similarity import cosine_topk
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, "embeddings", sf_dir))
+    prof = sorted(
+        (r["dim"], r["mean"], r["std"])
+        for r in embedding_dim_profile(e, "embedding")
+        .select("dim", "mean", "std")
+        .collect()
+    )
+    mu = [float(p[1]) for p in prof]
+    sd = [float(p[2]) for p in prof]
+    mu_arr = F.array(*[F.lit(v) for v in mu])
+    sd_arr = F.array(*[F.lit(v) for v in sd])
+    white = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                F.element_at(sd_arr, i + 1) == 0, F.lit(0.0)
+            ).otherwise(
+                (x.cast("double") - F.element_at(mu_arr, i + 1))
+                / F.element_at(sd_arr, i + 1)
+            ),
+        ).alias("wv"),
+    )
+    q = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    wq = [
+        0.0 if sd[i] == 0 else (q[i] - mu[i]) / sd[i] for i in range(len(q))
+    ]
+    return cosine_topk(white, wq, k=10, vec_col="wv").select(
+        "vec_id", F.col("cos_sim").alias("white_cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

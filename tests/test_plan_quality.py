@@ -437,6 +437,28 @@ HEADLINE_BUDGETS = {
     # r10 capstone: both legs read prebuilt stores (pruned scans);
     # rerank joins all <=40-row broadcasts (+1-row bmax scalar)
     "docs_retrieval_pipeline_serve": (2, 3),
+    # r10: one daily aggregate + calendar-bounded (<=365-row) broadcast
+    # pair loop + exact_ntile's range repartition over the pair frame
+    "lineitem_theilsen_drift": (3, 2),
+    # r10: one tokenize-once scored/labeled projection + exact_ntile
+    # range repartition + one decile aggregate
+    "docs_quality_calibration": (2, 1),
+    # r10: two CC labelings (capped shingle join / banded bucket join)
+    # + singleton fill + three keyed pair-count aggregates crossJoined
+    "dedup_agreement_ari": (7, 3),
+    # r10: grouped-ntile composite range repartition + quartile agg +
+    # |sources|-row broadcast for the robust-z pass
+    "docs_robust_scaling": (3, 3),
+    # r10: grouped-rank composite range repartition + one source-keyed
+    # concentration aggregate
+    "docs_source_concentration": (2, 1),
+    # r10: one source-keyed aggregate (checkpointed) + two 1-row scalar
+    # broadcasts; cost independent of corpus size past the first agg
+    "docs_mixture_temperature": (1, 1),
+    # r10: scan -> literal whitening projection -> TakeOrdered heap (the
+    # sim_topk_bruteforce plan; the one exchange is the min-partition
+    # round-robin on the tiny test file)
+    "sim_topk_whitened": (1, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -499,6 +521,9 @@ SCALAR_OK = {
     "dedup_minhash_recall",  # three 1-row count scalars crossJoined
     "orders_price_quantile_sketch",  # cum walk over <= |bounds| bucket rows
     "docs_pmi_collocations",  # two 1-row total scalars crossJoined
+    "lineitem_theilsen_drift",  # 1-row n_days + median scalars crossJoined
+    "dedup_agreement_ari",  # four 1-row pair-count scalars crossJoined
+    "docs_mixture_temperature",  # 1-row corpus-total + weight-sum scalars
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

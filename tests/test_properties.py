@@ -407,6 +407,83 @@ class TestExactNtileProperties:
         }
         assert got == want
 
+    @PROP
+    @given(
+        n=st.integers(0, 120),
+        buckets=st.integers(1, 7),
+        parts=st.integers(1, 6),
+        groups=st.integers(1, 4),
+    )
+    def test_grouped_matches_real_ntile(self, spark, n, buckets, parts, groups):
+        from pyspark.sql.window import Window
+
+        from etlutil_spark.operators.quantiles import exact_grouped_ntile
+
+        # group key cycles (with one NULL group when groups > 1 — SQL
+        # PARTITION BY treats NULL as a group and so must the operator);
+        # values carry heavy ties; id breaks them into a unique order
+        df = spark.range(0, n).select(
+            F.col("id").alias("k"),
+            F.when(
+                F.col("id") % groups == 0, F.lit(None).cast("string")
+            )
+            .otherwise((F.col("id") % groups).cast("string"))
+            .alias("g"),
+            (F.col("id") % 5).alias("v"),
+        )
+        got = {
+            r.k: r.bucket
+            for r in exact_grouped_ntile(
+                df, buckets, ["g"], ["v", "k"], n_partitions=parts
+            ).collect()
+        }
+        want = {
+            r.k: r.nt
+            for r in df.withColumn(
+                "nt",
+                F.ntile(buckets).over(Window.partitionBy("g").orderBy("v", "k")),
+            ).collect()
+        }
+        assert got == want
+
+    @PROP
+    @given(
+        n=st.integers(0, 120),
+        parts=st.integers(1, 6),
+        groups=st.integers(1, 4),
+    )
+    def test_grouped_rank_matches_row_number(self, spark, n, parts, groups):
+        from pyspark.sql.window import Window
+
+        from etlutil_spark.operators.quantiles_grouped import exact_grouped_rank
+
+        df = spark.range(0, n).select(
+            F.col("id").alias("k"),
+            F.when(
+                F.col("id") % groups == 0, F.lit(None).cast("string")
+            )
+            .otherwise((F.col("id") % groups).cast("string"))
+            .alias("g"),
+            (F.col("id") % 5).alias("v"),
+        )
+        got = {
+            r.k: (r.rk, r.gn)
+            for r in exact_grouped_rank(
+                df, ["g"], ["v", "k"], rank_col="rk", n_col="gn",
+                n_partitions=parts,
+            ).collect()
+        }
+        w = Window.partitionBy("g")
+        want = {
+            r.k: (r.rk, r.gn)
+            for r in df.withColumn(
+                "rk", F.row_number().over(w.orderBy("v", "k"))
+            )
+            .withColumn("gn", F.count("*").over(w))
+            .collect()
+        }
+        assert got == want
+
 
 class TestR5Properties:
     @PROP

@@ -570,6 +570,14 @@ class TestCatalogPlanGuards:
         # nested-looped against the Heaps'-law vocab — bounded small
         # side by construction, not a data-scale cartesian
         "docs_js_divergence_sources",
+        # calendar-bounded day-pair loop: the broadcast side is the
+        # <=365-row daily aggregate, fixed at ANY corpus scale — the
+        # Theil-Sen pair stage is quadratic in DAYS, never in rows
+        "lineitem_theilsen_drift",
+        # four 1-row pair-count scalars crossJoined
+        "dedup_agreement_ari",
+        # 1-row corpus-total + weight-sum scalar broadcasts
+        "docs_mixture_temperature",
 }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
