@@ -245,6 +245,7 @@ EXTENDED = [
     "docs_source_concentration",
     "docs_mixture_temperature",
     "sim_topk_whitened",
+    "dedup_lsh_recall_by_bin",
 ]
 
 

@@ -14743,6 +14743,111 @@ def sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Empirical S-curve validation: the same minhash chain as the recall
+# eval (same 1/3 sample), final select swapped for a per-similarity-bin
+# recall readout next to the theoretical banding curve 1-(1-s^r)^b.
+# The bin midpoints and curve values are CONSTANTS (4 fixed bins at the
+# r=4, b=8 production config), so both engines get them as literals —
+# no cross-engine float arithmetic to keep in lockstep.
+_LSH_BIN_MIDS = [0.1, 0.3, 0.5, 0.7, 0.9]
+_LSH_BIN_PREDS = [
+    round(1.0 - (1.0 - s**4) ** 8, 6) for s in _LSH_BIN_MIDS
+]
+_DUCK_LSH_RECALL_BY_BIN = _duck_minhash_lsh_sql(threshold=0.0).replace(
+    "FROM documents",
+    "FROM documents WHERE doc_id % 3 = 0",
+).replace(
+    "SELECT id_a, id_b, jaccard FROM vpairs",
+    """, binned AS (
+      SELECT e.jaccard,
+             least(CAST(FLOOR(e.jaccard / 0.2) AS INTEGER), 4) AS bin,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e
+      LEFT JOIN cands c ON e.id_a = c.id_a AND e.id_b = c.id_b)
+    SELECT bin,
+           CASE bin {mids} END AS s_mid,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           round(SUM(hit) * 1.0 / COUNT(*), 6) AS recall,
+           CASE bin {preds} END AS s_curve_pred
+    FROM binned GROUP BY bin""".format(
+        mids=" ".join(
+            f"WHEN {i} THEN {m!r}" for i, m in enumerate(_LSH_BIN_MIDS)
+        ),
+        preds=" ".join(
+            f"WHEN {i} THEN {p!r}" for i, p in enumerate(_LSH_BIN_PREDS)
+        ),
+    ),
+    1,
+)
+
+
+@register("dedup_lsh_recall_by_bin", _DUCK_LSH_RECALL_BY_BIN)
+def dedup_lsh_recall_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical validation of the LSH banding S-curve across the FULL
+    similarity axis: every shingle-sharing pair of the deterministic
+    1/3 eval sample is binned by exact Jaccard (0.2-wide bins) and each
+    bin reports MEASURED candidate rate next to the THEORETICAL banding
+    curve 1-(1-s^r)^b at the bin midpoint (r=4 rows/band, b=8 bands —
+    the production config). This closes the plan->predict->measure loop
+    that dedup_lsh_scurve opens, and checks BOTH tails: the low bins
+    measure how often banding fires on dissimilar pairs (the curve says
+    ~0.0008 at s=0.1 — overshooting means wasted verify work at corpus
+    scale), the top bin measures recall on true near-dups (undershooting
+    means banding is broken, not unlucky).
+
+    The S-curve prediction uses only literal multiplications (squares
+    chained — s^4 and (1-s^4)^8 via repeated squaring, never pow(),
+    whose last ulp is not cross-engine portable). Same sampled eval
+    harness economics as dedup_minhash_recall; the ground-truth side
+    stays confined to the sample, the production path never computes
+    it."""
+    from etlutil_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 3 == 0)
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.0)
+    cands = (
+        minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=None
+        )
+        .select("id_a", "id_b", F.lit(1).alias("_hit"))
+        .localCheckpoint(eager=False)
+    )
+    binned = exact.join(F.broadcast(cands), ["id_a", "id_b"], "left").select(
+        F.least(
+            F.floor(F.col("jaccard") / F.lit(0.2)).cast("int"),
+            F.lit(4),
+        ).alias("bin"),
+        F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
+    )
+
+    def _by_bin(vals: list[float]):
+        expr = F.lit(None).cast("double")
+        for i, v in enumerate(vals):
+            expr = F.when(F.col("bin") == i, F.lit(v)).otherwise(expr)
+        return expr
+
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum("hit").cast("bigint").alias("n_hit"),
+            F.round(F.sum("hit") * F.lit(1.0) / F.count("*"), 6).alias("recall"),
+        )
+        .select(
+            "bin",
+            _by_bin(_LSH_BIN_MIDS).alias("s_mid"),
+            "n_true",
+            "n_hit",
+            "recall",
+            _by_bin(_LSH_BIN_PREDS).alias("s_curve_pred"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

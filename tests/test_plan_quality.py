@@ -459,6 +459,9 @@ HEADLINE_BUDGETS = {
     # sim_topk_bruteforce plan; the one exchange is the min-partition
     # round-robin on the tiny test file)
     "sim_topk_whitened": (1, 0),
+    # r10: sampled eval — uncapped shingle pair chain + banded candidate
+    # chain + one broadcast left join + one bin-keyed aggregate
+    "dedup_lsh_recall_by_bin": (7, 3),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
