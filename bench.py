@@ -246,6 +246,8 @@ EXTENDED = [
     "docs_mixture_temperature",
     "sim_topk_whitened",
     "dedup_lsh_recall_by_bin",
+    "docs_source_lorenz",
+    "dedup_impact_report",
 ]
 
 

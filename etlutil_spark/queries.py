@@ -14848,6 +14848,176 @@ def dedup_lsh_recall_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_source_lorenz",
+    f"""
+    WITH t AS (SELECT doc_id, source, n_chars, text, {_DUCK_TOKENS} AS tk
+               FROM documents),
+    s AS (SELECT doc_id, source, n_chars,
+                 {_DUCK_QUALITY_SCORE} AS model_score FROM t),
+    f AS (SELECT * FROM s WHERE model_score IS NOT NULL),
+    d AS (SELECT *, CAST(NTILE(10) OVER (PARTITION BY source
+                                         ORDER BY model_score DESC, doc_id)
+                         AS INTEGER) AS decile
+          FROM f),
+    g AS (SELECT source, decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+          FROM d GROUP BY source, decile)
+    SELECT source, decile, n_docs, chars,
+           round(CAST(SUM(chars) OVER (PARTITION BY source ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) * 1.0
+                 / CAST(SUM(chars) OVER (PARTITION BY source) AS BIGINT), 6)
+             AS cum_char_share
+    FROM g
+    """,
+)
+def docs_source_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality Lorenz curve: within each source, docs fall
+    into exact quality deciles (decile 1 = best tenth) and each decile
+    row reports the CUMULATIVE char share of the top-d deciles — the
+    full curve behind docs_source_concentration's scalar, read to pick
+    per-source keep-thresholds ("keeping this source's top 3 deciles
+    keeps 41% of its volume"). The mixture planner's supply curve.
+
+    Deciles are quantiles.exact_grouped_ntile (no per-source window
+    over corpus-sized partitions); the cumulative window then runs
+    over the |sources| x 10 DECILE table — hundreds of rows at any
+    corpus size, so the only windows in the plan are bounded by the
+    report's own size, never by the data. Shares are exact-integer
+    ratios rounded at 6."""
+    from etlutil_spark.operators.quantiles import exact_grouped_ntile
+    from etlutil_spark.operators.text_analysis import quality_model_score
+    from etlutil_spark.operators.util import ensure_min_partitions
+    from pyspark.sql.window import Window
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    f = (
+        quality_model_score(d, "text")
+        .where(F.col("model_score").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (-F.col("model_score")).alias("_neg"),
+        )
+    )
+    dec = exact_grouped_ntile(
+        f, 10, ["source"], ["_neg", "doc_id"], bucket_col="decile"
+    )
+    g = dec.groupBy("source", "decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars"),
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "decile",
+        "n_docs",
+        "chars",
+        F.round(
+            F.sum("chars").over(cum_w).cast("bigint") * F.lit(1.0)
+            / F.sum("chars").over(tot_w).cast("bigint"),
+            6,
+        ).alias("cum_char_share"),
+    )
+
+
+@register(
+    "dedup_impact_report",
+    _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _DUCK_SHINGLES_FREQ50
+    + """,
+    pairs AS (
+      SELECT id_a, id_b
+      FROM interf
+      JOIN szf sa ON sa.doc_id = id_a
+      JOIN szf sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.n),
+    cl AS (SELECT n AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+    j AS (
+      SELECT d.source, CAST(d.n_chars AS BIGINT) AS w,
+             CASE WHEN cl.member_id IS NULL OR cl.cluster_id = d.doc_id
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN cl ON cl.member_id = d.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+           CAST(SUM(w) AS BIGINT) AS chars_before,
+           CAST(SUM(kept) AS BIGINT) AS n_docs_after,
+           CAST(SUM(CASE WHEN kept = 1 THEN w ELSE 0 END) AS BIGINT)
+             AS chars_after,
+           round(1.0 - CAST(SUM(CASE WHEN kept = 1 THEN w ELSE 0 END)
+                            AS BIGINT) * 1.0
+                       / CAST(SUM(w) AS BIGINT), 6) AS char_savings
+    FROM j GROUP BY source
+    """,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact card — the before/after accounting a
+    curation release publishes next to its dedup stage: for each source,
+    doc and char volumes before near-dup dedup (3-gram Jaccard >= 0.6
+    connected components, stop-shingle cap 50) and after keeping one
+    representative per cluster (the min-id member — swap in
+    dedup_best_of_cluster's quality-aware survivor for production), plus
+    the char savings ratio. Sources that are mostly templated boilerplate
+    show savings far above the corpus mean — this is the table that
+    justifies (or kills) running the expensive dedup stage per source.
+
+    Shape: the capped CC pipeline (bounded pair join, O(log n) star
+    rounds), the cluster map broadcast back onto one corpus scan, one
+    source-keyed aggregate of exact integer sums. No stage quadratic in
+    corpus size; ratios are single IEEE divisions rounded at 6."""
+    from etlutil_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    cl = duplicate_clusters(
+        ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
+        )
+    )
+    j = d.join(F.broadcast(cl), d.doc_id == cl.member_id, "left").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.when(
+            F.col("member_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    kept_w = F.sum(F.when(F.col("kept") == 1, F.col("w")).otherwise(0)).cast(
+        "bigint"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_before"),
+        F.sum("w").cast("bigint").alias("chars_before"),
+        F.sum("kept").cast("bigint").alias("n_docs_after"),
+        kept_w.alias("chars_after"),
+        F.round(
+            F.lit(1.0) - kept_w * F.lit(1.0) / F.sum("w").cast("bigint"), 6
+        ).alias("char_savings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -462,6 +462,12 @@ HEADLINE_BUDGETS = {
     # r10: sampled eval — uncapped shingle pair chain + banded candidate
     # chain + one broadcast left join + one bin-keyed aggregate
     "dedup_lsh_recall_by_bin": (7, 3),
+    # r10: grouped-ntile composite range repartition + (source, decile)
+    # aggregate; cumulative windows run over the |sources| x 10 report
+    "docs_source_lorenz": (3, 1),
+    # r10: capped CC pipeline + broadcast cluster map onto one scan +
+    # one source-keyed aggregate
+    "dedup_impact_report": (4, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
