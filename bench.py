@@ -248,6 +248,8 @@ EXTENDED = [
     "dedup_lsh_recall_by_bin",
     "docs_source_lorenz",
     "dedup_impact_report",
+    "embeddings_outliers",
+    "dedup_cluster_sizes",
 ]
 
 

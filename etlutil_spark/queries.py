@@ -15018,6 +15018,140 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embeddings_outliers",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT CAST(r.i AS INTEGER) AS i, v[r.i] AS x
+           FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
+    m AS (SELECT i,
+            round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+              AS mu,
+            round(sqrt((CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+                        - CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                          * CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                          / COUNT(*))
+                       / (COUNT(*) - 1)), 6) AS sd
+          FROM ex GROUP BY i),
+    ma AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds
+           FROM m),
+    w AS (SELECT e.vec_id,
+                 list_transform(range(1, len(e.v) + 1),
+                                i -> CASE WHEN ma.sds[i] = 0 THEN 0.0
+                                          ELSE (e.v[i] - ma.mus[i]) / ma.sds[i]
+                                     END) AS wv
+          FROM e, ma)
+    SELECT vec_id, round(list_dot_product(wv, wv), 6) AS white_norm2
+    FROM w
+    ORDER BY white_norm2 DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embeddings_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier audit: top-10 vectors by diagonal-Mahalanobis
+    norm (sum of squared per-dimension z-scores — chi-square-distributed
+    under a well-behaved embedding model, so a handful of extreme values
+    flags corrupted inputs, degenerate encoder outputs, or distribution
+    drift before they poison training). Uses the SAME exact per-dim
+    moments as embeddings_dim_stats / sim_topk_whitened (collected once
+    as |dim| literals, bounded); the plan is one shuffle-free scan ->
+    literal whitening projection -> TakeOrderedAndProject heap."""
+    from etlutil_spark.operators.profile import embedding_dim_profile
+    from etlutil_spark.operators.util import ensure_min_partitions
+    from etlutil_spark.functions.vectors import dot
+
+    e = ensure_min_partitions(load_table(spark, "embeddings", sf_dir))
+    prof = sorted(
+        (r["dim"], r["mean"], r["std"])
+        for r in embedding_dim_profile(e, "embedding")
+        .select("dim", "mean", "std")
+        .collect()
+    )
+    mu_arr = F.array(*[F.lit(float(p[1])) for p in prof])
+    sd_arr = F.array(*[F.lit(float(p[2])) for p in prof])
+    white = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                F.element_at(sd_arr, i + 1) == 0, F.lit(0.0)
+            ).otherwise(
+                (x.cast("double") - F.element_at(mu_arr, i + 1))
+                / F.element_at(sd_arr, i + 1)
+            ),
+        ).alias("wv"),
+    )
+    return (
+        white.select(
+            "vec_id", F.round(dot("wv", "wv"), 6).alias("white_norm2")
+        )
+        .orderBy(F.col("white_norm2").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "dedup_cluster_sizes",
+    _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _DUCK_SHINGLES_FREQ50
+    + """,
+    pairs AS (
+      SELECT id_a, id_b
+      FROM interf
+      JOIN szf sa ON sa.doc_id = id_a
+      JOIN szf sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.n),
+    cl AS (SELECT n AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+    csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM cl GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM csz GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the shape diagnostic a dedup
+    release card carries: per cluster size, how many clusters, how many
+    docs they hold, and how many docs dedup can remove (size - 1 per
+    cluster). A heavy tail here (one giant cluster holding 10% of the
+    corpus) means boilerplate families or a broken threshold — caught
+    BEFORE survivors are materialized; the 'n_removable' column totals
+    to exactly the doc savings dedup_impact_report reports.
+
+    One capped CC run, one cluster-keyed count, one size-keyed count —
+    report rows bounded by the largest cluster size, not the corpus."""
+    from etlutil_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    cl = duplicate_clusters(
+        ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
+        )
+    )
+    sz = cl.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

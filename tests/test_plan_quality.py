@@ -468,6 +468,10 @@ HEADLINE_BUDGETS = {
     # r10: capped CC pipeline + broadcast cluster map onto one scan +
     # one source-keyed aggregate
     "dedup_impact_report": (4, 2),
+    # r10: scan -> literal whitening projection -> TakeOrdered heap
+    "embeddings_outliers": (1, 0),
+    # r10: capped CC pipeline + cluster-keyed then size-keyed counts
+    "dedup_cluster_sizes": (4, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
