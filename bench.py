@@ -250,6 +250,7 @@ EXTENDED = [
     "dedup_impact_report",
     "embeddings_outliers",
     "dedup_cluster_sizes",
+    "audit_release_gate",
 ]
 
 

@@ -15152,6 +15152,117 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Release-gate capstone oracle: wraps the ALREADY-REGISTERED audit
+# oracles as derived tables, so the gate can never drift from the audits
+# it summarizes — editing an audit edits the gate.
+_DUCK_RELEASE_GATE = f"""
+    WITH fk AS (SELECT CAST(SUM(n_orphans) AS BIGINT) AS n_fk_orphans
+                FROM ({ORACLES["audit_fk_orphans"]})),
+    rng AS (SELECT CAST(SUM(n_violations) AS BIGINT) AS n_range_violations
+            FROM ({ORACLES["audit_value_ranges"]})),
+    ka AS (SELECT CAST(n_violating_classes AS BIGINT) AS n_kanon2_violations
+           FROM ({ORACLES["orders_k_anonymity"]}) WHERE k = 2),
+    bf AS (SELECT CAST(MAX(ABS(dev_count_micro)) AS BIGINT)
+                    AS benford_max_dev_micro,
+                  CAST(SUM(n_obs) AS BIGINT) AS _nb
+           FROM ({ORACLES["audit_benford_totalprice"]})),
+    ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated_docs
+           FROM ({ORACLES["docs_contamination"]}))
+    SELECT fk.n_fk_orphans,
+           rng.n_range_violations,
+           ka.n_kanon2_violations,
+           bf.benford_max_dev_micro,
+           ct.n_contaminated_docs,
+           fk.n_fk_orphans = 0 AS fk_ok,
+           rng.n_range_violations = 0 AS ranges_ok,
+           ka.n_kanon2_violations = 0 AS kanon_ok,
+           bf.benford_max_dev_micro * 20 <= bf._nb * 1000000 AS benford_ok,
+           ct.n_contaminated_docs = 0 AS decon_ok,
+           (fk.n_fk_orphans = 0 AND rng.n_range_violations = 0
+            AND ka.n_kanon2_violations = 0
+            AND bf.benford_max_dev_micro * 20 <= bf._nb * 1000000
+            AND ct.n_contaminated_docs = 0) AS release_ok
+    FROM fk, rng, ka, bf, ct
+    """
+
+
+@register("audit_release_gate", _DUCK_RELEASE_GATE)
+def audit_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ship/no-ship release card: ONE row that composes every audit
+    family into named boolean gates — referential integrity (zero FK
+    orphans), domain rules (zero value violations), privacy (zero
+    quasi-identifier classes below k=2), plausibility (max Benford
+    first-digit deviation within 5% of N, compared in exact integer
+    micro-units so no float can flip the verdict), and benchmark
+    decontamination (zero train docs sharing >= 2 eval shingles) — plus
+    the AND of all of them. This is the query a data-release pipeline
+    runs LAST; each FALSE points at the detailed audit to read next
+    (audit_fk_orphans, audit_value_ranges, orders_k_anonymity,
+    audit_benford_totalprice, docs_contamination).
+
+    Both sides are COMPOSED from the underlying audits rather than
+    re-implemented: the Spark builder aggregates the registered audit
+    queries' outputs; the oracle wraps the registered audit oracle SQL
+    as derived tables — the gate cannot drift from what it summarizes.
+    Each leg is one keyed pass; the gate itself is five 1-row scalars
+    crossJoined."""
+    fk = (
+        QUERIES["audit_fk_orphans"](spark, sf_dir)
+        .agg(F.sum("n_orphans").cast("bigint").alias("n_fk_orphans"))
+    )
+    rng = (
+        QUERIES["audit_value_ranges"](spark, sf_dir)
+        .agg(F.sum("n_violations").cast("bigint").alias("n_range_violations"))
+    )
+    ka = (
+        QUERIES["orders_k_anonymity"](spark, sf_dir)
+        .where(F.col("k") == 2)
+        .select(
+            F.col("n_violating_classes").cast("bigint").alias(
+                "n_kanon2_violations"
+            )
+        )
+    )
+    bf = QUERIES["audit_benford_totalprice"](spark, sf_dir).agg(
+        F.max(F.abs(F.col("dev_count_micro")))
+        .cast("bigint")
+        .alias("benford_max_dev_micro"),
+        F.sum("n_obs").cast("bigint").alias("_nb"),
+    )
+    ct = (
+        QUERIES["docs_contamination"](spark, sf_dir)
+        .agg(F.count("*").cast("bigint").alias("n_contaminated_docs"))
+    )
+    s = (
+        fk.crossJoin(F.broadcast(rng))
+        .crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(bf))
+        .crossJoin(F.broadcast(ct))
+    )
+    fk_ok = F.col("n_fk_orphans") == 0
+    ranges_ok = F.col("n_range_violations") == 0
+    kanon_ok = F.col("n_kanon2_violations") == 0
+    benford_ok = (
+        F.col("benford_max_dev_micro") * 20 <= F.col("_nb") * 1000000
+    )
+    decon_ok = F.col("n_contaminated_docs") == 0
+    return s.select(
+        "n_fk_orphans",
+        "n_range_violations",
+        "n_kanon2_violations",
+        "benford_max_dev_micro",
+        "n_contaminated_docs",
+        fk_ok.alias("fk_ok"),
+        ranges_ok.alias("ranges_ok"),
+        kanon_ok.alias("kanon_ok"),
+        benford_ok.alias("benford_ok"),
+        decon_ok.alias("decon_ok"),
+        (fk_ok & ranges_ok & kanon_ok & benford_ok & decon_ok).alias(
+            "release_ok"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

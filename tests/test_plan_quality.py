@@ -472,6 +472,9 @@ HEADLINE_BUDGETS = {
     "embeddings_outliers": (1, 0),
     # r10: capped CC pipeline + cluster-keyed then size-keyed counts
     "dedup_cluster_sizes": (4, 1),
+    # r10 capstone: composes FIVE audits (each its own keyed passes) +
+    # five 1-row gate scalars crossJoined
+    "audit_release_gate": (20, 13),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -537,6 +540,7 @@ SCALAR_OK = {
     "lineitem_theilsen_drift",  # 1-row n_days + median scalars crossJoined
     "dedup_agreement_ari",  # four 1-row pair-count scalars crossJoined
     "docs_mixture_temperature",  # 1-row corpus-total + weight-sum scalars
+    "audit_release_gate",  # five 1-row audit-gate scalars crossJoined
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -578,6 +578,8 @@ class TestCatalogPlanGuards:
         "dedup_agreement_ari",
         # 1-row corpus-total + weight-sum scalar broadcasts
         "docs_mixture_temperature",
+        # five 1-row audit-gate scalars crossJoined
+        "audit_release_gate",
 }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
