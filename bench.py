@@ -251,6 +251,7 @@ EXTENDED = [
     "embeddings_outliers",
     "dedup_cluster_sizes",
     "audit_release_gate",
+    "orders_forecast_backtest",
 ]
 
 

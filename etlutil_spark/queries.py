@@ -15263,6 +15263,78 @@ def audit_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_forecast_backtest",
+    """
+    WITH m AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                             AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS rev_q
+      FROM orders GROUP BY 1),
+    r AS (SELECT month, rev_q,
+                 ROW_NUMBER() OVER (ORDER BY month) AS idx,
+                 LAG(rev_q, 1) OVER (ORDER BY month) AS prev1,
+                 LAG(rev_q, 12) OVER (ORDER BY month) AS prev12
+          FROM m),
+    e AS (SELECT * FROM r WHERE idx >= 13)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           round(CAST(SUM(ABS(rev_q - prev1)) AS BIGINT)
+                 / (COUNT(*) * 10000.0), 6) AS mae_naive,
+           round(CAST(SUM(ABS(rev_q - prev12)) AS BIGINT)
+                 / (COUNT(*) * 10000.0), 6) AS mae_seasonal,
+           round(CAST(SUM(ABS(rev_q - prev12)) AS BIGINT) * 1.0
+                 / CAST(SUM(ABS(rev_q - prev1)) AS BIGINT), 6) AS mase
+    FROM e
+    """,
+)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step forecast backtest on monthly revenue: evaluate the two
+    zero-parameter baselines every forecasting effort must beat —
+    naive (last month) and seasonal-naive (same month last year) — as
+    mean absolute error over all months where both are defined, plus
+    MASE = MAE(seasonal)/MAE(naive) (< 1 means annual seasonality is
+    real signal; > 1 means the series is dominated by level shifts).
+    This is the backtest harness pattern: the reduction an engine needs
+    before any fancier model earns its complexity budget.
+
+    One orders scan reduces to the ~80-row monthly series (exact
+    integer-quantized DECIMAL revenue); the lag/rank windows then run
+    over that calendar-bounded table (the orders_revenue_trend /
+    seasonal_decompose shape — report-sized, corpus-independent). All
+    errors are exact integer sums; MASE's quantization scale cancels in
+    the ratio."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    m = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.floor(
+            F.sum(_dec("o_totalprice")).cast("double") * 10000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_q")
+    )
+    w = Window.orderBy("month")
+    r = m.select(
+        "month",
+        "rev_q",
+        F.row_number().over(w).alias("idx"),
+        F.lag("rev_q", 1).over(w).alias("prev1"),
+        F.lag("rev_q", 12).over(w).alias("prev12"),
+    ).where(F.col("idx") >= 13)
+    sum1 = F.sum(F.abs(F.col("rev_q") - F.col("prev1"))).cast("bigint")
+    sum12 = F.sum(F.abs(F.col("rev_q") - F.col("prev12"))).cast("bigint")
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.round(sum1 / (F.count("*") * F.lit(10000.0)), 6).alias("mae_naive"),
+        F.round(sum12 / (F.count("*") * F.lit(10000.0)), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(sum12 * F.lit(1.0) / sum1, 6).alias("mase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -475,6 +475,9 @@ HEADLINE_BUDGETS = {
     # r10 capstone: composes FIVE audits (each its own keyed passes) +
     # five 1-row gate scalars crossJoined
     "audit_release_gate": (20, 13),
+    # r10: one month-keyed aggregate; lag/rank windows + error reduce
+    # run over the ~80-row monthly series
+    "orders_forecast_backtest": (2, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -541,6 +544,7 @@ SCALAR_OK = {
     "dedup_agreement_ari",  # four 1-row pair-count scalars crossJoined
     "docs_mixture_temperature",  # 1-row corpus-total + weight-sum scalars
     "audit_release_gate",  # five 1-row audit-gate scalars crossJoined
+    "orders_forecast_backtest",  # windows over the ~80-row monthly series
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
