@@ -252,6 +252,7 @@ EXTENDED = [
     "dedup_cluster_sizes",
     "audit_release_gate",
     "orders_forecast_backtest",
+    "parts_item_similarity_topk",
 ]
 
 

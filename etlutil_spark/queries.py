@@ -15335,6 +15335,76 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "parts_item_similarity_topk",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM b GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                       AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT co.part_a, co.part_b, co.n_co,
+           na.n_orders AS n_a, nb.n_orders AS n_b,
+           round(co.n_co / sqrt((na.n_orders * nb.n_orders) * 1.0), 6)
+             AS cos_sim
+    FROM co
+    JOIN n na ON na.l_partkey = co.part_a
+    JOIN n nb ON nb.l_partkey = co.part_b
+    ORDER BY cos_sim DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def parts_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity: top-20 part pairs by
+    co-occurrence cosine n_co / sqrt(n_a * n_b) over order baskets
+    (>= 2 shared orders) — the classic "customers who bought X also
+    bought Y" primitive (Sarwar et al. 2001), the similarity-score
+    complement of lineitem_basket_rules' confidence/lift readout.
+
+    Scale shape: the pair stage self-joins WITHIN order (TPC-H baskets
+    are <= 7 lines, so per-order fan-out is bounded by basket size
+    squared — the purchase_click_pairs/copurchase discipline, never an
+    item-item cartesian); marginals are one keyed count broadcast onto
+    the co-count table; cosine is an exact-integer ratio under one
+    sqrt of an exact product; final ranking is a TakeOrdered heap."""
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n_orders"))
+    a = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(c, (F.col("o") == F.col("o2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_co"))
+        .where(F.col("n_co") >= 2)
+    )
+    na = n.withColumnsRenamed({"l_partkey": "pa", "n_orders": "n_a"})
+    nb = n.withColumnsRenamed({"l_partkey": "pb", "n_orders": "n_b"})
+    return (
+        co.join(F.broadcast(na), F.col("part_a") == F.col("pa"))
+        .join(F.broadcast(nb), F.col("part_b") == F.col("pb"))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_co")
+                / F.sqrt((F.col("n_a") * F.col("n_b")) * F.lit(1.0)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -478,6 +478,9 @@ HEADLINE_BUDGETS = {
     # r10: one month-keyed aggregate; lag/rank windows + error reduce
     # run over the ~80-row monthly series
     "orders_forecast_backtest": (2, 0),
+    # r10: basket-bounded within-order pair join + marginal count
+    # broadcasts + TakeOrdered heap
+    "parts_item_similarity_topk": (6, 2),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
