@@ -484,6 +484,36 @@ class TestExactNtileProperties:
         }
         assert got == want
 
+    @PROP
+    @given(n=st.integers(0, 100), buckets=st.integers(1, 5))
+    def test_grouped_ntile_two_group_cols(self, spark, n, buckets):
+        from pyspark.sql.window import Window
+
+        from etlutil_spark.operators.quantiles import exact_grouped_ntile
+
+        df = spark.range(0, n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g1"),
+            (F.col("id") % 2).alias("g2"),
+            (F.col("id") % 4).alias("v"),
+        )
+        got = {
+            r.k: r.bucket
+            for r in exact_grouped_ntile(
+                df, buckets, ["g1", "g2"], ["v", "k"], n_partitions=4
+            ).collect()
+        }
+        want = {
+            r.k: r.nt
+            for r in df.withColumn(
+                "nt",
+                F.ntile(buckets).over(
+                    Window.partitionBy("g1", "g2").orderBy("v", "k")
+                ),
+            ).collect()
+        }
+        assert got == want
+
 
 class TestR5Properties:
     @PROP
