@@ -253,6 +253,7 @@ EXTENDED = [
     "audit_release_gate",
     "orders_forecast_backtest",
     "parts_item_similarity_topk",
+    "sim_whitened_shift",
 ]
 
 

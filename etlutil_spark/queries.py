@@ -15405,6 +15405,113 @@ def parts_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_whitened_shift",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT CAST(r.i AS INTEGER) AS i, v[r.i] AS x
+           FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
+    m AS (SELECT i,
+            round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+              AS mu,
+            round(sqrt((CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+                        - CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                          * CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                          / COUNT(*))
+                       / (COUNT(*) - 1)), 6) AS sd
+          FROM ex GROUP BY i),
+    ma AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds
+           FROM m),
+    w AS (SELECT e.vec_id,
+                 list_transform(range(1, len(e.v) + 1),
+                                i -> CASE WHEN ma.sds[i] = 0 THEN 0.0
+                                          ELSE (e.v[i] - ma.mus[i]) / ma.sds[i]
+                                     END) AS wv
+          FROM e, ma),
+    qr AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qw AS (SELECT wv AS qv FROM w WHERE vec_id = 0),
+    raw AS (
+      SELECT e.vec_id,
+             round(list_dot_product(e.v, qr.qv) /
+                   (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(qr.qv, qr.qv))), 6) AS cs
+      FROM e, qr ORDER BY cs DESC, vec_id LIMIT 10),
+    wht AS (
+      SELECT w.vec_id,
+             round(list_dot_product(w.wv, qw.qv) /
+                   (sqrt(list_dot_product(w.wv, w.wv))
+                    * sqrt(list_dot_product(qw.qv, qw.qv))), 6) AS cs
+      FROM w, qw ORDER BY cs DESC, vec_id LIMIT 10)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM raw JOIN wht ON raw.vec_id = wht.vec_id) AS n_overlap,
+           round((SELECT COUNT(*) FROM raw JOIN wht
+                  ON raw.vec_id = wht.vec_id) * 1.0
+                 / (20 - (SELECT COUNT(*) FROM raw JOIN wht
+                          ON raw.vec_id = wht.vec_id)), 6)
+             AS jaccard_at_10
+    """,
+)
+def sim_whitened_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does whitening CHANGE retrieval? Top-10 overlap between
+    raw cosine and diagonal-whitened cosine for the same probe (vec_id
+    0): overlap count and Jaccard@10. Read next to sim_topk_whitened
+    before deploying whitening — overlap 10/10 means the correction is
+    a no-op on this corpus (skip the extra flops); a low overlap means
+    variance-dominant dimensions were steering raw retrieval and the
+    whitened ranking is materially different (then validate against
+    labels, e.g. embeddings_cluster_purity, before switching).
+
+    Both rankings are shuffle-free scan -> projection -> TakeOrdered
+    heaps over ONE pass each; the comparison is a 10x10 join — the
+    sim_ann_recall harness economics."""
+    from etlutil_spark.operators.profile import embedding_dim_profile
+    from etlutil_spark.operators.similarity import cosine_topk
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, "embeddings", sf_dir))
+    prof = sorted(
+        (r["dim"], r["mean"], r["std"])
+        for r in embedding_dim_profile(e, "embedding")
+        .select("dim", "mean", "std")
+        .collect()
+    )
+    mu = [float(p[1]) for p in prof]
+    sd = [float(p[2]) for p in prof]
+    mu_arr = F.array(*[F.lit(v) for v in mu])
+    sd_arr = F.array(*[F.lit(v) for v in sd])
+    white = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                F.element_at(sd_arr, i + 1) == 0, F.lit(0.0)
+            ).otherwise(
+                (x.cast("double") - F.element_at(mu_arr, i + 1))
+                / F.element_at(sd_arr, i + 1)
+            ),
+        ).alias("wv"),
+    )
+    q = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    wq = [0.0 if sd[i] == 0 else (q[i] - mu[i]) / sd[i] for i in range(len(q))]
+    raw10 = cosine_topk(e, q, k=10).select("vec_id")
+    wht10 = cosine_topk(white, wq, k=10, vec_col="wv").select(
+        F.col("vec_id").alias("wid")
+    )
+    ov = raw10.join(
+        F.broadcast(wht10), F.col("vec_id") == F.col("wid")
+    ).agg(F.count("*").cast("bigint").alias("n_overlap"))
+    return ov.select(
+        "n_overlap",
+        F.round(
+            F.col("n_overlap") * F.lit(1.0) / (F.lit(20) - F.col("n_overlap")),
+            6,
+        ).alias("jaccard_at_10"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

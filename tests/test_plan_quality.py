@@ -481,6 +481,8 @@ HEADLINE_BUDGETS = {
     # r10: basket-bounded within-order pair join + marginal count
     # broadcasts + TakeOrdered heap
     "parts_item_similarity_topk": (6, 2),
+    # r10: two TakeOrdered heaps (raw + whitened) joined over 10 rows
+    "sim_whitened_shift": (2, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
