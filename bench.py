@@ -254,6 +254,7 @@ EXTENDED = [
     "orders_forecast_backtest",
     "parts_item_similarity_topk",
     "sim_whitened_shift",
+    "dedup_cross_source_matrix",
 ]
 
 

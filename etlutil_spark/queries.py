@@ -15512,6 +15512,69 @@ def sim_whitened_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cross_source_matrix",
+    _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _DUCK_SHINGLES_FREQ50
+    + """,
+    pairs AS (
+      SELECT id_a, id_b
+      FROM interf
+      JOIN szf sa ON sa.doc_id = id_a
+      JOIN szf sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
+    lab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS within
+      FROM pairs
+      JOIN documents da ON da.doc_id = pairs.id_a
+      JOIN documents db ON db.doc_id = pairs.id_b)
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(within) AS BIGINT) AS n_within
+    FROM lab GROUP BY source_a, source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup leakage map: every exact-Jaccard >= 0.6
+    pair labeled with its (unordered) source pair — WHICH sources share
+    near-duplicate content. The provenance view a release card needs
+    beyond per-source savings: heavy off-diagonal cells mean syndicated
+    or mirrored content BETWEEN sources (double-counted provenance,
+    licensing risk, and train/eval leakage when splits are drawn by
+    source — the split-leakage failure docs_split_leakage gates on);
+    diagonal cells are ordinary within-source boilerplate.
+
+    One capped pair stage (the dedup_ngram_jaccard discipline), two
+    doc->source lookups (dimension-shaped broadcast in practice), one
+    (source_a, source_b)-keyed count — report rows bounded by
+    |sources|^2, never by the corpus."""
+    from etlutil_spark.operators.dedup import ngram_jaccard_pairs
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
+    ).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    sa = src.withColumnsRenamed({"doc_id": "ida", "source": "sa"})
+    sb = src.withColumnsRenamed({"doc_id": "idb", "source": "sb"})
+    lab = (
+        pairs.join(F.broadcast(sa), F.col("id_a") == F.col("ida"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("idb"))
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+            F.when(F.col("sa") == F.col("sb"), 1).otherwise(0).alias("within"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("within").cast("bigint").alias("n_within"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -483,6 +483,9 @@ HEADLINE_BUDGETS = {
     "parts_item_similarity_topk": (6, 2),
     # r10: two TakeOrdered heaps (raw + whitened) joined over 10 rows
     "sim_whitened_shift": (2, 1),
+    # r10: capped pair chain + two doc->source broadcast lookups + one
+    # (source, source)-keyed count
+    "dedup_cross_source_matrix": (13, 4),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
