@@ -255,6 +255,7 @@ EXTENDED = [
     "parts_item_similarity_topk",
     "sim_whitened_shift",
     "dedup_cross_source_matrix",
+    "dedup_minhash_estimator_error",
 ]
 
 

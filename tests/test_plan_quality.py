@@ -486,6 +486,9 @@ HEADLINE_BUDGETS = {
     # r10: capped pair chain + two doc->source broadcast lookups + one
     # (source, source)-keyed count
     "dedup_cross_source_matrix": (13, 4),
+    # r10: banded candidate chain + signature table broadcast twice +
+    # 1-row error reduce
+    "dedup_minhash_estimator_error": (7, 3),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -553,6 +556,7 @@ SCALAR_OK = {
     "docs_mixture_temperature",  # 1-row corpus-total + weight-sum scalars
     "audit_release_gate",  # five 1-row audit-gate scalars crossJoined
     "orders_forecast_backtest",  # windows over the ~80-row monthly series
+    "dedup_minhash_estimator_error",  # 1-row error-statistic reduce
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
