@@ -256,6 +256,7 @@ EXTENDED = [
     "sim_whitened_shift",
     "dedup_cross_source_matrix",
     "dedup_minhash_estimator_error",
+    "orders_price_quantile_store",
 ]
 
 

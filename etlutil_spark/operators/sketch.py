@@ -464,3 +464,145 @@ def histogram_quantiles(
         )
         outs = row if outs is None else outs.unionByName(row)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# Persisted mergeable-histogram store: the quantile twin of the postings /
+# IVFADC serving stores. Because log_histogram state is MERGEABLE (counters
+# add), incremental maintenance is trivial: each batch appends its OWN tiny
+# delta partition (<= |bounds| rows) and readers SUM across deltas — the
+# existing store is never read or rewritten, and quantiles served after an
+# increment equal a from-scratch histogram over the union by construction.
+# ---------------------------------------------------------------------------
+
+
+def _hist_fs(spark, path: str):
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def ensure_hist_store(
+    spark,
+    df: DataFrame,
+    path: str,
+    *,
+    value_col: str,
+    bounds: list[int],
+) -> str:
+    """Build-ONCE persisted log-histogram store: bucket ``df[value_col]``
+    with :func:`log_histogram` and write the (bucket, lo, c) delta under
+    ``delta=base``, with the boundary table pinned in a
+    ``_hist_meta.json`` sidecar. Later calls with the same params are
+    metadata-only; a param mismatch or partial write rebuilds (the
+    ensure_* contract shared with the postings/IVFADC stores). Returns
+    'built' or 'reused'."""
+    import json
+
+    jvm, fs = _hist_fs(spark, path)
+    base = path.rstrip("/")
+    jp = jvm.org.apache.hadoop.fs.Path(base)
+    marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_hist_meta.json")
+    params = {"value_col": value_col, "bounds": [int(b) for b in bounds]}
+    if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
+        stream = fs.open(meta_path)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        if json.loads(txt).get("params") == params:
+            return "reused"
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    hist = log_histogram(df, value_col, bounds).withColumn(
+        "delta", F.lit("base")
+    )
+    hist.repartition(1).write.partitionBy("delta").mode("overwrite").parquet(
+        base
+    )
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(json.dumps({"params": params}), "utf-8"))
+    finally:
+        out.close()
+    return "built"
+
+
+def update_hist_store(
+    spark,
+    new_rows: DataFrame,
+    path: str,
+    *,
+    batch_id: str,
+) -> str:
+    """Incrementally merge a batch into an :func:`ensure_hist_store`
+    store: the batch's OWN histogram (<= |bounds| rows) appends as
+    partition ``delta=<batch_id>``; the existing store is never read.
+    Replay guard: an ``_applied_<batch_id>`` marker (written LAST, the
+    postings-store discipline) makes a retried batch a no-op, so
+    at-least-once delivery cannot double-count. Returns 'applied' or
+    'skipped'."""
+    import json
+
+    jvm, fs = _hist_fs(spark, path)
+    base = path.rstrip("/")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_hist_meta.json")
+    if not fs.exists(meta_path):
+        raise ValueError(f"no histogram store at {path}; build one first")
+    marker = jvm.org.apache.hadoop.fs.Path(base + f"/_applied_{batch_id}")
+    if fs.exists(marker):
+        return "skipped"
+    stream = fs.open(meta_path)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    params = json.loads(txt)["params"]
+    delta = log_histogram(new_rows, params["value_col"], params["bounds"])
+    (
+        delta.withColumn("delta", F.lit(str(batch_id)))
+        .repartition(1)
+        .write.partitionBy("delta")
+        .mode("append")
+        .parquet(base)
+    )
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(b"1"))
+    finally:
+        out.close()
+    return "applied"
+
+
+def read_hist_store(spark, path: str) -> DataFrame:
+    """Aggregate the store's delta partitions back into one histogram:
+    SUM of counters per bucket (mergeability is the whole point). The
+    read is |deltas| x |occupied buckets| rows — sketch-scale, never
+    corpus-scale; compact periodically by folding old deltas into a new
+    base if delta count ever matters."""
+    return (
+        spark.read.parquet(path.rstrip("/"))
+        .groupBy("bucket", "lo")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def hist_update_sink(path: str):
+    """foreachBatch function for STREAMING quantile-sketch maintenance:
+    each micro-batch folds into the histogram store via
+    :func:`update_hist_store`, keyed by Spark's ``batch_id`` — the
+    marker absorbs foreachBatch's at-least-once retries, the append is
+    batch-sized, and any reader (``read_hist_store`` +
+    ``histogram_quantiles``) sees every completed batch on its next
+    query. The store must exist before the first batch
+    (:func:`ensure_hist_store`, possibly on an empty frame)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_hist_store(
+            batch_df.sparkSession, batch_df, path, batch_id=f"stream_{batch_id}"
+        )
+
+    return _apply

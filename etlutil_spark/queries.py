@@ -15665,6 +15665,49 @@ def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("orders_price_quantile_store", _duck_price_qsketch_sql())
+def orders_price_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted + incrementally-maintained quantile sketch: build the
+    log-histogram STORE over two thirds of orders
+    (ensure_hist_store), fold the remaining third in as an increment
+    (update_hist_store — the batch's own <= |bounds|-row delta
+    partition appends; the store is never read or rewritten; an
+    _applied marker absorbs replays), then serve p50/p95/p99 from the
+    merged store. The oracle computes the sketch DIRECTLY over the full
+    table — store + increment must equal from-scratch BY CONSTRUCTION
+    (counters add), and this query puts that invariant under the driver
+    hash gate, exactly as bm25_serve_incremental does for postings.
+    The streaming twin (hist_update_sink, foreachBatch per micro-batch)
+    is pinned stream == rebuild in tests/test_sketch.py.
+
+    Serving cost: the store read is |deltas| x |occupied buckets| rows
+    — sketch-scale regardless of corpus size; the quantile walk runs
+    over <= |bounds| rows (SCALAR_OK exemption kind)."""
+    import tempfile
+
+    from etlutil_spark.operators.sketch import (
+        ensure_hist_store,
+        geometric_bounds,
+        histogram_quantiles,
+        read_hist_store,
+        update_hist_store,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey"), F.floor("o_totalprice").cast("bigint").alias("v")
+    )
+    base = o.where(F.col("o_orderkey") % 3 != 0)
+    batch = o.where(F.col("o_orderkey") % 3 == 0)
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_hist_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    bounds = geometric_bounds(1_000_000, 0.05)
+    ensure_hist_store(spark, base, path, value_col="v", bounds=bounds)
+    update_hist_store(spark, batch, path, batch_id="mod3")
+    return histogram_quantiles(read_hist_store(spark, path), [0.5, 0.95, 0.99])
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -489,6 +489,9 @@ HEADLINE_BUDGETS = {
     # r10: banded candidate chain + signature table broadcast twice +
     # 1-row error reduce
     "dedup_minhash_estimator_error": (7, 3),
+    # r10: serving reads the (|deltas| x |buckets|)-row store + the
+    # <=|bounds|-row quantile walk; build/increment sit behind ensure_*
+    "orders_price_quantile_store": (6, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
@@ -557,6 +560,7 @@ SCALAR_OK = {
     "audit_release_gate",  # five 1-row audit-gate scalars crossJoined
     "orders_forecast_backtest",  # windows over the ~80-row monthly series
     "dedup_minhash_estimator_error",  # 1-row error-statistic reduce
+    "orders_price_quantile_store",  # cum walk over <= |bounds| bucket rows
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned

@@ -275,3 +275,83 @@ class TestLogHistogramQuantiles:
             geometric_bounds(0)
         with _pytest.raises(ValueError):
             geometric_bounds(100, 1.5)
+
+
+class TestHistStore:
+    """Persisted mergeable-histogram store (sketch.py): store +
+    increment == direct, replay absorption, and the streaming sink
+    converging to a full rebuild."""
+
+    BOUNDS = [0, 1, 2, 3, 4, 6, 8, 11, 15, 20, 27, 36, 48, 64, 85, 113, 151]
+
+    def _hist_rows(self, spark, path):
+        from etlutil_spark.operators.sketch import read_hist_store
+
+        return sorted(
+            (r.bucket, r.lo, r.c) for r in read_hist_store(spark, path).collect()
+        )
+
+    def test_increment_equals_direct(self, spark, tmp_path):
+        from etlutil_spark.operators.sketch import (
+            ensure_hist_store,
+            log_histogram,
+            update_hist_store,
+        )
+
+        base = spark.createDataFrame([(v,) for v in range(0, 60)], "v long")
+        batch = spark.createDataFrame([(v,) for v in range(40, 150)], "v long")
+        path = str(tmp_path / "hist")
+        assert ensure_hist_store(
+            spark, base, path, value_col="v", bounds=self.BOUNDS
+        ) == "built"
+        assert update_hist_store(spark, batch, path, batch_id="b1") == "applied"
+        # replay is a no-op
+        assert update_hist_store(spark, batch, path, batch_id="b1") == "skipped"
+        union = base.unionByName(batch)
+        direct = sorted(
+            (r.bucket, r.lo, r.c)
+            for r in log_histogram(union, "v", self.BOUNDS).collect()
+        )
+        assert self._hist_rows(spark, path) == direct
+        # second ensure with same params is metadata-only
+        assert ensure_hist_store(
+            spark, base, path, value_col="v", bounds=self.BOUNDS
+        ) == "reused"
+        # param change rebuilds (and wipes old deltas)
+        assert ensure_hist_store(
+            spark, base, path, value_col="v", bounds=self.BOUNDS[:-1]
+        ) == "built"
+
+    def test_stream_sink_converges_to_rebuild(self, spark, tmp_path):
+        from etlutil_spark.operators.sketch import (
+            ensure_hist_store,
+            hist_update_sink,
+            log_histogram,
+        )
+
+        base = spark.createDataFrame([(v,) for v in range(0, 30)], "v long")
+        b1 = [(v,) for v in range(25, 90)]
+        b2 = [(v,) for v in range(80, 140)]
+        path = str(tmp_path / "hist_stream")
+        ensure_hist_store(spark, base, path, value_col="v", bounds=self.BOUNDS)
+        src = str(tmp_path / "src")
+        spark.createDataFrame(b1 + b2, "v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema("v long")
+            .parquet(src)
+            .writeStream.foreachBatch(hist_update_sink(path))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        union = spark.createDataFrame(
+            [(v,) for v in range(0, 30)] + b1 + b2, "v long"
+        )
+        direct = sorted(
+            (r.bucket, r.lo, r.c)
+            for r in log_histogram(union, "v", self.BOUNDS).collect()
+        )
+        assert self._hist_rows(spark, path) == direct
