@@ -606,3 +606,56 @@ def hist_update_sink(path: str):
         )
 
     return _apply
+
+
+def compact_hist_store(spark, path: str) -> str:
+    """Fold ALL delta partitions into a fresh ``delta=base`` — the
+    maintenance that keeps the store read at O(|occupied buckets|) after
+    many increments. Implementation: aggregate the current store, write
+    it to a sibling temp dir, then swap directories. The swap is two FS
+    renames, not a transaction: a crash between them can leave the store
+    missing (the temp dir preserves the data for manual recovery) — the
+    plain-directory honesty caveat shared with the postings store; use a
+    table format for transactional compaction. Applied-batch markers are
+    re-stamped so already-folded batch_ids stay absorbed on replay."""
+    import json
+
+    jvm, fs = _hist_fs(spark, path)
+    base = path.rstrip("/")
+    jp = jvm.org.apache.hadoop.fs.Path(base)
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_hist_meta.json")
+    if not fs.exists(meta_path):
+        raise ValueError(f"no histogram store at {path}; build one first")
+    stream = fs.open(meta_path)
+    try:
+        meta_txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    applied = [
+        st.getPath().getName()
+        for st in fs.listStatus(jp)
+        if st.getPath().getName().startswith("_applied_")
+    ]
+    folded = read_hist_store(spark, base).withColumn("delta", F.lit("base"))
+    tmp = base + "__compact_tmp"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_p):
+        fs.delete(tmp_p, True)
+    folded.repartition(1).write.partitionBy("delta").mode("overwrite").parquet(
+        tmp
+    )
+    fs.delete(jp, True)
+    if not fs.rename(tmp_p, jp):
+        raise IOError(f"compact swap failed; data preserved at {tmp}")
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(meta_txt, "utf-8"))
+    finally:
+        out.close()
+    for name in applied:
+        m = fs.create(jvm.org.apache.hadoop.fs.Path(base + "/" + name), True)
+        try:
+            m.write(bytearray(b"1"))
+        finally:
+            m.close()
+    return "compacted"

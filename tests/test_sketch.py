@@ -355,3 +355,26 @@ class TestHistStore:
             for r in log_histogram(union, "v", self.BOUNDS).collect()
         )
         assert self._hist_rows(spark, path) == direct
+
+    def test_compaction_preserves_histogram_and_markers(self, spark, tmp_path):
+        from etlutil_spark.operators.sketch import (
+            compact_hist_store,
+            ensure_hist_store,
+            update_hist_store,
+        )
+
+        base = spark.createDataFrame([(v,) for v in range(0, 50)], "v long")
+        b1 = spark.createDataFrame([(v,) for v in range(10, 70)], "v long")
+        b2 = spark.createDataFrame([(v,) for v in range(60, 151)], "v long")
+        path = str(tmp_path / "hist_c")
+        ensure_hist_store(spark, base, path, value_col="v", bounds=self.BOUNDS)
+        update_hist_store(spark, b1, path, batch_id="b1")
+        update_hist_store(spark, b2, path, batch_id="b2")
+        before = self._hist_rows(spark, path)
+        assert compact_hist_store(spark, path) == "compacted"
+        assert self._hist_rows(spark, path) == before
+        # folded batches stay absorbed after compaction
+        assert update_hist_store(spark, b1, path, batch_id="b1") == "skipped"
+        # and new increments still apply
+        b3 = spark.createDataFrame([(1,), (2,)], "v long")
+        assert update_hist_store(spark, b3, path, batch_id="b3") == "applied"
