@@ -257,6 +257,7 @@ EXTENDED = [
     "dedup_cross_source_matrix",
     "dedup_minhash_estimator_error",
     "orders_price_quantile_store",
+    "events_type_value_quantile_sketch",
 ]
 
 

@@ -659,3 +659,73 @@ def compact_hist_store(spark, path: str) -> str:
         finally:
             m.close()
     return "compacted"
+
+
+def log_histogram_by(
+    df: DataFrame, key_col: str, value_col: str, bounds: list[int]
+) -> DataFrame:
+    """Per-KEY log-bucketed histogram: one row per (key, occupied
+    bucket) — the per-endpoint/per-event-type latency-percentile
+    structure. Same mergeable fixed-size-per-key state as
+    :func:`log_histogram`; the single shuffle is keyed by
+    (key, bucket), so partial aggregation happens map-side and state is
+    |keys| x |bounds| regardless of input size."""
+    blit = F.lit([int(b) for b in bounds])
+    v = F.col(value_col).cast("bigint")
+    idx = F.aggregate(
+        blit,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + (v >= b).cast("bigint"),
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(F.col(key_col).alias("key"), idx.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            "key",
+            "bucket",
+            F.element_at(blit, F.col("bucket").cast("int")).alias("lo"),
+            "c",
+        )
+    )
+
+
+def histogram_quantiles_by(hist: DataFrame, qs: list[float]) -> DataFrame:
+    """Per-key nearest-rank quantiles from a :func:`log_histogram_by`
+    table: for each (key, q), the lower bound of the first bucket whose
+    per-key cumulative count reaches ceil(q * n_key). The windows
+    partition BY KEY over the occupied-bucket table (|keys| x |bounds|
+    rows — sketch scale, bounded partitions), so unlike the global
+    walk this needs no scalar exemption."""
+    from pyspark.sql.window import Window
+
+    cum = hist.select(
+        "key",
+        "bucket",
+        "lo",
+        F.sum("c")
+        .over(
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy("key")).alias("n"),
+    ).localCheckpoint(eager=False)
+    outs = None
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col("n")).cast("bigint")
+        w = Window.partitionBy("key").orderBy("bucket")
+        row = (
+            cum.where(F.col("cum") >= rank)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "key",
+                F.lit(float(q)).alias("q"),
+                F.col("lo").cast("bigint").alias("est"),
+            )
+        )
+        outs = row if outs is None else outs.unionByName(row)
+    return outs

@@ -15708,6 +15708,68 @@ def orders_price_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(read_hist_store(spark, path), [0.5, 0.95, 0.99])
 
 
+def _duck_type_qsketch_sql(qs=(0.5, 0.95), rel_err: float = 0.05) -> str:
+    """Per-key mirror of the log-histogram quantile walk: same literal
+    boundary table; the cumulative rank runs per event_type."""
+    from etlutil_spark.operators.sketch import geometric_bounds
+
+    bounds = geometric_bounds(100_000, rel_err)
+    blit = "[" + ", ".join(str(b) for b in bounds) + "]"
+    # lo grows with bucket, so MIN(lo) over buckets whose cumulative
+    # count reaches the rank IS the nearest-rank walk's first hit
+    legs = "\n    UNION ALL ".join(
+        f"""SELECT key, CAST({q} AS DOUBLE) AS q,
+           CAST(MIN(lo) AS BIGINT) AS est
+    FROM cum WHERE cum >= CAST(ceil({q} * n) AS BIGINT)
+    GROUP BY key"""
+        for q in qs
+    )
+    return f"""
+    WITH v AS (SELECT event_type AS key,
+                      CAST(floor(value * 100) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL AND value >= 0),
+    b AS (SELECT key, len(list_filter({blit}, b -> v.v >= b)) AS bucket
+          FROM v),
+    h AS (SELECT key, bucket, {blit}[bucket] AS lo, COUNT(*) AS c
+          FROM b GROUP BY key, bucket),
+    cum AS (SELECT key, bucket, lo,
+                   SUM(c) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+                   SUM(c) OVER (PARTITION BY key) AS n
+            FROM h)
+    {legs}"""
+
+
+@register("events_type_value_quantile_sketch", _duck_type_qsketch_sql())
+def events_type_value_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type value percentiles from the per-key mergeable
+    log-histogram (operators/sketch.py:log_histogram_by) — the
+    per-endpoint latency-percentile structure every observability stack
+    keeps: p50/p95 per type as nearest-rank bucket lower bounds over a
+    5%-geometric integer boundary table (values quantized to cents).
+    State is |types| x |bounds| counters forever, mergeable across
+    shards/batches/days; the quantile walk windows partition BY KEY
+    over the sketch table (bounded partitions — no scalar exemption
+    needed, unlike the global walk)."""
+    from etlutil_spark.operators.sketch import (
+        geometric_bounds,
+        histogram_quantiles_by,
+        log_histogram_by,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    bounds = geometric_bounds(100_000, 0.05)
+    hist = log_histogram_by(v, "event_type", "v", bounds)
+    return histogram_quantiles_by(hist, [0.5, 0.95])
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

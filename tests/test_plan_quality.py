@@ -492,6 +492,9 @@ HEADLINE_BUDGETS = {
     # r10: serving reads the (|deltas| x |buckets|)-row store + the
     # <=|bounds|-row quantile walk; build/increment sit behind ensure_*
     "orders_price_quantile_store": (6, 0),
+    # r10: one (key, bucket)-keyed sketch aggregate; per-key quantile
+    # windows run over the |keys| x |bounds| sketch table
+    "events_type_value_quantile_sketch": (2, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
