@@ -258,6 +258,7 @@ EXTENDED = [
     "dedup_minhash_estimator_error",
     "orders_price_quantile_store",
     "events_type_value_quantile_sketch",
+    "embeddings_cluster_separation",
 ]
 
 

@@ -15770,6 +15770,131 @@ def events_type_value_quantile_sketch(
     return histogram_quantiles_by(hist, [0.5, 0.95])
 
 
+@register(
+    "embeddings_cluster_separation",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    ex AS (SELECT label, CAST(r.i AS INTEGER) AS i, v[r.i] AS x
+           FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)),
+    m AS (SELECT label, i,
+                 round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*), 6) AS mu
+          FROM ex GROUP BY label, i),
+    cent AS (SELECT label, list(mu ORDER BY i) AS mus FROM m GROUP BY label),
+    intra AS (
+      SELECT e.label,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(FLOOR(list_aggregate(
+                    list_transform(range(1, len(e.v) + 1),
+                                   i -> (e.v[i] - c.mus[i])
+                                        * (e.v[i] - c.mus[i])), 'sum')
+                    * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS intra_q
+      FROM e JOIN cent c ON e.label = c.label
+      GROUP BY e.label),
+    between_d AS (
+      SELECT a.label,
+             MIN(CAST(FLOOR(list_aggregate(
+                   list_transform(range(1, len(a.mus) + 1),
+                                  i -> (a.mus[i] - b.mus[i])
+                                       * (a.mus[i] - b.mus[i])), 'sum')
+                   * 1000000 + 0.5) AS BIGINT)) AS nearest_q
+      FROM cent a JOIN cent b ON a.label <> b.label
+      GROUP BY a.label)
+    SELECT i.label, i.n_vecs,
+           round(i.intra_q / (i.n_vecs * 1000000.0), 6) AS mean_intra_dist2,
+           round(bd.nearest_q / 1000000.0, 6) AS nearest_centroid_dist2,
+           round((i.intra_q * 1.0 / i.n_vecs) / bd.nearest_q, 6)
+             AS compactness_ratio
+    FROM intra i JOIN between_d bd ON i.label = bd.label
+    """,
+)
+def embeddings_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-cluster separation diagnostics (the Davies-Bouldin-style
+    readout): per label, the mean squared distance of members to their
+    own centroid (compactness) vs the squared distance to the NEAREST
+    other centroid (separation), and their ratio — >= 1 means the
+    cluster's spread swallows the gap to its neighbor (labels not
+    separable in this embedding space; expect poor purity and weak
+    SemDeDup behavior). The embedding-QA card read next to
+    embeddings_cluster_purity before trusting labels for eval.
+
+    Scale: centroids are one (label, dim)-keyed DECIMAL-exact aggregate
+    (|labels| x |dims| rows, broadcast back); per-vector distances are
+    one map-side fold over the array (same op order as the oracle's
+    sequential list_aggregate); per-vector squared distances quantize
+    to integer micro-units before the per-label mean (exact, order-
+    free); the centroid-pair stage is |labels|^2 — driver-tiny."""
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    e = ensure_min_partitions(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("i0", "x"))
+    m = ex.groupBy("label", F.col("i0").alias("i")).agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mu")
+    )
+    cent = m.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i"), F.col("mu")))
+        ).alias("_s")
+    ).select(
+        "label", F.transform(F.col("_s"), lambda s: s["mu"]).alias("mus")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("mus"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    intra = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            F.floor(dist2 * 1000000 + F.lit(0.5)).cast("bigint").alias("d_q"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("d_q").cast("bigint").alias("intra_q"),
+        )
+    )
+    ca = cent.withColumnsRenamed({"label": "la", "mus": "ma"})
+    cb = cent.withColumnsRenamed({"label": "lb", "mus": "mb"})
+    cdist = F.aggregate(
+        F.zip_with(F.col("ma"), F.col("mb"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    between = (
+        ca.join(F.broadcast(cb), F.col("la") != F.col("lb"))
+        .select(
+            F.col("la").alias("label"),
+            F.floor(cdist * 1000000 + F.lit(0.5)).cast("bigint").alias("b_q"),
+        )
+        .groupBy("label")
+        .agg(F.min("b_q").alias("nearest_q"))
+    )
+    return intra.join(F.broadcast(between), "label").select(
+        "label",
+        "n_vecs",
+        F.round(
+            F.col("intra_q") / (F.col("n_vecs") * F.lit(1000000.0)), 6
+        ).alias("mean_intra_dist2"),
+        F.round(F.col("nearest_q") / F.lit(1000000.0), 6).alias(
+            "nearest_centroid_dist2"
+        ),
+        F.round(
+            (F.col("intra_q") * F.lit(1.0) / F.col("n_vecs"))
+            / F.col("nearest_q"),
+            6,
+        ).alias("compactness_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -495,6 +495,9 @@ HEADLINE_BUDGETS = {
     # r10: one (key, bucket)-keyed sketch aggregate; per-key quantile
     # windows run over the |keys| x |bounds| sketch table
     "events_type_value_quantile_sketch": (2, 0),
+    # r10: (label, dim)-keyed centroid aggregate broadcast back + one
+    # member-distance aggregate + |labels|^2 centroid-pair loop
+    "embeddings_cluster_separation": (7, 3),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

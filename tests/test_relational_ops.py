@@ -580,6 +580,9 @@ class TestCatalogPlanGuards:
         "docs_mixture_temperature",
         # five 1-row audit-gate scalars crossJoined
         "audit_release_gate",
+        # |labels|^2 (10x10) centroid-pair loop — bounded by label
+        # cardinality, never the corpus
+        "embeddings_cluster_separation",
 }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
