@@ -259,6 +259,7 @@ EXTENDED = [
     "orders_price_quantile_store",
     "events_type_value_quantile_sketch",
     "embeddings_cluster_separation",
+    "docs_split_leakage_neardup",
 ]
 
 

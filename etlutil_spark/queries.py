@@ -15895,6 +15895,82 @@ def embeddings_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "docs_split_leakage_neardup",
+    _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _DUCK_SHINGLES_FREQ50
+    + f""",
+    pairs AS (
+      SELECT id_a, id_b
+      FROM interf
+      JOIN szf sa ON sa.doc_id = id_a
+      JOIN szf sb ON sb.doc_id = id_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.6),
+    spl AS (
+      SELECT doc_id,
+             CASE WHEN {_DUCK_UNIT_HASH.format(seed='split-v1')} < 0.9
+                    THEN 'train'
+                  WHEN {_DUCK_UNIT_HASH.format(seed='split-v1')} < 0.95
+                    THEN 'eval'
+                  ELSE 'test' END AS split
+      FROM documents),
+    lab AS (
+      SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b
+      FROM pairs
+      JOIN spl a ON a.doc_id = pairs.id_a
+      JOIN spl b ON b.doc_id = pairs.id_b)
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_leak
+    FROM lab GROUP BY split_a, split_b
+    """,
+)
+def docs_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate cross-split leakage — the stronger sibling of
+    docs_split_leakage (which catches only fingerprint-identical
+    copies): every exact-Jaccard >= 0.6 pair labeled with its
+    (unordered) split pair under the SAME frozen assign_split the
+    pipeline uses. Off-diagonal cells (is_leak = true) are train docs
+    near-identical to eval/test docs — the contamination Lee et al. and
+    GPT-3's dedup postmortem showed survives exact dedup and inflates
+    eval scores. The gate a split release runs AFTER near-dup analysis
+    exists anyway (the pair table is shared work with dedup_clusters /
+    dedup_impact_report).
+
+    One capped pair stage + two hash-split lookups + one
+    (split, split)-keyed count — report bounded by 3x3 split pairs."""
+    from etlutil_spark.operators.dedup import ngram_jaccard_pairs
+    from etlutil_spark.operators.sampling import assign_split
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
+    ).select("id_a", "id_b")
+    spl = assign_split(
+        d.select("doc_id"),
+        "doc_id",
+        splits={"train": 0.9, "eval": 0.05, "test": 0.05},
+        seed="split-v1",
+    ).select("doc_id", "split")
+    sa = spl.withColumnsRenamed({"doc_id": "ida", "split": "spa"})
+    sb = spl.withColumnsRenamed({"doc_id": "idb", "split": "spb"})
+    lab = (
+        pairs.join(F.broadcast(sa), F.col("id_a") == F.col("ida"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("idb"))
+        .select(
+            F.least(F.col("spa"), F.col("spb")).alias("split_a"),
+            F.greatest(F.col("spa"), F.col("spb")).alias("split_b"),
+        )
+    )
+    return (
+        lab.groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

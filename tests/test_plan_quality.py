@@ -498,6 +498,9 @@ HEADLINE_BUDGETS = {
     # r10: (label, dim)-keyed centroid aggregate broadcast back + one
     # member-distance aggregate + |labels|^2 centroid-pair loop
     "embeddings_cluster_separation": (7, 3),
+    # r10: capped pair chain + two hash-split broadcast lookups + one
+    # (split, split)-keyed count
+    "docs_split_leakage_neardup": (13, 4),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
