@@ -260,6 +260,7 @@ EXTENDED = [
     "events_type_value_quantile_sketch",
     "embeddings_cluster_separation",
     "docs_split_leakage_neardup",
+    "docs_release_card",
 ]
 
 

@@ -15971,6 +15971,86 @@ def docs_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus release card: wraps the registered docs-family audit oracles as
+# derived tables (the audit_release_gate composition trick) — the card
+# cannot drift from the audits it summarizes.
+_DUCK_DOCS_RELEASE_CARD = f"""
+    WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_keep
+               FROM ({ORACLES["docs_gopher_filter"]})),
+    p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+          FROM ({ORACLES["dedup_ngram_jaccard"]})),
+    ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated
+           FROM ({ORACLES["docs_contamination"]})),
+    lk AS (SELECT CAST(COALESCE(SUM(CASE WHEN is_leak THEN n_pairs
+                                         ELSE 0 END), 0) AS BIGINT)
+                    AS n_split_leak_pairs
+           FROM ({ORACLES["docs_split_leakage_neardup"]}))
+    SELECT g.n_docs,
+           round(g.n_keep * 1.0 / g.n_docs, 6) AS gopher_keep_rate,
+           p.n_neardup_pairs,
+           ct.n_contaminated,
+           lk.n_split_leak_pairs,
+           ct.n_contaminated = 0 AS decon_ok,
+           lk.n_split_leak_pairs = 0 AS split_ok
+    FROM g, p, ct, lk
+    """
+
+
+@register("docs_release_card", _DUCK_DOCS_RELEASE_CARD)
+def docs_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS release card — the docs-side twin of
+    audit_release_gate: one row composing the curation gates a text
+    release publishes (corpus size, Gopher rule pass rate, near-dup
+    pair volume at the production threshold, benchmark-contaminated
+    train docs, near-dup pairs leaking across the frozen train/eval/
+    test split) plus the two hard booleans (decontamination clean,
+    split leak-free). Each number IS the corresponding detailed audit's
+    aggregate: both the Spark builder (over the registered queries) and
+    the oracle (over the registered oracle SQL as derived tables) are
+    COMPOSED, so the card cannot drift from what it summarizes. On this
+    corpus it honestly reads decon_ok = false and split_ok = false —
+    with docs_contamination and docs_split_leakage_neardup as the
+    drill-downs."""
+    g = QUERIES["docs_gopher_filter"](spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+    p = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_neardup_pairs")
+    )
+    ct = QUERIES["docs_contamination"](spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_contaminated")
+    )
+    lk = QUERIES["docs_split_leakage_neardup"](spark, sf_dir).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_leak"), F.col("n_pairs")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_split_leak_pairs")
+    )
+    s = (
+        g.crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(lk))
+    )
+    return s.select(
+        "n_docs",
+        F.round(F.col("n_keep") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+            "gopher_keep_rate"
+        ),
+        "n_neardup_pairs",
+        "n_contaminated",
+        "n_split_leak_pairs",
+        (F.col("n_contaminated") == 0).alias("decon_ok"),
+        (F.col("n_split_leak_pairs") == 0).alias("split_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -501,6 +501,8 @@ HEADLINE_BUDGETS = {
     # r10: capped pair chain + two hash-split broadcast lookups + one
     # (split, split)-keyed count
     "docs_split_leakage_neardup": (13, 4),
+    # r10 capstone: composes FOUR docs audits + four 1-row card scalars
+    "docs_release_card": (25, 8),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

@@ -583,6 +583,8 @@ class TestCatalogPlanGuards:
         # |labels|^2 (10x10) centroid-pair loop — bounded by label
         # cardinality, never the corpus
         "embeddings_cluster_separation",
+        # four 1-row corpus-card scalars crossJoined
+        "docs_release_card",
 }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
