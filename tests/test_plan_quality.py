@@ -572,6 +572,7 @@ SCALAR_OK = {
     "orders_forecast_backtest",  # windows over the ~80-row monthly series
     "dedup_minhash_estimator_error",  # 1-row error-statistic reduce
     "orders_price_quantile_store",  # cum walk over <= |bounds| bucket rows
+    "docs_release_card",  # four 1-row corpus-card scalars crossJoined
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
