@@ -261,6 +261,7 @@ EXTENDED = [
     "embeddings_cluster_separation",
     "docs_split_leakage_neardup",
     "docs_release_card",
+    "dedup_threshold_sweep",
 ]
 
 

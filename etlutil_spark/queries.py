@@ -16051,6 +16051,56 @@ def docs_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_threshold_sweep",
+    _DUCK_SHINGLES
+    + _DUCK_SHINGLES_FREQ50
+    + """,
+    pj AS (
+      SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      FROM interf
+      JOIN szf sa ON sa.doc_id = id_a
+      JOIN szf sb ON sb.doc_id = id_b),
+    ts(t) AS (VALUES (0.4), (0.5), (0.6), (0.7), (0.8), (0.9))
+    SELECT CAST(ts.t AS DOUBLE) AS threshold,
+           CAST(SUM(CASE WHEN pj.jaccard >= ts.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs
+    FROM ts CROSS JOIN pj
+    GROUP BY ts.t
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection curve for near-dup dedup: pair volume at
+    Jaccard thresholds 0.4..0.9 from ONE capped shingle pass — the
+    table a curation team reads before pinning the production
+    threshold (a cliff between two thresholds means a distinct
+    duplicate family sits there; a flat curve means the choice is
+    insensitive). Complements dedup_lsh_scurve (which answers how to
+    BAND for a chosen threshold) by answering WHICH threshold.
+
+    The pair table is computed once (stop-shingle cap bounds the
+    self-join exactly as dedup_ngram_jaccard); the sweep is a 6-literal
+    broadcast against it — per-threshold cost is an aggregate, not a
+    re-scan."""
+    from etlutil_spark.operators.dedup import ngram_jaccard_pairs
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    pj = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=50
+    ).select("jaccard")
+    ts = spark.createDataFrame([(t,) for t in (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)], "t double")
+    return (
+        pj.crossJoin(F.broadcast(ts))
+        .groupBy(F.col("t").alias("threshold"))
+        .agg(
+            F.sum(F.when(F.col("jaccard") >= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -503,6 +503,8 @@ HEADLINE_BUDGETS = {
     "docs_split_leakage_neardup": (13, 4),
     # r10 capstone: composes FOUR docs audits + four 1-row card scalars
     "docs_release_card": (25, 8),
+    # r10: one capped pair pass + 6-literal threshold broadcast
+    "dedup_threshold_sweep": (11, 4),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row

@@ -585,6 +585,8 @@ class TestCatalogPlanGuards:
         "embeddings_cluster_separation",
         # four 1-row corpus-card scalars crossJoined
         "docs_release_card",
+        # 6-literal threshold grid broadcast against the pair table
+        "dedup_threshold_sweep",
 }
 
     def test_no_accidental_cartesian_joins(self, spark, sf_dir):
