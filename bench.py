@@ -262,6 +262,7 @@ EXTENDED = [
     "docs_split_leakage_neardup",
     "docs_release_card",
     "dedup_threshold_sweep",
+    "events_type_quantile_store",
 ]
 
 

@@ -482,6 +482,14 @@ def _hist_fs(spark, path: str):
     return jvm, jp.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _hist_delta(
+    df: DataFrame, value_col: str, bounds: list[int], key_col: str | None
+) -> DataFrame:
+    if key_col:
+        return log_histogram_by(df, key_col, value_col, bounds)
+    return log_histogram(df, value_col, bounds)
+
+
 def ensure_hist_store(
     spark,
     df: DataFrame,
@@ -489,14 +497,16 @@ def ensure_hist_store(
     *,
     value_col: str,
     bounds: list[int],
+    key_col: str | None = None,
 ) -> str:
     """Build-ONCE persisted log-histogram store: bucket ``df[value_col]``
-    with :func:`log_histogram` and write the (bucket, lo, c) delta under
-    ``delta=base``, with the boundary table pinned in a
-    ``_hist_meta.json`` sidecar. Later calls with the same params are
-    metadata-only; a param mismatch or partial write rebuilds (the
-    ensure_* contract shared with the postings/IVFADC stores). Returns
-    'built' or 'reused'."""
+    with :func:`log_histogram` (or :func:`log_histogram_by` when
+    ``key_col`` is given — the per-endpoint percentile store) and write
+    the (key?, bucket, lo, c) delta under ``delta=base``, with the
+    boundary table pinned in a ``_hist_meta.json`` sidecar. Later calls
+    with the same params are metadata-only; a param mismatch or partial
+    write rebuilds (the ensure_* contract shared with the
+    postings/IVFADC stores). Returns 'built' or 'reused'."""
     import json
 
     jvm, fs = _hist_fs(spark, path)
@@ -504,7 +514,11 @@ def ensure_hist_store(
     jp = jvm.org.apache.hadoop.fs.Path(base)
     marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
     meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_hist_meta.json")
-    params = {"value_col": value_col, "bounds": [int(b) for b in bounds]}
+    params = {
+        "value_col": value_col,
+        "bounds": [int(b) for b in bounds],
+        "key_col": key_col,
+    }
     if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
         stream = fs.open(meta_path)
         try:
@@ -515,7 +529,7 @@ def ensure_hist_store(
             return "reused"
     if fs.exists(jp):
         fs.delete(jp, True)
-    hist = log_histogram(df, value_col, bounds).withColumn(
+    hist = _hist_delta(df, value_col, bounds, key_col).withColumn(
         "delta", F.lit("base")
     )
     hist.repartition(1).write.partitionBy("delta").mode("overwrite").parquet(
@@ -559,7 +573,9 @@ def update_hist_store(
     finally:
         stream.close()
     params = json.loads(txt)["params"]
-    delta = log_histogram(new_rows, params["value_col"], params["bounds"])
+    delta = _hist_delta(
+        new_rows, params["value_col"], params["bounds"], params.get("key_col")
+    )
     (
         delta.withColumn("delta", F.lit(str(batch_id)))
         .repartition(1)
@@ -577,15 +593,15 @@ def update_hist_store(
 
 def read_hist_store(spark, path: str) -> DataFrame:
     """Aggregate the store's delta partitions back into one histogram:
-    SUM of counters per bucket (mergeability is the whole point). The
-    read is |deltas| x |occupied buckets| rows — sketch-scale, never
+    SUM of counters per (key?, bucket) — mergeability is the whole
+    point; the grouping keys are schema-driven so global and keyed
+    stores (and compaction over either) share one reader. The read is
+    |deltas| x |keys| x |occupied buckets| rows — sketch-scale, never
     corpus-scale; compact periodically by folding old deltas into a new
     base if delta count ever matters."""
-    return (
-        spark.read.parquet(path.rstrip("/"))
-        .groupBy("bucket", "lo")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-    )
+    df = spark.read.parquet(path.rstrip("/"))
+    keys = [c for c in df.columns if c not in ("c", "delta")]
+    return df.groupBy(*keys).agg(F.sum("c").cast("bigint").alias("c"))
 
 
 def hist_update_sink(path: str):

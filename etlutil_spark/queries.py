@@ -16101,6 +16101,49 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_type_quantile_store", _duck_type_qsketch_sql())
+def events_type_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted + incrementally-maintained PER-KEY quantile store: the
+    keyed twin of orders_price_quantile_store — per-event-type value
+    histograms built over two thirds of events (ensure_hist_store with
+    key_col), the last third folded in as a marker-guarded increment,
+    p50/p95 per type served from the merged store. The oracle computes
+    the per-key sketch directly over the full table, so keyed
+    store + increment == from-scratch rides the driver hash gate. This
+    is the full observability serving story: per-endpoint percentile
+    state that is persisted, mergeable, incrementally maintained, and
+    readable at |keys| x |bounds| cost regardless of history size."""
+    import tempfile
+
+    from etlutil_spark.operators.sketch import (
+        ensure_hist_store,
+        geometric_bounds,
+        histogram_quantiles_by,
+        read_hist_store,
+        update_hist_store,
+    )
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        "event_id",
+        F.col("event_type"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    base = ev.where(F.col("event_id") % 3 != 0)
+    batch = ev.where(F.col("event_id") % 3 == 0)
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_hist_bytype_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    bounds = geometric_bounds(100_000, 0.05)
+    ensure_hist_store(
+        spark, base, path, value_col="v", bounds=bounds, key_col="event_type"
+    )
+    update_hist_store(spark, batch, path, batch_id="mod3")
+    return histogram_quantiles_by(read_hist_store(spark, path), [0.5, 0.95])
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

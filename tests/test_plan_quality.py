@@ -505,6 +505,9 @@ HEADLINE_BUDGETS = {
     "docs_release_card": (25, 8),
     # r10: one capped pair pass + 6-literal threshold broadcast
     "dedup_threshold_sweep": (11, 4),
+    # r10: serving reads the keyed store (|keys| x |bounds| rows) +
+    # per-key quantile windows; build/increment sit behind ensure_*
+    "events_type_quantile_store": (2, 0),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
