@@ -484,6 +484,27 @@ class TestExactNtileProperties:
         }
         assert got == want
 
+    def test_grouped_edges(self, spark):
+        import pytest as _pt
+
+        from etlutil_spark.operators.quantiles import exact_grouped_ntile
+        from etlutil_spark.operators.quantiles_grouped import exact_grouped_rank
+
+        df = spark.createDataFrame([], "g string, v int, id int")
+        # empty input preserves schema and adds a typed null column
+        e1 = exact_grouped_ntile(df, 4, ["g"], ["v", "id"])
+        assert e1.count() == 0 and dict(e1.dtypes)["bucket"] == "int"
+        e2 = exact_grouped_rank(df, ["g"], ["v", "id"], n_col="n")
+        assert e2.count() == 0
+        assert dict(e2.dtypes)["rank"] == "bigint"
+        assert dict(e2.dtypes)["n"] == "bigint"
+        with _pt.raises(ValueError):
+            exact_grouped_ntile(df, 0, ["g"], ["v", "id"])
+        # reserved scratch names are rejected loudly
+        clash = spark.createDataFrame([("a", 1)], "g string, _lr int")
+        with _pt.raises(ValueError):
+            exact_grouped_rank(clash, ["g"], ["_lr"])
+
     @PROP
     @given(n=st.integers(0, 100), buckets=st.integers(1, 5))
     def test_grouped_ntile_two_group_cols(self, spark, n, buckets):
