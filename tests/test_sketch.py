@@ -378,3 +378,45 @@ class TestHistStore:
         # and new increments still apply
         b3 = spark.createDataFrame([(1,), (2,)], "v long")
         assert update_hist_store(spark, b3, path, batch_id="b3") == "applied"
+
+    def test_keyed_store_stream_sink_converges(self, spark, tmp_path):
+        from etlutil_spark.operators.sketch import (
+            ensure_hist_store,
+            hist_update_sink,
+            log_histogram_by,
+        )
+
+        base = spark.createDataFrame(
+            [("a", v) for v in range(0, 20)] + [("b", v) for v in range(5, 40)],
+            "k string, v long",
+        )
+        b1 = [("a", v) for v in range(30, 90)] + [("b", v) for v in range(0, 9)]
+        path = str(tmp_path / "hist_keyed")
+        ensure_hist_store(
+            spark, base, path, value_col="v", bounds=self.BOUNDS, key_col="k"
+        )
+        src = str(tmp_path / "src_k")
+        spark.createDataFrame(b1, "k string, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema("k string, v long")
+            .parquet(src)
+            .writeStream.foreachBatch(hist_update_sink(path))
+            .option("checkpointLocation", str(tmp_path / "ckpt_k"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        union = base.unionByName(spark.createDataFrame(b1, "k string, v long"))
+        direct = sorted(
+            (r.key, r.bucket, r.lo, r.c)
+            for r in log_histogram_by(union, "k", "v", self.BOUNDS).collect()
+        )
+        from etlutil_spark.operators.sketch import read_hist_store
+
+        got = sorted(
+            (r.key, r.bucket, r.lo, r.c)
+            for r in read_hist_store(spark, path).collect()
+        )
+        assert got == direct
