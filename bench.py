@@ -263,6 +263,8 @@ EXTENDED = [
     "docs_release_card",
     "dedup_threshold_sweep",
     "events_type_quantile_store",
+    "events_burstiness_index",
+    "supplier_revenue_hhi",
 ]
 
 

@@ -16144,6 +16144,139 @@ def events_type_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles_by(read_hist_store(spark, path), [0.5, 0.95])
 
 
+@register(
+    "events_burstiness_index",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           round((COUNT(*) * 1.0 * CAST(SUM(n * n) AS BIGINT)
+                  - CAST(SUM(n) AS BIGINT) * 1.0 * CAST(SUM(n) AS BIGINT))
+                 / (CAST(SUM(n) AS BIGINT) * 1.0 * (COUNT(*) - 1)), 6)
+             AS dispersion_index
+    FROM h GROUP BY event_type
+    """,
+)
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the index of dispersion (Fano
+    factor) of hourly counts over OBSERVED hours — variance-to-mean
+    ratio, computed as the exact-integer identity (N*Sum(n^2) -
+    Sum(n)^2) / (Sum(n)*(N-1)). 1 = Poisson (memoryless arrivals);
+    >> 1 = bursty/clumped traffic (campaign spikes, retry storms — the
+    regime where per-hour capacity planning by mean rate fails and the
+    anomaly monitors' baselines need widening); < 1 = smoothed/paced.
+    Reads next to events_hourly_anomaly (which finds WHEN) by saying
+    HOW bursty each stream inherently is.
+
+    One (type, hour)-keyed count then one type-keyed moment aggregate —
+    two map-side-combining shuffles, integer sums end to end, the only
+    doubles are the final mirrored divisions. Hour bucketing floors
+    explicitly before the cast (the DuckDB `//`-on-DOUBLE lesson)."""
+    ev = load_table(spark, "events", sf_dir)
+    h = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("hour_id"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    cnt = F.count("*")
+    s1 = F.sum("n").cast("bigint")
+    s2 = F.sum(F.col("n") * F.col("n")).cast("bigint")
+    return h.groupBy("event_type").agg(
+        cnt.cast("bigint").alias("n_hours"),
+        s1.alias("n_events"),
+        F.round(
+            (cnt * F.lit(1.0) * s2 - s1 * F.lit(1.0) * s1)
+            / (s1 * F.lit(1.0) * (cnt - 1)),
+            6,
+        ).alias("dispersion_index"),
+    )
+
+
+@register(
+    "supplier_revenue_hhi",
+    """
+    WITH r AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(38,4))))
+                             AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS rev_q
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    t AS (SELECT nationkey, CAST(SUM(rev_q) AS BIGINT) AS tot_q FROM r
+          GROUP BY nationkey),
+    sh AS (SELECT r.nationkey,
+                  (r.rev_q * 1000000) // t.tot_q AS share_ppm
+           FROM r JOIN t ON r.nationkey = t.nationkey)
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           round(CAST(SUM(share_ppm * share_ppm) AS BIGINT)
+                 / 1000000000000.0, 6) AS hhi
+    FROM sh JOIN nation n ON n.n_nationkey = sh.nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: the Herfindahl-Hirschman index of
+    supplier revenue shares within each nation — the standard
+    concentration readout (1/n = perfectly even, 1.0 = monopoly; the
+    antitrust 0.25 line marks high concentration) a procurement or
+    marketplace-health dashboard tracks. Here it answers "is this
+    nation's supply one failure away from an outage?".
+
+    Determinism discipline: supplier revenues are integer-quantized
+    DECIMAL sums; each share is integer-ppm FLOOR division
+    (rev_q * 1e6 // tot_q — Spark `div` mirrored by DuckDB `//` on
+    BIGINT); the HHI is a sum of squared integers divided once at the
+    end. Two keyed aggregates + one broadcast dim join; nothing floats
+    until the final mirrored division."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.floor(
+                F.sum(
+                    _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+                ).cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rev_q")
+        )
+    )
+    t = r.groupBy("nationkey").agg(F.sum("rev_q").cast("bigint").alias("tot_q"))
+    sh = r.join(F.broadcast(t), "nationkey").select(
+        "nationkey",
+        F.expr("(rev_q * 1000000) div tot_q").alias("share_ppm"),
+    )
+    return (
+        sh.join(F.broadcast(n), sh.nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("share_ppm") * F.col("share_ppm")).cast("bigint")
+                / F.lit(1000000000000.0),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -508,6 +508,11 @@ HEADLINE_BUDGETS = {
     # r10: serving reads the keyed store (|keys| x |bounds| rows) +
     # per-key quantile windows; build/increment sit behind ensure_*
     "events_type_quantile_store": (2, 0),
+    # r10: (type, hour)-keyed count then type-keyed moment aggregate
+    "events_burstiness_index": (2, 0),
+    # r10: supplier-revenue aggregate + per-nation total broadcast +
+    # nation dim broadcast; integer-ppm shares
+    "supplier_revenue_hhi": (4, 3),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
