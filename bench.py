@@ -265,6 +265,7 @@ EXTENDED = [
     "events_type_quantile_store",
     "events_burstiness_index",
     "supplier_revenue_hhi",
+    "orders_customer_gini",
 ]
 
 

@@ -16277,6 +16277,66 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_customer_gini",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                             AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS rev_q
+      FROM orders GROUP BY o_custkey),
+    k AS (SELECT rev_q,
+                 ROW_NUMBER() OVER (ORDER BY rev_q, o_custkey) AS rk
+          FROM r)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(rev_q) AS BIGINT) / 10000.0, 6) AS total_revenue,
+           round((2.0 * CAST(SUM(rk * rev_q) AS BIGINT)
+                  - (COUNT(*) + 1) * CAST(SUM(rev_q) AS BIGINT))
+                 / (COUNT(*) * 1.0 * CAST(SUM(rev_q) AS BIGINT)), 6)
+             AS gini
+    FROM k
+    """,
+)
+def orders_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value inequality: the GLOBAL Gini coefficient of
+    per-customer revenue (0 = every customer spends alike, -> 1 = a
+    handful carry the business) via the exact rank-weighted identity
+    (2*Sum(i*w) - (n+1)*Sum(w)) / (n*Sum(w)) over revenues sorted
+    ascending — the whale-dependence number a revenue-risk review
+    leads with, the global sibling of docs_source_concentration and
+    events_gini_by_type.
+
+    The global rank is quantiles_grouped.exact_grouped_rank with an
+    EMPTY group list — the operator degrades to funnel-free global
+    row_number (range repartition + partition offsets), so the rank
+    stage never plans the Exchange SinglePartition a window
+    ROW_NUMBER() OVER (ORDER BY ...) would; the only windows run
+    per-partition. Revenues are integer-quantized DECIMAL sums; the
+    identity's terms are exact integer products; one final mirrored
+    division."""
+    from etlutil_spark.operators.quantiles_grouped import exact_grouped_rank
+
+    o = load_table(spark, "orders", sf_dir)
+    r = o.groupBy("o_custkey").agg(
+        F.floor(
+            F.sum(_dec("o_totalprice")).cast("double") * 10000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rev_q")
+    )
+    k = exact_grouped_rank(r, [], ["rev_q", "o_custkey"], rank_col="rk")
+    cnt = F.count("*")
+    sw = F.sum("rev_q").cast("bigint")
+    srw = F.sum(F.col("rk") * F.col("rev_q")).cast("bigint")
+    return k.agg(
+        cnt.cast("bigint").alias("n_customers"),
+        F.round(sw / F.lit(10000.0), 6).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * srw - (cnt + 1) * sw) / (cnt * F.lit(1.0) * sw), 6
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #

@@ -513,6 +513,9 @@ HEADLINE_BUDGETS = {
     # r10: supplier-revenue aggregate + per-nation total broadcast +
     # nation dim broadcast; integer-ppm shares
     "supplier_revenue_hhi": (4, 3),
+    # r10: customer aggregate + funnel-free global rank (empty-group
+    # grouped-rank) + 1-row identity reduce
+    "orders_customer_gini": (2, 1),
 }
 
 # These plans contain an `Exchange SinglePartition` ONLY for a 1-row
