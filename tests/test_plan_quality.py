@@ -586,6 +586,7 @@ SCALAR_OK = {
     "dedup_minhash_estimator_error",  # 1-row error-statistic reduce
     "orders_price_quantile_store",  # cum walk over <= |bounds| bucket rows
     "docs_release_card",  # four 1-row corpus-card scalars crossJoined
+    "orders_customer_gini",  # 1-row Gini-identity reduce
 }
 
 # Arrow-vectorized Python (mapInPandas / pandas UDF) is the sanctioned
