@@ -392,6 +392,23 @@ def geometric_bounds(max_value: int, rel_err: float = 0.05) -> list[int]:
     return bounds
 
 
+def _bucket_lo(blit, value_col: str):
+    """Lower bound for a bucket index, with a NAMED failure for values
+    below bounds[0] (bucket index 0): element_at(blit, 0) would raise an
+    opaque 'SQL array indices start at 1' — this raises an error that
+    names the offending column and the contract instead."""
+    return F.when(
+        F.col("bucket") < 1,
+        F.raise_error(
+            F.lit(
+                f"log_histogram: column '{value_col}' has values below "
+                "bounds[0]; filter or clamp them first, or extend the "
+                "boundary table downward"
+            )
+        ),
+    ).otherwise(F.element_at(blit, F.col("bucket").cast("int")))
+
+
 def log_histogram(
     df: DataFrame, value_col: str, bounds: list[int]
 ) -> DataFrame:
@@ -419,11 +436,7 @@ def log_histogram(
         .select(idx.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .select(
-            "bucket",
-            F.element_at(blit, F.col("bucket").cast("int")).alias("lo"),
-            "c",
-        )
+        .select("bucket", _bucket_lo(blit, value_col).alias("lo"), "c")
     )
 
 
@@ -504,10 +517,17 @@ def ensure_hist_store(
     ``key_col`` is given — the per-endpoint percentile store) and write
     the (key?, bucket, lo, c) delta under ``delta=base``, with the
     boundary table pinned in a ``_hist_meta.json`` sidecar. Later calls
-    with the same params are metadata-only; a param mismatch or partial
-    write rebuilds (the ensure_* contract shared with the
-    postings/IVFADC stores). Returns 'built' or 'reused'."""
+    with the same params are metadata-only; a param mismatch, a partial
+    write, or a CONTENT change in ``df``'s backing files rebuilds — a
+    dataset digest rides in the params, so regenerating the data behind
+    a path-keyed store reads as a mismatch instead of silently serving
+    stale quantiles (the ensure_* contract shared with the
+    postings/IVFADC stores). Concurrent builders against one path still
+    race — serialize externally or use per-run paths. Returns 'built'
+    or 'reused'."""
     import json
+
+    from etlutil_spark.operators.util import dataset_digest
 
     jvm, fs = _hist_fs(spark, path)
     base = path.rstrip("/")
@@ -518,6 +538,7 @@ def ensure_hist_store(
         "value_col": value_col,
         "bounds": [int(b) for b in bounds],
         "key_col": key_col,
+        "data": dataset_digest(df),
     }
     if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
         stream = fs.open(meta_path)
@@ -551,12 +572,15 @@ def update_hist_store(
     batch_id: str,
 ) -> str:
     """Incrementally merge a batch into an :func:`ensure_hist_store`
-    store: the batch's OWN histogram (<= |bounds| rows) appends as
+    store: the batch's OWN histogram (<= |bounds| rows) lands as
     partition ``delta=<batch_id>``; the existing store is never read.
-    Replay guard: an ``_applied_<batch_id>`` marker (written LAST, the
-    postings-store discipline) makes a retried batch a no-op, so
-    at-least-once delivery cannot double-count. Returns 'applied' or
-    'skipped'."""
+    Two-layer replay guard: the delta write OVERWRITES its own
+    partition directory (idempotent per batch_id — a driver crash
+    between job commit and marker creation leaves a retry that
+    REPLACES the committed delta rather than appending a second copy),
+    and the ``_applied_<batch_id>`` marker (written LAST) short-circuits
+    clean replays, so at-least-once delivery cannot double-count.
+    Returns 'applied' or 'skipped'."""
     import json
 
     jvm, fs = _hist_fs(spark, path)
@@ -576,12 +600,11 @@ def update_hist_store(
     delta = _hist_delta(
         new_rows, params["value_col"], params["bounds"], params.get("key_col")
     )
-    (
-        delta.withColumn("delta", F.lit(str(batch_id)))
-        .repartition(1)
-        .write.partitionBy("delta")
-        .mode("append")
-        .parquet(base)
+    # overwrite THIS batch's partition dir directly (not a table-level
+    # append): the partition value comes from the directory name, and a
+    # retried batch replaces any partial/committed prior attempt
+    delta.repartition(1).write.mode("overwrite").parquet(
+        base + f"/delta={batch_id}"
     )
     out = fs.create(marker, True)
     try:
@@ -594,13 +617,38 @@ def update_hist_store(
 def read_hist_store(spark, path: str) -> DataFrame:
     """Aggregate the store's delta partitions back into one histogram:
     SUM of counters per (key?, bucket) — mergeability is the whole
-    point; the grouping keys are schema-driven so global and keyed
-    stores (and compaction over either) share one reader. The read is
-    |deltas| x |keys| x |occupied buckets| rows — sketch-scale, never
-    corpus-scale; compact periodically by folding old deltas into a new
-    base if delta count ever matters."""
-    df = spark.read.parquet(path.rstrip("/"))
-    keys = [c for c in df.columns if c not in ("c", "delta")]
+    point; the grouping grain is META-driven (``key_col`` present in
+    ``_hist_meta.json`` or not), so global and keyed stores (and
+    compaction over either) share one reader while a schema surprise —
+    a stray column in a delta, a store written by a newer layout —
+    FAILS loudly instead of silently changing aggregation grain. The
+    read is |deltas| x |keys| x |occupied buckets| rows — sketch-scale,
+    never corpus-scale; compact periodically by folding old deltas into
+    a new base if delta count ever matters."""
+    import json
+
+    jvm, fs = _hist_fs(spark, path)
+    base = path.rstrip("/")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_hist_meta.json")
+    if not fs.exists(meta_path):
+        raise ValueError(f"no histogram store at {path}; build one first")
+    stream = fs.open(meta_path)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    params = json.loads(txt)["params"]
+    keys = (["key"] if params.get("key_col") else []) + ["bucket", "lo"]
+    df = spark.read.parquet(base)
+    expected = set(keys) | {"c", "delta"}
+    unexpected = [c for c in df.columns if c not in expected]
+    missing = [c for c in expected if c not in df.columns]
+    if unexpected or missing:
+        raise ValueError(
+            f"histogram store at {path} does not match its metadata "
+            f"(key_col={params.get('key_col')!r}): unexpected columns "
+            f"{unexpected}, missing columns {missing}"
+        )
     return df.groupBy(*keys).agg(F.sum("c").cast("bigint").alias("c"))
 
 
@@ -698,12 +746,7 @@ def log_histogram_by(
         .select(F.col(key_col).alias("key"), idx.alias("bucket"))
         .groupBy("key", "bucket")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .select(
-            "key",
-            "bucket",
-            F.element_at(blit, F.col("bucket").cast("int")).alias("lo"),
-            "c",
-        )
+        .select("key", "bucket", _bucket_lo(blit, value_col).alias("lo"), "c")
     )
 
 

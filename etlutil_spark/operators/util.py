@@ -19,3 +19,30 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     if df.rdd.getNumPartitions() < minp:
         return df.repartition(minp)
     return df
+
+
+def dataset_digest(df: DataFrame) -> str:
+    """Content-identity digest of the files backing ``df``'s scan:
+    md5 over the sorted (path, length, mtime) of every input file.
+
+    The ensure_* persisted stores fold this into their metadata so a
+    store keyed by a path string cannot silently serve stale results
+    after the dataset at that path is REGENERATED — same params +
+    different bytes now reads as a param mismatch and rebuilds. Cost is
+    one FileStatus per input file (driver-side metadata, no data read);
+    an in-memory frame (no backing files) digests to the empty-list
+    hash, which is stable but cannot detect content changes — persist
+    such inputs first if staleness matters."""
+    import hashlib
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    h = hashlib.md5()
+    for f in sorted(df.inputFiles()):
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        st = p.getFileSystem(conf).getFileStatus(p)
+        h.update(
+            f"{f}|{st.getLen()}|{st.getModificationTime()}\n".encode()
+        )
+    return h.hexdigest()

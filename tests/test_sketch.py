@@ -420,3 +420,91 @@ class TestHistStore:
             for r in read_hist_store(spark, path).collect()
         )
         assert got == direct
+
+    def test_update_retry_after_lost_marker_does_not_double_count(
+        self, spark, tmp_path
+    ):
+        """Crash-safety: the delta write overwrites its own partition
+        dir, so a retry whose previous attempt committed the job but
+        died before stamping the _applied marker REPLACES the delta
+        instead of appending a second copy."""
+        from etlutil_spark.operators.sketch import (
+            ensure_hist_store,
+            update_hist_store,
+        )
+
+        base = spark.createDataFrame([(v,) for v in range(0, 40)], "v long")
+        batch = spark.createDataFrame([(v,) for v in range(20, 100)], "v long")
+        path = str(tmp_path / "hist_crash")
+        ensure_hist_store(spark, base, path, value_col="v", bounds=self.BOUNDS)
+        assert update_hist_store(spark, batch, path, batch_id="b1") == "applied"
+        want = self._hist_rows(spark, path)
+        # simulate the crash window: job committed, marker lost
+        import os
+
+        os.remove(os.path.join(path, "_applied_b1"))
+        assert update_hist_store(spark, batch, path, batch_id="b1") == "applied"
+        assert self._hist_rows(spark, path) == want
+
+    def test_content_change_rebuilds_store(self, spark, tmp_path):
+        """Same path + same params + REGENERATED source data must
+        rebuild, not silently serve the stale store (the dataset digest
+        in _hist_meta.json)."""
+        from etlutil_spark.operators.sketch import ensure_hist_store
+
+        src = str(tmp_path / "src_data")
+        spark.createDataFrame([(v,) for v in range(0, 30)], "v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        path = str(tmp_path / "hist_digest")
+        df1 = spark.read.parquet(src)
+        assert ensure_hist_store(
+            spark, df1, path, value_col="v", bounds=self.BOUNDS
+        ) == "built"
+        assert ensure_hist_store(
+            spark, df1, path, value_col="v", bounds=self.BOUNDS
+        ) == "reused"
+        # regenerate the dataset at the same path with different contents
+        spark.createDataFrame([(v,) for v in range(0, 150)], "v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        df2 = spark.read.parquet(src)
+        assert ensure_hist_store(
+            spark, df2, path, value_col="v", bounds=self.BOUNDS
+        ) == "built"
+
+    def test_reader_rejects_schema_surprise(self, spark, tmp_path):
+        """A stray column in a delta must fail loudly, not silently
+        change the aggregation grain."""
+        import pytest
+
+        from etlutil_spark.operators.sketch import (
+            ensure_hist_store,
+            read_hist_store,
+        )
+
+        base = spark.createDataFrame([(v,) for v in range(0, 30)], "v long")
+        path = str(tmp_path / "hist_strict")
+        ensure_hist_store(spark, base, path, value_col="v", bounds=self.BOUNDS)
+        spark.createDataFrame(
+            [(1, 1, 3, "x")], "bucket long, lo long, c long, stray string"
+        ).write.mode("overwrite").parquet(path + "/delta=bad")
+        with pytest.raises(Exception, match="does not match its metadata"):
+            read_hist_store(spark, path).collect()
+
+    def test_below_bounds_raises_named_error(self, spark):
+        """Values below bounds[0] raise an error naming the column and
+        the contract, not element_at's opaque index error."""
+        import pytest
+
+        from etlutil_spark.operators.sketch import (
+            log_histogram,
+            log_histogram_by,
+        )
+
+        neg = spark.createDataFrame([(-5,), (3,)], "v long")
+        with pytest.raises(Exception, match="below"):
+            log_histogram(neg, "v", self.BOUNDS).collect()
+        negk = spark.createDataFrame([("a", -5), ("a", 3)], "k string, v long")
+        with pytest.raises(Exception, match="below"):
+            log_histogram_by(negk, "k", "v", self.BOUNDS).collect()
