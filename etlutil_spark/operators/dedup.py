@@ -754,6 +754,143 @@ def duplicate_clusters(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted near-dup cluster-map store: the dedup twin of the postings /
+# IVF / histogram serving stores. The audit family (agreement, impact,
+# cluster sizes, cross-source matrix, threshold sweep, split leakage)
+# reads the SAME two primitives — the capped candidate-pair table and the
+# connected-components cluster map — so materializing them once turns five
+# full pair-stage + CC recomputations into five partition-pruned parquet
+# scans. Layout:
+#
+#   <path>/pairs/     id_a, id_b, jaccard   (threshold 0.0 over the capped
+#                                            shingle universe — every
+#                                            candidate pair, so any
+#                                            downstream threshold filters)
+#   <path>/clusters/  member_id, cluster_id (CC over pairs >= threshold)
+#   <path>/_cluster_meta.json               (params + dataset digest,
+#                                            written LAST = the completion
+#                                            marker)
+# ---------------------------------------------------------------------------
+
+
+def build_cluster_store(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = 50,
+) -> None:
+    """Materialize the candidate-pair table and the near-dup cluster map
+    under ``path`` (overwrite-always; see :func:`ensure_cluster_store`
+    for the build-once wrapper). The pair stage runs ONCE at threshold
+    0.0 — every candidate pair surviving the stop-shingle cap, with its
+    exact Jaccard — and the CC stage reads the PERSISTED pairs back, so
+    the expensive capped self-join is never executed twice."""
+    base = path.rstrip("/")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        id_col,
+        text_col,
+        n=n,
+        threshold=0.0,
+        max_shingle_freq=max_shingle_freq,
+    )
+    pairs.write.mode("overwrite").parquet(base + "/pairs")
+    spark = docs.sparkSession
+    verified = spark.read.parquet(base + "/pairs").where(
+        F.col("jaccard") >= F.lit(float(threshold))
+    )
+    duplicate_clusters(verified).write.mode("overwrite").parquet(
+        base + "/clusters"
+    )
+
+
+def ensure_cluster_store(
+    spark,
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = 50,
+) -> str:
+    """Build-ONCE wrapper around :func:`build_cluster_store` (the
+    ensure_* contract shared with the postings/IVF/histogram stores): a
+    complete store whose ``_cluster_meta.json`` matches both the params
+    AND the dataset content digest is reused metadata-free; a mismatch
+    or partial write (meta is written last) rebuilds. Concurrent
+    builders against one path still race — serialize externally or use
+    per-run paths. Returns 'built' or 'reused'."""
+    import json
+
+    from etlutil_spark.operators.util import dataset_digest
+
+    jvm = spark._jvm
+    base = path.rstrip("/")
+    jp = jvm.org.apache.hadoop.fs.Path(base)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_cluster_meta.json")
+    params = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "n": int(n),
+        "threshold": float(threshold),
+        "max_shingle_freq": (
+            int(max_shingle_freq) if max_shingle_freq is not None else None
+        ),
+        "data": dataset_digest(docs),
+    }
+    if fs.exists(jp) and fs.exists(meta_path):
+        stream = fs.open(meta_path)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        try:
+            if json.loads(txt).get("params") == params:
+                return "reused"
+        except ValueError:
+            pass
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    build_cluster_store(
+        docs,
+        base,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
+    out = fs.create(meta_path, True)
+    try:
+        out.write(
+            bytearray(json.dumps({"params": params}, sort_keys=True).encode())
+        )
+    finally:
+        out.close()
+    return "built"
+
+
+def read_cluster_pairs(spark, path: str) -> DataFrame:
+    """The store's candidate-pair table (id_a, id_b, jaccard) — every
+    capped candidate pair at threshold 0.0; filter ``jaccard >= t``
+    for any downstream threshold (the predicate pushes to the scan)."""
+    return spark.read.parquet(path.rstrip("/") + "/pairs")
+
+
+def read_cluster_map(spark, path: str) -> DataFrame:
+    """The store's cluster map (member_id, cluster_id) — the connected
+    components of the verified pairs at the store's build threshold."""
+    return spark.read.parquet(path.rstrip("/") + "/clusters")
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

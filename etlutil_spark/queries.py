@@ -14268,6 +14268,37 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
+    """Shared persisted cluster-map store for the dedup-audit family
+    (agreement, impact, cluster sizes, cross-source matrix, threshold
+    sweep, near-dup split leakage): ONE capped pair stage + ONE CC run
+    materialized per (dataset, params), then every audit is a
+    partition-pruned parquet scan instead of its own full pipeline
+    recomputation. The dataset digest in the store meta forces a
+    rebuild when the data at sf_dir is regenerated."""
+    import tempfile
+
+    from etlutil_spark.operators.dedup import ensure_cluster_store
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    path = (
+        f"{tempfile.gettempdir()}/etlutil_spark_clstore_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_cluster_store(
+        spark,
+        d,
+        path,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.6,
+        max_shingle_freq=50,
+    )
+    return path
+
+
 # LSH-vs-exact ARI oracle: the minhash chain's verified-pair CTE (vpairs)
 # plus the FREQ50-capped exact-pair chain (the fragment's `ex` matches the
 # minhash SQL's own uncapped shingle table, so _DUCK_SHINGLES_FREQ50 splices
@@ -14354,24 +14385,30 @@ def dedup_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     split a whole family).
 
     Everything is pair COUNTING, never pair materialization: two keyed
-    labelings (each already bounded — capped shingle join / banded
-    bucket join, CC in O(log n) star rounds), one full-outer singleton
-    fill, a (ca, cb)-keyed contingency aggregate bounded by corpus
-    rows, and exact-integer C(n,2) `div` arithmetic; the only doubles
-    are the final chance-correction ratios, op-order-mirrored in the
-    oracle. Scale: one shuffle per labeling + three keyed aggregates;
-    nothing quadratic in corpus size."""
+    labelings (the exact side read from the persisted cluster-map store
+    — one materialization serves the whole audit family; the LSH side's
+    banded bucket join + CC in O(log n) star rounds), one full-outer
+    singleton fill, a (ca, cb)-keyed contingency aggregate bounded by
+    corpus rows, and exact-integer C(n,2) `div` arithmetic; the only
+    doubles are the final chance-correction ratios, op-order-mirrored
+    in the oracle. The cluster maps join WITHOUT broadcast hints: they
+    are corpus-proportional (one row per clustered member — billions of
+    rows at 100 TB with real-web dup rates), so forcing a broadcast is
+    an OOM; both sides are doc_id-keyed and AQE still broadcasts when a
+    map is genuinely small. Scale: one shuffle per labeling + three
+    keyed aggregates; nothing quadratic in corpus size."""
     from etlutil_spark.operators.dedup import (
         duplicate_clusters,
         minhash_lsh_pairs,
-        ngram_jaccard_pairs,
+        read_cluster_map,
     )
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    cl_e = duplicate_clusters(
-        ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50)
-    ).withColumnsRenamed({"member_id": "m_e", "cluster_id": "c_e"})
+    store = _dedup_cluster_store(spark, sf_dir)
+    cl_e = read_cluster_map(spark, store).withColumnsRenamed(
+        {"member_id": "m_e", "cluster_id": "c_e"}
+    )
     cl_l = duplicate_clusters(
         minhash_lsh_pairs(
             d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
@@ -14379,8 +14416,8 @@ def dedup_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"member_id": "m_l", "cluster_id": "c_l"})
     nd = (
         d.select("doc_id")
-        .join(F.broadcast(cl_e), F.col("doc_id") == F.col("m_e"), "left")
-        .join(F.broadcast(cl_l), F.col("doc_id") == F.col("m_l"), "left")
+        .join(cl_e, F.col("doc_id") == F.col("m_e"), "left")
+        .join(cl_l, F.col("doc_id") == F.col("m_l"), "left")
         .select(
             "doc_id",
             F.coalesce(F.col("c_e"), F.col("doc_id")).alias("ca"),
@@ -14977,23 +15014,20 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     show savings far above the corpus mean — this is the table that
     justifies (or kills) running the expensive dedup stage per source.
 
-    Shape: the capped CC pipeline (bounded pair join, O(log n) star
-    rounds), the cluster map broadcast back onto one corpus scan, one
-    source-keyed aggregate of exact integer sums. No stage quadratic in
-    corpus size; ratios are single IEEE divisions rounded at 6."""
-    from etlutil_spark.operators.dedup import (
-        duplicate_clusters,
-        ngram_jaccard_pairs,
-    )
+    Shape: the cluster map read from the persisted store (one capped
+    pair stage + CC run shared across the whole audit family), joined
+    back onto one corpus scan WITHOUT a broadcast hint — the map is
+    corpus-proportional (one row per clustered member), so a forced
+    broadcast is an OOM at 100 TB; the join is doc_id-keyed and AQE
+    broadcasts when the map is genuinely small — then one source-keyed
+    aggregate of exact integer sums. No stage quadratic in corpus size;
+    ratios are single IEEE divisions rounded at 6."""
+    from etlutil_spark.operators.dedup import read_cluster_map
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    cl = duplicate_clusters(
-        ngram_jaccard_pairs(
-            d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
-        )
-    )
-    j = d.join(F.broadcast(cl), d.doc_id == cl.member_id, "left").select(
+    cl = read_cluster_map(spark, _dedup_cluster_store(spark, sf_dir))
+    j = d.join(cl, d.doc_id == cl.member_id, "left").select(
         "source",
         F.col("n_chars").cast("bigint").alias("w"),
         F.when(
@@ -15128,20 +15162,13 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE survivors are materialized; the 'n_removable' column totals
     to exactly the doc savings dedup_impact_report reports.
 
-    One capped CC run, one cluster-keyed count, one size-keyed count —
-    report rows bounded by the largest cluster size, not the corpus."""
-    from etlutil_spark.operators.dedup import (
-        duplicate_clusters,
-        ngram_jaccard_pairs,
-    )
-    from etlutil_spark.operators.util import ensure_min_partitions
+    The cluster map comes from the persisted store (one capped pair
+    stage + CC run shared across the audit family); then one
+    cluster-keyed count and one size-keyed count — report rows bounded
+    by the largest cluster size, not the corpus."""
+    from etlutil_spark.operators.dedup import read_cluster_map
 
-    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    cl = duplicate_clusters(
-        ngram_jaccard_pairs(
-            d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
-        )
-    )
+    cl = read_cluster_map(spark, _dedup_cluster_store(spark, sf_dir))
     sz = cl.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )
@@ -15546,23 +15573,29 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source — the split-leakage failure docs_split_leakage gates on);
     diagonal cells are ordinary within-source boilerplate.
 
-    One capped pair stage (the dedup_ngram_jaccard discipline), two
-    doc->source lookups (dimension-shaped broadcast in practice), one
+    The pair table is read from the persisted cluster store (one
+    capped pair stage shared across the audit family; the >= 0.6
+    predicate pushes to the scan), then two doc->source lookups and one
     (source_a, source_b)-keyed count — report rows bounded by
-    |sources|^2, never by the corpus."""
-    from etlutil_spark.operators.dedup import ngram_jaccard_pairs
+    |sources|^2, never by the corpus. The lookups join WITHOUT
+    broadcast hints: a doc_id->source map is corpus-proportional, so a
+    forced broadcast is an OOM at scale; AQE broadcasts the genuinely
+    small side (here, the pair list) on its own."""
+    from etlutil_spark.operators.dedup import read_cluster_pairs
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
-    ).select("id_a", "id_b")
+    pairs = (
+        read_cluster_pairs(spark, _dedup_cluster_store(spark, sf_dir))
+        .where(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b")
+    )
     src = d.select("doc_id", "source")
     sa = src.withColumnsRenamed({"doc_id": "ida", "source": "sa"})
     sb = src.withColumnsRenamed({"doc_id": "idb", "source": "sb"})
     lab = (
-        pairs.join(F.broadcast(sa), F.col("id_a") == F.col("ida"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("idb"))
+        pairs.join(sa, F.col("id_a") == F.col("ida"))
+        .join(sb, F.col("id_b") == F.col("idb"))
         .select(
             F.least(F.col("sa"), F.col("sb")).alias("source_a"),
             F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
@@ -15935,19 +15968,25 @@ def docs_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical to eval/test docs — the contamination Lee et al. and
     GPT-3's dedup postmortem showed survives exact dedup and inflates
     eval scores. The gate a split release runs AFTER near-dup analysis
-    exists anyway (the pair table is shared work with dedup_clusters /
-    dedup_impact_report).
+    exists anyway — the pair table is READ from the persisted cluster
+    store the whole audit family shares (the >= 0.6 predicate pushes to
+    the scan).
 
-    One capped pair stage + two hash-split lookups + one
-    (split, split)-keyed count — report bounded by 3x3 split pairs."""
-    from etlutil_spark.operators.dedup import ngram_jaccard_pairs
+    One store scan + two hash-split lookups + one (split, split)-keyed
+    count — report bounded by 3x3 split pairs. The split lookups join
+    WITHOUT broadcast hints: a doc_id->split map is corpus-proportional
+    (one row per doc), so a forced broadcast is an OOM at scale; AQE
+    broadcasts the genuinely small side (the pair list) on its own."""
+    from etlutil_spark.operators.dedup import read_cluster_pairs
     from etlutil_spark.operators.sampling import assign_split
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
-    ).select("id_a", "id_b")
+    pairs = (
+        read_cluster_pairs(spark, _dedup_cluster_store(spark, sf_dir))
+        .where(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b")
+    )
     spl = assign_split(
         d.select("doc_id"),
         "doc_id",
@@ -15957,8 +15996,8 @@ def docs_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = spl.withColumnsRenamed({"doc_id": "ida", "split": "spa"})
     sb = spl.withColumnsRenamed({"doc_id": "idb", "split": "spb"})
     lab = (
-        pairs.join(F.broadcast(sa), F.col("id_a") == F.col("ida"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("idb"))
+        pairs.join(sa, F.col("id_a") == F.col("ida"))
+        .join(sb, F.col("id_b") == F.col("idb"))
         .select(
             F.least(F.col("spa"), F.col("spb")).alias("split_a"),
             F.greatest(F.col("spa"), F.col("spb")).alias("split_b"),
@@ -16078,17 +16117,16 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive). Complements dedup_lsh_scurve (which answers how to
     BAND for a chosen threshold) by answering WHICH threshold.
 
-    The pair table is computed once (stop-shingle cap bounds the
-    self-join exactly as dedup_ngram_jaccard); the sweep is a 6-literal
+    The pair table is read from the persisted cluster store (the store
+    materializes it at threshold 0.0 precisely so every threshold
+    consumer shares one capped self-join); the sweep is a 6-literal
     broadcast against it — per-threshold cost is an aggregate, not a
     re-scan."""
-    from etlutil_spark.operators.dedup import ngram_jaccard_pairs
-    from etlutil_spark.operators.util import ensure_min_partitions
+    from etlutil_spark.operators.dedup import read_cluster_pairs
 
-    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    pj = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=50
-    ).select("jaccard")
+    pj = read_cluster_pairs(spark, _dedup_cluster_store(spark, sf_dir)).select(
+        "jaccard"
+    )
     ts = spark.createDataFrame([(t,) for t in (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)], "t double")
     return (
         pj.crossJoin(F.broadcast(ts))

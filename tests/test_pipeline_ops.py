@@ -779,3 +779,111 @@ class TestMultiBatchStreaming:
             for k, v in latest.items()
         }
         assert got_map == expect
+
+
+class TestClusterStore:
+    """Persisted near-dup cluster-map store (dedup.py): one pair-stage +
+    CC materialization serving every audit consumer, ensure_* reuse
+    semantics, and the dataset-digest staleness guard."""
+
+    def _write_docs(self, spark, path, rows):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def test_store_matches_live_pipeline(self, spark, tmp_path):
+        from etlutil_spark.operators.dedup import (
+            duplicate_clusters,
+            ensure_cluster_store,
+            ngram_jaccard_pairs,
+            read_cluster_map,
+            read_cluster_pairs,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different text with nothing shared here"),
+            (4, "the quick brown fox jumps over the lazy dog tonight"),
+        ]
+        d = self._write_docs(spark, str(tmp_path / "docs"), rows)
+        path = str(tmp_path / "clstore")
+        assert ensure_cluster_store(
+            spark, d, path, id_col="doc_id", text_col="text", n=3,
+            threshold=0.6, max_shingle_freq=50,
+        ) == "built"
+        # pairs leg == live pair stage at threshold 0.0
+        live_pairs = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                d, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=50
+            ).collect()
+        )
+        got_pairs = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_cluster_pairs(spark, path).collect()
+        )
+        assert got_pairs == live_pairs
+        # clusters leg == live CC over verified pairs
+        live_cl = sorted(
+            (r.member_id, r.cluster_id)
+            for r in duplicate_clusters(
+                ngram_jaccard_pairs(
+                    d, "doc_id", "text", n=3, threshold=0.6,
+                    max_shingle_freq=50,
+                )
+            ).collect()
+        )
+        got_cl = sorted(
+            (r.member_id, r.cluster_id)
+            for r in read_cluster_map(spark, path).collect()
+        )
+        assert got_cl == live_cl
+        # same data + same params: metadata-only reuse
+        assert ensure_cluster_store(
+            spark, d, path, id_col="doc_id", text_col="text", n=3,
+            threshold=0.6, max_shingle_freq=50,
+        ) == "reused"
+        # param change rebuilds
+        assert ensure_cluster_store(
+            spark, d, path, id_col="doc_id", text_col="text", n=4,
+            threshold=0.6, max_shingle_freq=50,
+        ) == "built"
+
+    def test_content_change_rebuilds(self, spark, tmp_path):
+        from etlutil_spark.operators.dedup import (
+            ensure_cluster_store,
+            read_cluster_map,
+        )
+
+        src = str(tmp_path / "docs2")
+        d = self._write_docs(
+            spark,
+            src,
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            ],
+        )
+        path = str(tmp_path / "clstore2")
+        ensure_cluster_store(spark, d, path)
+        assert {
+            (r.member_id, r.cluster_id)
+            for r in read_cluster_map(spark, path).collect()
+        } == {(1, 1), (2, 1)}
+        # regenerate the dataset at the SAME path with different contents:
+        # the digest in the meta must force a rebuild, not serve stale
+        d2 = self._write_docs(
+            spark,
+            src,
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            ],
+        )
+        assert ensure_cluster_store(spark, d2, path) == "built"
+        assert {
+            (r.member_id, r.cluster_id)
+            for r in read_cluster_map(spark, path).collect()
+        } == {(1, 1), (3, 1)}

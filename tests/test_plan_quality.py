@@ -467,11 +467,11 @@ HEADLINE_BUDGETS = {
     "docs_source_lorenz": (3, 1),
     # r10: capped CC pipeline + broadcast cluster map onto one scan +
     # one source-keyed aggregate
-    "dedup_impact_report": (4, 2),
+    "dedup_impact_report": (2, 1),  # cluster map from the persisted store
     # r10: scan -> literal whitening projection -> TakeOrdered heap
     "embeddings_outliers": (1, 0),
     # r10: capped CC pipeline + cluster-keyed then size-keyed counts
-    "dedup_cluster_sizes": (4, 1),
+    "dedup_cluster_sizes": (2, 0),  # cluster map from the persisted store
     # r10 capstone: composes FIVE audits (each its own keyed passes) +
     # five 1-row gate scalars crossJoined
     "audit_release_gate": (20, 13),
@@ -485,7 +485,7 @@ HEADLINE_BUDGETS = {
     "sim_whitened_shift": (2, 1),
     # r10: capped pair chain + two doc->source broadcast lookups + one
     # (source, source)-keyed count
-    "dedup_cross_source_matrix": (13, 4),
+    "dedup_cross_source_matrix": (3, 1),  # pair table from the persisted store
     # r10: banded candidate chain + signature table broadcast twice +
     # 1-row error reduce
     "dedup_minhash_estimator_error": (7, 3),
@@ -500,11 +500,11 @@ HEADLINE_BUDGETS = {
     "embeddings_cluster_separation": (7, 3),
     # r10: capped pair chain + two hash-split broadcast lookups + one
     # (split, split)-keyed count
-    "docs_split_leakage_neardup": (13, 4),
+    "docs_split_leakage_neardup": (3, 1),  # pair table from the persisted store
     # r10 capstone: composes FOUR docs audits + four 1-row card scalars
-    "docs_release_card": (25, 8),
+    "docs_release_card": (22, 8),  # split-leak leg reads the persisted store
     # r10: one capped pair pass + 6-literal threshold broadcast
-    "dedup_threshold_sweep": (11, 4),
+    "dedup_threshold_sweep": (1, 1),  # pair table from the persisted store
     # r10: serving reads the keyed store (|keys| x |bounds| rows) +
     # per-key quantile windows; build/increment sit behind ensure_*
     "events_type_quantile_store": (2, 0),
