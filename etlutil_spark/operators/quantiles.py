@@ -285,6 +285,7 @@ def exact_grouped_ntile(
     *,
     bucket_col: str = "bucket",
     n_partitions: int | None = None,
+    max_offset_rows: int = 1 << 18,
 ) -> DataFrame:
     """Add ``bucket_col`` = ``ntile(n_buckets) OVER (PARTITION BY
     group_cols ORDER BY order_cols)`` — per-STRATUM exact quantile
@@ -314,7 +315,7 @@ def exact_grouped_ntile(
     from etlutil_spark.operators.quantiles_grouped import _grouped_rank_frame
 
     joined, empty = _grouped_rank_frame(
-        df, group_cols, order_cols, n_partitions
+        df, group_cols, order_cols, n_partitions, max_offset_rows
     )
     if empty:
         return joined.withColumn(bucket_col, F.lit(None).cast("int"))

@@ -39,11 +39,22 @@ def _grouped_rank_frame(
     group_cols: list[str],
     order_cols: list[str],
     n_partitions: int | None,
+    max_offset_rows: int = 1 << 18,
 ):
     """Shared stage: returns (frame, empty) where frame carries scratch
     columns ``_lr`` (local rank), ``_off`` (per-group rank offset for
     this partition) and ``_n`` (group total), or (schema-preserving
-    empty frame, True) on empty input."""
+    empty frame, True) on empty input.
+
+    CONTRACT: the group count must be BOUNDED (sources, languages,
+    tenants — the strata of a curation corpus). The offset table this
+    stage collects is O(n_partitions + n_groups) rows; called with a
+    high-cardinality group (per-user, per-doc) it would silently become
+    a driver-side funnel, so the collect is circuit-broken at
+    ``max_offset_rows`` (the semdedup ``max_cell_share`` discipline:
+    fail loudly before the pathological shape runs, never degrade
+    silently). Raise the bound explicitly only when partitions x groups
+    is genuinely that large AND the driver has the memory for it."""
     spark = df.sparkSession
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 1)
     scratch = ("_pid", "_lr", "_off", "_n", "_opid") + tuple(
@@ -56,9 +67,24 @@ def _grouped_rank_frame(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
+    # take(bound+1), not collect(): the driver never materializes more
+    # than the circuit-breaker bound + 1 rows even on a bad call
     counts = (
-        ranged.groupBy("_pid", *group_cols).agg(F.count("*").alias("cnt")).collect()
+        ranged.groupBy("_pid", *group_cols)
+        .agg(F.count("*").alias("cnt"))
+        .take(max_offset_rows + 1)
     )
+    if len(counts) > max_offset_rows:
+        raise ValueError(
+            "exact_grouped_rank/ntile: the (partition x group) offset "
+            f"table exceeds max_offset_rows={max_offset_rows} — the group "
+            "keys look high-cardinality (per-user/per-doc?), which would "
+            "funnel through the driver. This operator's contract is "
+            "BOUNDED group counts (sources/languages/tenants); use a "
+            "different formulation for high-cardinality groups, or raise "
+            "max_offset_rows explicitly if partitions x groups is "
+            "genuinely this large."
+        )
     if not counts:  # empty input: preserve schema + empty result
         return ranged.drop("_pid"), True
     by_group: dict[tuple, list] = {}
@@ -111,14 +137,19 @@ def exact_grouped_rank(
     rank_col: str = "rank",
     n_col: str | None = None,
     n_partitions: int | None = None,
+    max_offset_rows: int = 1 << 18,
 ) -> DataFrame:
     """Add ``rank_col`` = ``row_number() OVER (PARTITION BY group_cols
     ORDER BY order_cols)`` (and optionally ``n_col`` = the group's row
     count, the ``COUNT(*) OVER (PARTITION BY group_cols)`` twin) without
     per-group window partitions — the input to per-stratum rank
     statistics (concentration curves, top-share cuts, grouped medians)
-    at corpus scale."""
-    frame, empty = _grouped_rank_frame(df, group_cols, order_cols, n_partitions)
+    at corpus scale. Group counts must be BOUNDED; see
+    :func:`_grouped_rank_frame` for the ``max_offset_rows`` circuit
+    breaker that enforces it."""
+    frame, empty = _grouped_rank_frame(
+        df, group_cols, order_cols, n_partitions, max_offset_rows
+    )
     if empty:
         out = frame.withColumn(rank_col, F.lit(None).cast("long"))
         if n_col:

@@ -505,6 +505,31 @@ class TestExactNtileProperties:
         with _pt.raises(ValueError):
             exact_grouped_rank(clash, ["g"], ["_lr"])
 
+    def test_grouped_high_cardinality_group_circuit_breaker(self, spark):
+        """A high-cardinality group key (per-user shape) must raise the
+        bounded-groups contract error instead of funnelling the
+        (partition x group) offset table through the driver; legitimate
+        bounded calls pass at the same bound."""
+        import pytest as _pt
+
+        from etlutil_spark.operators.quantiles import exact_grouped_ntile
+        from etlutil_spark.operators.quantiles_grouped import exact_grouped_rank
+
+        hi = spark.range(0, 500).select(
+            F.col("id").alias("g"), (F.col("id") % 7).alias("v")
+        )
+        with _pt.raises(ValueError, match="max_offset_rows"):
+            exact_grouped_rank(hi, ["g"], ["v", "g"], max_offset_rows=100)
+        with _pt.raises(ValueError, match="max_offset_rows"):
+            exact_grouped_ntile(hi, 4, ["g"], ["v", "g"], max_offset_rows=100)
+        lo = spark.range(0, 500).select(
+            (F.col("id") % 3).alias("g"),
+            F.col("id").alias("v"),
+        )
+        assert exact_grouped_rank(
+            lo, ["g"], ["v"], max_offset_rows=100
+        ).count() == 500
+
     @PROP
     @given(n=st.integers(0, 100), buckets=st.integers(1, 5))
     def test_grouped_ntile_two_group_cols(self, spark, n, buckets):
