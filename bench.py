@@ -341,12 +341,28 @@ def main() -> None:
     if unknown:
         raise KeyError(f"bench names not in query catalog: {unknown}")
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        Q.QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    # Headline runs BEST-OF-N (median, r10 verdict item 7): single-run
+    # wall on this shared box swings more than real round-over-round
+    # deltas (r10: driver artifact 30.13 s vs same-tree builder runs
+    # 22.46-28.24 s). Per-run totals are published in "runs"; "value" is
+    # the sum of per-query MEDIANS so one preempted query in one run
+    # can't drag the summary.
+    import statistics
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    run_timings: list[dict[str, float]] = []
+    for _ in range(n_runs):
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            Q.QUERIES[name](spark, sf_dir).collect()
+            t[name] = round(time.perf_counter() - t0, 4)
+        run_timings.append(t)
+    run_totals = [round(sum(t.values()), 4) for t in run_timings]
+    timings = {
+        name: round(statistics.median(rt[name] for rt in run_timings), 4)
+        for name in HEADLINE
+    }
     total = round(sum(timings.values()), 4)
 
     extended: dict[str, float] = {}
@@ -362,6 +378,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": run_totals,
+                "summary": f"per-query median of {n_runs} runs",
                 "extended": extended,
                 "sf": sf,
                 "calib_sec": calib,
@@ -389,6 +407,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": run_totals,
+                "summary": f"per-query median of {n_runs} runs",
                 "sf": sf,
                 "calib_sec": calib,
                 "value_calib_normalized": round(total * (CALIB_REF_SEC / calib), 4),
