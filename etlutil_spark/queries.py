@@ -16389,77 +16389,69 @@ def orders_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # r10 window (COVERAGE.md "Round-10 rotation plan"; r9 verdict item
-    # 1). CORRECTNESS_r09 came back 50/50 green, so the window spends
-    # its slots on (a) the 7 r9 post-window registrations that have
-    # NEVER had a driver row + the 4 new r10 registrations, (b) re-
-    # proofs of every query whose operator code or oracle changed at
-    # r10 start, (c) the eight SURVEY-2 second-of-family slots whose
-    # newest rows date to r5, (d) the r5-window block never re-proven
-    # since r5, in ledger order, and (e) the verdict-named pool picks
-    # (sim_ann_recall, dedup_screen_new_batch, TPC-H q2-q22 block).
-    # --- (a) never driver-checked: r9 post-window + r10 new ---
-    "supplier_late_rate_wilson",
-    "customer_scd2_cdc_deletes",   # also (b): interior-gap tombstone fix
-    "orders_price_quantile_sketch",
-    "embeddings_top_pc",
-    "docs_pmi_collocations",
-    "customer_rfm_migration",
-    "docs_js_divergence_sources",
-    "sim_ivfadc_serve",            # r10: build-once cell-partitioned store
-    "hll_weekly_users_accuracy",   # r10: HLL estimate under the hash gate
-    "docs_duplicate_spans",        # r10: exact-substring span primitive
-    "docs_hybrid_rerank",          # r10: continuous-feature rerank stage
-    # --- (b) re-proofs: operator code/oracle changed at r10 start ---
-    # clustering fit/train split + one-checkpoint corpus threading:
-    "sim_ivfadc_topk",
-    "sim_ivf_kmeans_topk",
-    "sim_pq_adc_topk",
-    "embeddings_semdedup",
-    "embeddings_cluster_purity",
-    "embeddings_kmeans",
-    # countsketch lower-median (n+1)//2 fix:
-    "sketch_join_cardinality",
-    # oracle unroll aligned to the Spark 40-round cap:
-    "parts_copurchase_kcore",
-    # _bucket_spec.json guard on the reattach path:
-    "orders_bucketed_join_stats",
-    # single-job grand totals in dsir_log_weights:
-    "docs_dsir_weights",
-    # --- (c) SURVEY-2 second-of-family slots (rows from r5) ---
-    "op_flatten_depth_limit",
-    "op_normalize_dates_recursive",
-    "op_clean_replace_truncate",
-    "op_clean_fingerprint",
-    "op_prune_keys_depth",
-    "date_spine_month_backward",
-    "events_8_8_8_rest",
-    "events_calendar_periods",
-    # --- (d) r5-window block never re-proven since r5 (ledger order) ---
-    "docs_tfidf_topk",
-    "docs_bm25_search",
-    "docs_bigram_topk",
-    "docs_weighted_sample",
-    "orders_open_concurrency",
-    "embeddings_dim_stats",
-    "events_rolling_7d",
-    "lineitem_price_drift",
-    "purchase_click_pairs",
-    "docs_token_drift",
-    "events_funnel",
-    "user_retention_weekly",
-    "events_transition_matrix",
-    "q4_late_orders",
-    "q14_promo_share",
-    # --- (e) verdict-named pool picks ---
-    "sim_ann_recall",
-    "dedup_screen_new_batch",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q10_returned_items",
-    # r10 late registration: the span-CUT consumer stage (never checked;
-    # takes the last pool slot — q13 rotates to the r11 front instead)
-    "docs_span_cut_plan",
+    # r11 window (COVERAGE.md 'Round-11 rotation'; r10 verdict item 1:
+    # clear the driver-gate debt — ALL 44 never-driver-checked
+    # registrations front the window; catalog growth is FROZEN this
+    # round so the debt cannot regrow). The 44 are exactly the
+    # registered queries absent from every CORRECTNESS_r{1..10}.json
+    # (q13_customer_distribution, named in the old ledger, already has
+    # a green r6 row and is NOT debt). The 6 remaining slots go
+    # oldest-row-first to the re-proof pool (sim_ann_lsh r4, then the
+    # r5 block) per verdict item 8.
+    # --- (a) never checked: r9/r10 post-window registrations ---
+    "orders_l_diversity",
+    "orders_t_closeness",
+    "audit_benford_totalprice",
+    "docs_bm25_serve",
+    "docs_hybrid_serve",
+    "docs_bm25_serve_incremental",
+    "docs_bm25_serve_batch",
+    "sim_ivfadc_serve_incremental",
+    "sim_ivfadc_serve_batch",
+    "sim_ivfadc_recall",
+    "docs_self_repetition",
+    "events_ks_test",
+    "audit_doc_embedding_coverage",
+    "dedup_lsh_scurve",
+    "audit_dataset_diff",
+    "docs_retrieval_pipeline_serve",
+    # --- (b) never checked: r10 late-session registrations ---
+    "lineitem_theilsen_drift",
+    "docs_quality_calibration",
+    "dedup_agreement_ari",
+    "docs_robust_scaling",
+    "docs_source_concentration",
+    "docs_mixture_temperature",
+    "sim_topk_whitened",
+    "dedup_lsh_recall_by_bin",
+    "docs_source_lorenz",
+    "dedup_impact_report",
+    "embeddings_outliers",
+    "dedup_cluster_sizes",
+    "audit_release_gate",
+    "orders_forecast_backtest",
+    "parts_item_similarity_topk",
+    "sim_whitened_shift",
+    "dedup_cross_source_matrix",
+    # --- (c) never checked: r10 closing batches 11-21 ---
+    "dedup_minhash_estimator_error",
+    "orders_price_quantile_store",
+    "events_type_value_quantile_sketch",
+    "embeddings_cluster_separation",
+    "docs_split_leakage_neardup",
+    "docs_release_card",
+    "dedup_threshold_sweep",
+    "events_type_quantile_store",
+    "events_burstiness_index",
+    "supplier_revenue_hhi",
+    "orders_customer_gini",
+    # --- (d) oldest-row re-proofs (r4/r5 rows) ---
+    "sim_ann_lsh",
+    "baseline_dedup_embedding_pairs",
+    "docs_fingerprint",
+    "docs_lang_histogram",
+    "docs_quality_lang",
+    "docs_repetition",
 ]
 
 

@@ -166,36 +166,54 @@ class TestOracleGuards:
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            # r10: the 7 r9 post-window registrations that have never
-            # had a driver row + the 4 new r10 registrations...
-            "supplier_late_rate_wilson",
-            "customer_scd2_cdc_deletes",
-            "orders_price_quantile_sketch",
-            "embeddings_top_pc",
-            "docs_pmi_collocations",
-            "customer_rfm_migration",
-            "docs_js_divergence_sources",
-            "sim_ivfadc_serve",
-            "hll_weekly_users_accuracy",
-            "docs_duplicate_spans",
-            "docs_hybrid_rerank",
-            "docs_span_cut_plan",
-            # ...plus re-proofs whose operator code or oracle changed
-            # at r10 start (clustering fit/train split + one-checkpoint
-            # corpus, countsketch lower-median, kcore oracle unroll,
-            # bucket-spec reattach guard, dsir single-job totals, SCD2
-            # interior-gap tombstones) — their green rows predate the
-            # change.
-            "sim_ivfadc_topk",
-            "sim_ivf_kmeans_topk",
-            "sim_pq_adc_topk",
-            "embeddings_semdedup",
-            "embeddings_cluster_purity",
-            "embeddings_kmeans",
-            "sketch_join_cardinality",
-            "parts_copurchase_kcore",
-            "orders_bucketed_join_stats",
-            "docs_dsir_weights",
+            # r11: the 44 registered queries with no driver row in ANY
+            # CORRECTNESS_r{1..10}.json — the whole debt fronted at once
+            # (r10 verdict item 1); the rest of the window is the
+            # oldest-row re-proof block.
+            "orders_l_diversity",
+            "orders_t_closeness",
+            "audit_benford_totalprice",
+            "docs_bm25_serve",
+            "docs_hybrid_serve",
+            "docs_bm25_serve_incremental",
+            "docs_bm25_serve_batch",
+            "sim_ivfadc_serve_incremental",
+            "sim_ivfadc_serve_batch",
+            "sim_ivfadc_recall",
+            "docs_self_repetition",
+            "events_ks_test",
+            "audit_doc_embedding_coverage",
+            "dedup_lsh_scurve",
+            "audit_dataset_diff",
+            "docs_retrieval_pipeline_serve",
+            "lineitem_theilsen_drift",
+            "docs_quality_calibration",
+            "dedup_agreement_ari",
+            "docs_robust_scaling",
+            "docs_source_concentration",
+            "docs_mixture_temperature",
+            "sim_topk_whitened",
+            "dedup_lsh_recall_by_bin",
+            "docs_source_lorenz",
+            "dedup_impact_report",
+            "embeddings_outliers",
+            "dedup_cluster_sizes",
+            "audit_release_gate",
+            "orders_forecast_backtest",
+            "parts_item_similarity_topk",
+            "sim_whitened_shift",
+            "dedup_cross_source_matrix",
+            "dedup_minhash_estimator_error",
+            "orders_price_quantile_store",
+            "events_type_value_quantile_sketch",
+            "embeddings_cluster_separation",
+            "docs_split_leakage_neardup",
+            "docs_release_card",
+            "dedup_threshold_sweep",
+            "events_type_quantile_store",
+            "events_burstiness_index",
+            "supplier_revenue_hhi",
+            "orders_customer_gini",
         }
         assert must_have <= set(front50)
 
