@@ -700,10 +700,15 @@ def ensure_ivfadc_index(
     base = path.rstrip("/")
     marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
     model_path = jvm.org.apache.hadoop.fs.Path(base + "/_ivfadc_model.json")
+    from etlutil_spark.operators.util import dataset_digest
+
     params = {
         "id_col": id_col, "vec_col": vec_col, "k": int(k),
         "iters": int(iters), "m": int(m), "ksub": int(ksub),
         "pq_iters": int(pq_iters), "scale": int(scale),
+        # content digest of df's backing files: regenerated data at the
+        # same path rebuilds instead of silently serving a stale index
+        "data": dataset_digest(df),
     }
     if fs.exists(jp) and fs.exists(marker) and fs.exists(model_path):
         stream = fs.open(model_path)

@@ -301,9 +301,14 @@ def ensure_ivf_store(
     base = path.rstrip("/")
     marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
     meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_ivf_meta.json")
+    from etlutil_spark.operators.util import dataset_digest
+
     params = {
         "id_col": id_col, "vec_col": vec_col,
         "n_planes": int(n_planes), "seed": int(seed),
+        # content digest of docs' backing files: regenerated data at the
+        # same path rebuilds instead of silently serving a stale store
+        "data": dataset_digest(docs),
     }
     if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
         stream = fs.open(meta_path)

@@ -775,10 +775,16 @@ def ensure_postings_store(
     base = path.rstrip("/")
     marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
     meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_postings_meta.json")
+    from etlutil_spark.operators.util import dataset_digest
+
     params = {
         "id_col": id_col,
         "text_col": text_col,
         "n_buckets": int(n_buckets),
+        # content digest of df's backing files: regenerated data at the
+        # same path reads as a param mismatch and rebuilds instead of
+        # silently serving a stale index
+        "data": dataset_digest(df),
     }
     if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
         stream = fs.open(meta_path)
