@@ -341,7 +341,7 @@ def main() -> None:
     if unknown:
         raise KeyError(f"bench names not in query catalog: {unknown}")
 
-    # Headline runs BEST-OF-N (median, r10 verdict item 7): single-run
+    # Headline runs MEDIAN-OF-N (r10 verdict item 7): single-run
     # wall on this shared box swings more than real round-over-round
     # deltas (r10: driver artifact 30.13 s vs same-tree builder runs
     # 22.46-28.24 s). Per-run totals are published in "runs"; "value" is

@@ -711,15 +711,20 @@ def ensure_ivfadc_index(
         "data": dataset_digest(df),
     }
     if fs.exists(jp) and fs.exists(marker) and fs.exists(model_path):
-        stream = fs.open(model_path)
+        # ANY failure to read or parse the meta on the reuse path (crash-
+        # truncated JSON, checksum error) falls through to rebuild — a
+        # damaged sidecar must never brick the store
         try:
-            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        try:
+            stream = fs.open(model_path)
+            try:
+                txt = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
             if json.loads(txt).get("params") == params:
                 return "reused"
-        except ValueError:
+        except Exception:
             pass
     if fs.exists(jp):
         fs.delete(jp, True)

@@ -541,13 +541,22 @@ def ensure_hist_store(
         "data": dataset_digest(df),
     }
     if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
-        stream = fs.open(meta_path)
+        # ANY failure to read or parse the meta on the reuse path —
+        # truncated JSON from a crash mid-write, a checksum error on a
+        # hand-touched local file — must fall through to rebuild, never
+        # brick the store
         try:
-            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        if json.loads(txt).get("params") == params:
-            return "reused"
+            stream = fs.open(meta_path)
+            try:
+                txt = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            if json.loads(txt).get("params") == params:
+                return "reused"
+        except Exception:
+            pass
     if fs.exists(jp):
         fs.delete(jp, True)
     hist = _hist_delta(df, value_col, bounds, key_col).withColumn(
@@ -582,7 +591,18 @@ def update_hist_store(
     clean replays, so at-least-once delivery cannot double-count.
     Returns 'applied' or 'skipped'."""
     import json
+    import re
 
+    # the delta write targets <path>/delta=<batch_id> directly, so the id
+    # must be a safe single path segment — and never 'base', which would
+    # overwrite the store's own base histogram
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", str(batch_id)) or str(
+        batch_id
+    ) == "base":
+        raise ValueError(
+            f"update_hist_store: invalid batch_id {batch_id!r} — must match "
+            "[A-Za-z0-9_.-]+ and must not be the reserved value 'base'"
+        )
     jvm, fs = _hist_fs(spark, path)
     base = path.rstrip("/")
     meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_hist_meta.json")

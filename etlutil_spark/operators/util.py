@@ -29,20 +29,34 @@ def dataset_digest(df: DataFrame) -> str:
     store keyed by a path string cannot silently serve stale results
     after the dataset at that path is REGENERATED — same params +
     different bytes now reads as a param mismatch and rebuilds. Cost is
-    one FileStatus per input file (driver-side metadata, no data read);
-    an in-memory frame (no backing files) digests to the empty-list
-    hash, which is stable but cannot detect content changes — persist
-    such inputs first if staleness matters."""
+    one listStatus per input DIRECTORY (not one py4j round-trip per
+    file — a 100 TB table has tens of thousands of part files but few
+    directories, and this runs on every warm ensure_* call); an
+    in-memory frame (no backing files) digests to the empty-list hash,
+    which is stable but cannot detect content changes — persist such
+    inputs first if staleness matters."""
     import hashlib
+    from collections import defaultdict
 
     spark = df.sparkSession
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    by_dir: dict[str, set[str]] = defaultdict(set)
+    for f in df.inputFiles():
+        parent, _, name = f.rpartition("/")
+        by_dir[parent].add(name)
     h = hashlib.md5()
-    for f in sorted(df.inputFiles()):
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        st = p.getFileSystem(conf).getFileStatus(p)
-        h.update(
-            f"{f}|{st.getLen()}|{st.getModificationTime()}\n".encode()
-        )
+    entries: list[str] = []
+    for parent, names in by_dir.items():
+        p = jvm.org.apache.hadoop.fs.Path(parent)
+        fs = p.getFileSystem(conf)
+        seen: dict[str, str] = {}
+        for st in fs.listStatus(p):
+            nm = st.getPath().getName()
+            if nm in names:
+                seen[nm] = f"{st.getLen()}|{st.getModificationTime()}"
+        for nm in names:
+            entries.append(f"{parent}/{nm}|{seen.get(nm, 'missing')}\n")
+    for line in sorted(entries):
+        h.update(line.encode())
     return h.hexdigest()

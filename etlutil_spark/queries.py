@@ -14268,6 +14268,15 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The audit family's production near-dup threshold: the cluster store is
+# BUILT at this value and the pair-filter consumers
+# (dedup_cross_source_matrix, docs_split_leakage_neardup) filter at the
+# same constant — one knob, so the family cannot silently diverge. The
+# DuckDB oracles carry the literal 0.6 in their SQL; retuning this
+# requires updating them in the same change (the hash gate enforces it).
+_NEARDUP_THRESHOLD = 0.6
+
+
 def _dedup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
     """Shared persisted cluster-map store for the dedup-audit family
     (agreement, impact, cluster sizes, cross-source matrix, threshold
@@ -14293,7 +14302,7 @@ def _dedup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
         id_col="doc_id",
         text_col="text",
         n=3,
-        threshold=0.6,
+        threshold=_NEARDUP_THRESHOLD,
         max_shingle_freq=50,
     )
     return path
@@ -15587,7 +15596,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
     pairs = (
         read_cluster_pairs(spark, _dedup_cluster_store(spark, sf_dir))
-        .where(F.col("jaccard") >= 0.6)
+        .where(F.col("jaccard") >= _NEARDUP_THRESHOLD)
         .select("id_a", "id_b")
     )
     src = d.select("doc_id", "source")
@@ -15984,7 +15993,7 @@ def docs_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
     pairs = (
         read_cluster_pairs(spark, _dedup_cluster_store(spark, sf_dir))
-        .where(F.col("jaccard") >= 0.6)
+        .where(F.col("jaccard") >= _NEARDUP_THRESHOLD)
         .select("id_a", "id_b")
     )
     spl = assign_split(

@@ -526,8 +526,11 @@ class TestExactNtileProperties:
             (F.col("id") % 3).alias("g"),
             F.col("id").alias("v"),
         )
+        # n_partitions pinned: the offset table is ~n_parts + n_groups
+        # rows, so leaving it at defaultParallelism would make this
+        # "legitimate call passes" leg flaky on very-wide boxes
         assert exact_grouped_rank(
-            lo, ["g"], ["v"], max_offset_rows=100
+            lo, ["g"], ["v"], n_partitions=8, max_offset_rows=100
         ).count() == 500
 
     @PROP

@@ -508,3 +508,40 @@ class TestHistStore:
         negk = spark.createDataFrame([("a", -5), ("a", 3)], "k string, v long")
         with pytest.raises(Exception, match="below"):
             log_histogram_by(negk, "k", "v", self.BOUNDS).collect()
+
+    def test_update_rejects_unsafe_batch_ids(self, spark, tmp_path):
+        """batch_id lands in a directory name: 'base' would clobber the
+        store's own base partition and path metacharacters corrupt the
+        layout — both must raise before any write happens."""
+        import pytest
+
+        from etlutil_spark.operators.sketch import (
+            ensure_hist_store,
+            update_hist_store,
+        )
+
+        d = spark.createDataFrame([(v,) for v in range(10)], "v long")
+        path = str(tmp_path / "hist_ids")
+        ensure_hist_store(spark, d, path, value_col="v", bounds=self.BOUNDS)
+        before = self._hist_rows(spark, path)
+        for bad in ("base", "a/b", "x y", "", "a=b"):
+            with pytest.raises(ValueError, match="batch_id"):
+                update_hist_store(spark, d, path, batch_id=bad)
+        assert self._hist_rows(spark, path) == before
+
+    def test_corrupt_meta_rebuilds_instead_of_bricking(self, spark, tmp_path):
+        """A crash between the parquet job and the meta write leaves a
+        truncated _hist_meta.json; ensure must rebuild, not raise
+        JSONDecodeError forever."""
+        import os
+
+        from etlutil_spark.operators.sketch import ensure_hist_store
+
+        d = spark.createDataFrame([(v,) for v in range(10)], "v long")
+        path = str(tmp_path / "hist_meta")
+        ensure_hist_store(spark, d, path, value_col="v", bounds=self.BOUNDS)
+        with open(os.path.join(path, "_hist_meta.json"), "w") as fh:
+            fh.write('{"params": {"value_col')  # truncated mid-write
+        assert ensure_hist_store(
+            spark, d, path, value_col="v", bounds=self.BOUNDS
+        ) == "built"
