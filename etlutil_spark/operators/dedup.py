@@ -824,9 +824,12 @@ def ensure_cluster_store(
     ensure_* contract shared with the postings/IVF/histogram stores): a
     complete store whose ``_cluster_meta.json`` matches both the params
     AND the dataset content digest is reused metadata-free; a mismatch
-    or partial write (meta is written last) rebuilds. Concurrent
-    builders against one path still race — serialize externally or use
-    per-run paths. Returns 'built' or 'reused'."""
+    or damaged sidecar rebuilds. The build lands in a sibling temp dir
+    and is RENAMED into place after its meta is stamped, so the commit
+    point is one directory rename: readers (and because this store is
+    shared by six audit queries, other builders) can never observe a
+    half-written store — the race window shrinks from the whole build
+    to the delete+rename instant. Returns 'built' or 'reused'."""
     import json
 
     from etlutil_spark.operators.util import dataset_digest
@@ -862,24 +865,32 @@ def ensure_cluster_store(
                 return "reused"
         except Exception:
             pass
-    if fs.exists(jp):
-        fs.delete(jp, True)
+    tmp = base + "__build"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_p):
+        fs.delete(tmp_p, True)
     build_cluster_store(
         docs,
-        base,
+        tmp,
         id_col=id_col,
         text_col=text_col,
         n=n,
         threshold=threshold,
         max_shingle_freq=max_shingle_freq,
     )
-    out = fs.create(meta_path, True)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp + "/_cluster_meta.json"), True)
     try:
         out.write(
             bytearray(json.dumps({"params": params}, sort_keys=True).encode())
         )
     finally:
         out.close()
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    if not fs.rename(tmp_p, jp):
+        raise IOError(
+            f"cluster store commit rename failed; build preserved at {tmp}"
+        )
     return "built"
 
 
