@@ -865,7 +865,13 @@ def ensure_cluster_store(
                 return "reused"
         except Exception:
             pass
-    tmp = base + "__build"
+    import uuid
+
+    # builder-unique temp dir: a deterministic name would hand two
+    # concurrent builders the same scratch path and reintroduce the
+    # in-place-build race; with unique temps each build is private and
+    # the last rename wins with a complete store either way
+    tmp = base + "__build_" + uuid.uuid4().hex[:12]
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     if fs.exists(tmp_p):
         fs.delete(tmp_p, True)
