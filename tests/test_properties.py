@@ -912,3 +912,68 @@ class TestDatasetDiffProperties:
             r["n_added"] + r["n_removed"] + r["n_changed"] + r["n_unchanged"]
             == len(old_keys | new_keys)
         )
+
+
+class TestClusterStoreProperty:
+    """The persisted cluster store must be indistinguishable from the
+    live pipeline on ANY corpus — pairs at threshold 0.0 and the CC map
+    at the build threshold — since six audit queries trust it."""
+
+    @PROP
+    @given(data=st.data())
+    def test_store_equals_live_pipeline(self, spark, tmp_path_factory, data):
+        from etlutil_spark.operators.dedup import (
+            duplicate_clusters,
+            ensure_cluster_store,
+            ngram_jaccard_pairs,
+            read_cluster_map,
+            read_cluster_pairs,
+        )
+
+        words = ["alpha", "beta", "gamma", "delta", "omega", "zeta"]
+        n_docs = data.draw(st.integers(2, 6))
+        texts = [
+            " ".join(
+                data.draw(
+                    st.lists(
+                        st.sampled_from(words), min_size=4, max_size=10
+                    )
+                )
+            )
+            for _ in range(n_docs)
+        ]
+        base = str(tmp_path_factory.mktemp("clprop"))
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(base + "/docs")
+        d = spark.read.parquet(base + "/docs")
+        path = base + "/store"
+        ensure_cluster_store(
+            spark, d, path, id_col="doc_id", text_col="text", n=2,
+            threshold=0.5, max_shingle_freq=50,
+        )
+        live_pairs = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                d, "doc_id", "text", n=2, threshold=0.0, max_shingle_freq=50
+            ).collect()
+        )
+        got_pairs = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in read_cluster_pairs(spark, path).collect()
+        )
+        assert got_pairs == live_pairs
+        live_cl = sorted(
+            (r.member_id, r.cluster_id)
+            for r in duplicate_clusters(
+                ngram_jaccard_pairs(
+                    d, "doc_id", "text", n=2, threshold=0.5,
+                    max_shingle_freq=50,
+                )
+            ).collect()
+        )
+        got_cl = sorted(
+            (r.member_id, r.cluster_id)
+            for r in read_cluster_map(spark, path).collect()
+        )
+        assert got_cl == live_cl
