@@ -47,12 +47,38 @@ def pack_by_token_budget(
 
     Pass ``n_tokens_col`` to reuse a precomputed token count; otherwise
     the whitespace/punct tokenizer (functions/text.py) counts inline.
-    Returns the input plus (n_tokens, pack_id, pack_offset)."""
+    Returns the input plus (n_tokens, pack_id, pack_offset).
+
+    A NULL text (or a NULL/negative precomputed count) raises a named
+    error at execution: Spark's non-ANSI ``size(NULL)`` is -1, which
+    would silently SUBTRACT from the running cumsum and shift every
+    later doc's pack assignment in the group."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    n_tok = (
-        F.col(n_tokens_col) if n_tokens_col else token_count(text_col)
-    ).alias("n_tokens")
+    # output-name collisions fail loudly — EXCEPT the legitimate
+    # "reuse my precomputed n_tokens column under its own name" call
+    # (n_tokens_col == "n_tokens"), where the overwrite is the identity
+    owned = ["pack_offset", "pack_id"] + (
+        [] if n_tokens_col == "n_tokens" else ["n_tokens"]
+    )
+    for scratch in owned:
+        if scratch in df.columns:
+            raise ValueError(
+                f"pack_by_token_budget: input already has a '{scratch}' "
+                "column — rename it; the packer owns that output name"
+            )
+    raw_tok = F.col(n_tokens_col) if n_tokens_col else token_count(text_col)
+    n_tok = F.when(
+        raw_tok.isNull() | (raw_tok < 0),
+        F.raise_error(
+            F.lit(
+                "pack_by_token_budget: NULL or negative token count "
+                f"(NULL {'in ' + n_tokens_col if n_tokens_col else 'text'}?) "
+                "— filter or impute upstream; a -1/NULL count would "
+                "silently corrupt the running pack offsets"
+            )
+        ).cast("int"),
+    ).otherwise(raw_tok).alias("n_tokens")
     keys = [group_col] if group_col else []
     w = (
         Window.partitionBy(*keys)

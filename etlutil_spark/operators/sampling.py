@@ -169,8 +169,13 @@ def weighted_sample(
     """EXACTLY min(n, count) rows, weighted-without-replacement, chosen
     deterministically (Efraimidis–Spirakis A-ES).
 
-    Each row gets priority u^(1/w) with u = the content-hash uniform in
-    (0,1); the top-n priorities ARE a weighted sample without replacement.
+    Each row gets the A-ES priority, computed in LOG space as ln(u)/w
+    with u = the content-hash uniform in (0,1) — the same ordering as
+    the textbook u^(1/w) (ln is monotone), but immune to the underflow
+    that collapses u^(1/w) to exactly 0.0 for small weights (u=0.4,
+    w=1e-3 -> 0.4^1000 underflows; every underflowed row would tie and
+    fall back to key order — a deterministic but weight-IGNORING tail).
+    The top-n priorities ARE a weighted sample without replacement.
     Because u is a pure function of (key, seed), the sample is
     reproducible across retries, engines, and cluster layouts — the same
     property deterministic_sample gives unweighted sampling, which is
@@ -190,7 +195,7 @@ def weighted_sample(
     # clamp u away from exact 0 (pow(0, x) = 0 for every weight, which
     # would make hash-value 0 unsampleable regardless of weight)
     u = (md5_bigint(key_col, seed=seed) + 1) / F.lit(_HASH_SPACE + 2)
-    pri = F.pow(u, 1.0 / w)
+    pri = F.log(u) / w
     return (
         df.where(w > 0)
         .withColumn("_pri", pri)
@@ -387,6 +392,11 @@ def curriculum_phases(
             f"percentile({score_col}, array({', '.join(f'{f}D' for f in fracs)}))"
         ).alias("_qs")
     ).collect()[0]["_qs"]  # 1 row, phases-1 doubles
+    if cuts is None:
+        raise ValueError(
+            "curriculum_phases: no rows with a non-NULL score — filter or "
+            "score the corpus upstream before planning a curriculum"
+        )
     # phase 0 = scores >= the top cut, descending from there
     expr = F.when(F.col(score_col) >= F.lit(cuts[phases - 2]), F.lit(0))
     for p in range(1, phases - 1):
@@ -432,17 +442,27 @@ def mixture_epoch_plan(
         raise ValueError(
             f"budget_tokens and max_epochs must be > 0, got {budget_tokens}, {max_epochs}"
         )
-    present = {
-        r[0] for r in df.select(stratum_col).distinct().collect()  # |strata| rows
-    }
+    # ONE corpus pass: the |strata|-row aggregate is checkpointed and
+    # serves both the weights validation and the returned plan (the old
+    # distinct().collect() presence probe was a second full scan).
+    # n_tokens coalesces to 0 when every token count in a stratum is
+    # NULL: SUM(all-NULL) is NULL, and F.least(desired, NULL) would
+    # silently report the unsuppliable stratum as fully covered (Spark
+    # least() skips NULLs) — deficit must equal desired instead.
+    agg = (
+        df.groupBy(stratum_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(token_col).cast("bigint"), F.lit(0)).alias(
+                "n_tokens"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    present = {r[0] for r in agg.select(stratum_col).collect()}
     missing = sorted(set(weights) - present)
     if missing:
         raise ValueError(f"weights name strata absent from the data: {missing}")
-
-    agg = df.groupBy(stratum_col).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_col).cast("bigint").alias("n_tokens"),
-    )
     w = F.lit(0.0)
     for s, wt in sorted(weights.items()):
         w = F.when(F.col(stratum_col) == s, F.lit(float(wt))).otherwise(w)

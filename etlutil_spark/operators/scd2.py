@@ -182,12 +182,24 @@ def scd2_cdc_intervals(
     state struct."""
     keys = _as_list(key_cols)
     states = _as_list(state_cols)
-    up = log.where(F.col(op_col) != F.lit(delete_op)).select(
+    # a NULL op would fail BOTH branch predicates below (NULL != 'D' and
+    # NULL == 'D' are each NULL) and the observation would silently
+    # vanish from the rebuilt history — fail loudly instead
+    op_checked = F.when(
+        F.col(op_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"scd2_cdc_intervals: NULL in op column '{op_col}' — "
+                "coalesce snapshot-load rows to an explicit op code first"
+            )
+        ),
+    ).otherwise(F.col(op_col))
+    up = log.where(op_checked != F.lit(delete_op)).select(
         *keys, ts_col,
         *(tie_break and _as_list(tie_break) or []),
         *states,
     ).withColumn("_del", F.lit(0))
-    dl = log.where(F.col(op_col) == F.lit(delete_op)).select(
+    dl = log.where(op_checked == F.lit(delete_op)).select(
         *keys, ts_col,
         *(tie_break and _as_list(tie_break) or []),
         *[F.lit(None).cast(log.schema[s].dataType).alias(s) for s in states],

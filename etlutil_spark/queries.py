@@ -4586,9 +4586,9 @@ def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH pri AS (
       SELECT doc_id, lang, n_chars,
-             pow((('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-                   / 1152921504606846978.0,
-                 1.0 / CAST(n_chars AS DOUBLE)) AS p
+             ln((('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                  / 1152921504606846978.0)
+               / CAST(n_chars AS DOUBLE) AS p
       FROM documents WHERE n_chars > 0)
     SELECT doc_id, lang, n_chars FROM pri
     ORDER BY p DESC, doc_id ASC LIMIT 100
@@ -4597,9 +4597,11 @@ def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-100 weighted-without-replacement sample, weight = n_chars
     (operators/sampling.py:weighted_sample, Efraimidis-Spirakis A-ES with
-    the portable md5 hash as the uniform). Deterministic across engines,
-    retries, and layouts — auditable training mixtures. Priorities are
-    map-side; selection is TakeOrderedAndProject, no global sort."""
+    the portable md5 hash as the uniform, priority in LOG space —
+    ln(u)/w, the underflow-proof monotone twin of u^(1/w), mirrored
+    verbatim in the oracle). Deterministic across engines, retries, and
+    layouts — auditable training mixtures. Priorities are map-side;
+    selection is TakeOrderedAndProject, no global sort."""
     from etlutil_spark.operators.sampling import weighted_sample
     from etlutil_spark.operators.util import ensure_min_partitions
 

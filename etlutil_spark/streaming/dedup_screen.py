@@ -144,6 +144,13 @@ def dedup_screen_batch(
             spark, corpus_path, exclude_batch=batch_id
         )
         if corpus_docs is not None:
+            # exact-id screen FIRST: dropDuplicates above is intra-batch
+            # only, so a doc_id accepted in a PRIOR batch must be
+            # rejected here even when its text changed (near-dup screen
+            # alone would re-accept it and corrupt id uniqueness)
+            survivors = survivors.join(
+                corpus_docs.select(id_col), id_col, "left_anti"
+            )
             hits = screen_against_corpus(
                 survivors, corpus_docs, id_col, text_col,
                 n=n, num_hashes=num_hashes, bands=bands,
@@ -191,7 +198,10 @@ def run_dedup_screen_stream(
 ) -> None:
     """Drive a (bounded) document stream through the dedup-screen sink
     with availableNow; production callers drop the trigger and let the
-    micro-batch loop run continuously."""
+    micro-batch loop run continuously. Raises if the backlog does not
+    drain within ``timeout_s`` — returning silently would hand the
+    caller a partially-written corpus while micro-batches keep
+    appending in the background."""
     q = (
         docs_stream.writeStream.foreachBatch(
             dedup_screen_batch(
@@ -204,4 +214,9 @@ def run_dedup_screen_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"dedup screen stream did not drain within {timeout_s}s; "
+            "query stopped — corpus state covers only completed batches"
+        )

@@ -409,6 +409,36 @@ class TestPacking:
         with _pytest.raises(ValueError):
             pack_by_token_budget(spark.range(1), 0)
 
+    def test_null_text_raises_named_error(self, spark):
+        """Spark's non-ANSI size(NULL) = -1 would silently shift every
+        later doc's pack; a NULL text must raise, not corrupt."""
+        import pytest as _pytest
+
+        from etlutil_spark.operators.packing import pack_by_token_budget
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, None)], "doc_id bigint, text string"
+        )
+        with _pytest.raises(Exception, match="token count"):
+            pack_by_token_budget(df, 5).collect()
+        dfn = spark.createDataFrame(
+            [(1, "a b", 2), (2, "c", None)],
+            "doc_id bigint, text string, nt int",
+        )
+        with _pytest.raises(Exception, match="token count"):
+            pack_by_token_budget(dfn, 5, n_tokens_col="nt").collect()
+
+    def test_output_column_collision_rejected(self, spark):
+        import pytest as _pytest
+
+        from etlutil_spark.operators.packing import pack_by_token_budget
+
+        df = spark.createDataFrame(
+            [(1, "a", 7)], "doc_id bigint, text string, pack_id int"
+        )
+        with _pytest.raises(ValueError, match="pack_id"):
+            pack_by_token_budget(df, 5)
+
 
 class TestDecontaminate:
     def test_flags_overlapping_train_docs(self, spark):

@@ -596,6 +596,40 @@ class TestR5Properties:
         want = sorted(-negi for _, negi in pri[:n])
         assert got == want
 
+    def test_weighted_sample_tiny_weights_no_underflow_bias(self, spark):
+        """Regression: with weights ~1e-3 the textbook u^(1/w) priority
+        underflows to 0.0 for EVERY row, so selection degenerated to key
+        order; the log-space priority must rank them by ln(u)/w."""
+        import hashlib
+        import math
+
+        n_rows, n = 200, 20
+        df = spark.createDataFrame(
+            [(i, 1e-6) for i in range(n_rows)], "id bigint, w double"
+        )
+        from etlutil_spark.operators.sampling import weighted_sample
+
+        got = sorted(
+            r.id
+            for r in weighted_sample(df, n, "w", "id", seed="uf1").collect()
+        )
+
+        def unit(i: int) -> float:
+            h = int(hashlib.md5(f"uf1{i}".encode()).hexdigest()[:15], 16)
+            return (h + 1) / (2**60 + 2)
+
+        # the textbook priority underflows for (almost) every row here:
+        # u^(1/w) = u^1e6 == 0.0 unless u > 1 - ~7.5e-7
+        n_under = sum(unit(i) ** 1e6 == 0.0 for i in range(n_rows))
+        assert n_under > n_rows * 0.9
+        pri = sorted(
+            ((math.log(unit(i)) / 1e-6, -i) for i in range(n_rows)),
+            reverse=True,
+        )
+        want = sorted(-negi for _, negi in pri[:n])
+        assert got == want
+        assert got != list(range(n))  # NOT the key-order degenerate tail
+
     @PROP
     @given(
         rows=st.lists(

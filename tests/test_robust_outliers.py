@@ -112,6 +112,23 @@ class TestCurriculumPhases:
         with _pytest.raises(ValueError, match="phases"):
             curriculum_phases(df, "score", phases=1)
 
+    def test_empty_or_all_null_scores_raise_named_error(self, spark):
+        """Regression: percentile over zero non-NULL scores returns
+        NULL, which used to crash with an opaque 'NoneType is not
+        subscriptable' instead of naming the contract."""
+        import pytest as _pytest
+
+        from etlutil_spark.operators.sampling import curriculum_phases
+
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        with _pytest.raises(ValueError, match="non-NULL score"):
+            curriculum_phases(empty, "score")
+        nulls = spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, score double"
+        )
+        with _pytest.raises(ValueError, match="non-NULL score"):
+            curriculum_phases(nulls, "score")
+
 
 class TestMixtureEpochPlan:
     def test_deficit_math(self, spark):
@@ -153,6 +170,29 @@ class TestMixtureEpochPlan:
         df = spark.createDataFrame([("en", 10)], "lang string, n_tokens int")
         with _pytest.raises(ValueError, match="absent"):
             mixture_epoch_plan(df, "lang", "n_tokens", {"enn": 1.0}, budget_tokens=100)
+
+    def test_all_null_token_stratum_reports_full_deficit(self, spark):
+        """Regression: SUM over an all-NULL token column is NULL, and
+        least(desired, NULL) skips the NULL — the unsuppliable stratum
+        used to read deficit_tokens = 0 (mixture declared trainable).
+        It must read supply 0 / deficit = desired."""
+        from etlutil_spark.operators.sampling import mixture_epoch_plan
+
+        df = spark.createDataFrame(
+            [("en", 100), ("code", None), ("code", None)],
+            "lang string, n_tokens int",
+        )
+        out = {
+            r["lang"]: r
+            for r in mixture_epoch_plan(
+                df, "lang", "n_tokens", {"en": 0.5, "code": 0.5},
+                budget_tokens=200,
+            ).collect()
+        }
+        assert out["code"]["n_tokens"] == 0
+        assert out["code"]["achievable_tokens"] == 0
+        assert out["code"]["deficit_tokens"] == 100
+        assert out["code"]["epochs_needed"] is None
 
 
 class TestContainmentPairs:

@@ -114,6 +114,33 @@ class TestDedupScreenStream:
         docs, _ = read_corpus(spark, corpus)
         assert sorted(r["doc_id"] for r in docs.collect()) == [1, 2]
 
+    def test_prior_batch_id_not_reaccepted_on_text_change(
+        self, spark, tmp_path
+    ):
+        """A doc_id accepted in an earlier batch must be rejected in a
+        later batch even when its text changed beyond the near-dup
+        threshold — id uniqueness is a corpus invariant, and the
+        intra-batch dropDuplicates alone cannot enforce it."""
+        corpus = str(tmp_path / "corpus")
+        fb = dedup_screen_batch(corpus)
+        fb(
+            spark.createDataFrame(
+                [(1, FAM["A"]), (2, FAM["B"])], "doc_id bigint, text string"
+            ),
+            0,
+        )
+        # batch 2: id 1 returns with COMPLETELY different text; id 3 new
+        fb(
+            spark.createDataFrame(
+                [(1, FAM["C"]), (3, FAM["D"])], "doc_id bigint, text string"
+            ),
+            1,
+        )
+        docs, _ = read_corpus(spark, corpus)
+        rows = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+        assert [i for i, _ in rows] == [1, 2, 3]
+        assert rows[0][1] == FAM["A"]  # the FIRST accepted text survives
+
     def test_corpus_on_non_local_fs_uri(self, spark, tmp_path):
         """The corpus-existence probe must go through the Hadoop
         FileSystem API, not os.path.exists: a ``file:`` URI is invisible

@@ -405,6 +405,22 @@ class TestScd2CdcDeletes:
             self.ROWS, "k long, ts long, st string, op string"
         )
 
+    def test_null_op_raises_named_error(self, spark):
+        """Regression: a NULL op fails BOTH the != delete_op and the
+        == delete_op predicates (each evaluates to NULL), so the
+        observation silently vanished from the rebuilt history; it must
+        raise a named error instead."""
+        import pytest as _pytest
+
+        from etlutil_spark.operators.scd2 import scd2_cdc_intervals
+
+        log = spark.createDataFrame(
+            [(1, 10, "a", "U"), (1, 20, "b", None)],
+            "k long, ts long, st string, op string",
+        )
+        with _pytest.raises(Exception, match="NULL in op column"):
+            scd2_cdc_intervals(log, "k", "ts", "st").collect()
+
     def test_delete_closes_and_reinsert_reopens(self, spark):
         from etlutil_spark.operators.scd2 import scd2_cdc_intervals
 
