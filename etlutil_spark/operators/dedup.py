@@ -809,6 +809,117 @@ def build_cluster_store(
     )
 
 
+def _store_fs(spark, base: str):
+    """(jvm, fs, Path(base)) triple for the versioned-store helpers."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _read_small_text(jvm, fs, path_str: str) -> str | None:
+    """Read a tiny sidecar file fully; None on ANY failure (missing,
+    crash-truncated, checksum error) — callers treat that as 'absent'."""
+    try:
+        stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
+def _write_small_text(jvm, fs, path_str: str, text: str) -> None:
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path_str), True)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+
+
+def _list_store_versions(jvm, fs, base: str, meta_name: str) -> list[str]:
+    """Names of complete version dirs under ``base`` (those whose meta
+    sidecar exists), lexicographically sorted — the zero-padded counter
+    prefix in the names makes lexicographic order creation order."""
+    try:
+        statuses = list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(base)))
+    except Exception:
+        return []
+    out = []
+    for st in statuses:
+        nm = st.getPath().getName()
+        if nm.startswith("v_") and st.isDirectory() and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{base}/{nm}/{meta_name}")
+        ):
+            out.append(nm)
+    return sorted(out)
+
+
+def _resolve_store_version(spark, base: str, meta_name: str) -> str | None:
+    """Current version dir of a versioned store: follow ``_current`` if
+    it names a complete version, else fall back to the newest complete
+    version dir (covers the instant where a committer is swapping the
+    pointer file). None when no complete version exists."""
+    jvm, fs, _ = _store_fs(spark, base)
+    ptr = _read_small_text(jvm, fs, base + "/_current")
+    if ptr:
+        nm = ptr.strip()
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/{nm}/{meta_name}")):
+            return f"{base}/{nm}"
+    versions = _list_store_versions(jvm, fs, base, meta_name)
+    return f"{base}/{versions[-1]}" if versions else None
+
+
+def _commit_store_version(
+    spark, base: str, tmp: str, meta_name: str, keep_previous: int = 1
+) -> str:
+    """Pointer-flip commit of a fully-built version dir ``tmp``:
+    rename it to the next counter-named ``v_*`` slot under ``base``,
+    then swap the ``_current`` pointer (write-new + delete + rename —
+    readers that catch the sub-millisecond pointer gap fall back to
+    newest-complete-version, so there is NO missing-store window).
+    Old versions beyond ``keep_previous`` are deleted best-effort so an
+    in-flight reader of the PREVIOUS version keeps its files; at real
+    cluster scale raise ``keep_previous`` to cover the longest reader.
+    Returns the committed version dir path."""
+    import uuid
+
+    jvm, fs, jp = _store_fs(spark, base)
+    if not fs.exists(jp):
+        fs.mkdirs(jp)
+    versions = _list_store_versions(jvm, fs, base, meta_name)
+    next_ctr = 0
+    for nm in versions:
+        try:
+            next_ctr = max(next_ctr, int(nm.split("_")[1]) + 1)
+        except (IndexError, ValueError):
+            next_ctr = max(next_ctr, len(versions))
+    vname = f"v_{next_ctr:010d}_{uuid.uuid4().hex[:8]}"
+    vpath = f"{base}/{vname}"
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(vpath)
+    ):
+        raise IOError(f"store version commit rename failed; build kept at {tmp}")
+    ptr_tmp = f"{base}/_current__tmp_{uuid.uuid4().hex[:8]}"
+    _write_small_text(jvm, fs, ptr_tmp, vname)
+    cur_p = jvm.org.apache.hadoop.fs.Path(base + "/_current")
+    if fs.exists(cur_p):
+        fs.delete(cur_p, False)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(ptr_tmp), cur_p):
+        raise IOError(f"store pointer flip failed; version committed at {vpath}")
+    # best-effort GC: keep the new version + keep_previous older ones
+    stale = _list_store_versions(jvm, fs, base, meta_name)[: -(1 + keep_previous)]
+    for nm in stale:
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{nm}"), True)
+        except Exception:
+            pass
+    return vpath
+
+
+_CLUSTER_META = "_cluster_meta.json"
+
+
 def ensure_cluster_store(
     spark,
     docs: DataFrame,
@@ -822,23 +933,30 @@ def ensure_cluster_store(
 ) -> str:
     """Build-ONCE wrapper around :func:`build_cluster_store` (the
     ensure_* contract shared with the postings/IVF/histogram stores): a
-    complete store whose ``_cluster_meta.json`` matches both the params
-    AND the dataset content digest is reused metadata-free; a mismatch
-    or damaged sidecar rebuilds. The build lands in a sibling temp dir
-    and is RENAMED into place after its meta is stamped, so the commit
-    point is one directory rename: readers (and because this store is
-    shared by six audit queries, other builders) can never observe a
-    half-written store — the race window shrinks from the whole build
-    to the delete+rename instant. Returns 'built' or 'reused'."""
+    complete store version whose ``_cluster_meta.json`` matches both the
+    params AND the dataset content digest is reused metadata-free; a
+    mismatch or damaged sidecar rebuilds. Commit is a POINTER FLIP over
+    versioned directories (``v_<counter>_<uuid>/`` + ``_current``):
+    the build lands in a builder-unique temp dir, is renamed to a fresh
+    version slot, and only then does ``_current`` swing to it — readers
+    resolve through :func:`read_cluster_pairs` / :func:`read_cluster_map`
+    and always see a complete version (pointer gap falls back to the
+    newest complete version dir), so a REBUILD never exposes a missing
+    store to concurrent readers. The previous version is retained for
+    in-flight readers; older ones are GC'd. Concurrent BUILDERS are
+    safe but wasteful (each commits a complete private version; the
+    last pointer flip wins) — serialize externally if build cost
+    matters. A failed build deletes its temp dir. On object stores
+    without atomic rename (S3 without a committer), front this with a
+    rename-capable filesystem or an external lock. Returns 'built' or
+    'reused'."""
     import json
+    import uuid
 
     from etlutil_spark.operators.util import dataset_digest
 
-    jvm = spark._jvm
     base = path.rstrip("/")
-    jp = jvm.org.apache.hadoop.fs.Path(base)
-    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_cluster_meta.json")
+    jvm, fs, _ = _store_fs(spark, base)
     params = {
         "id_col": id_col,
         "text_col": text_col,
@@ -849,68 +967,69 @@ def ensure_cluster_store(
         ),
         "data": dataset_digest(docs),
     }
-    if fs.exists(jp) and fs.exists(meta_path):
-        # ANY failure to read or parse the meta on the reuse path (crash-
-        # truncated JSON, checksum error) falls through to rebuild — a
-        # damaged sidecar must never brick the store
-        try:
-            stream = fs.open(meta_path)
+    cur = _resolve_store_version(spark, base, _CLUSTER_META)
+    if cur is not None:
+        # ANY failure to read or parse the meta on the reuse path falls
+        # through to rebuild — a damaged sidecar must never brick the store
+        txt = _read_small_text(jvm, fs, f"{cur}/{_CLUSTER_META}")
+        if txt:
             try:
-                txt = jvm.org.apache.commons.io.IOUtils.toString(
-                    stream, "UTF-8"
-                )
-            finally:
-                stream.close()
-            if json.loads(txt).get("params") == params:
-                return "reused"
-        except Exception:
-            pass
-    import uuid
-
-    # builder-unique temp dir: a deterministic name would hand two
-    # concurrent builders the same scratch path and reintroduce the
-    # in-place-build race; with unique temps each build is private and
-    # the last rename wins with a complete store either way
+                if json.loads(txt).get("params") == params:
+                    return "reused"
+            except Exception:
+                pass
+    # builder-unique temp dir: two concurrent builders never share
+    # scratch; each commits a complete private version
     tmp = base + "__build_" + uuid.uuid4().hex[:12]
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(tmp_p):
-        fs.delete(tmp_p, True)
-    build_cluster_store(
-        docs,
-        tmp,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        threshold=threshold,
-        max_shingle_freq=max_shingle_freq,
-    )
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp + "/_cluster_meta.json"), True)
     try:
-        out.write(
-            bytearray(json.dumps({"params": params}, sort_keys=True).encode())
+        build_cluster_store(
+            docs,
+            tmp,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+            max_shingle_freq=max_shingle_freq,
         )
-    finally:
-        out.close()
-    if fs.exists(jp):
-        fs.delete(jp, True)
-    if not fs.rename(tmp_p, jp):
-        raise IOError(
-            f"cluster store commit rename failed; build preserved at {tmp}"
+        _write_small_text(
+            jvm,
+            fs,
+            f"{tmp}/{_CLUSTER_META}",
+            json.dumps({"params": params}, sort_keys=True),
         )
+    except BaseException:
+        # a failed build must not leak its scratch dir
+        try:
+            fs.delete(tmp_p, True)
+        except Exception:
+            pass
+        raise
+    _commit_store_version(spark, base, tmp, _CLUSTER_META)
     return "built"
+
+
+def _cluster_store_data_dir(spark, path: str) -> str:
+    """Resolve a cluster-store path to the directory holding pairs/ and
+    clusters/: the current version of a versioned store, or the path
+    itself for a store written directly by :func:`build_cluster_store`
+    (legacy flat layout)."""
+    base = path.rstrip("/")
+    cur = _resolve_store_version(spark, base, _CLUSTER_META)
+    return cur if cur is not None else base
 
 
 def read_cluster_pairs(spark, path: str) -> DataFrame:
     """The store's candidate-pair table (id_a, id_b, jaccard) — every
     capped candidate pair at threshold 0.0; filter ``jaccard >= t``
     for any downstream threshold (the predicate pushes to the scan)."""
-    return spark.read.parquet(path.rstrip("/") + "/pairs")
+    return spark.read.parquet(_cluster_store_data_dir(spark, path) + "/pairs")
 
 
 def read_cluster_map(spark, path: str) -> DataFrame:
     """The store's cluster map (member_id, cluster_id) — the connected
     components of the verified pairs at the store's build threshold."""
-    return spark.read.parquet(path.rstrip("/") + "/clusters")
+    return spark.read.parquet(_cluster_store_data_dir(spark, path) + "/clusters")
 
 
 def containment_pairs(

@@ -68,11 +68,21 @@ def pack_by_token_budget(
                 "column — rename it; the packer owns that output name"
             )
     raw_tok = F.col(n_tokens_col) if n_tokens_col else token_count(text_col)
+    bad = raw_tok.isNull() | (raw_tok < 0)
+    if n_tokens_col:
+        # a NaN in a float-typed count passes both isNull and <0 (NaN < 0
+        # is false) yet still corrupts the running cumsum — guard it too
+        try:
+            dt = df.schema[n_tokens_col].dataType.simpleString()
+        except Exception:  # absent column: let Spark's analyzer report it
+            dt = ""
+        if dt in ("float", "double"):
+            bad = bad | F.isnan(raw_tok)
     n_tok = F.when(
-        raw_tok.isNull() | (raw_tok < 0),
+        bad,
         F.raise_error(
             F.lit(
-                "pack_by_token_budget: NULL or negative token count "
+                "pack_by_token_budget: NULL, NaN or negative token count "
                 f"(NULL {'in ' + n_tokens_col if n_tokens_col else 'text'}?) "
                 "— filter or impute upstream; a -1/NULL count would "
                 "silently corrupt the running pack offsets"

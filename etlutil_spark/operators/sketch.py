@@ -522,9 +522,19 @@ def ensure_hist_store(
     dataset digest rides in the params, so regenerating the data behind
     a path-keyed store reads as a mismatch instead of silently serving
     stale quantiles (the ensure_* contract shared with the
-    postings/IVFADC stores). Concurrent builders against one path still
-    race — serialize externally or use per-run paths. Returns 'built'
-    or 'reused'."""
+    postings/IVFADC stores).
+
+    Rebuild granularity: a DIGEST-ONLY mismatch (same
+    value_col/bounds/key_col, regenerated base data) rebuilds just the
+    ``delta=base`` partition and PRESERVES every incremental
+    ``delta=<batch_id>`` partition and ``_applied_*`` replay marker —
+    those batches were committed by sources that will not redeliver
+    them, so wiping them would silently lose their contributions. A
+    PARAM mismatch (different bounds/grain) wipes the whole store: old
+    deltas were bucketed under a different contract and cannot merge.
+    Concurrent builders against one path still race — serialize
+    externally or use per-run paths. Returns 'built', 'rebased', or
+    'reused'."""
     import json
 
     from etlutil_spark.operators.util import dataset_digest
@@ -540,6 +550,7 @@ def ensure_hist_store(
         "key_col": key_col,
         "data": dataset_digest(df),
     }
+    stored = None
     if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
         # ANY failure to read or parse the meta on the reuse path —
         # truncated JSON from a crash mid-write, a checksum error on a
@@ -553,10 +564,30 @@ def ensure_hist_store(
                 )
             finally:
                 stream.close()
-            if json.loads(txt).get("params") == params:
+            stored = json.loads(txt).get("params")
+            if stored == params:
                 return "reused"
         except Exception:
-            pass
+            stored = None
+    if (
+        isinstance(stored, dict)
+        and {k: v for k, v in stored.items() if k != "data"}
+        == {k: v for k, v in params.items() if k != "data"}
+    ):
+        # digest-only mismatch: the base dataset was regenerated but the
+        # histogram contract is unchanged — rebuild ONLY delta=base and
+        # keep the incrementally applied deltas + replay markers (see
+        # docstring); the meta is rewritten LAST so a crash mid-rebase
+        # re-enters this path on retry
+        _hist_delta(df, value_col, bounds, key_col).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(base + "/delta=base")
+        out = fs.create(meta_path, True)
+        try:
+            out.write(bytearray(json.dumps({"params": params}), "utf-8"))
+        finally:
+            out.close()
+        return "rebased"
     if fs.exists(jp):
         fs.delete(jp, True)
     hist = _hist_delta(df, value_col, bounds, key_col).withColumn(

@@ -36,13 +36,23 @@ def dataset_digest(df: DataFrame) -> str:
     which is stable but cannot detect content changes — persist such
     inputs first if staleness matters."""
     import hashlib
+    import warnings
     from collections import defaultdict
 
     spark = df.sparkSession
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     by_dir: dict[str, set[str]] = defaultdict(set)
-    for f in df.inputFiles():
+    input_files = df.inputFiles()
+    if not input_files:
+        warnings.warn(
+            "dataset_digest: frame has no backing files (in-memory or view "
+            "input) — digest is the constant empty-list hash and CANNOT "
+            "detect content changes; persist the input first if staleness "
+            "matters",
+            stacklevel=2,
+        )
+    for f in input_files:
         parent, _, name = f.rpartition("/")
         by_dir[parent].add(name)
     h = hashlib.md5()
@@ -51,7 +61,17 @@ def dataset_digest(df: DataFrame) -> str:
         p = jvm.org.apache.hadoop.fs.Path(parent)
         fs = p.getFileSystem(conf)
         seen: dict[str, str] = {}
-        for st in fs.listStatus(p):
+        try:
+            statuses = list(fs.listStatus(p))
+        except Exception:
+            # The input directory vanished between plan and digest (dataset
+            # deleted or mid-regeneration). Every file in it reads as
+            # 'missing' — a digest CHANGE — so the ensure_* reuse check
+            # falls through to rebuild instead of propagating an opaque
+            # JVM error out of a warm read: a damaged input must never
+            # brick the store.
+            statuses = []
+        for st in statuses:
             nm = st.getPath().getName()
             if nm in names:
                 seen[nm] = f"{st.getLen()}|{st.getModificationTime()}"
@@ -60,3 +80,39 @@ def dataset_digest(df: DataFrame) -> str:
     for line in sorted(entries):
         h.update(line.encode())
     return h.hexdigest()
+
+
+def store_root(spark=None) -> str:
+    """Base directory under which every ensure_* persisted store
+    (cluster map, MinHash signatures, postings, IVF/IVFADC, histogram)
+    is created by the query layer.
+
+    Resolution order: the ``SPARK_GRAFT_STORE_DIR`` environment
+    variable, then the Spark conf ``spark.etlutil.storeRoot`` (when a
+    session is passed or active), then ``tempfile.gettempdir()``.
+
+    The default is correct for single-box execution, where driver and
+    executors share a filesystem. On a real cluster, point this at a
+    path visible to every executor AND the driver (HDFS, NFS, or an
+    object store via its Hadoop connector) — the stores are plain
+    parquet + one meta sidecar, so any Hadoop-addressable filesystem
+    works. This helper is the ONLY place the query layer binds a store
+    location; the operators themselves take arbitrary paths."""
+    import os
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_STORE_DIR")
+    if env:
+        return env.rstrip("/")
+    try:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is not None:
+            conf_val = spark.conf.get("spark.etlutil.storeRoot", None)
+            if conf_val:
+                return conf_val.rstrip("/")
+    except Exception:
+        pass
+    return tempfile.gettempdir()

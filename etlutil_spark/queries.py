@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from etlutil_spark.functions import dates as D
 from etlutil_spark.functions.daterange import DateRange, DateRanges
+from etlutil_spark.operators.util import store_root
 from etlutil_spark.sources.testdata import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2799,14 +2800,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_lsh (bucket within hamming 1), so the identical oracle SQL
     verifies the store roundtrip end to end (write -> partition prune ->
     scan -> top-k)."""
-    import tempfile
 
     from etlutil_spark.operators.similarity import build_ivf_store, ivf_topk
 
     e = load_table(spark, "embeddings", sf_dir)
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_ivf_"
+        f"{store_root(spark)}/etlutil_spark_ivf_"
         + sf_dir.strip("/").replace("/", "_")
     )
     build_ivf_store(e, path, n_planes=6)
@@ -4408,7 +4408,6 @@ def docs_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scoring is bit-identical to docs_bm25_search (same quantized
     DECIMAL contribution sum), so the SAME oracle verifies the search
     math AND the store roundtrip end to end."""
-    import tempfile
 
     from etlutil_spark.operators.text_analysis import (
         bm25_serve,
@@ -4417,7 +4416,7 @@ def docs_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_postings_"
+        f"{store_root(spark)}/etlutil_spark_postings_"
         + sf_dir.strip("/").replace("/", "_")
     )
     ensure_postings_store(spark, d, path, id_col="doc_id", text_col="text")
@@ -4475,7 +4474,6 @@ def docs_bm25_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier and an offline eval set amortize index reads: per-query scans
     re-list shared buckets once per query; the batch pays once.
     Scoring math shared with docs_bm25_search/serve bit for bit."""
-    import tempfile
 
     from etlutil_spark.operators.text_analysis import (
         bm25_serve_many,
@@ -4484,7 +4482,7 @@ def docs_bm25_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_postings_"
+        f"{store_root(spark)}/etlutil_spark_postings_"
         + sf_dir.strip("/").replace("/", "_")
     )
     ensure_postings_store(spark, d, path, id_col="doc_id", text_col="text")
@@ -4538,7 +4536,6 @@ def docs_bm25_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance calls are metadata-only no-ops and the query is a pure
     pruned-scan serve; a retried batch is absorbed by the
     ``_applied_<id>`` marker instead of double-counting postings."""
-    import tempfile
 
     from etlutil_spark.operators.text_analysis import (
         bm25_serve,
@@ -4550,7 +4547,7 @@ def docs_bm25_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.where(F.col("doc_id") % 3 != 0)
     batch = d.where(F.col("doc_id") % 3 == 0)
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_postings_inc_"
+        f"{store_root(spark)}/etlutil_spark_postings_inc_"
         + sf_dir.strip("/").replace("/", "_")
     )
     ensure_postings_store(spark, base, path, id_col="doc_id", text_col="text")
@@ -10158,7 +10155,6 @@ def io_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream. The oracle answers the same question from the raw
     table, proving the roundtrip is lossless under pruning; plan tests
     pin the PartitionFilters entry."""
-    import tempfile
 
     from etlutil_spark.sources.io import write_partitioned
 
@@ -10168,7 +10164,7 @@ def io_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     )
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_events_byday_"
+        f"{store_root(spark)}/etlutil_spark_events_byday_"
         + sf_dir.strip("/").replace("/", "_")
     )
     write_partitioned(e, path, partition_by=["day"], files_per_partition=2)
@@ -11391,7 +11387,6 @@ def docs_retrieval_pipeline_serve(spark: SparkSession, sf_dir: str) -> DataFrame
     cost with candidate count — the economics a production RAG stack
     lives on. One oracle verifies both stores' roundtrips, the fusion
     of their scores, and the rerank arithmetic end to end."""
-    import tempfile
 
     from etlutil_spark.functions.text import tokens
     from etlutil_spark.operators.similarity import ensure_ivf_store, ivf_topk
@@ -11409,8 +11404,8 @@ def docs_retrieval_pipeline_serve(spark: SparkSession, sf_dir: str) -> DataFrame
         .collect()[0][0]
     ]
     sfx = sf_dir.strip("/").replace("/", "_")
-    p_path = f"{tempfile.gettempdir()}/etlutil_spark_postings_{sfx}"
-    v_path = f"{tempfile.gettempdir()}/etlutil_spark_ivfserve_{sfx}"
+    p_path = f"{store_root(spark)}/etlutil_spark_postings_{sfx}"
+    v_path = f"{store_root(spark)}/etlutil_spark_ivfserve_{sfx}"
     ensure_postings_store(spark, d, p_path, id_col="doc_id", text_col="text")
     ensure_ivf_store(spark, e, v_path, n_planes=6)
     lex = bm25_serve(spark, p_path, ["vector", "join", "stream"], k=20).select(
@@ -11468,7 +11463,6 @@ def docs_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the vectors regardless of corpus size, with zero tokenize or
     index jobs per query. One oracle verifies both store roundtrips
     AND the fusion arithmetic."""
-    import tempfile
 
     from pyspark.sql.window import Window
 
@@ -11487,8 +11481,8 @@ def docs_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     ]
     sfx = sf_dir.strip("/").replace("/", "_")
-    p_path = f"{tempfile.gettempdir()}/etlutil_spark_postings_{sfx}"
-    v_path = f"{tempfile.gettempdir()}/etlutil_spark_ivfserve_{sfx}"
+    p_path = f"{store_root(spark)}/etlutil_spark_postings_{sfx}"
+    v_path = f"{store_root(spark)}/etlutil_spark_ivfserve_{sfx}"
     ensure_postings_store(spark, d, p_path, id_col="doc_id", text_col="text")
     ensure_ivf_store(spark, e, v_path, n_planes=6)
     lex = bm25_serve(spark, p_path, ["vector", "join", "stream"], k=20)
@@ -11700,13 +11694,12 @@ def orders_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in this returned plan the only shuffle is the priority aggregate.
     Values are exact: COUNT + DECIMAL(38,4)-quantized quantity sum cast
     to double at the end."""
-    import tempfile
 
     from etlutil_spark.sources.io import ensure_bucketed_table
 
     sfx = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     db = f"bktq_{sfx}"
-    loc = f"{tempfile.gettempdir()}/etlutil_spark_bucketed_{sfx}"
+    loc = f"{store_root(spark)}/etlutil_spark_bucketed_{sfx}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     ensure_bucketed_table(
         spark,
@@ -12325,10 +12318,9 @@ def io_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     union from the raw table, proving the two-generation write -> merge
     -> aggregate chain lossless. Scratch store under TMPDIR, one
     overwrite per generation dir, idempotent per run."""
-    import tempfile
 
     base = (
-        f"{tempfile.gettempdir()}/etlutil_spark_schemaevo_"
+        f"{store_root(spark)}/etlutil_spark_schemaevo_"
         + sf_dir.strip("/").replace("/", "_")
     )
     o = load_table(spark, "orders", sf_dir)
@@ -12773,7 +12765,6 @@ def sim_ivfadc_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ivfadc_topk, same unrolled-SQL oracle: the stored codes are
     assigned by the same integer argmin at write time, so the served
     ranking is bit-identical to the train-and-serve twin."""
-    import tempfile
 
     from etlutil_spark.operators.clustering import (
         ensure_ivfadc_index,
@@ -12786,7 +12777,7 @@ def sim_ivfadc_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_ivfadc_"
+        f"{store_root(spark)}/etlutil_spark_ivfadc_"
         + sf_dir.strip("/").replace("/", "_")
     )
     ensure_ivfadc_index(
@@ -12813,7 +12804,6 @@ def sim_ivfadc_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal). Per-query top-5 by a query-partitioned window. The
     oracle trains once and ranks per query — bit-identical per query
     to the single-query serve."""
-    import tempfile
 
     from etlutil_spark.operators.clustering import (
         ensure_ivfadc_index,
@@ -12828,7 +12818,7 @@ def sim_ivfadc_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_ivfadc_"
+        f"{store_root(spark)}/etlutil_spark_ivfadc_"
         + sf_dir.strip("/").replace("/", "_")
     )
     ensure_ivfadc_index(
@@ -12928,7 +12918,6 @@ def sim_ivfadc_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves frozen-model increment == encode-everything-with-that-model
     bit for bit. Steady state both maintenance calls are metadata
     no-ops and the plan is the pure partition-pruned serve."""
-    import tempfile
 
     from etlutil_spark.operators.clustering import (
         ensure_ivfadc_index,
@@ -12944,7 +12933,7 @@ def sim_ivfadc_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.where(F.col("vec_id") % 3 != 0)
     batch = e.where(F.col("vec_id") % 3 == 0)
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_ivfadc_inc_"
+        f"{store_root(spark)}/etlutil_spark_ivfadc_inc_"
         + sf_dir.strip("/").replace("/", "_")
     )
     ensure_ivfadc_index(
@@ -14287,14 +14276,13 @@ def _dedup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
     partition-pruned parquet scan instead of its own full pipeline
     recomputation. The dataset digest in the store meta forces a
     rebuild when the data at sf_dir is regenerated."""
-    import tempfile
 
     from etlutil_spark.operators.dedup import ensure_cluster_store
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_clstore_"
+        f"{store_root(spark)}/etlutil_spark_clstore_"
         + sf_dir.strip("/").replace("/", "_")
     )
     ensure_cluster_store(
@@ -15727,7 +15715,6 @@ def orders_price_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     Serving cost: the store read is |deltas| x |occupied buckets| rows
     — sketch-scale regardless of corpus size; the quantile walk runs
     over <= |bounds| rows (SCALAR_OK exemption kind)."""
-    import tempfile
 
     from etlutil_spark.operators.sketch import (
         ensure_hist_store,
@@ -15743,7 +15730,7 @@ def orders_price_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.where(F.col("o_orderkey") % 3 != 0)
     batch = o.where(F.col("o_orderkey") % 3 == 0)
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_hist_"
+        f"{store_root(spark)}/etlutil_spark_hist_"
         + sf_dir.strip("/").replace("/", "_")
     )
     bounds = geometric_bounds(1_000_000, 0.05)
@@ -16162,7 +16149,6 @@ def events_type_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the full observability serving story: per-endpoint percentile
     state that is persisted, mergeable, incrementally maintained, and
     readable at |keys| x |bounds| cost regardless of history size."""
-    import tempfile
 
     from etlutil_spark.operators.sketch import (
         ensure_hist_store,
@@ -16182,7 +16168,7 @@ def events_type_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.where(F.col("event_id") % 3 != 0)
     batch = ev.where(F.col("event_id") % 3 == 0)
     path = (
-        f"{tempfile.gettempdir()}/etlutil_spark_hist_bytype_"
+        f"{store_root(spark)}/etlutil_spark_hist_bytype_"
         + sf_dir.strip("/").replace("/", "_")
     )
     bounds = geometric_bounds(100_000, 0.05)

@@ -917,3 +917,113 @@ class TestClusterStore:
             (r.member_id, r.cluster_id)
             for r in read_cluster_map(spark, path).collect()
         } == {(1, 1), (3, 1)}
+
+    def test_read_during_rebuild_pointer_flip(self, spark, tmp_path):
+        """The r11 commit was delete-then-rename: a reader racing a
+        REBUILD could observe a missing store. The versioned pointer-flip
+        commit must (a) keep a reader's already-resolved version alive
+        across one rebuild, (b) never expose a missing store even with
+        the pointer file deleted mid-swap, (c) GC versions beyond
+        current+previous."""
+        import os
+
+        from etlutil_spark.operators.dedup import (
+            _list_store_versions,
+            _store_fs,
+            ensure_cluster_store,
+            read_cluster_map,
+            read_cluster_pairs,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different text with nothing shared here"),
+        ]
+        d = self._write_docs(spark, str(tmp_path / "docs3"), rows)
+        path = str(tmp_path / "clstore3")
+        assert ensure_cluster_store(spark, d, path, n=3) == "built"
+        # reader resolves v1 and holds the frame across a rebuild
+        held = read_cluster_pairs(spark, path)
+        held_rows = held.count()
+        assert ensure_cluster_store(spark, d, path, n=4) == "built"
+        # (a) the previous version's files are retained for the in-flight
+        # reader: re-collecting the held frame still works
+        assert held.count() == held_rows
+        # new resolution sees the new version
+        assert read_cluster_map(spark, path).count() >= 0
+        # (b) pointer file deleted (simulates the sub-ms swap gap):
+        # readers fall back to the newest complete version
+        jvm, fs, _ = _store_fs(spark, path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path + "/_current"), False)
+        assert read_cluster_pairs(spark, path).count() == held_rows
+        # and ensure() with matching params resolves + reuses, not rebuilds
+        assert ensure_cluster_store(spark, d, path, n=4) == "reused"
+        # (c) a third distinct build GCs v1: exactly current+previous remain
+        assert ensure_cluster_store(spark, d, path, n=5) == "built"
+        versions = _list_store_versions(jvm, fs, path, "_cluster_meta.json")
+        assert len(versions) == 2
+        # no builder scratch dirs leaked next to the store
+        leaked = [
+            p for p in os.listdir(tmp_path) if p.startswith("clstore3__build_")
+        ]
+        assert leaked == []
+
+    def test_legacy_flat_layout_still_readable(self, spark, tmp_path):
+        """Stores written directly by build_cluster_store (no version
+        dirs, no pointer) keep working through the readers."""
+        from etlutil_spark.operators.dedup import (
+            build_cluster_store,
+            read_cluster_map,
+            read_cluster_pairs,
+        )
+
+        d = self._write_docs(
+            spark,
+            str(tmp_path / "docs4"),
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            ],
+        )
+        path = str(tmp_path / "flat_store")
+        build_cluster_store(d, path, id_col="doc_id", text_col="text")
+        assert read_cluster_pairs(spark, path).count() >= 1
+        assert {
+            (r.member_id, r.cluster_id)
+            for r in read_cluster_map(spark, path).collect()
+        } == {(1, 1), (2, 1)}
+
+    def test_failed_build_cleans_scratch(self, spark, tmp_path):
+        """A build that dies mid-flight must delete its builder-unique
+        temp dir (the r11 version leaked it) and leave any committed
+        version untouched."""
+        import os
+
+        import pytest
+
+        from etlutil_spark.operators.dedup import (
+            ensure_cluster_store,
+            read_cluster_map,
+        )
+
+        d = self._write_docs(
+            spark,
+            str(tmp_path / "docs5"),
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            ],
+        )
+        path = str(tmp_path / "clstore5")
+        ensure_cluster_store(spark, d, path)
+        before = read_cluster_map(spark, path).count()
+        with pytest.raises(Exception):
+            # wrong id_col: analysis error mid-build
+            ensure_cluster_store(spark, d, path, id_col="nope")
+        leaked = [
+            p for p in os.listdir(tmp_path) if p.startswith("clstore5__build_")
+        ]
+        assert leaked == []
+        # the committed store is untouched
+        assert read_cluster_map(spark, path).count() == before

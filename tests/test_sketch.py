@@ -469,9 +469,70 @@ class TestHistStore:
             1
         ).write.mode("overwrite").parquet(src)
         df2 = spark.read.parquet(src)
+        # digest-only mismatch: same contract, regenerated data — the
+        # base histogram is rebuilt in place ('rebased', not a full wipe)
         assert ensure_hist_store(
             spark, df2, path, value_col="v", bounds=self.BOUNDS
+        ) == "rebased"
+        # and the store now serves the NEW data's histogram
+        from etlutil_spark.operators.sketch import log_histogram
+
+        direct = sorted(
+            (r.bucket, r.lo, r.c)
+            for r in log_histogram(df2, "v", self.BOUNDS).collect()
+        )
+        assert self._hist_rows(spark, path) == direct
+
+    def test_digest_rebase_preserves_applied_deltas(self, spark, tmp_path):
+        """The r11 digest guard wiped the WHOLE store on a regenerated
+        base dataset — including committed delta=<batch_id> partitions a
+        streaming source will never redeliver. A digest-only mismatch
+        must rebuild just delta=base and keep the deltas + replay
+        markers; a PARAM change still wipes (incompatible bucketing)."""
+        import os
+
+        from etlutil_spark.operators.sketch import (
+            ensure_hist_store,
+            log_histogram,
+            update_hist_store,
+        )
+
+        src = str(tmp_path / "src_rebase")
+        spark.createDataFrame([(v,) for v in range(0, 30)], "v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        path = str(tmp_path / "hist_rebase")
+        ensure_hist_store(
+            spark, spark.read.parquet(src), path, value_col="v",
+            bounds=self.BOUNDS,
+        )
+        batch = spark.createDataFrame([(v,) for v in range(40, 60)], "v long")
+        assert update_hist_store(spark, batch, path, batch_id="b1") == "applied"
+        # regenerate the base dataset: digest-only mismatch
+        spark.createDataFrame([(v,) for v in range(0, 90)], "v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        df2 = spark.read.parquet(src)
+        assert ensure_hist_store(
+            spark, df2, path, value_col="v", bounds=self.BOUNDS
+        ) == "rebased"
+        # b1's contribution survived: store == new base + batch, and the
+        # replay marker still short-circuits a redelivery
+        direct = sorted(
+            (r.bucket, r.lo, r.c)
+            for r in log_histogram(
+                df2.unionByName(batch), "v", self.BOUNDS
+            ).collect()
+        )
+        assert self._hist_rows(spark, path) == direct
+        assert os.path.exists(os.path.join(path, "_applied_b1"))
+        assert update_hist_store(spark, batch, path, batch_id="b1") == "skipped"
+        # a PARAM change (different bounds) is a full wipe: deltas are
+        # bucketed under an incompatible contract
+        assert ensure_hist_store(
+            spark, df2, path, value_col="v", bounds=self.BOUNDS[:-2]
         ) == "built"
+        assert not os.path.exists(os.path.join(path, "_applied_b1"))
 
     def test_reader_rejects_schema_surprise(self, spark, tmp_path):
         """A stray column in a delta must fail loudly, not silently
