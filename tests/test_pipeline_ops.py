@@ -1027,3 +1027,121 @@ class TestClusterStore:
         assert leaked == []
         # the committed store is untouched
         assert read_cluster_map(spark, path).count() == before
+
+
+class TestMinhashStore:
+    """Persisted MinHash family store (dedup.py): one signature pass +
+    one banded-candidate verification serving the production pair query
+    and the sampled eval queries; ensure_* reuse semantics; the
+    per-pair restriction property the eval rewires depend on."""
+
+    def _write_docs(self, spark, path, rows):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    ROWS = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different text with nothing shared here at all"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),
+        (6, "the quick brown fox jumps over the lazy dog tonight ok"),
+        (9, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+
+    def test_store_matches_live_pipeline(self, spark, tmp_path):
+        from etlutil_spark.operators.dedup import (
+            ensure_minhash_store,
+            minhash_lsh_pairs,
+            minhash_signatures,
+            read_minhash_cands,
+            read_minhash_signatures,
+        )
+
+        d = self._write_docs(spark, str(tmp_path / "docs"), self.ROWS)
+        path = str(tmp_path / "mhstore")
+        assert ensure_minhash_store(
+            spark, d, path, num_hashes=32, bands=8
+        ) == "built"
+        # signatures leg == live sketch pass
+        live_sig = {
+            r.doc_id: list(r.signature)
+            for r in minhash_signatures(
+                d, "doc_id", "text", n=3, num_hashes=32
+            ).collect()
+        }
+        got_sig = {
+            r.doc_id: list(r.signature)
+            for r in read_minhash_signatures(spark, path).collect()
+        }
+        assert got_sig == live_sig
+        # cands-at-threshold == live verified pipeline, for TWO thresholds
+        # from the one store (the pushed-filter contract)
+        for t in (0.6, 0.3):
+            live = sorted(
+                (r.id_a, r.id_b, r.jaccard)
+                for r in minhash_lsh_pairs(
+                    d, "doc_id", "text", num_hashes=32, bands=8,
+                    verify_threshold=t,
+                ).collect()
+            )
+            got = sorted(
+                (r.id_a, r.id_b, r.jaccard)
+                for r in read_minhash_cands(spark, path)
+                .where(F.col("jaccard") >= t)
+                .collect()
+            )
+            assert got == live, f"threshold {t}"
+        assert ensure_minhash_store(
+            spark, d, path, num_hashes=32, bands=8
+        ) == "reused"
+        # param change rebuilds
+        assert ensure_minhash_store(
+            spark, d, path, num_hashes=32, bands=4
+        ) == "built"
+
+    def test_sample_restriction_equals_sample_run(self, spark, tmp_path):
+        """The eval rewires read the FULL-corpus store restricted to the
+        sample ids; band collision and Jaccard are per-pair properties,
+        so that must equal running the pipeline on the sample corpus."""
+        from etlutil_spark.operators.dedup import (
+            ensure_minhash_store,
+            minhash_lsh_pairs,
+            read_minhash_cands,
+        )
+
+        d = self._write_docs(spark, str(tmp_path / "docs2"), self.ROWS)
+        path = str(tmp_path / "mhstore2")
+        ensure_minhash_store(spark, d, path, num_hashes=32, bands=8)
+        sample = d.where(F.col("doc_id") % 3 == 0)
+        live = sorted(
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                sample, "doc_id", "text", num_hashes=32, bands=8,
+                verify_threshold=None,
+            ).collect()
+        )
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in read_minhash_cands(spark, path)
+            .where((F.col("id_a") % 3 == 0) & (F.col("id_b") % 3 == 0))
+            .select("id_a", "id_b")
+            .collect()
+        )
+        assert got == live
+
+    def test_content_change_rebuilds(self, spark, tmp_path):
+        from etlutil_spark.operators.dedup import (
+            ensure_minhash_store,
+            read_minhash_cands,
+        )
+
+        src = str(tmp_path / "docs3")
+        d = self._write_docs(spark, src, self.ROWS)
+        path = str(tmp_path / "mhstore3")
+        ensure_minhash_store(spark, d, path)
+        n_before = read_minhash_cands(spark, path).count()
+        d2 = self._write_docs(spark, src, self.ROWS[:3])
+        assert ensure_minhash_store(spark, d2, path) == "built"
+        assert read_minhash_cands(spark, path).count() < n_before

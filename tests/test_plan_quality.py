@@ -31,7 +31,9 @@ HEADLINE_BUDGETS = {
     "sessionize_users": (1, 0),  # window + groupBy share user_id hash
     "docs_token_stats": (1, 0),
     "dedup_exact": (1, 0),
-    "dedup_minhash_lsh": (3, 2),  # band explode + candidate verify
+    # warm MinHash-store read: the verified-pair scan with jaccard>=0.6
+    # pushed — zero shuffles (the one-time build pays banding + verify)
+    "dedup_minhash_lsh": (0, 0),
     "sim_topk_bruteforce": (1, 0),  # TakeOrderedAndProject, no global sort
     "knn_join_topk": (3, 1),
     "docs_contamination": (5, 1),  # eval shingles broadcast to train side
@@ -316,7 +318,7 @@ HEADLINE_BUDGETS = {
     # stats-broadcasts at test SF); the banding join / candidate verify /
     # large-star/small-star rounds all sit behind localCheckpoints
     # (pagerank/kmeans pattern), each round two keyed shuffles when run
-    "dedup_clusters_lsh": (2, 0),
+    "dedup_clusters_lsh": (2, 0),  # store pairs scan + CC star rounds
     # literal query-trigram array: map-side scoring + TakeOrdered top-15
     "part_trigram_search": (0, 0),
     # one segment-keyed decimal power-sum aggregate
@@ -488,7 +490,9 @@ HEADLINE_BUDGETS = {
     "dedup_cross_source_matrix": (3, 1),  # pair table from the persisted store
     # r10: banded candidate chain + signature table broadcast twice +
     # 1-row error reduce
-    "dedup_minhash_estimator_error": (7, 3),
+    # store pairs + store signatures joined by id (AQE broadcasts the
+    # small pair side; was 7 shuffles when it re-sketched the corpus)
+    "dedup_minhash_estimator_error": (1, 2),
     # r10: serving reads the (|deltas| x |buckets|)-row store + the
     # <=|bounds|-row quantile walk; build/increment sit behind ensure_*
     "orders_price_quantile_store": (6, 0),
@@ -621,6 +625,16 @@ class TestHeadlinePlanBudgets:
         assert any("l_shipdate" in f for f in P.pushed_filters(df))
         read = P.scan_columns(df)
         assert "l_comment" not in read and "l_shipinstruct" not in read
+
+    def test_minhash_store_scan_pushes_threshold(self, spark):
+        """dedup_minhash_lsh's warm path is a pruned scan of the MinHash
+        family store: the verify threshold must reach the pairs parquet
+        as a PushedFilter, not a post-scan filter."""
+        df = QUERIES["dedup_minhash_lsh"](spark, SF)
+        df.collect()
+        assert any("jaccard" in f for f in P.pushed_filters(df)), (
+            P.pushed_filters(df)
+        )
 
     def test_partition_roundtrip_prunes_day_dirs(self, spark):
         """The day predicate must bind as a PartitionFilter on the
