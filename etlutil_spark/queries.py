@@ -16443,69 +16443,71 @@ def orders_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # r11 window (COVERAGE.md 'Round-11 rotation'; r10 verdict item 1:
-    # clear the driver-gate debt — ALL 44 never-driver-checked
-    # registrations front the window; catalog growth is FROZEN this
-    # round so the debt cannot regrow). The 44 are exactly the
-    # registered queries absent from every CORRECTNESS_r{1..10}.json
-    # (q13_customer_distribution, named in the old ledger, already has
-    # a green r6 row and is NOT debt). The 6 remaining slots go
-    # oldest-row-first to the re-proof pool (sim_ann_lsh r4, then the
-    # r5 block) per verdict item 8.
-    # --- (a) never checked: r9/r10 post-window registrations ---
-    "orders_l_diversity",
-    "orders_t_closeness",
-    "audit_benford_totalprice",
-    "docs_bm25_serve",
-    "docs_hybrid_serve",
-    "docs_bm25_serve_incremental",
-    "docs_bm25_serve_batch",
-    "sim_ivfadc_serve_incremental",
-    "sim_ivfadc_serve_batch",
-    "sim_ivfadc_recall",
-    "docs_self_repetition",
-    "events_ks_test",
-    "audit_doc_embedding_coverage",
-    "dedup_lsh_scurve",
-    "audit_dataset_diff",
-    "docs_retrieval_pipeline_serve",
-    # --- (b) never checked: r10 late-session registrations ---
-    "lineitem_theilsen_drift",
-    "docs_quality_calibration",
-    "dedup_agreement_ari",
-    "docs_robust_scaling",
-    "docs_source_concentration",
-    "docs_mixture_temperature",
-    "sim_topk_whitened",
+    # r12 window (COVERAGE.md 'Round-12 rotation'; r11 verdict items 1-3:
+    # front every query whose CODE OR ORACLE changed after its newest
+    # driver row, then the SURVEY-2 rotation block, then oldest-first
+    # re-proofs; catalog growth stays FROZEN).
+    # --- (a) r11 late-bug-hunt changed-code re-proofs (verdict item 1;
+    #         commit b7c4165 landed after the r11 window ran) ---
+    "docs_weighted_sample",  # oracle changed in lockstep — highest priority
+    "docs_mixture_epoch_plan",
+    "docs_curriculum",
+    "docs_pack_token_budget",
+    "docs_length_batching",
+    "corpus_pipeline_e2e",
+    "customer_scd2_cdc_deletes",
+    "scd2_apply_incremental",
+    "scd2_customer_priority",
+    "dedup_screen_new_batch",
+    "docs_mixture_sample",
+    # --- (b) r12 MinHash-family-store rewires (verdict item 3): the six
+    #         queries now served by ensure_minhash_store ---
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall",
     "dedup_lsh_recall_by_bin",
-    "docs_source_lorenz",
-    "dedup_impact_report",
-    "embeddings_outliers",
-    "dedup_cluster_sizes",
-    "audit_release_gate",
-    "orders_forecast_backtest",
-    "parts_item_similarity_topk",
-    "sim_whitened_shift",
-    "dedup_cross_source_matrix",
-    # --- (c) never checked: r10 closing batches 11-21 ---
     "dedup_minhash_estimator_error",
+    "dedup_agreement_ari",
+    "dedup_clusters_lsh",
+    # --- (c) SURVEY-2 rotation block (verdict item 2): no reference-
+    #         surface operator row older than ~4 rounds ---
+    "op_prune_values",
+    "op_flatten_struct",
+    "op_convert_types",
+    "op_select_with_extras",
+    "op_normalize_date_fields",
+    "op_jsonify",
+    "op_clean_hash_skip_rules",
+    "op_redact_pii",
+    "date_spine_days",
+    "events_relative_month_frame",
+    # --- (d) one representative per remaining ensure_* store family,
+    #         gate-proving the new store_root() path (verdict item 4):
+    #         postings, histogram, IVFADC ---
+    "docs_bm25_serve",
     "orders_price_quantile_store",
-    "events_type_value_quantile_sketch",
-    "embeddings_cluster_separation",
-    "docs_split_leakage_neardup",
-    "docs_release_card",
-    "dedup_threshold_sweep",
-    "events_type_quantile_store",
-    "events_burstiness_index",
-    "supplier_revenue_hhi",
-    "orders_customer_gini",
-    # --- (d) oldest-row re-proofs (r4/r5 rows) ---
-    "sim_ann_lsh",
-    "baseline_dedup_embedding_pairs",
-    "docs_fingerprint",
-    "docs_lang_histogram",
-    "docs_quality_lang",
-    "docs_repetition",
+    "sim_ivfadc_serve_batch",
+    # --- (e) oldest-row re-proofs: the whole r5 pool (hll_weekly_users
+    #         excluded by design: rows-only), then r6 oldest-first ---
+    "top_customers_per_segment",
+    "events_monthly",
+    "events_weekly_buckets",
+    "events_backfill_chunks",
+    "docs_stratified_sample",
+    "docs_take_n_per_lang",
+    "docs_train_eval_split",
+    "orders_monthly_price_rank",
+    "docs_contamination_coverage",
+    "docs_contamination_bloom",
+    "docs_gopher_filter",
+    "docs_source_report",
+    "audit_fk_orphans",
+    "multimodal_header_parse",
+    "docs_strip_boilerplate",
+    "events_debounce",
+    "events_user_running_totals",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
 ]
 
 

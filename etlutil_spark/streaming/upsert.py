@@ -47,6 +47,48 @@ def read_dim(spark: SparkSession, dim_path: str) -> DataFrame | None:
     return spark.read.parquet(dim_path)
 
 
+# Batch-id sidecar INSIDE the dimension directory (underscore-prefixed,
+# so parquet reads ignore it). Written into the tmp dir BEFORE the swap,
+# it commits atomically with the data it describes; apply_batch
+# short-circuits when it equals the incoming batch_id. Without it, a
+# foreachBatch REPLAY of a batch whose swap already committed (crash in
+# the window between the rename and Spark's checkpoint write) re-applies
+# against the POST-batch dimension: with strict=False the run-collapse
+# happens to make that idempotent, but with strict=True (this sink's
+# default) any multi-row-per-key batch now has rows BEFORE the key's
+# latest valid_from and the order guard raises — on every retry, wedging
+# the stream permanently on its own replay.
+_BATCH_MARKER = "_scd2_batch"
+
+
+def _last_applied(spark: SparkSession, dim_path: str) -> int | None:
+    fs, jp = _fs(spark, f"{dim_path}/{_BATCH_MARKER}")
+    if not fs.exists(jp):
+        return None
+    try:
+        stream = fs.open(jp)
+        try:
+            txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return int(txt.strip())
+    except Exception:
+        # a damaged marker must not brick the sink: fall through to the
+        # normal apply path (worst case is the pre-marker behavior)
+        return None
+
+
+def _write_marker(spark: SparkSession, tmp_dir: str, batch_id: int) -> None:
+    fs, jp = _fs(spark, f"{tmp_dir}/{_BATCH_MARKER}")
+    out = fs.create(jp, True)
+    try:
+        out.write(bytearray(str(int(batch_id)).encode()))
+    finally:
+        out.close()
+
+
 def scd2_upsert_batch(
     dim_path: str,
     key_cols: str | list[str],
@@ -68,6 +110,8 @@ def scd2_upsert_batch(
         if not batch.head(1):
             return
         spark = batch.sparkSession
+        if _last_applied(spark, dim_path) == batch_id:
+            return  # clean replay of an already-committed batch
         dim = read_dim(spark, dim_path)
         if dim is None:
             updated = scd2_intervals(batch, key_cols, ts_col, state_cols)
@@ -78,6 +122,7 @@ def scd2_upsert_batch(
         materialized = updated.localCheckpoint(eager=True)
         tmp = dim_path + ".tmp"
         materialized.write.mode("overwrite").parquet(tmp)
+        _write_marker(spark, tmp, batch_id)
         # swap through the Hadoop FS so the sink works on object stores
         # (rename is atomic on HDFS/local; on S3 it is copy+delete —
         # same "atomic-ish" caveat the module docstring already states:
@@ -149,6 +194,8 @@ def scd2_cdc_batch(
         if not batch.head(1):
             return
         spark = batch.sparkSession
+        if _last_applied(spark, dim_path) == batch_id:
+            return  # clean replay of an already-committed batch
         dim = read_dim(spark, dim_path)
         if dim is None:
             updated = scd2_cdc_intervals(
@@ -163,6 +210,7 @@ def scd2_cdc_batch(
         materialized = updated.localCheckpoint(eager=True)
         tmp = dim_path + ".tmp"
         materialized.write.mode("overwrite").parquet(tmp)
+        _write_marker(spark, tmp, batch_id)
         fs, jdim = _fs(spark, dim_path)
         if fs.exists(jdim):
             fs.delete(jdim, True)

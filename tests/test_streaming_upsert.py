@@ -272,3 +272,49 @@ class TestScd2CdcStream:
             if r["k"] == 2 and r["is_current"] == 1
         ]
         assert cur == []
+
+
+class TestScd2ReplayGuard:
+    """foreachBatch is at-least-once: a batch whose dim swap committed
+    can REPLAY (crash between the rename and Spark's checkpoint write).
+    Before the batch-id sidecar, that replay re-applied against the
+    POST-batch dimension and strict=True raised the out-of-order guard
+    on every retry — the sink wedged itself permanently on its own
+    replay (r12 bug hunt)."""
+
+    def test_upsert_replay_is_noop(self, spark, tmp_path):
+        from etlutil_spark.streaming.upsert import scd2_upsert_batch
+
+        dim_path = str(tmp_path / "dim_replay")
+        sink = scd2_upsert_batch(dim_path, "k", "ts", "s", strict=True)
+        b0 = spark.createDataFrame(
+            [(1, 5, "a"), (1, 9, "b"), (2, 3, "x")], "k int, ts int, s string"
+        )
+        sink(b0, 0)
+        want = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+        # replay of the committed batch: must be a no-op, not a ValueError
+        sink(b0, 0)
+        assert {tuple(r) for r in spark.read.parquet(dim_path).collect()} == want
+        # and the NEXT batch still applies normally after the replay
+        sink(
+            spark.createDataFrame([(1, 12, "c")], "k int, ts int, s string"), 1
+        )
+        rows = {
+            (r.k, r.valid_from, r.valid_to, r.s)
+            for r in spark.read.parquet(dim_path).collect()
+        }
+        assert (1, 9, 12, "b") in rows and (1, 12, None, "c") in rows
+
+    def test_cdc_replay_is_noop(self, spark, tmp_path):
+        from etlutil_spark.streaming.upsert import scd2_cdc_batch
+
+        dim_path = str(tmp_path / "dim_cdc_replay")
+        sink = scd2_cdc_batch(dim_path, "k", "ts", "st", strict=True)
+        b0 = spark.createDataFrame(
+            [(1, 5, "a", "U"), (1, 9, None, "D")],
+            "k int, ts int, st string, op string",
+        )
+        sink(b0, 0)
+        want = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+        sink(b0, 0)
+        assert {tuple(r) for r in spark.read.parquet(dim_path).collect()} == want
