@@ -698,7 +698,7 @@ def ensure_ivfadc_index(
     jp = jvm.org.apache.hadoop.fs.Path(path)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
     base = path.rstrip("/")
-    marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
+    marker = jvm.org.apache.hadoop.fs.Path(base + "/delta=base/_SUCCESS")
     model_path = jvm.org.apache.hadoop.fs.Path(base + "/_ivfadc_model.json")
     from etlutil_spark.operators.util import dataset_digest
 
@@ -706,6 +706,12 @@ def ensure_ivfadc_index(
         "id_col": id_col, "vec_col": vec_col, "k": int(k),
         "iters": int(iters), "m": int(m), "ksub": int(ksub),
         "pq_iters": int(pq_iters), "scale": int(scale),
+        # delta-partitioned layout (codes under delta=base/cell=*, each
+        # increment under delta=<batch_id>/cell=* — the crash-safe
+        # idempotent-overwrite contract shared with the postings and
+        # histogram stores); bumping this rebuilds v1 stores on their
+        # next ensure instead of mixing layouts under one root
+        "layout": 2,
         # content digest of df's backing files: regenerated data at the
         # same path rebuilds instead of silently serving a stale index
         "data": dataset_digest(df),
@@ -761,7 +767,7 @@ def ensure_ivfadc_index(
         .repartition(k, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(path)
+        .parquet(base + "/delta=base")
     )
     model = {"params": params, "centroids": centroids, "codebooks": codebooks}
     out = fs.create(model_path, True)
@@ -859,14 +865,26 @@ def update_ivfadc_index(
     the catalog oracle, which retrains on the base slice only and
     encodes the full corpus).
 
-    Same ``_applied_<batch_id>`` replay marker as
-    update_postings_store: a retried batch is a no-op, not a double
-    insert. Model drift is the caveat frozen-model adds grow into —
-    re-train (rebuild) when the batch distribution departs from the
-    training corpus; the recall eval harness (dedup_minhash_recall's
-    pattern) is the gate for that decision."""
+    Crash-safe replay (the update_hist_store / update_postings_store
+    contract, upgraded in r12 from append-then-marker, whose crash
+    window duplicated a replayed batch's code rows — duplicate ids in
+    the serving top-k): the batch's codes OVERWRITE their own
+    ``delta=<batch_id>`` partition (idempotent per batch_id), and the
+    ``_applied_<batch_id>`` marker (written LAST) merely short-circuits
+    clean replays. Model drift is the caveat frozen-model adds grow
+    into — re-train (rebuild) when the batch distribution departs from
+    the training corpus; the recall eval harness
+    (dedup_minhash_recall's pattern) is the gate for that decision."""
     import json
+    import re
 
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", str(batch_id)) or str(
+        batch_id
+    ) == "base":
+        raise ValueError(
+            f"update_ivfadc_index: invalid batch_id {batch_id!r} — must "
+            "match [A-Za-z0-9_.-]+ and must not be the reserved value 'base'"
+        )
     jvm = spark._jvm
     base = path.rstrip("/")
     model_path = jvm.org.apache.hadoop.fs.Path(base + "/_ivfadc_model.json")
@@ -883,6 +901,13 @@ def update_ivfadc_index(
         stream.close()
     model = json.loads(txt)
     params = model["params"]
+    if params.get("layout") != 2:
+        raise ValueError(
+            f"ivfadc index at {path} predates the delta-partitioned "
+            "layout; rebuild it via ensure_ivfadc_index before "
+            "incrementing (mixing layouts under one root breaks "
+            "partition discovery)"
+        )
     centroids, codebooks = model["centroids"], model["codebooks"]
     id_col, scale = params["id_col"], params["scale"]
     m = params["m"]
@@ -909,12 +934,14 @@ def update_ivfadc_index(
             for s in range(m)
         ]
     )
+    # overwrite THIS batch's partition dir directly (not a table-level
+    # append): a retried batch replaces any partial/committed prior attempt
     (
         enc.select(F.col(id_col), F.col("cell"), codes.alias("codes"))
         .repartition(len(centroids), "cell")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(path)
+        .parquet(base + f"/delta={batch_id}")
     )
     out = fs.create(marker, True)
     try:

@@ -766,14 +766,24 @@ def ensure_postings_store(
     only the probed buckets (PartitionFilters), so a search reads
     ~|query terms| / n_buckets of the index no matter how large the
     corpus grows. The write repartitions by bucket first so each dir
-    gets well-sized files, not one file per upstream task."""
+    gets well-sized files, not one file per upstream task.
+
+    Layout v2 (r12): postings live under ``delta=base/bucket=*/`` and
+    each increment under its own ``delta=<batch_id>/bucket=*/`` —
+    update_postings_store OVERWRITES its batch's delta partition, so a
+    crash-torn append is REPLACED on replay instead of double-counted
+    (the update_hist_store crash-safety pattern; the v1 layout's
+    append-then-marker left a window where a replayed batch doubled its
+    postings and corpus counts). The bucket predicate still prunes at
+    the file index (bucket is a partition column at every delta
+    level)."""
     import json
 
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(path)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
     base = path.rstrip("/")
-    marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
+    marker = jvm.org.apache.hadoop.fs.Path(base + "/delta=base/_SUCCESS")
     meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_postings_meta.json")
     from etlutil_spark.operators.util import dataset_digest
 
@@ -781,6 +791,10 @@ def ensure_postings_store(
         "id_col": id_col,
         "text_col": text_col,
         "n_buckets": int(n_buckets),
+        # delta-partitioned layout (see docstring); bumping this forces
+        # v1 stores to rebuild on their next ensure instead of mixing
+        # incompatible directory structures under one root
+        "layout": 2,
         # content digest of df's backing files: regenerated data at the
         # same path reads as a param mismatch and rebuilds instead of
         # silently serving a stale index
@@ -830,12 +844,16 @@ def ensure_postings_store(
         postings.repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(path)
+        .parquet(base + "/delta=base")
     )
     meta = {
         "params": params,
         "n_docs": int(stats["n_docs"]),
         "sum_dl": int(stats["sum_dl"] or 0),
+        # per-batch corpus-count contributions, keyed by batch_id so a
+        # replayed increment OVERWRITES its own entry instead of adding
+        # a second one (idempotent, like its delta partition)
+        "deltas": {},
     }
     out = fs.create(meta_path, True)
     try:
@@ -843,6 +861,18 @@ def ensure_postings_store(
     finally:
         out.close()
     return "written"
+
+
+def _postings_corpus_stats(meta: dict) -> tuple[int, int]:
+    """(n_docs, sum_dl) of a postings store: the base build's counts
+    plus every applied increment's contribution (idempotent per
+    batch_id — see update_postings_store)."""
+    n_docs = int(meta["n_docs"])
+    sum_dl = int(meta["sum_dl"])
+    for d in meta.get("deltas", {}).values():
+        n_docs += int(d["n_docs"])
+        sum_dl += int(d["sum_dl"])
+    return n_docs, sum_dl
 
 
 def bm25_serve(
@@ -880,7 +910,7 @@ def bm25_serve(
     meta = json.loads(txt)
     n_buckets = meta["params"]["n_buckets"]
     id_col = meta["params"]["id_col"]
-    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    n_docs, sum_dl = _postings_corpus_stats(meta)
     if n_docs == 0:
         raise ValueError("bm25_serve: empty postings store")
     terms = [t.lower() for t in query_terms]
@@ -934,24 +964,36 @@ def update_postings_store(
     """Incrementally merge a NEW batch of documents into an
     :func:`ensure_postings_store` index — the maintenance half of the
     lexical serving stack (an index that must be fully rebuilt per
-    batch is not a production index): the batch's postings append into
-    the same bucket directories (one bucket-keyed shuffle sized by the
-    BATCH, the existing index is never read or rewritten), and the
-    sidecar's corpus constants advance by the batch's exact counts.
-    bm25_serve derives every score input from postings + sidecar, so
+    batch is not a production index): the batch's postings land in
+    their OWN ``delta=<batch_id>/bucket=*/`` partition (one
+    bucket-keyed shuffle sized by the BATCH, the existing index is
+    never read or rewritten), and the batch's exact corpus counts land
+    under the sidecar's ``deltas[batch_id]`` entry. bm25_serve derives
+    every score input from postings + sidecar, so
     serve-after-increment is BIT-IDENTICAL to a full rebuild over the
     union corpus (pinned in tests and by the catalog oracle).
 
-    Replay guard (the dedup_screen lesson): each batch stamps a
-    ``_applied_<batch_id>`` marker; a retried batch whose marker exists
-    is a no-op ('skipped'), so at-least-once schedulers cannot double-
-    count postings. The marker is written LAST — a crash between the
-    append and the sidecar update leaves a batch that will re-apply;
-    plain directories cannot roll back appended files (use a table
-    format for transactional index maintenance), which is why the
-    marker, not the file listing, is the applied-state of record."""
+    Crash-safe replay (the update_hist_store contract, upgraded from
+    the r11 append-then-marker design whose crash window double-counted
+    a replayed batch): every step is IDEMPOTENT per batch_id — the
+    delta write OVERWRITES its own partition directory, the sidecar
+    entry is keyed by batch_id (rewritten, never added twice), and the
+    ``_applied_<batch_id>`` marker (written LAST) merely short-circuits
+    clean replays. A crash at any point leaves a retry that converges
+    to exactly one application."""
     import json
+    import re
 
+    # the delta write targets <path>/delta=<batch_id> directly, so the id
+    # must be a safe single path segment — and never 'base', which would
+    # overwrite the store's own base postings
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", str(batch_id)) or str(
+        batch_id
+    ) == "base":
+        raise ValueError(
+            f"update_postings_store: invalid batch_id {batch_id!r} — must "
+            "match [A-Za-z0-9_.-]+ and must not be the reserved value 'base'"
+        )
     jvm = spark._jvm
     base = path.rstrip("/")
     meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_postings_meta.json")
@@ -967,6 +1009,13 @@ def update_postings_store(
     finally:
         stream.close()
     meta = json.loads(txt)
+    if "deltas" not in meta:
+        raise ValueError(
+            f"postings store at {path} predates the delta-partitioned "
+            "layout; rebuild it via ensure_postings_store before "
+            "incrementing (mixing layouts under one root breaks "
+            "partition discovery)"
+        )
     id_col = meta["params"]["id_col"]
     text_col = meta["params"]["text_col"]
     n_buckets = meta["params"]["n_buckets"]
@@ -992,14 +1041,19 @@ def update_postings_store(
             F.pmod(md5_bigint("term"), F.lit(n_buckets)).cast("int"),
         )
     )
+    # overwrite THIS batch's partition dir directly (not a table-level
+    # append): the delta value comes from the directory name, and a
+    # retried batch replaces any partial/committed prior attempt
     (
         postings.repartition(n_buckets, "bucket")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(path)
+        .parquet(base + f"/delta={batch_id}")
     )
-    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n_docs"])
-    meta["sum_dl"] = int(meta["sum_dl"]) + int(stats["sum_dl"] or 0)
+    meta["deltas"][str(batch_id)] = {
+        "n_docs": int(stats["n_docs"]),
+        "sum_dl": int(stats["sum_dl"] or 0),
+    }
     out = fs.create(meta_path, True)
     try:
         out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
@@ -1050,7 +1104,7 @@ def bm25_serve_many(
     meta = json.loads(txt)
     n_buckets = meta["params"]["n_buckets"]
     id_col = meta["params"]["id_col"]
-    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    n_docs, sum_dl = _postings_corpus_stats(meta)
     if n_docs == 0:
         raise ValueError("bm25_serve_many: empty postings store")
     pairs = sorted(

@@ -16480,12 +16480,21 @@ _DRIVER_FRONT = [
     "op_redact_pii",
     "date_spine_days",
     "events_relative_month_frame",
-    # --- (d) one representative per remaining ensure_* store family,
-    #         gate-proving the new store_root() path (verdict item 4):
-    #         postings, histogram, IVFADC ---
+    # --- (d) every store query whose LAYOUT changed this round (the
+    #         delta-partitioned crash-safe postings/IVFADC upgrade) plus
+    #         the histogram-store representative — all through the new
+    #         store_root() path (verdict item 4); changed code outranks
+    #         merely-stale rows for window slots ---
     "docs_bm25_serve",
-    "orders_price_quantile_store",
+    "docs_bm25_serve_incremental",
+    "docs_bm25_serve_batch",
+    "docs_hybrid_serve",
+    "docs_retrieval_pipeline_serve",
+    "sim_ivfadc_serve",
+    "sim_ivfadc_serve_incremental",
     "sim_ivfadc_serve_batch",
+    "sim_ivfadc_recall",
+    "orders_price_quantile_store",
     # --- (e) oldest-row re-proofs: the whole r5 pool (hll_weekly_users
     #         excluded by design: rows-only), then r6 oldest-first ---
     "top_customers_per_segment",
@@ -16501,13 +16510,6 @@ _DRIVER_FRONT = [
     "docs_gopher_filter",
     "docs_source_report",
     "audit_fk_orphans",
-    "multimodal_header_parse",
-    "docs_strip_boilerplate",
-    "events_debounce",
-    "events_user_running_totals",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
 ]
 
 

@@ -43,6 +43,7 @@ def stream_documents_from_dir(
     """File-source stream over a documents parquet directory (schema
     pinned — streaming requires it)."""
     import os
+    import re
 
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA).option(
         "maxFilesPerTrigger", max_files_per_trigger
@@ -51,7 +52,12 @@ def stream_documents_from_dir(
     # directory semantics (single-file layouts are a testdata artifact)
     if os.path.isfile(docs_dir):
         parent, name = os.path.split(docs_dir)
-        reader = reader.option("pathGlobFilter", name)
+        # the basename is used as a GLOB: bracket-escape metacharacters
+        # (same guard as events.stream_events_from_dir — an unescaped
+        # docs[2024].parquet reads as a char class and the stream
+        # silently matches nothing)
+        escaped = re.sub(r"([\[\]*?{}])", r"[\1]", name)
+        reader = reader.option("pathGlobFilter", escaped)
         docs_dir = parent
     return reader.parquet(docs_dir)
 

@@ -226,6 +226,57 @@ class TestEnsureServingStores:
         want = [tuple(r) for r in bm25_serve(spark, full_path, q, k=10).collect()]
         assert got == want
 
+    def test_postings_crash_window_replay_does_not_double_count(
+        self, spark, tmp_path
+    ):
+        """r12 bug hunt: the v1 layout appended postings THEN advanced
+        the sidecar THEN stamped the marker — a crash after the append
+        left a replay that doubled the batch's postings and corpus
+        counts. Every step is now idempotent per batch_id: simulate the
+        worst crash (delta + sidecar committed, marker lost) and assert
+        the retry converges instead of double-counting."""
+        import json
+        import os
+
+        from etlutil_spark.operators.text_analysis import (
+            bm25_serve,
+            ensure_postings_store,
+            update_postings_store,
+        )
+
+        rows = [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta gamma delta"),
+            (3, "alpha epsilon"),
+            (4, "beta beta alpha zeta"),
+        ]
+        full = spark.createDataFrame(rows, "doc_id bigint, text string")
+        base = full.where("doc_id <= 2")
+        batch = full.where("doc_id > 2")
+        inc_path = str(tmp_path / "inc_crash")
+        ensure_postings_store(spark, base, inc_path, n_buckets=8)
+        assert update_postings_store(spark, batch, inc_path, batch_id="b1") == "applied"
+        want = [
+            tuple(r)
+            for r in bm25_serve(spark, inc_path, ["alpha", "beta"], k=10).collect()
+        ]
+        # crash window: delta partition + sidecar entry committed, marker lost
+        os.remove(os.path.join(inc_path, "_applied_b1"))
+        assert update_postings_store(spark, batch, inc_path, batch_id="b1") == "applied"
+        got = [
+            tuple(r)
+            for r in bm25_serve(spark, inc_path, ["alpha", "beta"], k=10).collect()
+        ]
+        assert got == want
+        meta = json.load(open(os.path.join(inc_path, "_postings_meta.json")))
+        assert meta["deltas"] == {"b1": {"n_docs": 2, "sum_dl": 6}}
+        # reserved / path-metacharacter batch ids fail loudly
+        import pytest
+
+        for bad in ("base", "a/b", ""):
+            with pytest.raises(ValueError):
+                update_postings_store(spark, batch, inc_path, batch_id=bad)
+
     def test_ivfadc_increment_replay_noop_and_count(self, spark, tmp_path):
         from etlutil_spark.operators.clustering import (
             ensure_ivfadc_index,
@@ -248,6 +299,42 @@ class TestEnsureServingStores:
         assert (
             spark.read.parquet(path).select("vec_id").distinct().count() == 40
         )
+
+    def test_ivfadc_crash_window_replay_does_not_duplicate(
+        self, spark, tmp_path
+    ):
+        """r12 bug hunt: the v1 append-then-marker crash window left a
+        replayed batch's code rows duplicated — duplicate ids straight
+        into the serving top-k. The delta overwrite must converge."""
+        import os
+
+        import pytest
+
+        from etlutil_spark.operators.clustering import (
+            ensure_ivfadc_index,
+            update_ivfadc_index,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 7), float(-i % 5), 1.0, 0.5]) for i in range(40)],
+            "vec_id bigint, embedding array<double>",
+        )
+        base = df.where("vec_id < 30")
+        batch = df.where("vec_id >= 30")
+        path = str(tmp_path / "ivfadc_crash")
+        kw = dict(k=4, iters=2, m=2, ksub=4, pq_iters=2)
+        ensure_ivfadc_index(spark, base, "vec_id", "embedding", path, **kw)
+        assert update_ivfadc_index(spark, batch, path, batch_id="b1") == "applied"
+        # crash window: delta committed, marker lost
+        os.remove(os.path.join(path, "_applied_b1"))
+        assert update_ivfadc_index(spark, batch, path, batch_id="b1") == "applied"
+        assert spark.read.parquet(path).count() == 40
+        assert (
+            spark.read.parquet(path).select("vec_id").distinct().count() == 40
+        )
+        for bad in ("base", "a/b", ""):
+            with pytest.raises(ValueError):
+                update_ivfadc_index(spark, batch, path, batch_id=bad)
 
     def test_bm25_batch_serve_equals_per_query(self, spark, tmp_path):
         """r10: bm25_serve_many must reproduce bm25_serve per query
