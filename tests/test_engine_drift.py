@@ -166,54 +166,42 @@ class TestOracleGuards:
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            # r11: the 44 registered queries with no driver row in ANY
-            # CORRECTNESS_r{1..10}.json — the whole debt fronted at once
-            # (r10 verdict item 1); the rest of the window is the
-            # oldest-row re-proof block.
-            "orders_l_diversity",
-            "orders_t_closeness",
-            "audit_benford_totalprice",
+            # r12: every query whose CODE OR ORACLE changed after its
+            # newest driver row — the r11 late-bug-hunt fixes (landed
+            # post-window in b7c4165), the MinHash-family-store rewires,
+            # and the delta-partitioned store-layout upgrade's serve
+            # family. The rest of the window is freshness rotation
+            # (SURVEY-2 block + oldest rows), not unproven code.
+            # (a) r11 late-bug-hunt changed-code re-proofs
+            "docs_weighted_sample",
+            "docs_mixture_epoch_plan",
+            "docs_curriculum",
+            "docs_pack_token_budget",
+            "docs_length_batching",
+            "corpus_pipeline_e2e",
+            "customer_scd2_cdc_deletes",
+            "scd2_apply_incremental",
+            "scd2_customer_priority",
+            "dedup_screen_new_batch",
+            "docs_mixture_sample",
+            # (b) MinHash-family-store rewires
+            "dedup_minhash_lsh",
+            "dedup_minhash_recall",
+            "dedup_lsh_recall_by_bin",
+            "dedup_minhash_estimator_error",
+            "dedup_agreement_ari",
+            "dedup_clusters_lsh",
+            # (d) store-layout v2 serve family + histogram representative
             "docs_bm25_serve",
-            "docs_hybrid_serve",
             "docs_bm25_serve_incremental",
             "docs_bm25_serve_batch",
+            "docs_hybrid_serve",
+            "docs_retrieval_pipeline_serve",
+            "sim_ivfadc_serve",
             "sim_ivfadc_serve_incremental",
             "sim_ivfadc_serve_batch",
             "sim_ivfadc_recall",
-            "docs_self_repetition",
-            "events_ks_test",
-            "audit_doc_embedding_coverage",
-            "dedup_lsh_scurve",
-            "audit_dataset_diff",
-            "docs_retrieval_pipeline_serve",
-            "lineitem_theilsen_drift",
-            "docs_quality_calibration",
-            "dedup_agreement_ari",
-            "docs_robust_scaling",
-            "docs_source_concentration",
-            "docs_mixture_temperature",
-            "sim_topk_whitened",
-            "dedup_lsh_recall_by_bin",
-            "docs_source_lorenz",
-            "dedup_impact_report",
-            "embeddings_outliers",
-            "dedup_cluster_sizes",
-            "audit_release_gate",
-            "orders_forecast_backtest",
-            "parts_item_similarity_topk",
-            "sim_whitened_shift",
-            "dedup_cross_source_matrix",
-            "dedup_minhash_estimator_error",
             "orders_price_quantile_store",
-            "events_type_value_quantile_sketch",
-            "embeddings_cluster_separation",
-            "docs_split_leakage_neardup",
-            "docs_release_card",
-            "dedup_threshold_sweep",
-            "events_type_quantile_store",
-            "events_burstiness_index",
-            "supplier_revenue_hhi",
-            "orders_customer_gini",
         }
         assert must_have <= set(front50)
 
