@@ -184,9 +184,12 @@ def weighted_sample(
     Plan shape: priorities are computed map-side; selection is a global
     top-n = TakeOrderedAndProject (per-partition heap + driver merge of
     n*n_partitions candidates) — no single-partition sort funnel, no
-    shuffle of the full table. Rows with NULL, zero, or negative weight
-    are dropped (they have zero selection probability; A-ES priorities
-    are undefined for them).
+    shuffle of the full table. Rows with NULL, NaN, zero, or negative
+    weight are dropped (they have zero selection probability; A-ES
+    priorities are undefined for them). NaN needs its own predicate:
+    Spark orders NaN GREATER than every double, so a NaN weight passes
+    ``w > 0`` and its NaN priority sorts first descending — NaN-weight
+    rows would ALWAYS win the sample (r12 bug hunt, reproduced).
 
     Ties (astronomically unlikely with 60-bit hashes) break on key ASC."""
     if n <= 0:
@@ -197,7 +200,7 @@ def weighted_sample(
     u = (md5_bigint(key_col, seed=seed) + 1) / F.lit(_HASH_SPACE + 2)
     pri = F.log(u) / w
     return (
-        df.where(w > 0)
+        df.where((w > 0) & ~F.isnan(w))
         .withColumn("_pri", pri)
         .orderBy(F.col("_pri").desc(), F.col(key_col).asc())
         .limit(n)
@@ -380,13 +383,17 @@ def curriculum_phases(
     on identical doubles, so boundary docs land in the same phase in
     both engines.
 
-    Rows with a NULL score are excluded (they cannot be ordered; filter
-    or score them upstream).
+    Rows with a NULL or NaN score are excluded (they cannot be ordered;
+    filter or score them upstream — a NaN left in would skew the
+    percentile cuts silently, since Spark orders NaN above every score).
     """
     if phases < 2:
         raise ValueError(f"phases must be >= 2, got {phases}")
     fracs = [i / phases for i in range(1, phases)]
-    scored = df.where(F.col(score_col).isNotNull())
+    ok = F.col(score_col).isNotNull()
+    if df.schema[score_col].dataType.simpleString() in ("float", "double"):
+        ok = ok & ~F.isnan(score_col)
+    scored = df.where(ok)
     cuts = scored.agg(
         F.expr(
             f"percentile({score_col}, array({', '.join(f'{f}D' for f in fracs)}))"

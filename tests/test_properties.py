@@ -630,6 +630,43 @@ class TestR5Properties:
         assert got == want
         assert got != list(range(n))  # NOT the key-order degenerate tail
 
+    def test_weighted_sample_nan_weights_never_win(self, spark):
+        """r12 bug hunt: Spark orders NaN GREATER than any double, so a
+        NaN weight passed the w > 0 filter and its NaN priority sorted
+        first descending — NaN-weight rows ALWAYS won the sample. They
+        must be dropped like NULL/zero/negative weights."""
+        from etlutil_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 1.0) for i in range(20)] + [
+            (100, float("nan")),
+            (101, float("nan")),
+        ]
+        df = spark.createDataFrame(rows, "k long, w double")
+        got = {r.k for r in weighted_sample(df, 3, "w", "k").collect()}
+        assert not ({100, 101} & got), got
+        assert len(got) == 3
+
+    def test_curriculum_nan_scores_excluded(self, spark):
+        """NaN scores would skew the percentile cuts silently (Spark
+        sorts NaN above every score); they must be excluded like NULL."""
+        from etlutil_spark.operators.sampling import curriculum_phases
+
+        clean = spark.createDataFrame(
+            [(float(i),) for i in range(40)], "s double"
+        )
+        noisy = clean.unionByName(
+            spark.createDataFrame(
+                [(float("nan"),)] * 8, "s double"
+            )
+        )
+        want = sorted(
+            tuple(r) for r in curriculum_phases(clean, "s").collect()
+        )
+        got = sorted(
+            tuple(r) for r in curriculum_phases(noisy, "s").collect()
+        )
+        assert got == want
+
     @PROP
     @given(
         rows=st.lists(
