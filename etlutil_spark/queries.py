@@ -16509,7 +16509,10 @@ _DRIVER_FRONT = [
     "docs_contamination_bloom",
     "docs_gopher_filter",
     "docs_source_report",
-    "audit_fk_orphans",
+    # changed-code displacement (late r12): ensure_bucketed_table now
+    # carries the source-dataset digest; its consumer fronts over the
+    # last oldest-row slot (audit_fk_orphans rolls to r13)
+    "orders_bucketed_join_stats",
 ]
 
 

@@ -136,6 +136,50 @@ class TestEnsureBucketedTable:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    def test_regenerated_source_rebuilds_not_reattaches(
+        self, spark, tmp_path
+    ):
+        """r12: the spec now carries the SOURCE dataset's content
+        digest. A bucketed store built from a previous generation of
+        the data must not be reattached (or served catalog-hot) — both
+        paths would silently join stale rows."""
+        from pyspark.sql import functions as F
+
+        from etlutil_spark.sources.io import ensure_bucketed_table
+
+        src = str(tmp_path / "bkt_src")
+        spark.range(60).select(F.col("id").alias("k")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        df = spark.read.parquet(src)
+        path = str(tmp_path / "bkt_digest")
+        kw = dict(bucket_by=["k"], n_buckets=4, path=path)
+        t = "default.ensure_bkt_digest"
+        try:
+            assert ensure_bucketed_table(spark, df, t, **kw) == "written"
+            # regenerate the SOURCE at the same path with different rows
+            spark.range(25).select(F.col("id").alias("k")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(src)
+            df2 = spark.read.parquet(src)
+            # catalog still knows the table, but the digest mismatches:
+            # catalog-hot path must rebuild, not serve the stale 60 rows
+            assert ensure_bucketed_table(spark, df2, t, **kw) == "written"
+            assert spark.table(t).count() == 25
+            # fresh-session shape: catalog forgets, files survive — the
+            # reattach path must also honor the digest
+            spark.sql(f"DROP TABLE {t}")
+            assert ensure_bucketed_table(spark, df2, t, **kw) == "reattached"
+            spark.range(10).select(F.col("id").alias("k")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(src)
+            df3 = spark.read.parquet(src)
+            spark.sql(f"DROP TABLE {t}")
+            assert ensure_bucketed_table(spark, df3, t, **kw) == "written"
+            assert spark.table(t).count() == 10
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     def test_partial_write_without_marker_is_rebuilt(self, spark, tmp_path):
         from pyspark.sql import functions as F
 

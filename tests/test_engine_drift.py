@@ -202,6 +202,8 @@ class TestOracleGuards:
             "sim_ivfadc_serve_batch",
             "sim_ivfadc_recall",
             "orders_price_quantile_store",
+            # late r12: ensure_bucketed_table gained the source digest
+            "orders_bucketed_join_stats",
         }
         assert must_have <= set(front50)
 
