@@ -214,6 +214,13 @@ def parse_header_bytes(b: bytes | None) -> tuple[str, int | None, int | None]:
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:
+                # legal fill byte: any number of 0xFF may pad before a
+                # marker — skip one and re-read (treating the pad as a
+                # marker would misread the next two bytes as a segment
+                # length and derail the walk)
+                i += 1
+                continue
             if marker in _JPEG_SOF_MARKERS:
                 return (
                     "jpeg",

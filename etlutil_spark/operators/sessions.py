@@ -131,7 +131,10 @@ def session_stats_salted(
     Exactly equivalent to the unsalted form: a day boundary only splits a
     session whose adjacent events are <= gap apart, and exactly those
     splits are re-merged by the identical gap predicate in phase 2.
-    Output schema and numbering match :func:`session_stats`."""
+    Output schema and numbering match :func:`session_stats`. The
+    equivalence assumes non-NULL timestamps (a NULL ts lands in its own
+    NULL day bucket here but sorts first inside the single key partition
+    unsalted — filter NULL ts upstream, as with :func:`debounce`)."""
     day = F.to_date(F.col(ts_col)).alias("_day")
     w = Window.partitionBy(key_col, "_day").orderBy(F.col(ts_col))
     prev_ts = F.lag(F.col(ts_col)).over(w)

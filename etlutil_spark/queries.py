@@ -16508,10 +16508,12 @@ _DRIVER_FRONT = [
     "docs_contamination_coverage",
     "docs_contamination_bloom",
     "docs_gopher_filter",
-    "docs_source_report",
-    # changed-code displacement (late r12): ensure_bucketed_table now
-    # carries the source-dataset digest; its consumer fronts over the
-    # last oldest-row slot (audit_fk_orphans rolls to r13)
+    # changed-code displacements (late r12): ensure_bucketed_table now
+    # carries the source-dataset digest, and the JPEG marker walk
+    # learned fill-byte skipping — their consumers front over the last
+    # two oldest-row slots (docs_source_report + audit_fk_orphans roll
+    # to r13)
+    "multimodal_header_parse",
     "orders_bucketed_join_stats",
 ]
 

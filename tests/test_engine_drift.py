@@ -202,8 +202,10 @@ class TestOracleGuards:
             "sim_ivfadc_serve_batch",
             "sim_ivfadc_recall",
             "orders_price_quantile_store",
-            # late r12: ensure_bucketed_table gained the source digest
+            # late r12: ensure_bucketed_table gained the source digest;
+            # the JPEG marker walk learned fill-byte skipping
             "orders_bucketed_join_stats",
+            "multimodal_header_parse",
         }
         assert must_have <= set(front50)
 

@@ -267,6 +267,21 @@ class TestMultimodal:
         assert parse_header_bytes(b"xx") == ("unknown", None, None)
         assert parse_header_bytes(b"\xff\xd8\x00\x00") == ("jpeg", None, None)
         assert parse_header_bytes(png[:12]) == ("unknown", None, None)
+        # legal 0xFF fill bytes before a marker must be skipped, not
+        # misread as a segment whose "length" is the real marker bytes
+        # (r12: the walk previously derailed on padded streams)
+        padded = (
+            b"\xff\xd8"
+            + b"\xff\xff\xff"
+            + b"\xff\xc0"
+            + (17).to_bytes(2, "big")
+            + b"\x08"
+            + (99).to_bytes(2, "big")
+            + (77).to_bytes(2, "big")
+            + b"\x03"
+            + b"\x00" * 10
+        )
+        assert parse_header_bytes(padded) == ("jpeg", 77, 99)
 
     def test_png_dimensions_column_expression(self, spark):
         """The JVM fast path: PNG dims via substring+conv, no Python."""
