@@ -197,26 +197,33 @@ class DateRange:
     def as_dict(self) -> dict[str, str]:
         return {"date_start": self.date_start, "date_end": self.date_end}
 
-    def to_dict_with_custom_keys(self, key_start: str, key_end: str) -> dict[str, str]:
+    def to_dict_with_custom_keys(
+        self, key_start: str = "starts_at", key_end: str = "ends_at"
+    ) -> dict[str, str]:
         return {key_start: self.date_start, key_end: self.date_end}
 
-    def format(self, template: str = "[{date_start} → {date_end}]") -> str:
-        return template.format(date_start=self.date_start, date_end=self.date_end)
+    def format(self, template: str = "{start} -> {end}") -> str:
+        """Template placeholders are ``{start}`` / ``{end}`` and the default
+        is ``"{start} -> {end}"`` — both matched to the reference
+        (``date.py:314-315``), so a migrating caller's custom template keeps
+        rendering instead of raising KeyError."""
+        return template.format(start=self.date_start, end=self.date_end)
 
-    def __str__(self) -> str:  # matches the reference's display form
-        return self.format()
+    def __str__(self) -> str:  # reference date.py:302-303 display form
+        return f"[{self.date_start} → {self.date_end}]"
 
     # -- API-format adapters (driver-side connector concern) ---------------
 
     def to_fb_time_range(self) -> dict[str, str]:
         return {"since": self.date_start, "until": self.date_end}
 
-    def to_reddit_range(self) -> dict[str, str]:
-        starts, ends = self._utc_bounds(half_open=True)
+    def to_reddit_range(self, tz: str | None = "UTC") -> dict[str, str]:
+        # tz param matches reference date.py:377 (None and "UTC" coincide)
+        starts, ends = self._utc_bounds(half_open=True, tz=tz)
         return {"starts_at": starts, "ends_at": ends}
 
-    def to_reddit_range_but_same_dates(self) -> dict[str, str]:
-        starts, ends = self._utc_bounds(half_open=False)
+    def to_reddit_range_but_same_dates(self, tz: str | None = "UTC") -> dict[str, str]:
+        starts, ends = self._utc_bounds(half_open=False, tz=tz)
         return {"starts_at": starts, "ends_at": ends}
 
     def to_bing_CustomDateRange(self) -> dict[str, dict[str, int]]:

@@ -211,6 +211,36 @@ class TestDateRange:
     def test_str_format(self):
         assert str(DateRange("2024-01-01", "2024-01-07")) == "[2024-01-01 → 2024-01-07]"
 
+    def test_format_placeholders_match_reference(self):
+        # reference date.py:314-315: placeholders are {start}/{end} and the
+        # default template is "{start} -> {end}" (NOT the __str__ arrow form)
+        dr = DateRange("2024-01-01", "2024-01-07")
+        assert dr.format() == "2024-01-01 -> 2024-01-07"
+        assert dr.format("{start}..{end}") == "2024-01-01..2024-01-07"
+
+    def test_custom_keys_defaults_match_reference(self):
+        # reference date.py:317: defaults are starts_at/ends_at
+        dr = DateRange("2024-01-01", "2024-01-31")
+        assert dr.to_dict_with_custom_keys() == {
+            "starts_at": "2024-01-01",
+            "ends_at": "2024-01-31",
+        }
+        assert dr.to_dict_with_custom_keys("from_date", "to_date") == {
+            "from_date": "2024-01-01",
+            "to_date": "2024-01-31",
+        }
+
+    def test_reddit_range_tz_param_matches_reference(self):
+        # reference date.py:377/541: to_reddit_range takes tz (default "UTC")
+        dr = DateRange("2024-01-01", "2024-01-02")
+        assert dr.to_reddit_range(tz=None) == dr.to_reddit_range()
+        # UTC+4 (no DST): local midnight = 20:00 previous day UTC
+        tbilisi = dr.to_reddit_range(tz="Asia/Tbilisi")
+        assert tbilisi["starts_at"] == "2023-12-31T20:00:00Z"
+        assert tbilisi["ends_at"] == "2024-01-02T20:00:00Z"
+        same = dr.to_reddit_range_but_same_dates(tz="Asia/Tbilisi")
+        assert same["ends_at"] == "2024-01-01T20:00:00Z"
+
 
 class TestDateRanges:
     def test_calendar_periods_trim(self):
