@@ -31,6 +31,10 @@ payload columns are legitimately NULL (the classic forward-fill bug).
 Determinism contract: right must be unique per (key, right_time) — collapse
 duplicates first (e.g. ``operators/compact.latest_by_key`` or a
 ``max_by`` aggregate); with ties the carried row is plan-dependent.
+
+NULL-time semantics match DuckDB ASOF / pandas merge_asof: a NULL right
+time never matches (those rows are dropped from the union), and a NULL
+left time matches nothing (left row kept, payload NULL).
 """
 
 from __future__ import annotations
@@ -101,7 +105,12 @@ def asof_join(
         F.lit(None).cast(lpay_type).alias("_lpay"),
         rpay.alias("_rpay"),
     )
-    u = l_u.unionByName(r_u)
+    # NULL right times can never satisfy right_time <= / >= left_time
+    # (DuckDB ASOF / pandas merge_asof semantics): without this filter a
+    # NULL-_t right row sorts NULLS FIRST under the backward ordering and
+    # last(ignorenulls) would CARRY it as a "match" into every left row
+    # that has no real predecessor.
+    u = l_u.unionByName(r_u.where(F.col("_t").isNotNull()))
 
     t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
@@ -112,8 +121,14 @@ def asof_join(
     matched: Column = F.last("_rpay", ignorenulls=True).over(w)
 
     # window BEFORE the side filter: the carried _rpay lives on right rows,
-    # which must still be in the frame when last(ignorenulls) runs
-    out = u.withColumn("_m", matched).where(F.col("_side") == 1)
+    # which must still be in the frame when last(ignorenulls) runs.
+    # A NULL left time matches NOTHING on either direction: under the
+    # forward ordering (_t DESC, NULLS LAST) a NULL-_t left row sorts
+    # after every right row and would otherwise inherit the EARLIEST
+    # right payload — the silent-wrong-answer the guard exists for.
+    out = u.withColumn(
+        "_m", F.when(F.col("_t").isNotNull(), matched)
+    ).where(F.col("_side") == 1)
     if tolerance_seconds is not None:
         staleness = (
             F.unix_timestamp("_t") - F.unix_timestamp(F.col(f"_m.{matched_time_col}"))

@@ -6,8 +6,12 @@ interval-overlap join. A naive BETWEEN/overlap theta-join has no equi keys,
 so Spark would pick BroadcastNestedLoopJoin (fine when one side is tiny,
 quadratic disaster otherwise). The scalable form maps each interval to the
 set of fixed-width calendar buckets it covers, equi-joins on the bucket,
-refines with the exact predicate, and de-duplicates pairs that met in more
-than one bucket:
+refines with the exact predicate, and keeps each qualifying pair exactly
+once by accepting it only in the pair's FIRST COMMON bucket (``bucket ==
+greatest(first_bucket_l, first_bucket_r)`` — both sides cover that bucket
+whenever the intervals overlap), so no post-join ``distinct`` shuffle is
+needed and legitimately duplicate input rows keep their theta-join
+multiplicity:
 
     cost ~ O(|L|*span_L + |R|*span_R) explode + ONE hash-shuffle join on
     bucket, instead of O(|L|*|R|) comparisons.
@@ -44,24 +48,31 @@ def interval_overlap_join(
     """Join rows whose inclusive date intervals overlap
     (``l.start <= r.end AND r.start <= l.end`` — the reference's overlap
     algebra), via bucketed equi-join. Column name collisions between the
-    two inputs must be resolved by the caller (select/alias first)."""
+    two inputs must be resolved by the caller (select/alias first).
+
+    Each qualifying pair is emitted exactly once: the join accepts a pair
+    only in its first common bucket (``greatest`` of the two intervals'
+    first buckets — covered by both sides whenever they overlap), which
+    preserves theta-join multiplicity for duplicate input rows where a
+    post-join ``distinct`` would collapse them, and costs one shuffle
+    less."""
     if how != "inner":
         raise ValueError("bucketed overlap join supports inner joins")
     lb = left.withColumn(
         "_bucket", F.explode(_bucket_seq(F.col(left_start), F.col(left_end), bucket_days))
-    )
+    ).withColumn("_lo_l", F.floor(F.unix_date(F.col(left_start)) / bucket_days))
     rb = right.withColumn(
         "_bucket", F.explode(_bucket_seq(F.col(right_start), F.col(right_end), bucket_days))
-    )
-    refined = (
+    ).withColumn("_lo_r", F.floor(F.unix_date(F.col(right_start)) / bucket_days))
+    return (
         lb.join(rb, "_bucket")
         .where(
             (F.col(left_start) <= F.col(right_end))
             & (F.col(right_start) <= F.col(left_end))
+            & (F.col("_bucket") == F.greatest(F.col("_lo_l"), F.col("_lo_r")))
         )
-        .drop("_bucket")
+        .drop("_bucket", "_lo_l", "_lo_r")
     )
-    return refined.distinct()
 
 
 def point_in_interval_join(

@@ -16505,9 +16505,6 @@ _DRIVER_FRONT = [
     "docs_take_n_per_lang",
     "docs_train_eval_split",
     "orders_monthly_price_rank",
-    "docs_contamination_coverage",
-    "docs_contamination_bloom",
-    "docs_gopher_filter",
     # changed-code displacements (late r12): ensure_bucketed_table now
     # carries the source-dataset digest, and the JPEG marker walk
     # learned fill-byte skipping — their consumers front over the last
@@ -16515,6 +16512,15 @@ _DRIVER_FRONT = [
     # to r13)
     "multimodal_header_parse",
     "orders_bucketed_join_stats",
+    # changed-code displacements (late r12, second hunt pass): asof_join
+    # gained NULL-time guards and interval_overlap_join moved from
+    # post-join distinct to first-common-bucket dedup — their consumers
+    # front over the last three oldest-row slots
+    # (docs_contamination_coverage / docs_contamination_bloom /
+    # docs_gopher_filter roll to r13)
+    "asof_purchase_attribution",
+    "asof_attribution_tolerance",
+    "orders_week_overlap",
 ]
 
 

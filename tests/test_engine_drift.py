@@ -206,6 +206,11 @@ class TestOracleGuards:
             # the JPEG marker walk learned fill-byte skipping
             "orders_bucketed_join_stats",
             "multimodal_header_parse",
+            # late r12 second hunt pass: asof_join NULL-time guards;
+            # interval_overlap_join first-common-bucket dedup
+            "asof_purchase_attribution",
+            "asof_attribution_tolerance",
+            "orders_week_overlap",
         }
         assert must_have <= set(front50)
 

@@ -123,6 +123,42 @@ class TestIntervalJoin:
             (r.lid, r.rid) for r in naive.collect()
         )
 
+    def test_duplicate_input_rows_keep_multiplicity(self, spark):
+        # theta-join semantics: two identical left rows each match —
+        # the old post-join distinct() collapsed them to one pair
+        left = spark.createDataFrame(
+            [(1, date(2024, 1, 1), date(2024, 1, 10))] * 2,
+            "lid int, l_start date, l_end date",
+        )
+        right = spark.createDataFrame(
+            [(10, date(2024, 1, 5), date(2024, 1, 20))],
+            "rid int, r_start date, r_end date",
+        )
+        got = interval_overlap_join(
+            left, right,
+            left_start="l_start", left_end="l_end",
+            right_start="r_start", right_end="r_end",
+        )
+        assert got.count() == 2
+
+    def test_pair_spanning_many_buckets_emits_once(self, spark):
+        # long intervals share many buckets; first-common-bucket keeps one
+        left = spark.createDataFrame(
+            [(1, date(2024, 1, 1), date(2024, 6, 30))],
+            "lid int, l_start date, l_end date",
+        )
+        right = spark.createDataFrame(
+            [(10, date(2024, 2, 1), date(2024, 5, 31))],
+            "rid int, r_start date, r_end date",
+        )
+        got = interval_overlap_join(
+            left, right,
+            left_start="l_start", left_end="l_end",
+            right_start="r_start", right_end="r_end",
+            bucket_days=7,
+        )
+        assert [(r.lid, r.rid) for r in got.collect()] == [(1, 10)]
+
     def test_point_in_interval(self, spark):
         _, right = self._frames(spark)
         points = spark.createDataFrame(

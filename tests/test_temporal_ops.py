@@ -136,6 +136,39 @@ class TestAsofJoin:
         assert out.columns == ["sym", "t", "trade_id", "matched_time", "px"]
         assert out.count() == trades.count()
 
+    def test_null_left_time_matches_nothing(self, spark, quotes):
+        # DuckDB ASOF / merge_asof semantics: NULL probe time matches no
+        # row but the left row is kept. Under the forward ordering
+        # (_t DESC NULLS LAST) an unguarded plan hands the NULL-time left
+        # row the EARLIEST right payload.
+        trades = spark.createDataFrame(
+            [("A", None, 900)], "sym string, t timestamp, trade_id int"
+        )
+        for direction in ("backward", "forward"):
+            out = asof_join(
+                trades, quotes, on="sym", left_time="t", right_time="qt",
+                direction=direction, matched_time_col="mt",
+            )
+            rows = out.collect()
+            assert len(rows) == 1
+            assert rows[0].mt is None and rows[0].px is None
+
+    def test_null_right_time_never_matches(self, spark, trades):
+        # a NULL-time right row sorts NULLS FIRST under the backward
+        # ordering and would otherwise be carried as a "match" into left
+        # rows with no real predecessor (here: C at 09:00, before every
+        # real quote)
+        quotes = spark.createDataFrame(
+            [("C", None, 99.0), ("C", ts("2024-01-01 10:00:00"), 50.0)],
+            "sym string, qt timestamp, px double",
+        )
+        out = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="qt",
+            matched_time_col="mt",
+        )
+        c = [r for r in out.collect() if r.trade_id == 300][0]
+        assert c.mt is None and c.px is None
+
     def test_bad_direction_raises(self, trades, quotes):
         with pytest.raises(ValueError, match="direction"):
             asof_join(
