@@ -302,6 +302,17 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 12):
     """
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits < 1 or bits * len(cols) > 63:
+        # the interleaved key lives in ONE signed bigint: bit i of column
+        # j lands at position i*n_cols + j, so bits*n_cols must fit in 63
+        # bits — past that the high bits silently wrap and files stop
+        # covering compact hyper-rectangles (pruning quietly degrades)
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * len(cols)} exceeds the "
+            "63-bit key budget — lower bits or cluster fewer columns"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),

@@ -90,3 +90,15 @@ class TestZorder:
         a = lineitem.agg(F.sum("l_extendedprice").cast("decimal(38,4)")).collect()
         b = back.agg(F.sum("l_extendedprice").cast("decimal(38,4)")).collect()
         assert a == b
+
+    def test_key_budget_overflow_raises(self, spark, lineitem):
+        # bits * n_cols must fit in one signed bigint (63 bits): past
+        # that the interleave silently wraps and pruning degrades
+        import pytest
+
+        from etlutil_spark.sources.io import zorder_key
+
+        with pytest.raises(ValueError, match="63-bit key budget"):
+            zorder_key(lineitem, ["l_quantity", "l_extendedprice"], bits=32)
+        with pytest.raises(ValueError, match="at least one column"):
+            zorder_key(lineitem, [])
