@@ -25,6 +25,7 @@ Layout:
 """
 
 from etlutil_spark.functions.daterange import (
+    DateLike,
     DateRange,
     DateRanges,
     format_year_month,
@@ -40,7 +41,7 @@ from etlutil_spark.operators.jsonify import to_json_string
 from etlutil_spark.operators.normalize_dates import normalize_date_fields
 from etlutil_spark.operators.project import select_with_extras
 from etlutil_spark.operators.prune import prune_columns
-from etlutil_spark.operators.walk import sample_tree, schema_tree
+from etlutil_spark.operators.walk import sample_tree, schema_tree, walk_sample
 from etlutil_spark.session import get_spark
 
 __all__ = [
@@ -50,6 +51,7 @@ __all__ = [
     "prune_columns",
     "schema_tree",
     "sample_tree",
+    "walk_sample",  # the reference `walk` contract (print + collected copy)
     "select_with_extras",
     "convert_types",
     "ConvertType",
@@ -59,6 +61,7 @@ __all__ = [
     "normalize_date_fields",
     "to_json_string",
     # reference date layer (SURVEY §2.2)
+    "DateLike",
     "to_date",
     "to_date_iso_str",
     "format_year_month",
