@@ -89,6 +89,65 @@ def _write_marker(spark: SparkSession, tmp_dir: str, batch_id: int) -> None:
         out.close()
 
 
+def _recover_interrupted_swap(spark: SparkSession, dim_path: str) -> None:
+    """Complete a swap that crashed between delete(dim) and rename(tmp).
+
+    In that window the committed post-batch dimension lives ONLY at
+    ``<dim>.tmp`` (data plus batch marker, both written before the swap
+    began) and ``dim_path`` does not exist. Without this step the
+    batch's replay reads an ABSENT dimension and silently restarts SCD2
+    history from the replayed batch alone — every prior key's history
+    lost with no error. Renaming the complete tmp into place restores
+    the committed state; the marker then short-circuits the replay like
+    any clean replay.
+
+    The write order makes the recovery unambiguous: tmp data and marker
+    are fully written BEFORE the live dir is deleted, so dim-missing ∧
+    tmp-present implies tmp is the complete post-batch state. A tmp dir
+    alongside a LIVE dimension is scratch from a run that died before
+    its swap began — the live dim is authoritative and the next write's
+    overwrite mode replaces the scratch, so it is left alone here."""
+    fs, jdim = _fs(spark, dim_path)
+    _, jtmp = _fs(spark, dim_path + ".tmp")
+    if not fs.exists(jdim) and fs.exists(jtmp):
+        if not fs.rename(jtmp, jdim):
+            raise IOError(
+                f"recovery rename {dim_path}.tmp -> {dim_path} failed"
+            )
+
+
+def _commit_swap(
+    spark: SparkSession, updated: DataFrame, dim_path: str, batch_id: int
+) -> None:
+    """Materialize ``updated`` and swap it in at ``dim_path``: checkpoint
+    (severs the plan from the files about to be replaced) -> write to
+    ``<path>.tmp`` -> marker -> delete live -> rename. Shared by the
+    upsert and CDC sinks so the swap/recovery invariants cannot drift
+    between them."""
+    materialized = updated.localCheckpoint(eager=True)
+    tmp = dim_path + ".tmp"
+    materialized.write.mode("overwrite").parquet(tmp)
+    _write_marker(spark, tmp, batch_id)
+    # swap through the Hadoop FS so the sink works on object stores
+    # (rename is atomic on HDFS/local; on S3 it is copy+delete —
+    # same "atomic-ish" caveat the module docstring already states:
+    # real deployments swap this sink for a transactional format).
+    # A crash between the delete and the rename is repaired by
+    # _recover_interrupted_swap at the next batch's entry.
+    fs, jdim = _fs(spark, dim_path)
+    if fs.exists(jdim):
+        fs.delete(jdim, True)
+    _, jtmp = _fs(spark, tmp)
+    # Hadoop FileSystem.rename reports most failures by RETURNING
+    # false, not raising (unlike os.rename) — and the live dim dir
+    # is already deleted above, so a silently failed swap would
+    # leave NO dimension at dim_path and the next batch's read_dim
+    # would restart SCD2 history from scratch. Fail the batch loudly
+    # instead; the checkpoint replays it against the pre-batch state.
+    if not fs.rename(jtmp, jdim):
+        raise IOError(f"rename {tmp} -> {dim_path} failed")
+
+
 def scd2_upsert_batch(
     dim_path: str,
     key_cols: str | list[str],
@@ -110,6 +169,7 @@ def scd2_upsert_batch(
         if not batch.head(1):
             return
         spark = batch.sparkSession
+        _recover_interrupted_swap(spark, dim_path)
         if _last_applied(spark, dim_path) == batch_id:
             return  # clean replay of an already-committed batch
         dim = read_dim(spark, dim_path)
@@ -119,26 +179,7 @@ def scd2_upsert_batch(
             updated = scd2_apply(
                 dim, batch, key_cols, ts_col, state_cols, strict=strict
             )
-        materialized = updated.localCheckpoint(eager=True)
-        tmp = dim_path + ".tmp"
-        materialized.write.mode("overwrite").parquet(tmp)
-        _write_marker(spark, tmp, batch_id)
-        # swap through the Hadoop FS so the sink works on object stores
-        # (rename is atomic on HDFS/local; on S3 it is copy+delete —
-        # same "atomic-ish" caveat the module docstring already states:
-        # real deployments swap this sink for a transactional format)
-        fs, jdim = _fs(spark, dim_path)
-        if fs.exists(jdim):
-            fs.delete(jdim, True)
-        _, jtmp = _fs(spark, tmp)
-        # Hadoop FileSystem.rename reports most failures by RETURNING
-        # false, not raising (unlike os.rename) — and the live dim dir
-        # is already deleted above, so a silently failed swap would
-        # leave NO dimension at dim_path and the next batch's read_dim
-        # would restart SCD2 history from scratch. Fail the batch loudly
-        # instead; the checkpoint replays it against the pre-batch state.
-        if not fs.rename(jtmp, jdim):
-            raise IOError(f"rename {tmp} -> {dim_path} failed")
+        _commit_swap(spark, updated, dim_path, batch_id)
 
     return apply_batch
 
@@ -155,7 +196,11 @@ def run_scd2_upsert_stream(
     timeout_s: int = 120,
 ) -> None:
     """Drive a (bounded) change stream through the SCD2 sink with
-    availableNow; production callers drop the trigger and let it run."""
+    availableNow; production callers drop the trigger and let it run.
+    Raises if the backlog does not drain within ``timeout_s`` —
+    returning silently would hand the caller a dimension still being
+    mutated by in-flight micro-batches (the dedup-screen drain
+    contract)."""
     q = (
         changes.writeStream.foreachBatch(
             scd2_upsert_batch(
@@ -166,7 +211,12 @@ def run_scd2_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"SCD2 upsert stream did not drain within {timeout_s}s; "
+            "query stopped — dimension reflects only completed batches"
+        )
 
 
 def scd2_cdc_batch(
@@ -194,6 +244,7 @@ def scd2_cdc_batch(
         if not batch.head(1):
             return
         spark = batch.sparkSession
+        _recover_interrupted_swap(spark, dim_path)
         if _last_applied(spark, dim_path) == batch_id:
             return  # clean replay of an already-committed batch
         dim = read_dim(spark, dim_path)
@@ -207,15 +258,6 @@ def scd2_cdc_batch(
                 dim, batch, key_cols, ts_col, state_cols,
                 op_col=op_col, delete_op=delete_op, strict=strict,
             )
-        materialized = updated.localCheckpoint(eager=True)
-        tmp = dim_path + ".tmp"
-        materialized.write.mode("overwrite").parquet(tmp)
-        _write_marker(spark, tmp, batch_id)
-        fs, jdim = _fs(spark, dim_path)
-        if fs.exists(jdim):
-            fs.delete(jdim, True)
-        _, jtmp = _fs(spark, tmp)
-        if not fs.rename(jtmp, jdim):
-            raise IOError(f"rename {tmp} -> {dim_path} failed")
+        _commit_swap(spark, updated, dim_path, batch_id)
 
     return apply_batch

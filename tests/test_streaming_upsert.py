@@ -305,6 +305,78 @@ class TestScd2ReplayGuard:
         }
         assert (1, 9, 12, "b") in rows and (1, 12, None, "c") in rows
 
+    def test_crash_between_delete_and_rename_recovers(self, spark, tmp_path):
+        """Crash-mid-swap: the sink deletes the live dim, then crashes
+        before renaming tmp into place. The committed post-batch state
+        now lives ONLY at <dim>.tmp; pre-fix, the replay read an absent
+        dimension and silently RESTARTED SCD2 history from the replayed
+        batch alone (batch 0's keys vanished). _recover_interrupted_swap
+        must complete the rename first, making the replay a no-op."""
+        import os
+
+        from etlutil_spark.streaming.upsert import scd2_upsert_batch
+
+        dim_path = str(tmp_path / "dim_crash")
+        sink = scd2_upsert_batch(dim_path, "k", "ts", "s", strict=True)
+        b0 = spark.createDataFrame(
+            [(1, 5, "a"), (2, 3, "x")], "k int, ts int, s string"
+        )
+        b1 = spark.createDataFrame([(1, 9, "b")], "k int, ts int, s string")
+        sink(b0, 0)
+        sink(b1, 1)
+        want = {
+            (r.k, r.valid_from, r.valid_to, r.s)
+            for r in spark.read.parquet(dim_path).collect()
+        }
+        # reconstruct the exact crash-window state: batch 1's swap wrote
+        # tmp (data + marker) and deleted the live dir, but never renamed
+        os.rename(dim_path, dim_path + ".tmp")
+        assert not os.path.exists(dim_path)
+        # replay of batch 1 must recover the committed state, then no-op
+        sink(b1, 1)
+        got = {
+            (r.k, r.valid_from, r.valid_to, r.s)
+            for r in spark.read.parquet(dim_path).collect()
+        }
+        assert got == want  # key 2's history survived the crash
+        assert not os.path.exists(dim_path + ".tmp")
+        # and the NEXT batch applies normally on the recovered dimension
+        sink(
+            spark.createDataFrame([(2, 7, "y")], "k int, ts int, s string"), 2
+        )
+        rows = {
+            (r.k, r.valid_from, r.valid_to, r.s)
+            for r in spark.read.parquet(dim_path).collect()
+        }
+        assert (2, 3, 7, "x") in rows and (2, 7, None, "y") in rows
+
+    def test_cdc_crash_between_delete_and_rename_recovers(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from etlutil_spark.streaming.upsert import scd2_cdc_batch
+
+        dim_path = str(tmp_path / "dim_cdc_crash")
+        sink = scd2_cdc_batch(dim_path, "k", "ts", "st", strict=True)
+        sink(
+            spark.createDataFrame(
+                [(1, 5, "a", "U"), (2, 3, "x", "U")],
+                "k int, ts int, st string, op string",
+            ),
+            0,
+        )
+        b1 = spark.createDataFrame(
+            [(1, 9, None, "D")], "k int, ts int, st string, op string"
+        )
+        sink(b1, 1)
+        want = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+        os.rename(dim_path, dim_path + ".tmp")
+        sink(b1, 1)
+        assert {
+            tuple(r) for r in spark.read.parquet(dim_path).collect()
+        } == want
+
     def test_cdc_replay_is_noop(self, spark, tmp_path):
         from etlutil_spark.streaming.upsert import scd2_cdc_batch
 
