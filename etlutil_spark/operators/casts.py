@@ -9,8 +9,10 @@ expressions — a zero-shuffle map that Catalyst collapses into the scan.
 Parity choices (documented deviations are inherent to a typed engine):
   - ``"3.14" -> 3``: int casts go via double then truncate toward zero,
     matching the reference's ``int(float(v))`` (data_structures.py:1097-1098).
-  - bool strings: true/1/yes/on (case-insensitive) are true, anything else
-    parseable is false (data_structures.py:1110-1113).
+  - bool follows the reference's type dispatch (data_structures.py:
+    1110-1116): STRING columns are true iff the value is one of
+    true/1/yes/on (case-insensitive) — "7" is false, never numeric-
+    coerced; NUMERIC columns are value != 0; BOOLEAN passes through.
   - ``str`` of a boolean yields SQL casing ``"true"``/``"false"`` where the
     reference's Python ``str()`` yields ``"True"``/``"False"`` — the one
     intentional repr-level deviation (columnar engines standardize on SQL
@@ -63,8 +65,14 @@ def cast_expr(
     *,
     datetime_formats: tuple[str, ...] = DEFAULT_DATETIME_FORMATS,
     empty_string_to_none: bool = False,
+    source_type: T.DataType | None = None,
 ) -> Column:
-    """Build the conversion expression for one column (lenient: NULL on fail)."""
+    """Build the conversion expression for one column (lenient: NULL on fail).
+
+    ``source_type`` drives the reference's type-dispatched rules where the
+    VALUE's Python type picked the branch (a typed column's dtype is the
+    faithful analog). Today only ``bool`` dispatches on it; omitting it
+    applies the string rule."""
     t = target.value if isinstance(target, ConvertType) else target
     c = col
     if empty_string_to_none:
@@ -79,12 +87,22 @@ def cast_expr(
     if t == "float":
         return c.try_cast("double")
     if t == "bool":
+        # reference dispatches on the VALUE's type (data_structures.py:
+        # 1110-1116): a STRING is true iff it is one of the four words —
+        # "7" or "3.5" is False, never numeric-coerced; a NUMBER is
+        # value != 0. The column dtype is the typed-engine analog of that
+        # dispatch (an earlier revision numeric-coerced unrecognized
+        # strings, silently flipping "2" to True).
+        if isinstance(source_type, T.BooleanType):
+            return c
+        if isinstance(source_type, T.NumericType):
+            return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
+                c != 0
+            )
         s = F.lower(c.cast("string"))
         return (
             F.when(s.isNull(), F.lit(None).cast("boolean"))
-            .when(s.isin(*_TRUE_WORDS), F.lit(True))
-            .when(s.try_cast("double").isNotNull(), s.try_cast("double") != 0)
-            .otherwise(F.lit(False))
+            .otherwise(s.isin(*_TRUE_WORDS))
         )
     if t == "date":
         return c.try_cast("date")
@@ -92,7 +110,10 @@ def cast_expr(
         parsed = [F.try_to_timestamp(c.cast("string"), F.lit(f)) for f in datetime_formats]
         return F.coalesce(*parsed) if len(parsed) > 1 else parsed[0]
     if t == "timestamp":
-        return F.timestamp_seconds(c.try_cast("double").try_cast("bigint"))
+        # fractional epochs keep sub-second precision, matching the
+        # reference's datetime.fromtimestamp(float(v)) (an earlier
+        # revision truncated through a bigint cast)
+        return F.timestamp_seconds(c.try_cast("double"))
     if t.startswith("timestamp_to_iso"):
         ts = F.timestamp_seconds(c.try_cast("double"))
         fmt = {
@@ -144,6 +165,7 @@ def convert_types(
                 type_schema[name],
                 datetime_formats=datetime_formats,
                 empty_string_to_none=empty_string_to_none,
+                source_type=field.dataType,
             )
             if strict:
                 expr = _strict_wrap(F.col(name), expr, name,
@@ -215,6 +237,7 @@ def _rewrite_nested_value(
                     child, type_schema[f.name],
                     datetime_formats=datetime_formats,
                     empty_string_to_none=empty_string_to_none,
+                    source_type=f.dataType,
                 )
             elif isinstance(f.dataType, (T.StructType, T.ArrayType)):
                 child = _rewrite_nested_value(

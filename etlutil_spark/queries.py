@@ -476,9 +476,7 @@ def op_select_with_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            TRY_CAST(TRY_CAST(CAST(user_id AS VARCHAR) AS DOUBLE) AS BIGINT) AS s_int,
            TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS s_float,
-           (CASE WHEN user_id % 3 = 0 THEN 'true' WHEN user_id % 3 = 1 THEN 'no' ELSE '7' END IN ('true','1','yes','on'))
-             OR (TRY_CAST(CASE WHEN user_id % 3 = 0 THEN 'true' WHEN user_id % 3 = 1 THEN 'no' ELSE '7' END AS DOUBLE) IS NOT NULL
-                 AND TRY_CAST(CASE WHEN user_id % 3 = 0 THEN 'true' WHEN user_id % 3 = 1 THEN 'no' ELSE '7' END AS DOUBLE) != 0) AS s_bool,
+           (CASE WHEN user_id % 3 = 0 THEN 'true' WHEN user_id % 3 = 1 THEN 'no' ELSE '7' END IN ('true','1','yes','on')) AS s_bool,
            TRY_CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS s_date,
            CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS s_epoch,
            strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m') AS s_epoch_ym,

@@ -211,6 +211,10 @@ class TestOracleGuards:
             "asof_purchase_attribution",
             "asof_attribution_tolerance",
             "orders_week_overlap",
+            # late r12 fourth hunt pass: bool conversion follows the
+            # reference's type dispatch (numeric STRINGS no longer
+            # coerce to true) — code and oracle changed in lockstep
+            "op_convert_types",
         }
         assert must_have <= set(front50)
 

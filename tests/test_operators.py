@@ -133,11 +133,25 @@ class TestConvertTypes:
         assert vals == [3, -2]
 
     def test_bool_words_and_numbers(self, spark):
+        # reference dispatch (data_structures.py:1110-1116): STRINGS are
+        # true iff in the word list — numeric strings like "2" are FALSE
+        # (an earlier revision numeric-coerced them to True); NUMBERS are
+        # value != 0
         df = spark.createDataFrame(
-            [("true",), ("ON",), ("0",), ("2",), ("nope",)], "v string"
+            [("true",), ("ON",), ("0",), ("1",), ("2",), ("nope",), (None,)],
+            "v string",
         )
         vals = [r.v for r in convert_types(df, {"v": "bool"}).collect()]
-        assert vals == [True, True, False, True, False]
+        assert vals == [True, True, False, True, False, False, None]
+        num = spark.createDataFrame([(2,), (0,), (-1,), (None,)], "v int")
+        nvals = [r.v for r in convert_types(num, {"v": "bool"}).collect()]
+        assert nvals == [True, False, True, None]
+
+    def test_timestamp_keeps_subsecond_precision(self, spark):
+        # reference: datetime.fromtimestamp(float(v)) keeps the fraction
+        df = spark.createDataFrame([("1735056631.5",)], "v string")
+        out = convert_types(df, {"v": "timestamp"}).collect()[0]
+        assert out.v.microsecond == 500000
 
     def test_empty_string_to_none(self, spark):
         df = spark.createDataFrame([("",)], "v string")
