@@ -123,8 +123,15 @@ def clean_columns(
             new = F.lit(None).cast(dtype if not isinstance(dtype, T.StringType) else "string")
         else:  # pragma: no cover - DELETE handled structurally
             raise AssertionError
-        # NULL / empty-string under a targeted key is never cleaned
-        is_empty = col.isNull() | (col.cast("string") == "")
+        # NULL / empty values under a targeted key are never cleaned; for
+        # container types "empty" is the zero-length container, matching
+        # the reference's _value_is_empty (data_structures.py:1325-1333)
+        # — its string-cast ("[]", "{}") is not "" so the string test
+        # alone would clean an empty array the reference leaves alone
+        if isinstance(dtype, (T.ArrayType, T.MapType)):
+            is_empty = col.isNull() | (F.size(col) == 0)
+        else:
+            is_empty = col.isNull() | (col.cast("string") == "")
         guarded = F.when(is_empty, col.cast(_result_type(dtype, mode))).otherwise(new)
         pred = _skip_predicate(skips.get(name, ()), col)
         if pred is not None:
@@ -152,7 +159,13 @@ def clean_columns(
             if mode is CleanMode.DELETE:
                 return None
             out = cleaned_value(col, name, dtype)
-            if mode in (CleanMode.REPLACE, CleanMode.HASH):
+            if mode in (CleanMode.REPLACE, CleanMode.HASH) or (
+                # EMPTY keeps the original string on the skip/empty paths;
+                # the reference truncates EVERY surviving string
+                # (process_container runs on skipped values too)
+                mode is CleanMode.EMPTY
+                and isinstance(dtype, T.StringType)
+            ):
                 out = truncate(out)  # truncation also hits replacements
             return out
         if isinstance(dtype, T.StructType):
@@ -162,8 +175,15 @@ def clean_columns(
                 if child is not None:
                     fields.append(child.alias(f.name))
             return F.struct(*fields) if fields else F.lit(None)
-        if isinstance(dtype, T.ArrayType) and isinstance(
-            dtype.elementType, (T.StructType, T.ArrayType)
+        if isinstance(dtype, T.ArrayType) and (
+            isinstance(dtype.elementType, (T.StructType, T.ArrayType))
+            # arrays of strings truncate element-wise: the reference's
+            # process_container recurses into lists and truncates every
+            # string it finds (data_structures.py:1273-1282)
+            or (
+                isinstance(dtype.elementType, T.StringType)
+                and truncate_strings is not None
+            )
         ):
 
             def rebuild(x: Column) -> Column:

@@ -215,6 +215,12 @@ class TestOracleGuards:
             # reference's type dispatch (numeric STRINGS no longer
             # coerce to true) — code and oracle changed in lockstep
             "op_convert_types",
+            # late r12 fourth hunt pass: clean_dict parity fixes
+            # (array-of-strings truncation, EMPTY-mode truncation,
+            # empty-container guard)
+            "op_clean_hash_skip_rules",
+            "op_clean_replace_truncate",
+            "op_clean_fingerprint",
         }
         assert must_have <= set(front50)
 

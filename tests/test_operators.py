@@ -257,6 +257,46 @@ class TestCleanColumns:
         assert out.a == "repla… truncated (etl)"
         assert out.b == "yyyyy… truncated (etl)"
 
+    def test_truncation_reaches_array_of_strings(self, spark):
+        # reference process_container recurses into lists and truncates
+        # every string (data_structures.py:1273-1282); the array branch
+        # used to skip primitive-element arrays entirely
+        df = spark.createDataFrame(
+            [(["x" * 30, "ok"],)], "tags array<string>"
+        )
+        out = clean_columns(
+            df, keys_to_clean=["nope"], clean_mode="replace",
+            truncate_strings=5,
+        ).collect()[0]
+        assert out.tags == ["xxxxx… truncated (etl)", "ok"]
+
+    def test_empty_mode_truncates_kept_strings(self, spark):
+        # EMPTY mode keeps the original on the skip path; the reference
+        # still truncates every surviving string
+        df = spark.createDataFrame(
+            [("keep-" + "z" * 30,), ("drop-me",)], "secret string"
+        )
+        out = clean_columns(
+            df, keys_to_clean=["secret"], clean_mode="empty",
+            skip_rules={"secret": [{"prefix": "keep-"}]},
+            truncate_strings=8,
+        ).collect()
+        assert out[0].secret == "keep-zzz… truncated (etl)"
+        assert out[1].secret is None
+
+    def test_empty_container_under_target_is_not_cleaned(self, spark):
+        # _value_is_empty (data_structures.py:1325-1333): an empty list
+        # under a targeted key skips cleaning; string-casting an empty
+        # array gives "[]" != "" so the old guard hashed it
+        df = spark.createDataFrame(
+            [([],), (["a"],)], "vals array<string>"
+        )
+        out = clean_columns(
+            df, keys_to_clean=["vals"], clean_mode="hash"
+        ).collect()
+        assert out[0].vals == "[]"  # kept (string-cast of the original)
+        assert len(out[1].vals) == 64  # sha256 hex of the non-empty array
+
     def test_fingerprint_mode_array_of_structs(self, spark):
         df = spark.createDataFrame(
             [([{"token": "abc", "n": 1}],)],
