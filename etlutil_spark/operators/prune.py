@@ -7,7 +7,11 @@ empty-dropping that never touches 0/False).
 Spark lift, as a driver-side recursive schema rewrite:
 
   - key removal        -> drop top-level columns / rebuild structs without
-                          the field / rebuild array-of-struct elements.
+                          the field / rebuild array-of-struct elements /
+                          filter MAP entries whose key matches (literal
+                          name lists only — a callable key spec runs
+                          driver-side over schema names and cannot reach
+                          data-level map keys without a per-row UDF).
   - value removal      -> array elements are FILTERED out (true removal);
                           scalar & struct-field values are NULLED out (a
                           typed column cannot lose a cell); map entries go
@@ -73,10 +77,13 @@ def _value_pred(spec: ValueSpec) -> Callable[[Column, T.DataType], Column] | Non
         return None
 
     def compatible(v: Any, dtype: T.DataType) -> bool:
+        # Python's bool IS an int (False == 0, True == 1), so the
+        # reference's `==` matching crosses the bool/number line both
+        # ways: values_to_remove=[0] removes False and [False] removes 0
         if isinstance(v, bool):
-            return isinstance(dtype, T.BooleanType)
+            return isinstance(dtype, (T.BooleanType, T.NumericType))
         if isinstance(v, (int, float)):
-            return isinstance(dtype, T.NumericType)
+            return isinstance(dtype, (T.NumericType, T.BooleanType))
         if isinstance(v, str):
             return isinstance(dtype, T.StringType)
         if isinstance(v, bytes):
@@ -89,7 +96,14 @@ def _value_pred(spec: ValueSpec) -> Callable[[Column, T.DataType], Column] | Non
             return F.lit(False)
         out = F.lit(False)
         for v in applicable:
-            out = out | c.eqNullSafe(F.lit(v))
+            if isinstance(dtype, T.BooleanType) and not isinstance(v, bool):
+                # numeric literal vs boolean column: compare through the
+                # 0/1 projection Python equality uses
+                out = out | c.cast("int").eqNullSafe(F.lit(v))
+            elif isinstance(dtype, T.NumericType) and isinstance(v, bool):
+                out = out | c.eqNullSafe(F.lit(int(v)))
+            else:
+                out = out | c.eqNullSafe(F.lit(v))
         return out
 
     return pred
@@ -125,6 +139,15 @@ def prune_columns(
         raise ValueError("max_depth must be >= 0")
     drop_key = _key_pred(keys_to_remove)
     val_pred = _value_pred(values_to_remove)
+    # Literal key names also filter MAP entries (a dict child is just a
+    # Mapping to the reference, so keys_to_remove strips matching map
+    # keys at the data level). A CALLABLE key spec runs driver-side over
+    # schema names only — map keys are data, and pushing a Python
+    # predicate into the scan would be a row-at-a-time UDF; documented
+    # typed-engine limitation.
+    key_names: list[str] | None = None
+    if keys_to_remove is not None and not callable(keys_to_remove):
+        key_names = sorted(set(keys_to_remove))
 
     if keys_to_remove is None and val_pred is None and not remove_empty:
         return df  # no-op short-circuit (reference :88-89)
@@ -175,6 +198,19 @@ def prune_columns(
             return T.ArrayType(
                 pruned_type(dtype.elementType, depth + 1), dtype.containsNull
             )
+        if (
+            isinstance(dtype, T.MapType)
+            and can_recurse(depth + 1)
+            and isinstance(
+                dtype.valueType, (T.StructType, T.ArrayType, T.MapType)
+            )
+            and not would_drop(dtype.valueType, depth + 1)
+        ):
+            return T.MapType(
+                dtype.keyType,
+                pruned_type(dtype.valueType, depth + 1),
+                dtype.valueContainsNull,
+            )
         return dtype
 
     def rewrite(col: Column, dtype: T.DataType, depth: int) -> Column:
@@ -206,10 +242,34 @@ def prune_columns(
             return out
         if isinstance(dtype, T.MapType) and can_filter(depth + 1):
             out = col
+            vt = dtype.valueType
+            # key removal reaches map ENTRIES (the reference treats a dict
+            # child as any other Mapping and filters its keys); string
+            # keys only — non-string key types can't match str names
+            # under Python equality anyway
+            if key_names and isinstance(dtype.keyType, T.StringType):
+                out = F.map_filter(
+                    out, lambda k, v: ~k.isin(*key_names)
+                )
+            # recurse into container-typed values (reference recursion
+            # enters dict children normally); a value type that would
+            # lose every field is left unrewritten — the empty-struct
+            # schema deviation, same as the struct-drop rule above
+            if (
+                can_recurse(depth + 1)
+                and isinstance(vt, (T.StructType, T.ArrayType, T.MapType))
+                and not would_drop(vt, depth + 1)
+            ):
+                out = F.transform_values(
+                    out, lambda k, v: rewrite(v, vt, depth + 1)
+                )
+                vt_after = pruned_type(vt, depth + 1)
+            else:
+                vt_after = vt
             if val_pred is not None:
-                out = F.map_filter(out, lambda k, v: ~F.coalesce(val_pred(v, dtype.valueType), F.lit(False)))
+                out = F.map_filter(out, lambda k, v: ~F.coalesce(val_pred(v, vt), F.lit(False)))
             if remove_empty:
-                out = F.map_filter(out, lambda k, v: ~_is_empty_expr(v, dtype.valueType))
+                out = F.map_filter(out, lambda k, v: ~_is_empty_expr(v, vt_after))
             return out
         return col
 

@@ -16500,15 +16500,18 @@ _DRIVER_FRONT = [
     "events_weekly_buckets",
     "events_backfill_chunks",
     "docs_stratified_sample",
-    "docs_take_n_per_lang",
     # changed-code displacements (late r12, fourth hunt pass): clean_dict
     # reference-parity fixes (array-of-strings truncation, EMPTY-mode
-    # truncation of kept strings, empty-container guard) — the remaining
-    # clean-family consumers front over the last two oldest-row slots
-    # (docs_train_eval_split + orders_monthly_price_rank roll to r13;
-    # op_clean_hash_skip_rules already sits in the SURVEY-2 block)
+    # truncation of kept strings, empty-container guard) and prune_data
+    # parity fixes (map-entry key removal, map-value recursion, Python
+    # bool/int cross-equality in value removal) — the remaining clean-
+    # and prune-family consumers front over the last three oldest-row
+    # slots (docs_take_n_per_lang + docs_train_eval_split +
+    # orders_monthly_price_rank roll to r13; op_clean_hash_skip_rules
+    # and op_prune_values already sit in the SURVEY-2 block)
     "op_clean_replace_truncate",
     "op_clean_fingerprint",
+    "op_prune_keys_depth",
     # changed-code displacements (late r12): ensure_bucketed_table now
     # carries the source-dataset digest, and the JPEG marker walk
     # learned fill-byte skipping — their consumers front over the last

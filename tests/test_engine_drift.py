@@ -221,6 +221,11 @@ class TestOracleGuards:
             "op_clean_hash_skip_rules",
             "op_clean_replace_truncate",
             "op_clean_fingerprint",
+            # late r12 fourth hunt pass: prune_data parity fixes
+            # (map-entry key removal, map-value recursion, bool/int
+            # cross-equality)
+            "op_prune_values",
+            "op_prune_keys_depth",
         }
         assert must_have <= set(front50)
 

@@ -337,6 +337,56 @@ class TestPrune:
         assert rows[1].a.e is None  # 5 nulled
         assert rows[1].id == 1  # bigint 1 untouched by string "a"
 
+    def test_value_removal_bool_int_cross_equality(self, spark):
+        # Python bool IS an int: the reference's `==` matching removes
+        # False for values_to_remove=[0] and 0 for [False]; the type
+        # gate used to block both directions
+        df = spark.createDataFrame(
+            [(10, True, 7), (20, False, 0), (30, None, 1)],
+            "id bigint, flag boolean, n bigint",
+        )
+        out = {r.id: r for r in prune_columns(df, values_to_remove=[0]).collect()}
+        assert out[20].flag is None  # False == 0 -> removed
+        assert out[10].flag is True
+        assert out[20].n is None
+        out2 = {r.id: r for r in prune_columns(df, values_to_remove=[False]).collect()}
+        assert out2[20].n is None  # 0 == False -> removed
+        assert out2[30].n == 1  # 1 only matches True, not False
+        out3 = {r.id: r for r in prune_columns(df, values_to_remove=[True]).collect()}
+        assert out3[30].n is None  # 1 == True -> removed
+        assert out3[10].n == 7  # 7 != True
+        assert out3[10].flag is None  # True removed from the bool column
+
+    def test_map_entry_key_removal(self, spark):
+        # a dict child is just a Mapping to the reference: keys_to_remove
+        # strips matching MAP entries at the data level
+        df = spark.createDataFrame(
+            [(1, {"secret": 9, "keep": 1})], "id bigint, m map<string,bigint>"
+        )
+        out = prune_columns(df, keys_to_remove=["secret"]).collect()[0]
+        assert out.m == {"keep": 1}
+        # callable key specs are schema-side only (documented): map
+        # entries stay
+        out2 = prune_columns(
+            df, keys_to_remove=lambda k: k == "secret"
+        ).collect()[0]
+        assert out2.m == {"secret": 9, "keep": 1}
+        # max_depth=0 forbids touching the map's entries
+        out3 = prune_columns(
+            df, keys_to_remove=["secret"], max_depth=0
+        ).collect()[0]
+        assert out3.m == {"secret": 9, "keep": 1}
+
+    def test_map_value_recursion(self, spark):
+        # reference recursion enters dict children: empty strings inside
+        # array-valued map entries are filtered, then emptied entries drop
+        df = spark.createDataFrame(
+            [(1, {"a": ["x", ""], "b": [""]})],
+            "id bigint, m map<string,array<string>>",
+        )
+        out = prune_columns(df, remove_empty=True).collect()[0]
+        assert out.m == {"a": ["x"]}
+
     def test_max_depth_gates(self, nested_df):
         out = prune_columns(nested_df, keys_to_remove=["c"], max_depth=1)
         # c lives at depth 2 -> out of reach
