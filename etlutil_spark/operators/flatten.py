@@ -60,18 +60,31 @@ def flatten_struct(
             return False
         return True
 
-    def emit(col: Column, name: str, dtype: T.DataType, depth: int) -> list[tuple[str, Column]]:
+    def emit(
+        col: Column, path: str, key: str, dtype: T.DataType, depth: int
+    ) -> list[tuple[str, Column]]:
+        # eligibility is decided on the BARE field name ("matched at any
+        # level", data_structures.py:1497-1501) while the emitted column
+        # name is the joined path — an earlier revision tested the path
+        # ("a__b") against the whitelist/blacklist, so nested entries
+        # never matched
         out: list[tuple[str, Column]] = []
-        if should_flatten(name, dtype, depth):
+        if should_flatten(key, dtype, depth):
             assert isinstance(dtype, T.StructType)
             for f in dtype.fields:
                 out.extend(
-                    emit(col.getField(f.name), f"{name}{sep}{f.name}", f.dataType, depth + 1)
+                    emit(
+                        col.getField(f.name),
+                        f"{path}{sep}{f.name}",
+                        f.name,
+                        f.dataType,
+                        depth + 1,
+                    )
                 )
             if keep_original:
-                out.append((name, col))
+                out.append((path, col))
         else:
-            out.append((name, col))
+            out.append((path, col))
         return out
 
     # dict semantics for name collisions (a flattened path meeting a
@@ -81,6 +94,8 @@ def flatten_struct(
     # would produce a duplicate-named, unselectable column
     entries: dict[str, Column] = {}
     for field in df.schema.fields:
-        for name, col in emit(F.col(field.name), field.name, field.dataType, 0):
+        for name, col in emit(
+            F.col(field.name), field.name, field.name, field.dataType, 0
+        ):
             entries[name] = col
     return df.select(*[c.alias(n) for n, c in entries.items()])

@@ -16499,7 +16499,6 @@ _DRIVER_FRONT = [
     "events_monthly",
     "events_weekly_buckets",
     "events_backfill_chunks",
-    "docs_stratified_sample",
     # changed-code displacements (late r12, fourth hunt pass): clean_dict
     # reference-parity fixes (array-of-strings truncation, EMPTY-mode
     # truncation of kept strings, empty-container guard) and prune_data
@@ -16512,6 +16511,10 @@ _DRIVER_FRONT = [
     "op_clean_replace_truncate",
     "op_clean_fingerprint",
     "op_prune_keys_depth",
+    # flatten_struct whitelist/blacklist now matches bare field names at
+    # any level (reference :1497-1501) — its second consumer fronts too
+    # (docs_stratified_sample rolls to r13)
+    "op_flatten_depth_limit",
     # changed-code displacements (late r12): ensure_bucketed_table now
     # carries the source-dataset digest, and the JPEG marker walk
     # learned fill-byte skipping — their consumers front over the last

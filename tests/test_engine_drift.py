@@ -226,6 +226,10 @@ class TestOracleGuards:
             # cross-equality)
             "op_prune_values",
             "op_prune_keys_depth",
+            # late r12 fourth hunt pass: flatten whitelist/blacklist
+            # matches bare field names at any level
+            "op_flatten_struct",
+            "op_flatten_depth_limit",
         }
         assert must_have <= set(front50)
 

@@ -46,6 +46,22 @@ class TestFlatten:
         out = flatten_struct(nested_df, keys_to_flat=["a"], keys_to_skip=["a"])
         assert out.columns == nested_df.columns
 
+    def test_whitelist_matches_bare_name_at_any_level(self, nested_df):
+        # reference: eligibility tests the CHILD KEY ("b"), not the joined
+        # path ("a__b") — keys_to_flat=["a","b"] flattens both levels
+        # (an earlier revision compared "a__b" to the whitelist and left
+        # the inner struct nested)
+        out = flatten_struct(nested_df, keys_to_flat=["a", "b"])
+        assert "a__b__c" in out.columns and "a__b__d" in out.columns
+        # whitelist without the inner name stops at one level
+        out2 = flatten_struct(nested_df, keys_to_flat=["a"])
+        assert "a__b" in out2.columns and "a__b__c" not in out2.columns
+
+    def test_skip_matches_bare_name_at_any_level(self, nested_df):
+        out = flatten_struct(nested_df, keys_to_skip=["b"])
+        assert "a__b" in out.columns and "a__b__c" not in out.columns
+        assert "a__e" in out.columns
+
     def test_keep_original(self, nested_df):
         out = flatten_struct(nested_df, keep_original=True)
         assert "a" in out.columns and "a__e" in out.columns
