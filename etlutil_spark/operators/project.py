@@ -58,9 +58,11 @@ def select_with_extras(
     Returns ``(projected_df, moved_keys)``; moved_keys sorted for stability.
     ``fill_missing`` adds absent whitelist columns as NULL strings (the
     reference fabricates a stable schema for warehouse loads this way,
-    data_structures.py:676-678). Output column order is lexicographic by
-    default, whitelist order under ``preserve_order`` (reference default
-    sorts, data_structures.py:817-822); ``extra_key`` always comes last.
+    data_structures.py:676-678). Output column order matches the
+    reference exactly: the default is one lexicographic sort over every
+    top-level name INCLUDING ``extra_key`` (data_structures.py:817-822);
+    ``preserve_order`` emits whitelist order (present and filled keys
+    interleaved), renamed collision keys next, ``extra_key`` last.
     """
     allowed = list(dict.fromkeys(allowed_keys))
     existing = set(df.columns)
@@ -79,29 +81,46 @@ def select_with_extras(
     moved = sorted(
         c for c in df.columns if c not in allowed and c not in renames
     )
-    kept = [c for c in allowed if c in existing]
-    missing = [c for c in allowed if c not in existing] if fill_missing else []
+    # whitelist order interleaves present and filled keys (the reference
+    # fills into kept_items then walks allowed_ordered, so a missing key
+    # appears in its WHITELIST position, not appended after)
+    pairs: list[tuple[object, str]] = [
+        (c if c in existing else None, c)
+        for c in allowed
+        if c in existing or fill_missing
+    ] + sorted(renames.items(), key=lambda kv: kv[1])
 
-    pairs: list[tuple[str | None, str]] = (
-        [(c, c) for c in kept]
-        + [(None, c) for c in missing]
-        + sorted(renames.items(), key=lambda kv: kv[1])
-    )
-    if not preserve_order:
-        # reference default: one lexicographic order over all top-level names
+    _extra_marker = object()  # sentinel: never equal to a real column name
+    extra_pair: tuple[object, str] | None = None
+    if moved or always_add_extra:
+        extra_pair = (_extra_marker, extra_key)
+
+    if preserve_order:
+        # whitelist order first, renamed keys next, extra_key LAST
+        if extra_pair is not None:
+            pairs = pairs + [extra_pair]
+    else:
+        # reference default: ONE lexicographic order over every top-level
+        # name INCLUDING extra_key (data_structures.py:817-822 sorts
+        # kept_items after the extra insertion — its own docstring example
+        # shows extra_collected first; an earlier revision pinned it last)
+        if extra_pair is not None:
+            pairs = pairs + [extra_pair]
         pairs = sorted(pairs, key=lambda kv: kv[1])
 
-    select_list = [
-        F.col(src).alias(out) if src is not None else F.lit(None).cast("string").alias(out)
-        for src, out in pairs
-    ]
+    if moved:
+        extras = F.struct(*[F.col(c) for c in moved])
+        extra_col = F.to_json(extras) if extra_as == "json" else extras
+    else:
+        extra_col = F.lit(None).cast("string")
 
-    if moved or always_add_extra:
-        if moved:
-            extras = F.struct(*[F.col(c) for c in moved])
-            extra_col = F.to_json(extras) if extra_as == "json" else extras
+    select_list = []
+    for src, out in pairs:
+        if src is _extra_marker:
+            select_list.append(extra_col.alias(out))
+        elif src is not None:
+            select_list.append(F.col(src).alias(out))
         else:
-            extra_col = F.lit(None).cast("string")
-        select_list.append(extra_col.alias(extra_key))
+            select_list.append(F.lit(None).cast("string").alias(out))
 
     return df.select(*select_list), moved

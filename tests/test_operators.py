@@ -107,10 +107,35 @@ class TestSelectWithExtras:
         assert moved == ["age"]
         assert row.extra_collected == '{"age":30}'
 
+    def test_default_order_sorts_extra_key_too(self, spark):
+        # reference default: ONE lexicographic sort over all top-level
+        # names INCLUDING extra_collected — its docstring example yields
+        # {'extra_collected': ..., 'id': ..., 'name': ...} (an earlier
+        # revision forced extra_collected last)
+        df = spark.createDataFrame(
+            [(1, "alex", 30, "berlin")],
+            "id bigint, name string, age bigint, city string",
+        )
+        out, moved = select_with_extras(df, ["id", "name"])
+        assert out.columns == ["extra_collected", "id", "name"]
+        assert moved == ["age", "city"]
+
+    def test_preserve_order_interleaves_filled_keys(self, spark):
+        # reference preserve_order walks allowed_ordered over kept_items
+        # AFTER fill_missing, so an absent key appears in its whitelist
+        # position (an earlier revision appended filled keys after kept)
+        df = spark.createDataFrame([(1, "x")], "id bigint, name string")
+        out, _ = select_with_extras(
+            df, ["name", "missing", "id"], preserve_order=True,
+            fill_missing=True, always_add_extra=True,
+        )
+        assert out.columns == ["name", "missing", "id", "extra_collected"]
+
     def test_moved_and_extras(self, nested_df):
         out, moved = select_with_extras(nested_df, ["id", "zero"])
         assert moved == ["a", "tags"]
-        assert out.columns == ["id", "zero", "extra_collected"]
+        # default order: lexicographic over ALL names incl. extra_collected
+        assert out.columns == ["extra_collected", "id", "zero"]
         row = out.where(F.col("id") == 1).collect()[0]
         assert '"e":5' in row.extra_collected
 
