@@ -105,7 +105,12 @@ def normalize_date_fields(
     expressions themselves (no shuffle, full codegen)."""
     compiled = [_compile_rule(r) for r in rules]
 
-    def apply_rules(name: str, value: Column, entries: dict[str, Column]) -> None:
+    def apply_rules(
+        name: str,
+        value: Column,
+        dtype: T.DataType,
+        entries: dict[str, Column],
+    ) -> None:
         # `entries` is insertion-ordered; assigning an existing key updates
         # in place — exactly the reference dict's last-write-wins collision
         # behavior (data_structures.py:1671-1680)
@@ -116,9 +121,29 @@ def normalize_date_fields(
             entries[name] = value
             return
         new_name, convert = outcome
-        expr = cast_expr(value, convert, datetime_formats=datetime_formats)
-        if strict:
-            expr = _strict_wrap(value, expr, name, convert)
+        if (
+            isinstance(dtype, (T.StructType, T.ArrayType, T.MapType))
+            and convert != "str"
+        ):
+            # reference: _convert_value on a dict/list raises TypeError
+            # internally — lenient mode RENAMES but keeps the value,
+            # strict mode surfaces the error (data_structures.py:1085-1090).
+            # Building the cast expression here would instead throw an
+            # invalid-cast AnalysisException even in lenient mode.
+            if strict:
+                raise TypeError(
+                    f"strict convert failed for column {name!r} -> "
+                    f"{convert}: container type {dtype.simpleString()}"
+                )
+            expr = value
+        else:
+            expr = cast_expr(
+                value, convert,
+                datetime_formats=datetime_formats,
+                source_type=dtype,
+            )
+            if strict:
+                expr = _strict_wrap(value, expr, name, convert)
         if keep_original and new_name != name:
             entries[name] = value
         entries[new_name] = expr
@@ -129,7 +154,7 @@ def normalize_date_fields(
             child = value.getField(f.name)
             if recursive and isinstance(f.dataType, T.StructType):
                 child = rewrite_struct(child, f.dataType)
-            apply_rules(f.name, child, entries)
+            apply_rules(f.name, child, f.dataType, entries)
         return F.struct(*[c.alias(n) for n, c in entries.items()])
 
     entries: dict[str, Column] = {}
@@ -137,5 +162,5 @@ def normalize_date_fields(
         value = F.col(field.name)
         if recursive and isinstance(field.dataType, T.StructType):
             value = rewrite_struct(value, field.dataType)
-        apply_rules(field.name, value, entries)
+        apply_rules(field.name, value, field.dataType, entries)
     return df.select(*[c.alias(n) for n, c in entries.items()])

@@ -16498,7 +16498,6 @@ _DRIVER_FRONT = [
     "top_customers_per_segment",
     "events_monthly",
     "events_weekly_buckets",
-    "events_backfill_chunks",
     # changed-code displacements (late r12, fourth hunt pass): clean_dict
     # reference-parity fixes (array-of-strings truncation, EMPTY-mode
     # truncation of kept strings, empty-container guard) and prune_data
@@ -16515,6 +16514,10 @@ _DRIVER_FRONT = [
     # any level (reference :1497-1501) — its second consumer fronts too
     # (docs_stratified_sample rolls to r13)
     "op_flatten_depth_limit",
+    # normalize_date_fields gained the container-typed-match guard
+    # (lenient rename-without-convert; strict raises) — its recursive
+    # consumer fronts (events_backfill_chunks rolls to r13)
+    "op_normalize_dates_recursive",
     # changed-code displacements (late r12): ensure_bucketed_table now
     # carries the source-dataset digest, and the JPEG marker walk
     # learned fill-byte skipping — their consumers front over the last

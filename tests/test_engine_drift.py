@@ -230,6 +230,11 @@ class TestOracleGuards:
             # matches bare field names at any level
             "op_flatten_struct",
             "op_flatten_depth_limit",
+            # late r12 fourth hunt pass: select_with_extras reference
+            # ordering; normalize_date_fields container-typed guard
+            "op_select_with_extras",
+            "op_normalize_date_fields",
+            "op_normalize_dates_recursive",
         }
         assert must_have <= set(front50)
 

@@ -517,6 +517,26 @@ class TestNormalizeDates:
         assert row.meta.created_at == 1735056631
         assert row.meta.date_created == "2024-12-24"
 
+    def test_container_typed_match_renames_without_converting(self, spark):
+        # reference: _convert_value(dict, "timestamp_to_iso") raises
+        # TypeError internally -> lenient mode renames but keeps the
+        # value; building the cast would AnalysisException even leniently
+        df = spark.createDataFrame(
+            [((7,), 1735056631)],
+            "stats_at struct<n: bigint>, created_at bigint",
+        )
+        rules = [
+            {"suffix": "_at", "convert": "timestamp_to_iso_date", "target": "date"}
+        ]
+        out = normalize_date_fields(df, rules)
+        assert out.columns == ["date_stats", "date_created"]
+        row = out.collect()[0]
+        assert row.date_stats.n == 7  # struct kept verbatim
+        assert row.date_created == "2024-12-24"
+        # strict mode surfaces the container-type failure
+        with pytest.raises(TypeError, match="strict convert failed"):
+            normalize_date_fields(df, rules, strict=True)
+
 
 class TestWalk:
     def test_schema_tree_shape(self, nested_df):
