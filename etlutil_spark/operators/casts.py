@@ -35,10 +35,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# single-letter fields accept BOTH padded and unpadded components
+# ("2024-1-5 9:05:07" and "2024-01-05 09:05:07"), matching Python
+# strptime's %m/%d/%H behavior in the reference's default format list
 DEFAULT_DATETIME_FORMATS = (
-    "yyyy-MM-dd HH:mm:ss",
-    "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd",
+    "yyyy-M-d H:m:s",
+    "yyyy-M-d'T'H:m:s",
+    "yyyy-M-d",
 )
 
 
@@ -101,7 +104,10 @@ def cast_expr(
             )
         s = F.lower(c.cast("string"))
         return (
-            F.when(s.isNull(), F.lit(None).cast("boolean"))
+            # "" stays untouched in the reference (a string the typed
+            # column cannot hold) — NULL, not False, like the numeric
+            # targets' ""-handling
+            F.when(s.isNull() | (s == ""), F.lit(None).cast("boolean"))
             .otherwise(s.isin(*_TRUE_WORDS))
         )
     if t == "date":
@@ -116,8 +122,15 @@ def cast_expr(
         return F.timestamp_seconds(c.try_cast("double"))
     if t.startswith("timestamp_to_iso"):
         ts = F.timestamp_seconds(c.try_cast("double"))
+        if t == "timestamp_to_iso":
+            # datetime.isoformat() appends ".ffffff" ONLY when the
+            # fractional second is nonzero — mirror that exactly
+            base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+            frac = F.date_format(ts, "SSSSSS")
+            return F.when(
+                frac == "000000", base
+            ).otherwise(F.concat(base, F.lit("."), frac))
         fmt = {
-            "timestamp_to_iso": "yyyy-MM-dd'T'HH:mm:ss",
             "timestamp_to_iso_date": "yyyy-MM-dd",
             "timestamp_to_iso_YYYY-MM": "yyyy-MM",
             "timestamp_to_iso_YYYY": "yyyy",

@@ -194,6 +194,35 @@ class TestConvertTypes:
         out = convert_types(df, {"v": "timestamp"}).collect()[0]
         assert out.v.microsecond == 500000
 
+    def test_timestamp_to_iso_fraction_like_isoformat(self, spark):
+        # datetime.isoformat() appends ".ffffff" ONLY when nonzero
+        df = spark.createDataFrame(
+            [("1735056631.5", "3.14", "1735056631")], "a string, b string, c string"
+        )
+        out = convert_types(
+            df, {"a": "timestamp_to_iso", "b": "timestamp_to_iso", "c": "timestamp_to_iso"}
+        ).collect()[0]
+        assert out.a == "2024-12-24T16:10:31.500000"
+        assert out.b == "1970-01-01T00:00:03.140000"
+        assert out.c == "2024-12-24T16:10:31"  # integral: no fraction
+
+    def test_datetime_accepts_unpadded_components(self, spark):
+        # Python strptime %m/%d/%H accept unpadded fields; the default
+        # format list must too ("2024-1-5" parsed, not NULLed)
+        df = spark.createDataFrame(
+            [("2024-1-5", "2024-01-05 9:5:7")], "a string, b string"
+        )
+        out = convert_types(df, {"a": "datetime", "b": "datetime"}).collect()[0]
+        assert str(out.a) == "2024-01-05 00:00:00"
+        assert str(out.b) == "2024-01-05 09:05:07"
+
+    def test_bool_empty_string_is_null(self, spark):
+        # reference keeps "" untouched (a string) — the typed stand-in is
+        # NULL, never False
+        df = spark.createDataFrame([("",), ("true",)], "v string")
+        vals = [r.v for r in convert_types(df, {"v": "bool"}).collect()]
+        assert vals == [None, True]
+
     def test_empty_string_to_none(self, spark):
         df = spark.createDataFrame([("",)], "v string")
         assert convert_types(df, {"v": "str"}, empty_string_to_none=True).collect()[0].v is None
