@@ -109,16 +109,35 @@ def _value_pred(spec: ValueSpec) -> Callable[[Column, T.DataType], Column] | Non
     return pred
 
 
-def _is_empty_expr(col: Column, dtype: T.DataType) -> Column:
+def _is_empty_expr(
+    col: Column,
+    dtype: T.DataType,
+    depth: int = 0,
+    recurse_ok=lambda _d: True,
+) -> Column:
     """Emptiness per the reference's is_empty (:91-115): NULL, "", empty
-    containers; never 0/False."""
+    containers; never 0/False.
+
+    A struct is "empty" when every field is empty — the typed analog of
+    the reference's bottom-up cascade (empty children get REMOVED, so the
+    processed dict reads len()==0). That analog only holds where the
+    depth gates let processing reach the children: a dict at the
+    recursion limit keeps its children raw, has len() > 0, and is NEVER
+    empty in the reference — so past ``recurse_ok(depth)`` a struct's
+    emptiness is its own NULL, nothing deeper (found by differential
+    fuzzing at max_depth)."""
     if isinstance(dtype, T.StringType):
         return col.isNull() | (col == "")
     if isinstance(dtype, (T.ArrayType, T.MapType)):
         return col.isNull() | (F.size(col) <= 0)
     if isinstance(dtype, T.StructType):
+        if not recurse_ok(depth):
+            return col.isNull()
         inner = [
-            ~_is_empty_expr(col.getField(f.name), f.dataType) for f in dtype.fields
+            ~_is_empty_expr(
+                col.getField(f.name), f.dataType, depth + 1, recurse_ok
+            )
+            for f in dtype.fields
         ]
         any_nonempty = inner[0] if inner else F.lit(False)
         for e in inner[1:]:
@@ -238,7 +257,12 @@ def prune_columns(
                     out = F.filter(out, lambda x: ~F.coalesce(val_pred(x, elem_t), F.lit(False)))
                 if remove_empty:
                     new_elem_t = pruned_type(elem_t, depth + 1)
-                    out = F.filter(out, lambda x: ~_is_empty_expr(x, new_elem_t))
+                    out = F.filter(
+                        out,
+                        lambda x: ~_is_empty_expr(
+                            x, new_elem_t, depth + 1, can_recurse
+                        ),
+                    )
             return out
         if isinstance(dtype, T.MapType) and can_filter(depth + 1):
             out = col
@@ -269,7 +293,12 @@ def prune_columns(
             if val_pred is not None:
                 out = F.map_filter(out, lambda k, v: ~F.coalesce(val_pred(v, vt), F.lit(False)))
             if remove_empty:
-                out = F.map_filter(out, lambda k, v: ~_is_empty_expr(v, vt_after))
+                out = F.map_filter(
+                    out,
+                    lambda k, v: ~_is_empty_expr(
+                        v, vt_after, depth + 1, can_recurse
+                    ),
+                )
             return out
         return col
 
@@ -283,7 +312,7 @@ def prune_columns(
         ):
             conds.append(F.coalesce(val_pred(col, dtype), F.lit(False)))
         if remove_empty:
-            conds.append(_is_empty_expr(col, dtype))
+            conds.append(_is_empty_expr(col, dtype, depth, can_recurse))
         if not conds:
             return col
         cond = conds[0]

@@ -447,6 +447,22 @@ class TestPrune:
         ).collect()[0]
         assert out3.m == {"secret": 9, "keep": 1}
 
+    def test_struct_at_depth_limit_is_never_empty(self, spark):
+        # reference is_empty(dict) is len()==0; a dict whose children sit
+        # PAST the recursion limit keeps them raw, has len>0, and is
+        # never removed — the recursive struct-emptiness analog must not
+        # peek past the depth gate (found by differential fuzzing)
+        df = spark.createDataFrame(
+            [(1, (("", []),))],
+            "id bigint, outer struct<inner: struct<s: string, xs: array<string>>>",
+        )
+        out = prune_columns(df, remove_empty=True, max_depth=1).collect()[0]
+        # inner's children are past max_depth=1: outer.inner stays
+        assert out.outer.inner.s == "" and out.outer.inner.xs == []
+        # unlimited depth: the empties cascade and the structs null out
+        out2 = prune_columns(df, remove_empty=True).collect()[0]
+        assert out2.outer is None
+
     def test_map_value_recursion(self, spark):
         # reference recursion enters dict children: empty strings inside
         # array-valued map entries are filtered, then emptied entries drop
