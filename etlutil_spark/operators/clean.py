@@ -12,7 +12,20 @@ structs) with five modes:
                     whose bit-exact parity would need a pandas_udf over a
                     farmhash lib — xxhash64 is the documented default.
   empty             NULL
-  delete            drop the field (schema-level removal)
+  delete            drop the field (schema-level removal). With skip
+                    rules for the key, deletion is row-dependent in the
+                    reference (skipped/empty values survive) — the typed
+                    analog switches to EMPTY semantics: NULL the deleted
+                    values, keep skipped/empty originals. Without skip
+                    rules the column drops entirely; the reference's
+                    ""/None survival under delete collapses with it
+                    (schema-level deviation, same class as empty-struct
+                    drops).
+
+Hashing a CONTAINER-typed value hashes Spark's string cast of it, not
+Python's ``repr`` bytes (data_structures.py:1336-1341) — same 64-hex
+shape, different digests. Byte-level repr parity would need a per-row
+Python UDF; documented deviation.
 
 Per-key skip rules are value allowlists compiled to Column predicates
 (bare str = suffix match, reference :1397-1403). NULL/"" values under
@@ -51,39 +64,118 @@ class CleanMode(str, Enum):
     DELETE = "delete"
 
 
-def _skip_predicate(rules: Iterable[Any], col: Column) -> Column | None:
+def _normalize_rules(entry: Any) -> list[Any]:
+    """Reference entry normalization (data_structures.py:1366-1378): a
+    whole-entry None is ignored, a SCALAR spec (str / mapping / callable)
+    is one rule — NOT iterated (a bare "@corp.com" must not decay into
+    per-character suffix rules) — and a sequence is a list of specs with
+    None members dropped."""
+    if entry is None:
+        return []
+    if isinstance(entry, str) or isinstance(entry, Mapping) or callable(entry):
+        return [entry]
+    return [r for r in entry if r is not None]
+
+
+def _skip_predicate(
+    rules: Iterable[Any], col: Column, dtype: T.DataType
+) -> Column | None:
     """Compile skip rules to an OR of Column predicates.
 
-    str -> suffix match; dict with one of prefix/suffix/equals/regex;
-    callable -> the Spark lift of the reference's Python-callable rules
-    (data_structures.py:1387-1395): it receives the COLUMN (string-cast)
-    and must return a boolean Column expression, e.g.
-    ``lambda c: F.length(c) < 5``. Expression-valued, so it stays
+    Accepts BOTH the reference's SkipRuleConfig form ({"match": "suffix",
+    "value": ...}, {"match": "regex", "pattern": ...}, {"match":
+    "callable", "func": ...} — data_structures.py:1387-1463) and this
+    module's original shorthand ({"suffix": ...} etc.); a bare str is a
+    suffix rule. The reference's string-form predicates require
+    ``isinstance(value, str)`` — non-string values never match — so
+    suffix/prefix/regex rules yield False on non-string columns instead
+    of matching a string-cast (142 must not match suffix "42"). equals
+    compares the RAW column (Python ``==`` semantics). callable -> the
+    Spark lift of the reference's Python-callable rules: it receives the
+    COLUMN (string-cast) and must return a boolean Column expression,
+    e.g. ``lambda c: F.length(c) < 5``. Expression-valued, so it stays
     JVM-side — a row-at-a-time Python predicate has no place in a
     100 TB projection.
     """
     preds: list[Column] = []
+    is_str_col = isinstance(dtype, T.StringType)
     s = col.cast("string")
+
+    def _callable_pred(fn: Any) -> Column:
+        out = fn(s)
+        if not isinstance(out, Column):
+            raise TypeError(
+                "callable skip rule must return a pyspark Column "
+                f"predicate, got {type(out).__name__}"
+            )
+        return out
+
+    def _equals_form(value: Any) -> Column:
+        # Python == is type-gated (5 == "5" is False, but False == 0 is
+        # True) — mirror prune's compatibility rules instead of letting
+        # Spark coerce a string column to the literal's type
+        if value is None:
+            return col.isNull()
+        if isinstance(value, bool):
+            ok = isinstance(dtype, (T.BooleanType, T.NumericType))
+        elif isinstance(value, (int, float)):
+            ok = isinstance(dtype, (T.NumericType, T.BooleanType))
+        elif isinstance(value, str):
+            ok = is_str_col
+        else:
+            ok = False
+        if not ok:
+            return F.lit(False)
+        if isinstance(dtype, T.BooleanType) and not isinstance(value, bool):
+            return col.cast("int").eqNullSafe(F.lit(value))
+        if isinstance(dtype, T.NumericType) and isinstance(value, bool):
+            return col.eqNullSafe(F.lit(int(value)))
+        return col.eqNullSafe(F.lit(value))
+
+    def _string_form(kind: str, value: Any) -> Column:
+        if not isinstance(value, str):
+            raise TypeError(f"{kind} skip rule requires a string value")
+        if not is_str_col:
+            return F.lit(False)  # reference: non-str values never match
+        if kind == "suffix":
+            return s.endswith(value)
+        if kind == "prefix":
+            return s.startswith(value)
+        return s.rlike(value)  # regex, re.search semantics
+
     for rule in rules:
         if isinstance(rule, str):
-            preds.append(s.endswith(rule))
+            preds.append(_string_form("suffix", rule))
         elif callable(rule) and not isinstance(rule, Mapping):
-            out = rule(s)
-            if not isinstance(out, Column):
-                raise TypeError(
-                    "callable skip rule must return a pyspark Column "
-                    f"predicate, got {type(out).__name__}"
-                )
-            preds.append(out)
+            preds.append(_callable_pred(rule))
         elif isinstance(rule, Mapping):
-            if "suffix" in rule:
-                preds.append(s.endswith(rule["suffix"]))
+            if "match" in rule:  # reference SkipRuleConfig form
+                match = rule["match"]
+                if match in ("suffix", "prefix"):
+                    preds.append(_string_form(match, rule.get("value")))
+                elif match == "regex":
+                    preds.append(_string_form("regex", rule.get("pattern")))
+                elif match == "equals":
+                    preds.append(_equals_form(rule.get("value")))
+                elif match == "callable":
+                    fn = rule.get("func")
+                    if not callable(fn):
+                        raise TypeError(
+                            "callable skip rule requires callable 'func'"
+                        )
+                    preds.append(_callable_pred(fn))
+                else:
+                    raise ValueError(
+                        f"Unsupported skip rule match type: {match!r}"
+                    )
+            elif "suffix" in rule:
+                preds.append(_string_form("suffix", rule["suffix"]))
             elif "prefix" in rule:
-                preds.append(s.startswith(rule["prefix"]))
+                preds.append(_string_form("prefix", rule["prefix"]))
             elif "equals" in rule:
-                preds.append(s == rule["equals"])
+                preds.append(_equals_form(rule["equals"]))
             elif "regex" in rule:
-                preds.append(s.rlike(rule["regex"]))
+                preds.append(_string_form("regex", rule["regex"]))
             else:
                 raise ValueError(f"bad skip rule: {rule!r}")
         else:
@@ -110,7 +202,9 @@ def clean_columns(
     targets = set(keys_to_clean)
     skips = dict(skip_rules or {})
 
-    def cleaned_value(col: Column, name: str, dtype: T.DataType) -> Column:
+    def cleaned_value(
+        col: Column, name: str, dtype: T.DataType, mode: CleanMode
+    ) -> Column:
         if mode is CleanMode.REPLACE:
             new = F.lit(replacement_marker)
         elif mode is CleanMode.HASH:
@@ -133,7 +227,9 @@ def clean_columns(
         else:
             is_empty = col.isNull() | (col.cast("string") == "")
         guarded = F.when(is_empty, col.cast(_result_type(dtype, mode))).otherwise(new)
-        pred = _skip_predicate(skips.get(name, ()), col)
+        pred = _skip_predicate(
+            _normalize_rules(skips.get(name)), col, dtype
+        )
         if pred is not None:
             guarded = F.when(pred, col.cast(_result_type(dtype, mode))).otherwise(guarded)
         return guarded
@@ -156,14 +252,26 @@ def clean_columns(
     def rewrite(col: Column, name: str, dtype: T.DataType) -> Column | None:
         """Returns the rewritten column or None when DELETE removes it."""
         if name in targets:
+            eff_mode = mode
             if mode is CleanMode.DELETE:
-                return None
-            out = cleaned_value(col, name, dtype)
-            if mode in (CleanMode.REPLACE, CleanMode.HASH) or (
+                if not _normalize_rules(skips.get(name)):
+                    # total deletion: drop the field from the schema (the
+                    # dict-world "key absent" vs "key present but empty"
+                    # distinction collapses here — reference keeps ""/None
+                    # under delete; documented schema-level deviation)
+                    return None
+                # skip rules make deletion ROW-DEPENDENT (the reference
+                # keeps skipped and empty values under delete,
+                # data_structures.py:1295-1300) — a typed column cannot
+                # vanish per row, so the analog is EMPTY semantics: NULL
+                # the deleted values, keep skipped/empty originals
+                eff_mode = CleanMode.EMPTY
+            out = cleaned_value(col, name, dtype, eff_mode)
+            if eff_mode in (CleanMode.REPLACE, CleanMode.HASH) or (
                 # EMPTY keeps the original string on the skip/empty paths;
                 # the reference truncates EVERY surviving string
                 # (process_container runs on skipped values too)
-                mode is CleanMode.EMPTY
+                eff_mode is CleanMode.EMPTY
                 and isinstance(dtype, T.StringType)
             ):
                 out = truncate(out)  # truncation also hits replacements

@@ -327,6 +327,69 @@ class TestCleanColumns:
         assert out.a == "repla… truncated (etl)"
         assert out.b == "yyyyy… truncated (etl)"
 
+    def test_reference_skip_rule_forms(self, spark):
+        # the reference's SkipRuleConfig dicts ({"match": ..., "value"/
+        # "pattern"/"func": ...}), scalar (non-list) entries, and None
+        # members must all work (data_structures.py:1356-1463)
+        df = spark.createDataFrame(
+            [("a@corp.com",), ("b@other.com",), ("allow-x",), ("keep=1",)],
+            "email string",
+        )
+        out = clean_columns(
+            df, keys_to_clean=["email"], clean_mode="replace",
+            skip_rules={"email": [
+                {"match": "suffix", "value": "@corp.com"},
+                {"match": "prefix", "value": "allow-"},
+                None,
+                {"match": "regex", "pattern": r"^keep="},
+            ]},
+        ).collect()
+        vals = [r.email for r in out]
+        assert vals == ["a@corp.com", "replaced (etl)", "allow-x", "keep=1"]
+        # scalar entry = ONE suffix rule, never iterated character-wise
+        out2 = clean_columns(
+            df, keys_to_clean=["email"], clean_mode="replace",
+            skip_rules={"email": "@corp.com"},
+        ).collect()
+        assert [r.email for r in out2] == [
+            "a@corp.com", "replaced (etl)", "replaced (etl)", "replaced (etl)"
+        ]
+        # pre-fix, "allow-x" survived a scalar "@corp.com" entry because
+        # iterating the string made every character its own suffix rule
+
+    def test_delete_with_skip_rules_is_row_dependent(self, spark):
+        # reference: skipped and empty values SURVIVE delete mode — a
+        # typed column cannot vanish per row, so with skip rules delete
+        # becomes EMPTY semantics (NULL deleted, keep skipped/empty)
+        df = spark.createDataFrame(
+            [("a@corp.com",), ("b@other.com",), ("",)], "email string"
+        )
+        out = clean_columns(
+            df, keys_to_clean=["email"], clean_mode="delete",
+            skip_rules={"email": "@corp.com"},
+        ).collect()
+        assert [r.email for r in out] == ["a@corp.com", None, ""]
+        # without skip rules the column drops from the schema entirely
+        out2 = clean_columns(
+            df, keys_to_clean=["email"], clean_mode="delete"
+        )
+        assert out2.columns == []
+
+    def test_string_rules_never_match_non_string_columns(self, spark):
+        # reference predicates require isinstance(value, str): a numeric
+        # 142 must NOT match suffix "42"; equals is Python-typed
+        df = spark.createDataFrame([(142,), (42,)], "n bigint")
+        out = clean_columns(
+            df, keys_to_clean=["n"], clean_mode="empty",
+            skip_rules={"n": ["42"]},
+        ).collect()
+        assert [r.n for r in out] == [None, None]  # both cleaned
+        out2 = clean_columns(
+            df, keys_to_clean=["n"], clean_mode="empty",
+            skip_rules={"n": [{"match": "equals", "value": 42}]},
+        ).collect()
+        assert [r.n for r in out2] == [None, 42]  # typed equals skips 42
+
     def test_truncation_reaches_array_of_strings(self, spark):
         # reference process_container recurses into lists and truncates
         # every string (data_structures.py:1273-1282); the array branch
