@@ -283,6 +283,57 @@ class TestMultimodal:
         )
         assert parse_header_bytes(padded) == ("jpeg", 77, 99)
 
+    def test_header_parser_real_world_variants(self):
+        """Headers our own make_* constructors never emit: multi-segment
+        JPEGs (EXIF APP1, COM, DQT, DHT — 0xC4 must be SKIPPED, not read
+        as a start-of-frame), progressive SOF2, zero-length-segment bail,
+        GIF87a, top-down (negative-height) BMP, >64k PNG dims."""
+        from etlutil_spark.operators.multimodal import parse_header_bytes
+
+        def seg(marker, payload=b""):
+            ln = len(payload) + 2
+            return bytes([0xFF, marker]) + ln.to_bytes(2, "big") + payload
+
+        def sof(marker, w, h):
+            p = (
+                bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+            )
+            return seg(marker, p)
+
+        exif_jpeg = (
+            b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+            + seg(0xE1, b"Exif\x00\x00" + b"\x00" * 20)
+            + seg(0xFE, b"comment")
+            + seg(0xDB, b"\x00" * 65)
+            + seg(0xC4, b"\x00" * 29)  # DHT: 0xC4 is excluded from SOF set
+            + b"\xff\xff"  # fill bytes
+            + sof(0xC0, 641, 482)
+        )
+        assert parse_header_bytes(exif_jpeg) == ("jpeg", 641, 482)
+        progressive = b"\xff\xd8" + seg(0xE0, b"JFIF\x00" + b"\x00" * 9) + sof(0xC2, 77, 99)
+        assert parse_header_bytes(progressive) == ("jpeg", 77, 99)
+        # zero/illegal segment length: bail to (jpeg, None, None), never loop
+        zl = b"\xff\xd8" + bytes([0xFF, 0xE0, 0x00, 0x01]) + sof(0xC0, 10, 10)
+        assert parse_header_bytes(zl) == ("jpeg", None, None)
+        png = (
+            bytes.fromhex("89504e470d0a1a0a")
+            + (13).to_bytes(4, "big") + b"IHDR"
+            + (70000).to_bytes(4, "big") + (123).to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0])
+        )
+        assert parse_header_bytes(png) == ("png", 70000, 123)
+        gif87 = b"GIF87a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+        assert parse_header_bytes(gif87) == ("gif", 320, 200)
+        bmp_td = (
+            b"BM" + b"\x00" * 16
+            + (640).to_bytes(4, "little")
+            + (-480 & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\x00" * 10
+        )
+        assert parse_header_bytes(bmp_td) == ("bmp", 640, 480)
+
     def test_png_dimensions_column_expression(self, spark):
         """The JVM fast path: PNG dims via substring+conv, no Python."""
         from etlutil_spark.operators.multimodal import make_png, png_dimensions
