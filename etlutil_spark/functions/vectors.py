@@ -72,7 +72,17 @@ def plane_dots(a: Column | str, planes: list[list[float]]) -> Column:
     analysis, and generated-code size by ~500 nodes per side while the
     per-element arithmetic (cast to double, left-fold sum) stays
     bit-identical to :func:`dot` / :func:`dot_lit_sql`."""
-    pl = F.lit([[float(v) for v in p] for p in planes])
+    # one parsed SQL string instead of F.lit(nested list): PySpark's lit()
+    # recurses into one py4j call PER ELEMENT (8 planes x 64 dims = ~1,000
+    # driver round-trips, ~2 s of every knn_join/LSH query's build time —
+    # measured via cProfile: 5.8k send_commands, 3.2 s socket wait). The
+    # array literal parses JVM-side in a single call; repr() round-trips
+    # each double exactly, so the Literal values are bit-identical.
+    pl = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(_sql_double(v) for v in p) + ")" for p in planes
+        ) + ")"
+    )
     v = _c(a).cast("array<double>")
     return F.transform(
         pl,

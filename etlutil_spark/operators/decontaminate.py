@@ -49,10 +49,15 @@ def contaminated_docs(
         .select("shingle")
         .distinct()
     )
+    # count(*) == count_distinct(shingle) here BY CONSTRUCTION: shingle_table
+    # emits per-doc distinct shingles (array_distinct before the explode) and
+    # the join key set e_sh is distinct, so (id, shingle) multiplicity is 1.
+    # A distinct-count aggregate plans an extra Expand + Exchange pair; the
+    # plain count needs ONE shuffle keyed by doc id (guide §2.4).
     return (
         t_sh.join(F.broadcast(e_sh), "shingle")
         .groupBy(id_col)
-        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
 
@@ -222,9 +227,12 @@ def bloom_contaminated_docs(
         .where(cond)
         .select(id_col, "shingle")
     )
+    # same invariant as contaminated_docs: candidates carries per-doc
+    # distinct shingles and e_sh is distinct, so count(*) == count_distinct
+    # and the Expand + extra Exchange of a distinct aggregate are avoidable
     return (
         candidates.join(e_sh, "shingle")
         .groupBy(id_col)
-        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )

@@ -229,12 +229,24 @@ def knn_join(
         l_b.join(r_b, "_bucket")
         .where(F.col(left_id) != F.col(right_id))
         .select(
+            "_bucket",
             left_id,
             right_id,
             F.round(cos_sim, 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id))
+    # rank within (_bucket, left_id) — identical to ranking within left_id
+    # alone (the left side is NOT probe-exploded, so left_id -> _bucket is
+    # functional: every candidate of a left row shares its one bucket), but
+    # the window's ClusteredDistribution is then satisfiable by the bucket
+    # join's existing hashpartitioning(_bucket): when the join is
+    # shuffle-based (the 100 TB shape), the candidate-pair set — the
+    # largest intermediate of the whole query — is NOT re-shuffled for the
+    # top-k (guide §2.4: two operations keyed compatibly share one
+    # exchange). Under a broadcast join the window shuffles either way.
+    w = Window.partitionBy("_bucket", left_id).orderBy(
+        F.col("cos_sim").desc(), F.col(right_id)
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)

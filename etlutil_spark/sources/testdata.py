@@ -32,6 +32,48 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema cache keyed by the files' identity (path, size, mtime of every
+# file under the path): re-reading the same parquet table re-runs schema
+# inference (a footer read + py4j round trips, ~100-150 ms per call) for
+# a schema that cannot have changed while the files haven't. The catalog
+# runs hundreds of load_table calls per bench/parity sweep, so inference
+# was a measurable fixed cost of EVERY query (guide §6: metadata work is
+# driver-side, single-threaded). The key folds in each file's
+# (relpath, size, mtime_ns), so a regenerated dataset misses the cache
+# and re-infers — this is metadata caching, never data or result caching.
+_SCHEMA_CACHE: dict = {}
+
+
+def _path_identity(path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # non-local or vanished path: skip caching
+    if not os.path.isdir(path):
+        return (path, st.st_size, st.st_mtime_ns)
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            try:
+                fst = os.stat(fp)
+            except OSError:
+                return None
+            entries.append((os.path.relpath(fp, path), fst.st_size, fst.st_mtime_ns))
+    return (path, tuple(sorted(entries)))
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    ident = _path_identity(path)
+    if ident is None:
+        return spark.read.parquet(path)
+    cached = _SCHEMA_CACHE.get(ident)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[ident] = df.schema
+    return df
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     if name not in TABLES:
@@ -42,7 +84,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
     if name == "events":
         return _normalize_timestamps(_read_events(spark, path))
-    return _normalize_timestamps(spark.read.parquet(path))
+    return _normalize_timestamps(_read_parquet_cached_schema(spark, path))
 
 
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
@@ -75,7 +117,7 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = _read_parquet_cached_schema(spark, path)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         # integer DIV, not `/`: long/int promotes to double, whose 53-bit
         # mantissa can't hold ~1.7e18 nanos — off-by-one-microsecond drift
