@@ -86,9 +86,15 @@ def bpe_train_merges(
         .groupBy("tk")
         .agg(F.count("*").alias("c"))
     )
+    # eager=False: the checkpoint still materializes exactly once (at the
+    # first round's pair-count collect) and still truncates lineage, but
+    # the materialization rides THAT job instead of scheduling one of its
+    # own — at k rounds this halves the trainer's job count (the per-job
+    # scheduling floor dominates small-vocab rounds; at scale it removes
+    # k redundant full passes' worth of job setup).
     seg = vocab.select(
         bracketed_chars("tk").alias("w"), F.col("c")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(k):
         syms = _symbols(F.col("w"))
@@ -124,10 +130,11 @@ def bpe_train_merges(
         merges.append((a, b))
         # checkpoint per round: truncates the growing replace-chain plan
         # AND materializes the new segmentation once (the kmeans /
-        # duplicate_clusters iterative-Spark discipline)
+        # duplicate_clusters iterative-Spark discipline); lazy, so the
+        # materialization shares the next round's top-pair job
         seg = seg.select(
             merge_replace(F.col("w"), a, b).alias("w"), "c"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -185,8 +192,9 @@ def bpe_segmentation_table(
         .alias("n_sym"),
     )
     # sever the k-deep replace chain: downstream consumers see a plain
-    # 3-column table, not a re-derivable expression tree
-    return out.localCheckpoint(eager=True)
+    # 3-column table, not a re-derivable expression tree (lazy: computed
+    # once at the first consumer's action instead of in a job of its own)
+    return out.localCheckpoint(eager=False)
 
 
 def bpe_encode_join(

@@ -700,11 +700,17 @@ def duplicate_clusters(
     in ≤ 2 log2(n) star rounds where min-label propagation provably
     could not).
     """
+    # all checkpoints in this loop are LAZY (eager=False): each round's
+    # convergence-checksum collect is the first action on the new edge
+    # set, so materialization rides that job instead of scheduling a
+    # separate one per round — at O(log n) rounds this halves the
+    # operator's job count without changing what is computed or when
+    # lineage is truncated.
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # every input node, kept aside so isolated-after-star-contraction
     # roots still emit a row (a component's min labels itself)
@@ -712,7 +718,7 @@ def duplicate_clusters(
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
@@ -755,7 +761,7 @@ def duplicate_clusters(
     prev_sum = _checksum(edges)
     converged = False
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur_sum = _checksum(edges)
         if cur_sum == prev_sum:
             converged = True

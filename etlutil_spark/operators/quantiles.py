@@ -63,6 +63,17 @@ def exact_ntile(
     _reject_reserved(df, ("_pid", "_lr", "_off"))
     spark = df.sparkSession
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, n_buckets)
+    # checkpoint the INPUT lazily too: repartitionByRange's boundary
+    # sampling is a FULL extra computation of the input plan (the range
+    # sketch visits every partition), so an expensive input (an
+    # aggregate, or a previous exact_ntile axis in a chained RFM score)
+    # otherwise runs twice per call — once for the sample job, once when
+    # the ranged checkpoint materializes. Pinning the input first means
+    # one computation; the sample and the shuffle then read cached
+    # blocks. The extra block storage is bounded by the input (typically
+    # a per-key aggregate), mirroring the ranged checkpoint that already
+    # exists below.
+    df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -142,6 +153,9 @@ def exact_cumsum(
     _reject_reserved(df, ("_pid", "_local", "_off", "_has"))
     spark = df.sparkSession
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 1)
+    # input checkpoint: same rationale as exact_ntile — the range
+    # sampling pass is a full extra computation of the input plan
+    df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
