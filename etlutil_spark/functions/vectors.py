@@ -31,6 +31,55 @@ def _sql_double(v: float) -> str:
     return f"{float(v)!r}D"
 
 
+def bigint_array_lit(data) -> Column:
+    """Arbitrarily nested list of ints → ONE parsed SQL array literal.
+
+    ``F.lit(nested_list)`` recurses into one py4j round-trip per element
+    (PySpark implements ``lit(list)`` as ``array(*[lit(x) ...])``), so a
+    k-means centroid table (8x64) or an IVFADC code table (8x8x16) costs
+    500-1,000 driver calls per plan build — the measured dominator of the
+    clustering-family queries at sf0.1 (same pathology as ``plane_dots``).
+    Rendering the whole structure as one SQL string with ``L``-suffixed
+    bigint literals parses JVM-side in a single call; integer literals
+    round-trip exactly, so the resulting Literal values are bit-identical
+    and the type (``array<...array<bigint>>``) matches the old
+    ``.cast("array<bigint>")`` path. Empty lists fall back to ``F.lit``
+    (SQL ``array()`` types as array<void>); no current caller passes one."""
+
+    def _render(n) -> str:
+        if isinstance(n, (list, tuple)):
+            return "array(" + ", ".join(_render(e) for e in n) + ")"
+        return f"{int(n)}L"
+
+    def _has_empty(n) -> bool:
+        if isinstance(n, (list, tuple)):
+            return len(n) == 0 or any(_has_empty(e) for e in n)
+        return False
+
+    if _has_empty(data):
+        depth, probe = 0, data
+        while isinstance(probe, (list, tuple)):
+            depth += 1
+            probe = probe[0] if probe else None
+        return F.lit(data).cast("array<" * depth + "bigint" + ">" * depth)
+    return F.expr(_render(data))
+
+
+def double_array_lit(vals) -> Column:
+    """Flat list of floats → ONE parsed SQL array literal (the
+    ``bigint_array_lit`` treatment for doubles; ``_sql_double`` repr
+    round-trips each value exactly, so the Literal array is
+    bit-identical to ``F.array(*[F.lit(v) ...])`` at 1/2N the py4j
+    round-trips). Non-finite values (NaN/Inf have no SQL literal
+    spelling) and empty input fall back to the per-element path."""
+    import math
+
+    vals = [float(v) for v in vals]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ", ".join(_sql_double(v) for v in vals) + ")")
+
+
 def dot_lit_sql(col_name: str, vec: list[float]) -> str:
     """SQL text of the expanded literal dot product — built as ONE string and
     parsed JVM-side in a single call. Building the same tree out of Python

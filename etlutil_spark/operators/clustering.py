@@ -39,6 +39,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etlutil_spark.functions.vectors import bigint_array_lit
+
 DEFAULT_SCALE = 1_000_000
 
 
@@ -73,7 +75,7 @@ def _best_cluster(centroids: list[list[int]], qv: Column | str = "_qv") -> Colum
     dominated small-k queries (the PQ query builds 8 codebooks x 16
     centroids = 128 candidates; unrolled, planning cost beat the actual
     2,000-row scan by an order of magnitude)."""
-    cent = F.array(*[F.lit(c).cast("array<bigint>") for c in centroids])
+    cent = bigint_array_lit(centroids)
     dists = F.transform(
         cent,
         lambda c, i: F.struct(
@@ -234,7 +236,7 @@ def ivf_kmeans_topk(
     )
     cell = _best_cluster(centroids)["c"]
     qdist = F.aggregate(
-        F.zip_with("_qv", F.lit(qv).cast("array<bigint>"), lambda a, b: (a - b) * (a - b)),
+        F.zip_with("_qv", bigint_array_lit(qv), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
@@ -499,7 +501,7 @@ def pq_adc_topk(
     for s in range(m):
         subq = F.slice("_qv", s * dsub + 1, dsub)
         code = _best_cluster(codebooks[s], subq)["c"]
-        term = F.element_at(F.lit(tables[s]).cast("array<bigint>"), (code + 1).cast("int"))
+        term = F.element_at(bigint_array_lit(tables[s]), (code + 1).cast("int"))
         adc = term if adc is None else adc + term
     return (
         q.select(F.col(id_col), adc.alias("adc_dist"))
@@ -576,7 +578,7 @@ def ivfadc_topk(
     probes = [int(j) for _, j in by_dist[:nprobe]]
 
     cell = _best_cluster(centroids)["c"]
-    cent_lit = F.array(*[F.lit(c).cast("array<bigint>") for c in centroids])
+    cent_lit = bigint_array_lit(centroids)
 
     # Encode ONCE into a checkpointed (id, cell, vector-to-code) frame.
     # Referencing `_cell`/`_qv` as plain columns afterwards keeps every
@@ -604,7 +606,7 @@ def ivfadc_topk(
         tables = _ivfadc_query_tables(
             query_vec, centroids, codebooks, probes, scale
         )
-        tbl_lit = F.lit(tables).cast("array<array<array<bigint>>>")
+        tbl_lit = bigint_array_lit(tables)
     else:
         enc = q.select(
             F.col(id_col), cell.alias("_cell"), F.col("_qv")
@@ -618,7 +620,7 @@ def ivfadc_topk(
             for s, cb in enumerate(codebooks)
         ]
         tables = [flat for _ in range(k)]  # cell-independent tables
-        tbl_lit = F.lit(tables).cast("array<array<array<bigint>>>")
+        tbl_lit = bigint_array_lit(tables)
 
     cell_tbl = F.element_at(tbl_lit, (F.col("_cell") + 1).cast("int"))
     adc = None
@@ -744,7 +746,7 @@ def ensure_ivfadc_index(
         raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
     dsub = d // m
     cell = _best_cluster(centroids)["c"]
-    cent_lit = F.array(*[F.lit(c).cast("array<bigint>") for c in centroids])
+    cent_lit = bigint_array_lit(centroids)
     rv = F.zip_with(
         "_qv",
         F.element_at(cent_lit, (cell + 1).cast("int")),
@@ -827,7 +829,7 @@ def ivfadc_serve(
     )
     probes = [int(j) for _, j in by_dist[:nprobe]]
     tables = _ivfadc_query_tables(query_vec, centroids, codebooks, probes, scale)
-    tbl_lit = F.lit(tables).cast("array<array<array<bigint>>>")
+    tbl_lit = bigint_array_lit(tables)
     cell_tbl = F.element_at(tbl_lit, (F.col("cell") + 1).cast("int"))
     adc = None
     for s in range(m):
@@ -917,7 +919,7 @@ def update_ivfadc_index(
 
     q = _quantized_corpus(new_docs, id_col, vec_col, scale)
     cell = _best_cluster(centroids)["c"]
-    cent_lit = F.array(*[F.lit(c).cast("array<bigint>") for c in centroids])
+    cent_lit = bigint_array_lit(centroids)
     rv = F.zip_with(
         "_qv",
         F.element_at(cent_lit, (cell + 1).cast("int")),
@@ -1014,7 +1016,7 @@ def ivfadc_serve_many(
          for (q2, c) in probe_pairs if q2 == qid],
         "query_id long, cell int, qidx int",
     )
-    tbl_lit = F.lit(all_tables).cast("array<array<array<array<bigint>>>>")
+    tbl_lit = bigint_array_lit(all_tables)
     cell_tbl = F.element_at(
         F.element_at(tbl_lit, F.col("qidx")), (F.col("cell") + 1).cast("int")
     )
@@ -1080,7 +1082,7 @@ def gram_matrix(
         mean = [0] * d
         for r in sums:
             mean[int(r["pos"])] = math.floor(float(r["s"]) / n_row)
-        mlit = F.lit(mean).cast("array<bigint>")
+        mlit = bigint_array_lit(mean)
         c = F.zip_with("_qv", mlit, lambda a, b: a - b)
     else:
         c = F.col("_qv").cast("array<bigint>")

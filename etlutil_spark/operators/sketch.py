@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from etlutil_spark.functions.vectors import bigint_array_lit
 from pyspark.sql.window import Window
 
 from etlutil_spark.functions.hashing import md5_bigint
@@ -424,7 +426,7 @@ def log_histogram(
     Values above the last boundary clamp into the final bucket (the
     +Inf bucket); negative values raise at query time via the bucket-0
     underflow check being impossible (index >= 1 for v >= 0)."""
-    blit = F.lit([int(b) for b in bounds])
+    blit = bigint_array_lit(bounds)
     v = F.col(value_col).cast("bigint")
     idx = F.aggregate(
         blit,
@@ -785,7 +787,7 @@ def log_histogram_by(
     :func:`log_histogram`; the single shuffle is keyed by
     (key, bucket), so partial aggregation happens map-side and state is
     |keys| x |bounds| regardless of input size."""
-    blit = F.lit([int(b) for b in bounds])
+    blit = bigint_array_lit(bounds)
     v = F.col(value_col).cast("bigint")
     idx = F.aggregate(
         blit,

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from etlutil_spark.functions import dates as D
 from etlutil_spark.functions.daterange import DateRange, DateRanges
+from etlutil_spark.functions.vectors import bigint_array_lit, double_array_lit
 from etlutil_spark.operators.util import store_root
 from etlutil_spark.sources.testdata import load_table
 
@@ -12909,7 +12910,7 @@ def sim_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.aggregate(
         F.zip_with(
             "_qv",
-            F.lit(qv).cast("array<bigint>"),
+            bigint_array_lit(qv),
             lambda a, b: (a - b) * (a - b),
         ),
         F.lit(0).cast("bigint"),
@@ -14819,8 +14820,8 @@ def sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = [float(p[1]) for p in prof]
     sd = [float(p[2]) for p in prof]
-    mu_arr = F.array(*[F.lit(v) for v in mu])
-    sd_arr = F.array(*[F.lit(v) for v in sd])
+    mu_arr = double_array_lit(mu)
+    sd_arr = double_array_lit(sd)
     white = e.select(
         "vec_id",
         F.transform(
@@ -15167,8 +15168,8 @@ def embeddings_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dim", "mean", "std")
         .collect()
     )
-    mu_arr = F.array(*[F.lit(float(p[1])) for p in prof])
-    sd_arr = F.array(*[F.lit(float(p[2])) for p in prof])
+    mu_arr = double_array_lit([p[1] for p in prof])
+    sd_arr = double_array_lit([p[2] for p in prof])
     white = e.select(
         "vec_id",
         F.transform(
@@ -15570,8 +15571,8 @@ def sim_whitened_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = [float(p[1]) for p in prof]
     sd = [float(p[2]) for p in prof]
-    mu_arr = F.array(*[F.lit(v) for v in mu])
-    sd_arr = F.array(*[F.lit(v) for v in sd])
+    mu_arr = double_array_lit(mu)
+    sd_arr = double_array_lit(sd)
     white = e.select(
         "vec_id",
         F.transform(
