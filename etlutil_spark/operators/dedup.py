@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etlutil_spark.functions.vectors import bigint_array_lit
 from etlutil_spark.functions.hashing import md5_bigint
 from etlutil_spark.functions.text import tokens, word_shingles
 from etlutil_spark.operators.util import ensure_min_partitions
@@ -175,6 +176,16 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
+
+    # ONE materialization of the (capped) shingle table serves the
+    # self-join's both sides AND the per-doc size aggregate: without it
+    # Catalyst plans each consumer as its own scan->explode->cap subtree
+    # (measured: 6 parquet scans + 6 Generate nodes per query, zero
+    # ReusedExchange) — at corpus scale that is five redundant full
+    # passes. Lazy checkpoint: materializes inside the first consumer's
+    # job; storage is one copy of the capped shingle stream, the thing
+    # the self-join must hold for its shuffle anyway.
+    sh = sh.localCheckpoint(eager=False)
 
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
@@ -468,10 +479,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
     doc via one array-accumulator aggregate (flat codegen, zero shuffle);
     sign of each counter becomes the fingerprint bit."""
     tok = F.array_distinct(tokens(text_col))
-    zero = F.array(*[F.lit(0)] * bits)
+    zero = F.array_repeat(F.lit(0), bits)
     # shiftleft/shiftright need literal shift amounts, so carry the bit
     # positions as a literal powers-of-two array and test bits via AND
-    pows = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    # (one parsed SQL literal — F.lit per element costs a py4j trip each)
+    pows = bigint_array_lit([1 << j for j in range(bits)])
     # materialize one hash PER TOKEN before folding, so a single md5 per
     # token is guaranteed by construction (not left to whether the engine
     # CSEs the md5 subtree across the ``bits`` per-bit lambda elements —
@@ -548,16 +560,24 @@ def simhash_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
     )
+    # hamming filter BEFORE the dedup `distinct`: the filter is a cheap
+    # map-side expression and drops the overwhelming share of band
+    # collisions (random collisions sit near bits/2 hamming, far above
+    # max_hamming), so the distinct's exchange carries only qualifying
+    # pairs instead of the full ~n^2/2^width candidate volume (guide
+    # §2.3: shuffle fewer bytes). Identical rows out: simhash is
+    # functionally determined by id (one fingerprint per doc), so
+    # distinct over (id_a, id_b, hamming) equals the old
+    # distinct-then-filter over (id_a, id_b, sh_a, sh_b).
     return (
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -1249,6 +1269,8 @@ def containment_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
+    # one materialization for three consumers — see ngram_jaccard_pairs
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

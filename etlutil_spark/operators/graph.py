@@ -71,7 +71,7 @@ def pagerank(
             F.sum("w").cast("bigint").alias("ow"),
             F.count("*").alias("n_out"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bad_ow = outw.where(F.col("ow").isNull() | (F.col("ow") <= 0)).limit(1).collect()
     if bad_ow:
@@ -82,18 +82,18 @@ def pagerank(
             "truncate to 0 under the bigint cast) — flow division would "
             "fail under ANSI mode or silently leak the node's mass"
         )
-    e = e0.join(outw.select("src", "ow"), "src").localCheckpoint()
+    e = e0.join(outw.select("src", "ow"), "src").localCheckpoint(eager=False)
     nodes = (
         e0.select(F.col("src").alias("node"))
         .union(e0.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge list")
     tele = ((total * 15) // 100) // n
-    r = nodes.withColumn("r", F.lit(total // n).cast("bigint")).localCheckpoint()
+    r = nodes.withColumn("r", F.lit(total // n).cast("bigint")).localCheckpoint(eager=False)
     srcs = outw.select("src")
     for _ in range(iters):
         dm_df = (
@@ -123,7 +123,7 @@ def pagerank(
                 .cast("bigint")
                 .alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         r.join(outw, r["node"] == outw["src"], "left")
@@ -262,7 +262,7 @@ def kcore(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     for _ in range(max_rounds):
@@ -279,7 +279,7 @@ def kcore(
             e.join(good.withColumnRenamed("node", "a"), "a", "semi")
             .join(good.withColumnRenamed("node", "b"), "b", "semi")
             .select("a", "b")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_now = e.count()
         if n_now == n_edges:

@@ -464,7 +464,9 @@ def mixture_epoch_plan(
                 "n_tokens"
             ),
         )
-        .localCheckpoint(eager=True)
+        # lazy: the presence-probe collect right below is the first
+        # action and carries the materialization (one job, not two)
+        .localCheckpoint(eager=False)
     )
     present = {r[0] for r in agg.select(stratum_col).collect()}
     missing = sorted(set(weights) - present)

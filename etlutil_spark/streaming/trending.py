@@ -217,7 +217,15 @@ def trending_fold_batches(
             folded = cms_merge(decayed, fresh)
         else:
             folded = fresh
-        folded = folded.localCheckpoint(eager=True)
+        # LAZY checkpoints (eager=False): nothing in this fold acts on
+        # the frames until the caller's final action, so every round's
+        # sketch/board materializes inside that one job cascade (each
+        # checkpoint still caches and truncates lineage on first
+        # computation) instead of 2 scheduled jobs per round. The
+        # foreachBatch sink twin (trending_batch) deliberately KEEPS
+        # eager checkpoints: its write-ordering crash invariant (topk
+        # before cms) reasons about materialization points explicitly.
+        folded = folded.localCheckpoint(eager=False)
         cands = batch.select(F.col(key_col).alias("key")).distinct()
         if topk is not None:
             cands = cands.union(topk.select("key")).distinct()
@@ -228,7 +236,7 @@ def trending_fold_batches(
         topk = (
             est.orderBy(F.col("est").desc(), F.col("key"))
             .limit(k)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return topk
 
