@@ -10026,11 +10026,17 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    # one materialization serves the fp-frequency aggregate AND the share
+    # join's left side: without the checkpoint each consumer re-runs the
+    # whole posexplode + two-window fingerprint pipeline (the
+    # ngram_jaccard_pairs lesson); the cached frame is the deduplicated
+    # fingerprint set — a fraction of k-gram volume by winnowing's design
     e = (
         h.withColumn("fp", F.min("h").over(wmin))
         .where(F.col("pos") <= F.col("n_kgrams") - 4)
         .select("doc_id", "n_kgrams", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     c = e.groupBy("fp").agg(F.count("*").alias("nd"))
     return (

@@ -506,7 +506,9 @@ HEADLINE_BUDGETS = {
     # (split, split)-keyed count
     "docs_split_leakage_neardup": (3, 1),  # pair table from the persisted store
     # r10 capstone: composes FOUR docs audits + four 1-row card scalars
-    "docs_release_card": (22, 8),  # split-leak leg reads the persisted store
+    # r12: the shared shingle checkpoint lets Catalyst reuse one
+    # BroadcastExchange across the dup-span leg (8 -> 7, all joins broadcast)
+    "docs_release_card": (22, 7),  # split-leak leg reads the persisted store
     # r10: one capped pair pass + 6-literal threshold broadcast
     "dedup_threshold_sweep": (1, 1),  # pair table from the persisted store
     # r10: serving reads the keyed store (|keys| x |bounds| rows) +
