@@ -39,7 +39,11 @@ def funnel_counts(
     is exact for "did the ordered sequence happen?").
 
     One shuffle per step on the same user key; stage frames shrink
-    monotonically, and each carries one row per surviving user."""
+    monotonically, and each carries one row per surviving user. Each
+    stage frame is pinned with a lazy checkpoint: it feeds BOTH its own
+    count leg and the next stage's join, and without the pin the final
+    union re-derives stage k's whole chain once per downstream leg
+    (step i re-scans events i times — quadratic passes in |steps|)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     stage = None
@@ -50,7 +54,11 @@ def funnel_counts(
             matched = matched.join(stage, user_col).where(
                 F.col(ts_col) > F.col("_anchor")
             )
-        stage = matched.groupBy(user_col).agg(F.min(ts_col).alias("_anchor"))
+        stage = (
+            matched.groupBy(user_col)
+            .agg(F.min(ts_col).alias("_anchor"))
+            .localCheckpoint(eager=False)
+        )
         counts.append(
             stage.select(
                 F.lit(step).alias("step"),
@@ -74,18 +82,24 @@ def retention_cohorts(
     users whose FIRST event falls in cohort_period and who are active
     again period_offset periods later (offset 0 = the cohort size).
 
-    Two keyed shuffles: distinct (user, period) activity, then min-period
-    per user; the join back is on user_id and the final matrix aggregate
-    is (cohorts x offsets)-sized, i.e. tiny. No windows over event
-    history, so whale users cost nothing extra."""
+    One distinct (user, period) pass with the cohort period attached by
+    a per-user window-min (identical to the old min-aggregate + join
+    back, including NULL-period rows, but the activity subtree is
+    planned once and nothing corpus-proportional is broadcast); the
+    final matrix aggregate is (cohorts x offsets)-sized, i.e. tiny. The
+    window partitions on user over the user's DISTINCT periods —
+    bounded by the calendar, so whale users cost nothing extra."""
+    from pyspark.sql.window import Window
+
     p = F.date_trunc(period, F.col(ts_col)).cast("date")
     activity = events.select(F.col(user_col), p.alias("p")).distinct()
-    first = activity.groupBy(user_col).agg(F.min("p").alias("cohort_p"))
     days = {"week": 7, "day": 1}.get(period)
     if days is None:
         raise ValueError(f"unsupported period {period!r} (use 'week' or 'day')")
     return (
-        activity.join(first, user_col)
+        activity.withColumn(
+            "cohort_p", F.min("p").over(Window.partitionBy(user_col))
+        )
         .select(
             "cohort_p",
             (F.datediff(F.col("p"), F.col("cohort_p")) / days)

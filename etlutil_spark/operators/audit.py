@@ -28,29 +28,50 @@ def fk_orphan_counts(
     orphans), and orphans (non-NULL keys with no parent).
 
     Returns (relation, n_children, n_null_keys, n_orphans) — a bounded
-    |relations|-row frame regardless of data volume."""
+    |relations|-row frame regardless of data volume.
+
+    Consecutive relations sharing the same child frame (by object
+    identity) fold into ONE pass: the child is scanned once with all of
+    the group's key columns, each parent left-joined in turn (unique
+    parent keys by contract, so no row multiplication), and one
+    aggregate emits the group's summary structs — a fact table audited
+    against k parents costs one scan, not k."""
+    grouped: list[list[tuple[str, DataFrame, str, DataFrame, str]]] = []
+    for rel in relations:
+        if grouped and grouped[-1][0][1] is rel[1]:
+            grouped[-1].append(rel)
+        else:
+            grouped.append([rel])
     parts = []
-    for name, child, child_key, parent, parent_key in relations:
-        k = F.col("_k")
-        joined = child.select(F.col(child_key).alias("_k")).join(
-            parent.select(F.col(parent_key).alias("_p")),
-            F.col("_k") == F.col("_p"),
-            "left",
+    for rels in grouped:
+        child = rels[0][1]
+        j = child.select(
+            *[F.col(ck).alias(f"_k{i}") for i, (_, _, ck, _, _) in enumerate(rels)]
         )
-        parts.append(
-            joined.agg(
+        for i, (_, _, _, parent, pk) in enumerate(rels):
+            j = j.join(
+                parent.select(F.col(pk).alias(f"_p{i}")),
+                F.col(f"_k{i}") == F.col(f"_p{i}"),
+                "left",
+            )
+        structs = [
+            F.struct(
                 F.lit(name).alias("relation"),
                 F.count("*").cast("bigint").alias("n_children"),
-                F.sum(k.isNull().cast("int")).cast("bigint").alias(
-                    "n_null_keys"
-                ),
+                F.sum(F.col(f"_k{i}").isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_null_keys"),
                 F.sum(
-                    (k.isNotNull() & F.col("_p").isNull()).cast("int")
+                    (F.col(f"_k{i}").isNotNull() & F.col(f"_p{i}").isNull()).cast(
+                        "int"
+                    )
                 )
                 .cast("bigint")
                 .alias("n_orphans"),
             )
-        )
+            for i, (name, _, _, _, _) in enumerate(rels)
+        ]
+        parts.append(j.agg(F.array(*structs).alias("_a")).select(F.inline("_a")))
     return reduce(DataFrame.unionByName, parts)
 
 

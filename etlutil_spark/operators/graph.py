@@ -158,6 +158,10 @@ def triangle_stats(
     self-loops, either endpoint order); the operator canonicalizes and
     dedups defensively. Exact integer counts — engine-portable; the
     coefficient is one double division rounded at 6."""
+    # the canonical edge list feeds four legs (both union arms of the
+    # degree count, the orientation join, the n_edges scalar) and its
+    # lineage — the caller's basket self-join + distinct — is the
+    # expensive part; materialize it once
     e0 = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -165,12 +169,15 @@ def triangle_stats(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    # degrees feed both orientation joins and the wedge-count scalar
     nodes = (
         e0.select(F.col("a").alias("node"))
         .union(e0.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
     )
     # the edge+degree table feeds orientation AND the wedge/closing
     # joins below — materialize once

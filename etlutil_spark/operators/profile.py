@@ -354,44 +354,61 @@ def group_mad_outliers(
     every off-median row instead of dividing by zero — and no engine's
     inf/NULL-on-zero-division behavior leaks into the count.
 
-    Determinism: Spark's median is the exact percentile-0.5 (lower +
-    (upper - lower) * 0.5) and DuckDB's quantile_cont interpolates the
-    same way — empirically bit-identical on this data — and every
+    Determinism: the median is the exact percentile-0.5. Spark's
+    Percentile interpolates even-n groups as 0.5*lower + 0.5*upper
+    (verified bit-identical against F.median on randomized groups; the
+    naive lower + (upper-lower)*0.5 differs in the last ulp) and DuckDB's
+    quantile_cont lands on the same doubles on this data; every
     downstream comparison uses those identical doubles, so the flagged
     SET is stable cross-engine and cross-partitioning.
 
-    Cost: two keyed aggregates over the rows plus two broadcast joins of
-    per-group summaries (|groups| rows). No window over the raw rows, no
-    sort — at 100 TB each pass is one partial+final agg; exact medians
-    do buffer per-group values on the reducer (Spark's percentile
-    aggregate), so groups are assumed cardinality-bounded (event types,
-    not user ids); use approx_percentile for unbounded keys.
+    Cost: ONE keyed aggregate — the group's values are collected sorted
+    once and med/MAD/outlier-count all derive from that array with
+    higher-order functions. The previous three-aggregate + two-broadcast
+    form scanned and shuffled the rows three times; an exact median
+    buffers the group's values on the reducer either way (Spark's
+    percentile aggregate does too), so this is the same memory posture
+    for a third of the passes. Groups are assumed cardinality-bounded
+    (event types, not user ids); use approx_percentile for unbounded
+    keys.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     rows = df.where(F.col(value_col).isNotNull()).select(
         *groups, F.col(value_col).cast("double").alias("_v")
     )
-    med = rows.groupBy(*groups).agg(F.median("_v").alias("med"))
-    dev = rows.join(F.broadcast(med), on=groups).withColumn(
-        "_adev", F.abs(F.col("_v") - F.col("med"))
-    )
-    # carry med THROUGH the MAD aggregate: the per-group summary row then
-    # holds both statistics, so one broadcast serves the final count and
-    # the med subtree is planned exactly once (a med-then-mad join would
-    # duplicate the whole median aggregate — one extra pass over the rows)
-    summary = dev.groupBy(*groups).agg(
-        F.median("_adev").alias("mad"), F.first("med").alias("med")
-    )
-    flagged = rows.join(F.broadcast(summary), on=groups)
-    return flagged.groupBy(*groups).agg(
-        F.count("*").alias("n"),
-        F.first("med").alias("med"),
-        F.first("mad").alias("mad"),
-        F.sum(
-            (F.lit(0.6745) * F.abs(F.col("_v") - F.col("med")) > F.lit(float(cutoff)) * F.col("mad")).cast(
-                "bigint"
+
+    def _median(arr: Column) -> Column:
+        n = F.size(arr)
+        lo = F.element_at(
+            arr, (F.floor((n - F.lit(1)) / F.lit(2)) + F.lit(1)).cast("int")
+        )
+        hi = F.element_at(arr, (F.floor(n / F.lit(2)) + F.lit(1)).cast("int"))
+        return F.when(lo == hi, lo).otherwise(lo * F.lit(0.5) + hi * F.lit(0.5))
+
+    med = F.col("med")
+    return (
+        rows.groupBy(*groups)
+        .agg(F.sort_array(F.collect_list("_v")).alias("_a"))
+        .withColumn("med", _median(F.col("_a")))
+        .withColumn(
+            "mad",
+            _median(F.array_sort(F.transform("_a", lambda x: F.abs(x - med)))),
+        )
+        .select(
+            *groups,
+            F.size("_a").cast("bigint").alias("n"),
+            "med",
+            "mad",
+            F.size(
+                F.filter(
+                    "_a",
+                    lambda x: F.lit(0.6745) * F.abs(x - med)
+                    > F.lit(float(cutoff)) * F.col("mad"),
+                )
             )
-        ).alias("n_outliers"),
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
     )
 
 

@@ -338,8 +338,12 @@ def negative_pairs(
     collect."""
     if k < 1:
         raise ValueError(f"k must be positive, got {k}")
-    n = df.agg((F.max(id_col) + 1).alias("_n"))
-    a = df.select(id_col).withColumn(
+    # the id column feeds THREE consumers (max scalar, anchor expansion,
+    # existence side); pin the single-column projection so the base is
+    # scanned once, not three times
+    id_only = df.select(id_col).localCheckpoint(eager=False)
+    n = id_only.agg((F.max(id_col) + 1).alias("_n"))
+    a = id_only.withColumn(
         "neg_rank", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
     )
     key = F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("neg_rank"))
@@ -348,7 +352,7 @@ def negative_pairs(
     neg = F.when(
         F.col("_cand") == F.col(id_col), (F.col("_cand") + 1) % F.col("_n")
     ).otherwise(F.col("_cand"))
-    ids = df.select(F.col(id_col).alias("_exists"))
+    ids = id_only.select(F.col(id_col).alias("_exists"))
     return (
         with_cand.withColumn("neg_id", neg)
         .where(F.col("neg_id") != F.col(id_col))
@@ -393,7 +397,16 @@ def curriculum_phases(
     ok = F.col(score_col).isNotNull()
     if df.schema[score_col].dataType.simpleString() in ("float", "double"):
         ok = ok & ~F.isnan(score_col)
-    scored = df.where(ok)
+    # Only score and weight survive into the output: project to them and
+    # pin the projection with a lazy checkpoint, so the cuts collect (the
+    # first action) materializes the narrow (score, weight) stream once
+    # and the final per-phase aggregate reads it back instead of
+    # re-running the upstream scoring pipeline (a second full
+    # tokenize-and-score pass at corpus scale).
+    keep = [score_col] + (
+        [weight_col] if weight_col and weight_col != score_col else []
+    )
+    scored = df.where(ok).select(*keep).localCheckpoint(eager=False)
     cuts = scored.agg(
         F.expr(
             f"percentile({score_col}, array({', '.join(f'{f}D' for f in fracs)}))"

@@ -5405,11 +5405,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
+    # the per-supplier aggregate feeds the max scalar AND the final
+    # join; pin it so the filtered lineitem scan runs once, not twice
     rev = li.groupBy("l_suppkey").agg(
         F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
         .cast("double")
         .alias("total_revenue")
-    )
+    ).localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
     return (
@@ -5472,15 +5474,18 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brand#5 parts. The correlated scalar subquery (per-part average
     quantity) becomes an aggregate broadcast back against the fact —
     the brand filter bounds it to ~1/25th of parts so the broadcast is
-    always small, and the fact table is scanned exactly twice with the
-    filter pushed both times."""
+    always small; the brand-filtered fact slice (a ~25x reduction) is
+    pinned so the fact table is scanned ONCE, with the per-part average
+    and the forfeit filter both reading the slice."""
     p = load_table(spark, "part", sf_dir).where(
         F.col("p_brand") == "Brand#5"
     ).select("p_partkey")
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    brand_li = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).localCheckpoint(eager=False)
     pq = brand_li.groupBy("l_partkey").agg(
         (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
     ).withColumnRenamed("l_partkey", "pq_partkey")
@@ -6895,11 +6900,11 @@ def embeddings_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether the trained quantizer is good enough to drive
     IVF cells or SemDeDup buckets (the same gate sim_ann_recall is for
     the LSH index). Assignment rides the literal-centroid projection;
-    the label join is id-keyed; the majority pick is a rank window over
-    the AGGREGATED (cluster, label) counts with total-order
-    tie-breaks."""
-    from pyspark.sql.window import Window
-
+    the label join is id-keyed; the majority pick is a struct-min
+    election inside ONE cluster-keyed aggregate over the (cluster,
+    label) counts (min over (-c, label) reproduces the old rank-1
+    window's (c DESC, label ASC) order exactly), so the
+    assign+join+count subtree is computed once, not once per leg."""
     from etlutil_spark.operators.clustering import kmeans_assign
 
     e = load_table(spark, "embeddings", sf_dir)
@@ -6912,15 +6917,21 @@ def embeddings_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster", "label")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), F.col("label").asc())
-    ranked = counts.withColumn("rn", F.row_number().over(w))
-    tot = counts.groupBy("cluster").agg(F.sum("c").cast("bigint").alias("n"))
-    maj = ranked.where(F.col("rn") == 1).select(
-        "cluster", F.col("label").alias("majority_label"), F.col("c").alias("majority_n")
-    )
-    return tot.join(maj, "cluster").select(
-        "cluster", "n", "majority_label", "majority_n",
-        F.round(F.col("majority_n") / F.col("n"), 6).alias("purity"),
+    return (
+        counts.groupBy("cluster")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.min(
+                F.struct((-F.col("c")).alias("neg_c"), F.col("label").alias("lab"))
+            ).alias("m"),
+        )
+        .select(
+            "cluster",
+            "n",
+            F.col("m.lab").alias("majority_label"),
+            (-F.col("m.neg_c")).alias("majority_n"),
+            F.round(-F.col("m.neg_c") / F.col("n"), 6).alias("purity"),
+        )
     )
 
 
@@ -7319,7 +7330,14 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "events", sf_dir).where(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
-    ud = d.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # the collapsed (user, day) table feeds FOUR consumers (observed
+    # days, DAU, the x7 and x30 fan-outs); materialize the one keyed
+    # shuffle once instead of re-scanning raw events per consumer
+    ud = (
+        d.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = ud.select("day").distinct()
 
     def rolling(n: int, name: str) -> DataFrame:
@@ -8917,15 +8935,19 @@ def docs_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlutil_spark.functions.text import tokens
     from etlutil_spark.operators.util import ensure_min_partitions
 
+    from pyspark.sql.window import Window
+
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
     t = d.select("source", F.explode(tokens("text")).alias("tk"))
     c = t.groupBy("source", "tk").agg(F.count("*").alias("c"))
-    s = c.groupBy("source").agg(
-        F.sum("c").cast("bigint").alias("tt"),
-        F.count("*").alias("vocab"),
-    )
+    # per-source totals ride a window over the Heaps-bounded count table
+    # (the old separate aggregate + broadcast join re-derived the whole
+    # tokenize+explode+count subtree — the expensive part — a second time)
+    w = Window.partitionBy("source")
     p = F.col("c") / F.col("tt")
-    q = c.join(F.broadcast(s), "source").select(
+    q = c.withColumn("tt", F.sum("c").over(w).cast("bigint")).withColumn(
+        "vocab", F.count("*").over(w)
+    ).select(
         "source",
         F.floor(p * F.log(p) * 1000000000000).cast("bigint").alias("tq"),
         "tt",
@@ -9608,12 +9630,19 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & F.col("lang").isNotNull()
     )
     nt = F.lower(F.regexp_replace("text", "[^ -~]", ""))
-    b = d.select(
-        "doc_id",
-        "lang",
-        F.substring(nt, 1, 24).alias("blk"),
-        F.substring(nt, 1, 400).alias("probe"),
-    ).where(F.length(nt) >= 24)
+    # the projected block table feeds THREE subtrees (the block-frequency
+    # aggregate and both self-join sides); without a pin each re-runs the
+    # full-text regexp projection — the expensive part — per consumer
+    b = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.substring(nt, 1, 24).alias("blk"),
+            F.substring(nt, 1, 400).alias("probe"),
+        )
+        .where(F.length(nt) >= 24)
+        .localCheckpoint(eager=False)
+    )
     cnt = b.groupBy("lang", "blk").agg(F.count("*").alias("blk_n"))
     f = b.join(F.broadcast(cnt.where(F.col("blk_n") <= 64)), ["lang", "blk"])
     a = f.select(
@@ -9789,6 +9818,9 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).where(
         F.col("source").isNotNull()
     )
+    # the quartile table feeds TWO consumers (the first-occurrence join
+    # and the per-quartile doc count); pin it so the per-source sort
+    # window runs once, not once per consumer
     q = d.select(
         "doc_id",
         "source",
@@ -9796,7 +9828,7 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy("doc_id"))
         .cast("bigint")
         .alias("qt"),
-    )
+    ).localCheckpoint(eager=False)
     tok = (
         d.where(F.col("text").isNotNull())
         .select(
@@ -13407,9 +13439,18 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     width = 512
-    ev = load_table(spark, "events", sf_dir)
-    o = load_table(spark, "orders", sf_dir).select(
-        F.col("o_custkey").alias("user_id")
+    # each side feeds THREE full-table consumers (CMS build, countsketch
+    # build, exact-join ground truth); pin the single-key projections so
+    # each table is scanned once, not three times
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id")
+        .localCheckpoint(eager=False)
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .select(F.col("o_custkey").alias("user_id"))
+        .localCheckpoint(eager=False)
     )
     cma = cms_sketch(ev, "user_id", width=width, depth=4, seed="jce")
     cmb = cms_sketch(o, "user_id", width=width, depth=4, seed="jce")
@@ -13427,7 +13468,7 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tru = (
         ev.join(
-            load_table(spark, "orders", sf_dir),
+            o.select(F.col("user_id").alias("o_custkey")),
             F.col("user_id") == F.col("o_custkey"),
         )
         .agg(F.count("*").cast("bigint").alias("true_size"))
@@ -13985,13 +14026,26 @@ def embeddings_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     dims, k = (16, 32, 64), 10
 
+    # ONE pass computes every prefix cosine (the old per-leg form scanned
+    # the embeddings table once per dim + once for the full ranking); the
+    # four top-k heaps then read the pinned (vec_id, c16, c32, c64) frame
+    scored = e.select(
+        "vec_id",
+        *[
+            F.round(
+                cosine_lit(
+                    F.slice(F.col("embedding").cast("array<double>"), 1, d),
+                    qvec[:d],
+                ),
+                6,
+            ).alias(f"_c{d}")
+            for d in dims
+        ],
+    ).localCheckpoint(eager=False)
+
     def top(d: int):
-        sub = F.slice(F.col("embedding").cast("array<double>"), 1, d)
         return (
-            e.select(
-                "vec_id",
-                F.round(cosine_lit(sub, qvec[:d]), 6).alias("cos_sim"),
-            )
+            scored.select("vec_id", F.col(f"_c{d}").alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
             .limit(k)
         )
@@ -14001,7 +14055,9 @@ def embeddings_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dims:
         overlap = (
             top(d)
-            .join(full, "vec_id", "semi")
+            # k-row frame: bounded broadcast at any scale (the pinned
+            # frame carries no size stats, so hint explicitly)
+            .join(F.broadcast(full), "vec_id", "semi")
             .agg((F.count("*") * F.lit(1.0) / F.lit(k)).alias(f"recall_at_{k}"))
             .select(
                 F.lit(d).cast("bigint").alias("dim_kept"),
@@ -15473,7 +15529,14 @@ def parts_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the co-count table; cosine is an exact-integer ratio under one
     sqrt of an exact product; final ranking is a TakeOrdered heap."""
     li = load_table(spark, "lineitem", sf_dir)
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket table feeds THREE consumers (the marginal
+    # count and both self-join sides); pin it so the lineitem scan +
+    # distinct shuffle run once, not once per consumer
+    b = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = b.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n_orders"))
     a = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
     c = b.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b"))
@@ -15663,7 +15726,8 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= _NEARDUP_THRESHOLD)
         .select("id_a", "id_b")
     )
-    src = d.select("doc_id", "source")
+    # one (doc_id, source) scan serves both lookup sides
+    src = d.select("doc_id", "source").localCheckpoint(eager=False)
     sa = src.withColumnsRenamed({"doc_id": "ida", "source": "sa"})
     sb = src.withColumnsRenamed({"doc_id": "idb", "source": "sb"})
     lab = (
@@ -15945,13 +16009,16 @@ def embeddings_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("mu")
     )
+    # |labels| rows, but its lineage is the corpus-wide posexplode
+    # aggregate; three consumers (intra join + both centroid-pair legs)
+    # must not re-derive that pass
     cent = m.groupBy("label").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("i"), F.col("mu")))
         ).alias("_s")
     ).select(
         "label", F.transform(F.col("_s"), lambda s: s["mu"]).alias("mus")
-    )
+    ).localCheckpoint(eager=False)
     dist2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("mus"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -16067,6 +16134,8 @@ def docs_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         splits={"train": 0.9, "eval": 0.05, "test": 0.05},
         seed="split-v1",
     ).select("doc_id", "split")
+    # one scan + hash-split pass serves both lookup sides
+    spl = spl.localCheckpoint(eager=False)
     sa = spl.withColumnsRenamed({"doc_id": "ida", "split": "spa"})
     sb = spl.withColumnsRenamed({"doc_id": "idb", "split": "spb"})
     lab = (
@@ -16349,8 +16418,12 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL sums; each share is integer-ppm FLOOR division
     (rev_q * 1e6 // tot_q — Spark `div` mirrored by DuckDB `//` on
     BIGINT); the HHI is a sum of squared integers divided once at the
-    end. Two keyed aggregates + one broadcast dim join; nothing floats
-    until the final mirrored division."""
+    end. ONE lineitem pass: the nation total rides a window-sum over the
+    per-supplier aggregate (the old separate total aggregate + broadcast
+    join re-derived the whole lineitem scan a second time); nothing
+    floats until the final mirrored division."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, "lineitem", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
@@ -16369,8 +16442,10 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_q")
         )
     )
-    t = r.groupBy("nationkey").agg(F.sum("rev_q").cast("bigint").alias("tot_q"))
-    sh = r.join(F.broadcast(t), "nationkey").select(
+    sh = r.withColumn(
+        "tot_q",
+        F.sum("rev_q").over(Window.partitionBy("nationkey")).cast("bigint"),
+    ).select(
         "nationkey",
         F.expr("(rev_q * 1000000) div tot_q").alias("share_ppm"),
     )

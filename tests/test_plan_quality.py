@@ -67,8 +67,17 @@ HEADLINE_BUDGETS = {
     "purchase_click_pairs": (2, 0),  # key equi-join, time-range refine
     "dedup_screen_new_batch": (3, 3),  # batch bands broadcast vs index
     "docs_token_drift": (4, 1),  # one term-count pass + scalar totals
-    "events_funnel": (8, 2),  # 3 stages on one user key; frames shrink
-    "user_retention_weekly": (3, 1),  # activity distinct + first + matrix
+    # r12: stage frames are lazily checkpointed (computed once, not once
+    # per union leg — the old plan re-derived stage k's whole chain per
+    # downstream leg with ZERO ReusedExchange). The old min-2-broadcast
+    # pin broadcast corpus-proportional per-user frames — a small-SF
+    # artifact that OOMs at scale; joins are now shuffle-based. Visible
+    # exchanges exclude the 3 stage-aggregate shuffles inside the
+    # checkpoint lineage (see tools/job_counts.py for totals).
+    "events_funnel": (3, 0),
+    # r12: cohort period rides a per-user window-min over the distinct
+    # activity table — no join back, no corpus-proportional broadcast
+    "user_retention_weekly": (3, 0),
     "events_transition_matrix": (3, 0),  # user window + matrix agg
     "q4_late_orders": (1, 1),  # EXISTS -> left-semi, year filter pruned
     "q14_promo_share": (2, 1),  # broadcast part; share over 6-row agg
@@ -80,7 +89,10 @@ HEADLINE_BUDGETS = {
     "q13_customer_distribution": (2, 1),  # outer join + tiny distribution agg
     "q15_top_supplier": (3, 2),  # supplier agg + 1-row max broadcast
     "q16_part_supplier_counts": (2, 1),  # filtered bcast before distinct
-    "q17_small_quantity": (3, 2),  # per-part avg broadcast back to fact
+    # r12: the brand-filtered fact slice is pinned (scanned once); the
+    # part-filter broadcast now lives inside the checkpoint lineage, so
+    # only the per-part-avg broadcast is visible
+    "q17_small_quantity": (3, 1),
     "q19_disjunctive_revenue": (1, 1),  # OR extraction onto bcast part side
     "q22_idle_customers": (2, 3),  # scalar threshold + anti-join + nation
     "docs_mixture_sample": (1, 1),  # literal rates broadcast + kept agg
@@ -123,7 +135,9 @@ HEADLINE_BUDGETS = {
     # late-r6: final assignment is scan -> project, centroids are literals
     "embeddings_kmeans": (0, 0),
     # median agg + MAD agg + final count agg; two broadcast summary joins
-    "events_value_mad_outliers": (3, 2),
+    # r12: single collect-sorted-array aggregate — no joins left at all
+    # (was 3 shuffles + 2 broadcast summary joins)
+    "events_value_mad_outliers": (1, 0),
     # single global aggregate -> 6-row unpivot
     "lineitem_corr_matrix": (1, 0),
     # spread-the-scan repartition + score + per-phase agg (cut points
@@ -211,7 +225,10 @@ HEADLINE_BUDGETS = {
     # one orderkey join (AQE broadcasts at test SF) + priority aggregate
     "orders_ship_lag_by_priority": (1, 1),
     # token-count agg + source totals broadcast + per-source entropy agg
-    "docs_entropy_by_source": (5, 1),
+    # r12: per-source totals ride a window over the token-count table —
+    # the totals aggregate + broadcast join (and the second tokenize
+    # pass feeding it) are gone
+    "docs_entropy_by_source": (3, 0),
     # distinct user-day + islands window + two aggregates on one user key
     "user_activity_streaks": (3, 0),
     # day agg is the data pass; totals + cumulative windows over the
@@ -518,7 +535,10 @@ HEADLINE_BUDGETS = {
     "events_burstiness_index": (2, 0),
     # r10: supplier-revenue aggregate + per-nation total broadcast +
     # nation dim broadcast; integer-ppm shares
-    "supplier_revenue_hhi": (4, 3),
+    # r12: nation total rides a window-sum over the per-supplier agg —
+    # the separate total aggregate + its broadcast (and the second full
+    # lineitem derivation feeding it) are gone
+    "supplier_revenue_hhi": (3, 2),
     # r10: customer aggregate + funnel-free global rank (empty-group
     # grouped-rank) + 1-row identity reduce
     "orders_customer_gini": (2, 1),
@@ -571,6 +591,11 @@ SCALAR_OK = {
     "events_ks_test",  # ECDF window over the collapsed value table
     "audit_doc_embedding_coverage",  # 1-row audit aggregates crossJoined
     "audit_dataset_diff",  # 1-row global diff reduce
+    # r12: the "SinglePartition" hit is the pinned scored frame's
+    # partitioning descriptor printed inside TakeOrderedAndProject's
+    # arguments (bounded k-row heap output) plus 1-row recall scalars —
+    # no unbounded funnel; the scan itself stays parallel
+    "embeddings_dim_ablation",
     "parts_copurchase_triangles",  # three 1-row census scalars crossJoined
     "docs_length_batching",  # 1-row waste scalars crossJoined
     "docs_theil_inequality",  # 1-row decomposition scalars crossJoined
