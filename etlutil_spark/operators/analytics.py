@@ -226,10 +226,13 @@ def basket_rules(
         .localCheckpoint(eager=False)
     )
     n_baskets = sets.groupBy().agg(F.count("*").alias("_nb"))
+    # |items|-row totals consumed by both rule sides; pin so the explode
+    # + count over the basket sets runs once
     item_counts = (
         sets.select(F.explode("_items").alias(item_col))
         .groupBy(item_col)
         .agg(F.count("*").alias("_ni"))
+        .localCheckpoint(eager=False)
     )
     pair_structs = F.filter(
         F.flatten(

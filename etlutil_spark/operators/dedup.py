@@ -1336,6 +1336,20 @@ def duplicate_spans(
     t = ensure_min_partitions(df).select(
         F.col(id_col), tokens(text_col).alias("_tk")
     )
+    return _seed_spans(t, id_col, k=k, min_len=min_len, max_gram_freq=max_gram_freq)
+
+
+def _seed_spans(
+    t: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    min_len: int,
+    max_gram_freq: int,
+) -> DataFrame:
+    """Seed-and-chain span mining over a prebuilt (id, _tk) token table
+    (shared with :func:`cut_duplicate_spans`, which also needs the token
+    counts — one tokenization pass serves both)."""
     sh = t.where(F.size("_tk") >= k).select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -1355,9 +1369,12 @@ def duplicate_spans(
         .where((F.col("nd") >= 2) & (F.col("c") <= max_gram_freq))
         .select("h")
     )
+    # the cap-filtered seed table feeds BOTH self-join sides: pin it so
+    # the frequency aggregate + semi-join run once, not once per side
+    flt = sh.join(keep, "h", "left_semi").localCheckpoint(eager=False)
     seeds = (
-        sh.join(keep, "h", "left_semi").alias("a")
-        .join(sh.join(keep, "h", "left_semi").alias("b"), "h")
+        flt.alias("a")
+        .join(flt.alias("b"), "h")
         .where(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
@@ -1412,8 +1429,15 @@ def cut_duplicate_spans(
     maps the union back onto the original characters (the
     strip_boilerplate_prefixes anchoring trick); the accounting here is
     what the curation decision (drop vs cut vs keep) consumes."""
-    spans = duplicate_spans(
-        df, id_col, text_col, k=k, min_len=min_len, max_gram_freq=max_gram_freq
+    if k < 2 or min_len < k:
+        raise ValueError(f"need k >= 2 and min_len >= k, got k={k} min_len={min_len}")
+    # ONE tokenization pass serves the span search AND the per-doc token
+    # counts (the old form re-tokenized the corpus for the base table)
+    t = ensure_min_partitions(df).select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).localCheckpoint(eager=False)
+    spans = _seed_spans(
+        t, id_col, k=k, min_len=min_len, max_gram_freq=max_gram_freq
     )
     cuts = spans.select(
         F.col("id_b").alias("_id"),
@@ -1435,8 +1459,8 @@ def cut_duplicate_spans(
     cut = iv.groupBy("_id").agg(
         F.sum(F.col("e") - F.col("s")).cast("bigint").alias("cut_tokens")
     )
-    base = df.select(
-        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    base = t.select(
+        F.col(id_col), F.size("_tk").cast("bigint").alias("n_tokens")
     ).where(F.col("n_tokens") > 0)
     return base.join(
         cut.withColumnRenamed("_id", id_col), id_col, "left"
@@ -1498,7 +1522,9 @@ def self_repeated_spans(
         .where((F.col("c") >= 2) & (F.col("c") <= max_gram_freq))
         .select("_id", "h")
     )
-    fs = sh.join(keep, ["_id", "h"], "left_semi")
+    # the cap-filtered seed table feeds BOTH self-join sides: pin it so
+    # the frequency aggregate + semi-join run once, not once per side
+    fs = sh.join(keep, ["_id", "h"], "left_semi").localCheckpoint(eager=False)
     seeds = (
         fs.alias("a")
         .join(fs.alias("b"), ["_id", "h"])

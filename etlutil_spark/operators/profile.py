@@ -257,6 +257,9 @@ def psi_drift(
             F.count(F.when(F.col(cohort_col) == base_cohort, 1)).alias("n_base"),
             F.count(F.when(F.col(cohort_col) == test_cohort, 1)).alias("n_test"),
         )
+        # <= bins rows, but its lineage is the full counting scan and it
+        # feeds BOTH the totals scalar and the per-bin output
+        .localCheckpoint(eager=False)
     )
     totals = counted.select(
         F.sum("n_base").alias("t_base"), F.sum("n_test").alias("t_test")

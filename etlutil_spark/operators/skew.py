@@ -158,7 +158,11 @@ def key_skew_report(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
-    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    # the per-key count feeds the totals scalar AND the top-n heap; pin
+    # it so the scan + count shuffle run once, not once per consumer
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows")).localCheckpoint(
+        eager=False
+    )
     totals = counts.agg(
         F.sum("n_rows").cast("bigint").alias("_total"),
         F.count("*").cast("bigint").alias("_n_keys"),

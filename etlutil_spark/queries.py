@@ -1321,8 +1321,12 @@ def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("digit")
     )
-    obs = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
-    tot = d.agg(F.count("*").cast("bigint").alias("n"))
+    # N = sum of the 9-row histogram (digit is never NULL here), so the
+    # scan runs once; pin the histogram for its two consumers
+    obs = d.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    ).localCheckpoint(eager=False)
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
     exp = spark.createDataFrame(
         [(i + 1, m) for i, m in enumerate(_BENFORD_MICRO)],
         "digit long, share_micro long",
@@ -1662,9 +1666,11 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor set is engine-reproducible."""
     from etlutil_spark.operators.sessions import debounce
 
+    # feeds the burst window AND the per-type totals; pin so the events
+    # scan runs once
     e = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type"
-    )
+    ).localCheckpoint(eager=False)
     kept = debounce(
         e, ["user_id"], "ts", gap_seconds=21600, order_cols=["event_id"]
     )
@@ -2073,7 +2079,11 @@ def docs_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
         .localCheckpoint(eager=False)
     )
-    n = d.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    # |sources|-row totals consumed by FOUR legs (both pair-grid sides +
+    # both count joins); pin so the vocab-table aggregate runs once
+    n = d.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)
     pairs = (
         n.select(F.col("source").alias("s1"))
         .crossJoin(n.select(F.col("source").alias("s2")))
@@ -2245,10 +2255,14 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
     )
     tk = d.select(tokens("text").alias("tk")).localCheckpoint(eager=False)
+    # the Heaps-bounded unigram table feeds THREE legs (the token-total
+    # scalar + both PMI join sides); pin it so the explode + count
+    # shuffle over the full token stream runs once
     uni = (
         tk.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
     n = uni.agg(F.sum("c").cast("bigint").alias("n"))
     sz = F.size("tk")
@@ -9117,9 +9131,11 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds it)."""
     from pyspark.sql.window import Window
 
+    # feeds the per-price reduce AND the frontier-recovery join; pin the
+    # narrow projection so part is scanned once
     p = load_table(spark, "part", sf_dir).where(
         F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
-    )
+    ).select("p_partkey", "p_retailprice", "p_size").localCheckpoint(eager=False)
     g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("max_size"))
     w = Window.orderBy("p_retailprice").rowsBetween(
         Window.unboundedPreceding, -1
@@ -9394,11 +9410,14 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division is bit-identical — no float pow drift, no rounding
     needed. Weights bound the bigint sum: counts up to ~6.5e4/day fit;
     beyond that, rescale the weight exponent (docstring contract)."""
+    # the daily-count table is metadata-scale but its lineage is the one
+    # data pass over events; pin it so both self-join sides share it
     d = (
         load_table(spark, "events", sf_dir)
         .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -10171,6 +10190,9 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wsum").cast("double") / 13,
         ).alias("trend"),
     )
+    # ~80 rows, but its lineage is the one data pass (monthly reduce +
+    # trend windows) and it feeds BOTH the seasonal aggregate and the
+    # final join; pin it so that pass runs once
     dq = tr.select(
         "month",
         "rev",
@@ -10182,7 +10204,7 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rev").cast("double") - F.col("trend")) * 1000000
             ).cast("bigint"),
         ).alias("dq"),
-    )
+    ).localCheckpoint(eager=False)
     se = dq.where(F.col("dq").isNotNull()).groupBy("moy").agg(
         F.sum("dq").cast("bigint").alias("sdq"),
         F.count("dq").cast("bigint").alias("ndq"),
@@ -10386,43 +10408,33 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     state as of T1 vs as of T2, classified added / changed / unchanged
     — the CDC-audit shape that validates an incremental pipeline
     against a rebuild (the scd2_apply_incremental companion, run as a
-    read-only diff). Latest-state is a per-user row_number with a full
-    (ts DESC, event_id DESC) tiebreak — deterministic under equal
-    timestamps; both snapshots and the diff join ride the same
-    user-keyed hash partitioning (AQE reuses the shuffle), and
-    null-safe comparisons (IS DISTINCT FROM) make NULL value changes
-    count as changes in both engines. Output is a 3-row summary, never
-    a row-level dump."""
-    from pyspark.sql.window import Window
-
+    read-only diff). BOTH snapshots come out of ONE user-keyed max_by
+    aggregate: the T2 pick orders all rows by (ts, event_id), the T1
+    pick orders by the same struct gated NULL for rows at/after T1
+    (max_by ignores NULL orderings — exactly the old per-cutoff
+    row_number(rn=1) pick with the (ts DESC, event_id DESC) tiebreak,
+    but one scan + one map-side-combining shuffle instead of two
+    window sorts + a join). Null-safe comparisons (IS DISTINCT FROM)
+    make NULL value changes count as changes in both engines. Output
+    is a 3-row summary, never a row-level dump."""
+    t1 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-01-24 00:00:00").cast("timestamp")
     e = load_table(spark, "events", sf_dir).where(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("ts") < t2)
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    ordv = F.struct("ts", "event_id")
+    state = F.struct("event_type", "value")
+    snaps = e.groupBy("user_id").agg(
+        F.max_by(state, ordv).alias("s2"),
+        F.max_by(state, F.when(F.col("ts") < t1, ordv)).alias("s1"),
     )
-
-    def snap(cutoff: str) -> DataFrame:
-        return (
-            e.where(F.col("ts") < F.lit(cutoff).cast("timestamp"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("user_id", "event_type", "value")
-        )
-
-    s1 = snap("2024-01-16 00:00:00").select(
-        F.col("user_id").alias("t1_user"),
-        F.col("event_type").alias("t1_type"),
-        F.col("value").alias("t1_value"),
-    )
-    s2 = snap("2024-01-24 00:00:00")
-    d = s2.join(
-        s1, s2["user_id"] == s1["t1_user"], "left"
-    ).select(
-        F.when(F.col("t1_user").isNull(), "added")
+    d = snaps.select(
+        F.when(F.col("s1").isNull(), "added")
         .when(
-            ~F.col("t1_type").eqNullSafe(F.col("event_type"))
-            | ~F.col("t1_value").eqNullSafe(F.col("value")),
+            ~F.col("s1.event_type").eqNullSafe(F.col("s2.event_type"))
+            | ~F.col("s1.value").eqNullSafe(F.col("s2.value")),
             "changed",
         )
         .otherwise("unchanged")
@@ -10779,10 +10791,13 @@ def orders_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metadata scale, SCALAR_OK)."""
     from pyspark.sql.window import Window
 
+    # the (custkey, day) projection feeds the horizon scalar AND the
+    # per-customer gap window; pin it so orders is scanned once
     o = (
         load_table(spark, "orders", sf_dir)
         .where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
         .select("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .localCheckpoint(eager=False)
     )
     horizon = o.agg(F.max("d").alias("horizon"))
     wc = Window.partitionBy("o_custkey").orderBy("d")
@@ -11636,6 +11651,9 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "purchase")
         & F.col("value").isNotNull()
     )
+    # the distinct-value table feeds the ECDF cumsum chain AND the
+    # totals scalar; pin it so the events scan + value-keyed aggregate
+    # run once
     pv = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("bigint")
@@ -11643,7 +11661,7 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("bigint")
         .alias("n2_v"),
-    )
+    ).localCheckpoint(eager=False)
     from etlutil_spark.operators.quantiles import exact_cumsum
 
     c = exact_cumsum(pv, "n1_v", ["value"], cumsum_col="cum1")
@@ -12196,10 +12214,12 @@ def docs_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("x") > 0)
         .localCheckpoint(eager=False)
     )
+    # 1-row scalar consumed by THREE legs (both term passes + the final
+    # crossJoin); pin it so the corpus-wide count/sum pass runs once
     tot = nz.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     g = nz.groupBy("source").agg(
         F.count("*").cast("bigint").alias("ng"),
         F.sum("x").cast("bigint").alias("sg"),
@@ -14641,9 +14661,11 @@ def docs_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("model_score").isNotNull())
         .select("doc_id", "source", "model_score")
     )
+    # the bucketed table feeds the quartile aggregate AND the z pass;
+    # pin it so the score+range-ntile machinery runs once
     b = exact_grouped_ntile(
         f, 4, ["source"], ["model_score", "doc_id"], bucket_col="q"
-    )
+    ).localCheckpoint(eager=False)
     qs = b.groupBy("source").agg(
         F.max(F.when(F.col("q") == 1, F.col("model_score"))).alias("q1"),
         F.max(F.when(F.col("q") <= 2, F.col("model_score"))).alias("q2"),
@@ -15624,11 +15646,10 @@ def sim_whitened_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitened ranking is materially different (then validate against
     labels, e.g. embeddings_cluster_purity, before switching).
 
-    Both rankings are shuffle-free scan -> projection -> TakeOrdered
-    heaps over ONE pass each; the comparison is a 10x10 join — the
+    Both rankings come out of ONE scoring pass (pinned), each read by a
+    shuffle-free TakeOrdered heap; the comparison is a 10x10 join — the
     sim_ann_recall harness economics."""
     from etlutil_spark.operators.profile import embedding_dim_profile
-    from etlutil_spark.operators.similarity import cosine_topk
     from etlutil_spark.operators.util import ensure_min_partitions
 
     e = ensure_min_partitions(load_table(spark, "embeddings", sf_dir))
@@ -15642,26 +15663,41 @@ def sim_whitened_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = [float(p[2]) for p in prof]
     mu_arr = double_array_lit(mu)
     sd_arr = double_array_lit(sd)
-    white = e.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: F.when(
-                F.element_at(sd_arr, i + 1) == 0, F.lit(0.0)
-            ).otherwise(
-                (x.cast("double") - F.element_at(mu_arr, i + 1))
-                / F.element_at(sd_arr, i + 1)
-            ),
-        ).alias("wv"),
+    wv = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            F.element_at(sd_arr, i + 1) == 0, F.lit(0.0)
+        ).otherwise(
+            (x.cast("double") - F.element_at(mu_arr, i + 1))
+            / F.element_at(sd_arr, i + 1)
+        ),
     )
     q = [
         float(x)
         for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
     wq = [0.0 if sd[i] == 0 else (q[i] - mu[i]) / sd[i] for i in range(len(q))]
-    raw10 = cosine_topk(e, q, k=10).select("vec_id")
-    wht10 = cosine_topk(white, wq, k=10, vec_col="wv").select(
-        F.col("vec_id").alias("wid")
+    # ONE pass scores BOTH rankings (same per-row rounding/tiebreaks as
+    # cosine_topk); the two top-k heaps read the pinned narrow frame
+    # instead of scanning the embeddings table once per leg
+    from etlutil_spark.operators.similarity import cosine_lit
+
+    scored = e.select(
+        "vec_id",
+        F.round(cosine_lit("embedding", q), 6).alias("_cr"),
+        F.round(cosine_lit(wv, wq), 6).alias("_cw"),
+    ).localCheckpoint(eager=False)
+    raw10 = (
+        scored.select("vec_id", F.col("_cr").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    wht10 = (
+        scored.select("vec_id", F.col("_cw").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("wid"))
     )
     ov = raw10.join(
         F.broadcast(wht10), F.col("vec_id") == F.col("wid")

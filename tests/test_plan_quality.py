@@ -284,7 +284,10 @@ HEADLINE_BUDGETS = {
     # run over the 500-row spectrum head
     "docs_zipf_fit": (1, 0),
     # both snapshots + diff join share one user-keyed partitioning
-    "events_snapshot_diff": (3, 1),
+    # r12: both snapshots ride ONE user-keyed max_by aggregate — the
+    # two window sorts and the diff join (whose build was the broadcast)
+    # are gone
+    "events_snapshot_diff": (2, 0),
     # map-side row digests + one 256-group XOR aggregate
     "lineitem_checksum_blocks": (1, 0),
     # r8: BM25 leg (postings agg + dfreq/stats broadcasts) + TakeOrdered
@@ -403,7 +406,9 @@ HEADLINE_BUDGETS = {
     "hll_weekly_users_accuracy": (10, 1),
     # r10: seed-gram census + capped cross-doc seed join (semi sides
     # broadcast at test SF) + one (pair, diagonal) islands window
-    "docs_duplicate_spans": (5, 2),
+    # r12: the cap-filtered seed table is pinned; the keep semi-join's
+    # broadcast now lives inside the checkpoint lineage
+    "docs_duplicate_spans": (5, 1),
     # r10: postings-only BM25 leg is the data shuffle; candidate-set
     # rerank joins are all <=40-row broadcasts (+1-row bmax scalar)
     "docs_hybrid_rerank": (3, 3),
@@ -436,7 +441,8 @@ HEADLINE_BUDGETS = {
     "docs_bm25_serve_batch": (3, 2),
     # r10: per-doc gram census + capped self-join + (doc, offset)
     # islands window — all bounded by intra-doc repeat volume
-    "docs_self_repetition": (4, 2),
+    # r12: pinned cap-filtered seed table (see docs_duplicate_spans)
+    "docs_self_repetition": (4, 1),
     # r10: one value-keyed agg; ECDF window + max-D reduce over the
     # collapsed distinct-value table (the Mann-Whitney recipe)
     "events_ks_test": (4, 1),
@@ -467,7 +473,9 @@ HEADLINE_BUDGETS = {
     "dedup_agreement_ari": (7, 3),
     # r10: grouped-ntile composite range repartition + quartile agg +
     # |sources|-row broadcast for the robust-z pass
-    "docs_robust_scaling": (3, 3),
+    # r12: the grouped-ntile output is pinned (score + range machinery
+    # runs once); its internal broadcasts moved into checkpoint lineage
+    "docs_robust_scaling": (3, 1),
     # r10: grouped-rank composite range repartition + one source-keyed
     # concentration aggregate
     "docs_source_concentration": (2, 1),
