@@ -595,8 +595,16 @@ def lm_score(
         .localCheckpoint(eager=False)
     )
     cab = db.groupBy("w1", "w2").agg(F.count("*").alias("_c_ab"))
-    ca = db.groupBy("w1").agg(F.count("*").alias("_c_a")).withColumnRenamed(
+    # prefix counts fold over the (Heaps'-law small) bigram-count table —
+    # C(a,.) = sum_b C(a,b) — instead of a second aggregate over the full
+    # bigram stream, and the two model tables merge BEFORE touching db so
+    # the corpus-sized stream is shuffled once (one (w1,w2) exchange,
+    # reused between the cab aggregate and the scoring join), not twice
+    ca = cab.groupBy("w1").agg(F.sum("_c_ab").alias("_c_a")).withColumnRenamed(
         "w1", "_pw1"
+    )
+    model = cab.join(ca, F.col("w1") == F.col("_pw1")).select(
+        "w1", "w2", "_c_ab", "_c_a"
     )
     v = tk.select(F.explode("_tk").alias("_t")).agg(
         F.countDistinct("_t").alias("_vocab")
@@ -605,8 +613,7 @@ def lm_score(
         F.col("_c_a") + F.lit(alpha) * F.col("_vocab")
     )
     scored = (
-        db.join(cab, ["w1", "w2"])
-        .join(ca, F.col("w1") == F.col("_pw1"))
+        db.join(model, ["w1", "w2"])
         .join(F.broadcast(v))
         .withColumn("_lp", F.round(F.log(p), 6))
     )

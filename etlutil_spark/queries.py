@@ -5910,14 +5910,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: NATION_3 suppliers whose late line was the ONLY
     late one on a completed multi-supplier order. The oracle states it as
     the classic double-correlated EXISTS / NOT EXISTS; the Spark plan
-    rewrites both subqueries into ONE per-order aggregate — distinct
-    suppliers and distinct LATE suppliers per order — joined back on the
-    order key. Since l1's own supplier is late, "no other late supplier"
-    is exactly distinct-late-suppliers == 1, and "some other supplier" is
-    distinct-suppliers > 1. The aggregate and the join-back reuse the
-    fact-orders partitioning, so the whole correlation costs ZERO
-    exchanges beyond the first keyed join; the naive form re-scans
-    lineitem twice more."""
+    rewrites both subqueries into per-order distinct-supplier counts —
+    all suppliers and LATE suppliers — computed as window aggregates
+    over the fact-orders join's existing l_orderkey partitioning. Since
+    l1's own supplier is late, "no other late supplier" is exactly
+    distinct-late-suppliers == 1, and "some other supplier" is
+    distinct-suppliers > 1. The windows reuse the join's shuffle, so the
+    whole correlation costs ZERO exchanges and ZERO extra passes beyond
+    the first keyed join; the naive form re-scans lineitem twice more,
+    and an aggregate + join-back re-derives the join subtree per leg."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -5933,16 +5936,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
         "_late", F.to_date("l_shipdate") > F.date_add("o_orderdate", 90)
     )
-    ord_stats = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
-            "_n_late_supp"
-        ),
-    ).withColumnRenamed("l_orderkey", "_stats_okey")
+    # per-order supplier counts ride a window over the join's existing
+    # l_orderkey partitioning instead of a separate aggregate + join-back
+    # (which re-derived the whole lineitem+orders subtree once per leg —
+    # two fact scans and two sort-merge joins). collect_set ignores NULLs
+    # exactly like countDistinct(when(...)), so the counts are identical;
+    # order groups are bounded (7 lines max in TPC-H), so the unbounded
+    # frame buffers a handful of rows per key, never a whale.
+    w_ord = Window.partitionBy("l_orderkey")
     return (
-        lo.where(F.col("_late"))
-        .join(ord_stats, F.col("l_orderkey") == F.col("_stats_okey"))
-        .where((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        lo.withColumn(
+            "_n_supp", F.size(F.collect_set("l_suppkey").over(w_ord))
+        )
+        .withColumn(
+            "_n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("_late"), F.col("l_suppkey"))
+                ).over(w_ord)
+            ),
+        )
+        .where(
+            F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -6051,7 +6067,12 @@ def events_type_affinity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = base.select("user_id", "day").distinct().agg(
         F.count("*").alias("n_groups")
     )
-    s = base.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    # the singles table feeds BOTH lift denominators (sa and sb below);
+    # pinned so the aggregate pass over base runs once, not once per leg
+    # (|types| rows — the checkpoint itself is free)
+    s = base.groupBy("event_type").agg(
+        F.count("*").alias("n_t")
+    ).localCheckpoint(eager=False)
     a = base.select("user_id", "day", F.col("event_type").alias("type_a"))
     b = base.select(
         F.col("user_id").alias("_u"), F.col("day").alias("_d"),

@@ -101,14 +101,14 @@ HEADLINE_BUDGETS = {
     "sim_ann_recall": (2, 1),  # two top-k heaps + 10x10 semi-join
     "embeddings_quantize_err": (2, 1),  # dim stats broadcast to error pass
     "q8_market_share": (1, 4),  # full dim chain broadcast, one-pass share
-    "q21_waiting_suppliers": (4, 2),  # per-order distinct aggs + join-back
+    "q21_waiting_suppliers": (2, 3),  # r12: window over the join's l_orderkey partitioning — no join-back, no re-derived fact subtree
     "sim_quantized_rerank": (1, 1),  # codegen decode + candidate broadcast
-    "events_type_affinity_daily": (5, 3),  # checkpointed base, 4 consumers
+    "events_type_affinity_daily": (4, 3),  # r12: base AND singles pinned (one aggregate pass serves both lift legs)
     "orders_decayed_revenue": (1, 1),  # map-side weights, customer bcast
     "docs_chunks": (0, 0),  # tokenize + sequence + posexplode, zero shuffle
     "docs_negative_pairs": (1, 2),  # 1-row max bcast + existence semi-join
     "docs_split_leakage": (4, 1),  # fp agg + join-back reuse + split agg
-    "docs_lm_score": (5, 3),  # checkpointed bigrams, count joins, vocab bcast
+    "docs_lm_score": (6, 3),  # r12: prefix counts fold the bigram-count table (no 2nd stream pass); model merged pre-join (+1 small exchange)
     "docs_fertility_by_lang": (1, 0),  # one scan, one lang-keyed aggregate
     "docs_shard_plan": (1, 0),  # map-side shard id + 16-group aggregate
     # r6 additions: the four remaining TPC-H plan shapes
@@ -364,7 +364,7 @@ HEADLINE_BUDGETS = {
     "multimodal_flac_info": (1, 0),
     # r9: lm_score's checkpoint-fed count tables + lang-keyed rank
     # window + bucket reduce (vocabulary scalar broadcast)
-    "docs_ccnet_buckets": (6, 4),
+    "docs_ccnet_buckets": (7, 4),  # r12: +1 small exchange from lm_score's model merge
     # r9: one quasi-identifier groupBy + literal-k explode reduce +
     # 1-row class-count scalar
     "orders_k_anonymity": (2, 1),
