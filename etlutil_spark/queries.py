@@ -1437,11 +1437,16 @@ def audit_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two scans + two anti semi-joins (id side broadcast-able at
     dimension scale, co-partitioned keyed join at fact scale) + a
     bounded dim aggregate; all 1-row outputs crossJoined (the
-    audit_fk_orphans shape)."""
-    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    audit_fk_orphans shape). Both id projections are pinned (r12): the
+    five legs re-derived them as seven separate scan subtrees — one
+    documents scan and one embeddings scan now serve the counts, both
+    anti-join sides and the dim census."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id"
+    ).localCheckpoint(eager=False)
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.size("embedding").alias("dim")
-    )
+    ).localCheckpoint(eager=False)
     n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
     n_vecs = e.agg(F.count("*").cast("bigint").alias("n_vecs"))
     d_wo = d.join(
