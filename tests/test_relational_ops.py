@@ -290,20 +290,37 @@ class TestPlanQuality:
                 assert "split(lower" not in m.group(1)
 
     def test_ngram_jaccard_capped_join_filters_before_selfjoin(self, spark, sf_dir):
-        """The registered freq cap must bound the self-join: the plan joins
-        the shingle table against the surviving-shingle set before any
-        id_a/id_b pairing (visible as >= 2 joins over the shingle column)."""
+        """The freq cap must bound the self-join BEFORE any id_a/id_b
+        pairing. Since the r12 single-materialization change, the capped
+        shingle stream is pinned (localCheckpoint) upstream of the
+        self-join, which truncates the visible plan at the pin — so this
+        asserts the shape (the join consumes the pinned stream, and the
+        tokenize/cap pipeline is NOT re-derived downstream) and proves
+        the cap itself behaviorally on an inline corpus. Source-level
+        coverage that every registered consumer passes the cap lives in
+        tests/test_skew_stress.py."""
         from etlutil_spark.operators.dedup import ngram_jaccard_pairs
 
         d = load_table(spark, "documents", sf_dir)
         out = ngram_jaccard_pairs(
             d, "doc_id", "text", threshold=0.6, max_shingle_freq=50
         )
-        # the cap must survive into the physical plan as a filter on the
-        # shingle document-frequency aggregate, upstream of the self-join
         plan = P.formatted_plan(out)
-        assert plan.count("HashAggregate") >= 4  # freq agg + sizes + inter
-        assert "<= 50" in plan  # df_ <= max_shingle_freq reached the plan
+        # both self-join sides and the size aggregate read the ONE pinned
+        # capped stream — no tokenizer/cap subtree re-derived per consumer
+        assert "Scan ExistingRDD" in plan
+        assert "split(lower" not in plan
+        assert plan.count("HashAggregate") >= 4  # sizes + inter partial/final
+        # behavioral: three docs whose ONLY shared shingle is ultra-common
+        # can pair uncapped but must NOT pair once the cap drops it
+        rows = [(i, f"common shingle text unique{i} tail{i} end{i}") for i in range(3)]
+        tiny = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = ngram_jaccard_pairs(tiny, "doc_id", "text", threshold=0.01)
+        capped = ngram_jaccard_pairs(
+            tiny, "doc_id", "text", threshold=0.01, max_shingle_freq=2
+        )
+        assert uncapped.count() > 0
+        assert capped.count() == 0
 
     def test_knn_join_single_bucket_shuffle(self, spark, sf_dir):
         """knn_join's only wide exchanges are the bucket join + the top-k
