@@ -112,7 +112,12 @@ def scd2_apply(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     states = [state_cols] if isinstance(state_cols, str) else list(state_cols)
 
-    affected = F.broadcast(changes.select(*keys).distinct())
+    # the distinct batch-key set feeds BOTH the semi and the anti join;
+    # pinned so the distinct aggregate runs once, not once per leg (the
+    # set is batch-sized — the checkpoint is as cheap as the broadcast)
+    affected = F.broadcast(
+        changes.select(*keys).distinct().localCheckpoint(eager=False)
+    )
     touched = dim.join(affected, keys, "left_semi")
     untouched = dim.join(affected, keys, "left_anti")
 
@@ -248,7 +253,10 @@ def scd2_apply_cdc(
     keys = _as_list(key_cols)
     states = _as_list(state_cols)
 
-    affected = F.broadcast(changes.select(*keys).distinct())
+    # pinned for the same two-consumer reason as scd2_apply
+    affected = F.broadcast(
+        changes.select(*keys).distinct().localCheckpoint(eager=False)
+    )
     touched = dim.join(affected, keys, "left_semi")
     untouched = dim.join(affected, keys, "left_anti")
 

@@ -3891,9 +3891,18 @@ def scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     # the compacted log feeds four consumers (dim via touched/untouched,
     # the strict-mode check, the rebuild union); checkpoint it lazily so
-    # its window shuffle runs once instead of per-branch
+    # its window shuffle runs once instead of per-branch.
+    # Partition by custkey ALONE up front (guide §2.4): hashpartitioning
+    # (custkey) satisfies the dedup window's (custkey, date) clustered
+    # distribution, survives the checkpoint, and is exactly what the
+    # downstream interval window and the batch-key distinct need — one
+    # exchange serves all three instead of each inserting its own.
     log = latest_by_key(
-        o, ["o_custkey", "o_orderdate"], "o_orderkey"
+        o.select(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+        ).repartition("o_custkey"),
+        ["o_custkey", "o_orderdate"],
+        "o_orderkey",
     ).select("o_custkey", "o_orderdate", "o_orderpriority").localCheckpoint(
         eager=False
     )

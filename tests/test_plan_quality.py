@@ -39,7 +39,7 @@ HEADLINE_BUDGETS = {
     "docs_contamination": (5, 1),  # eval shingles broadcast to train side
     "docs_pack_token_budget": (1, 0),
     "asof_purchase_attribution": (1, 0),  # union-marker single shuffle
-    "scd2_apply_incremental": (5, 1),  # batch keys broadcast semi/anti
+    "scd2_apply_incremental": (2, 1),  # r12: custkey-aligned head — one visible exchange (rebuild) + batch-key broadcasts
     "kmv_distinct_events": (2, 0),
     # extended bench set (bench.py EXTENDED) — same invariants
     "sessionize_users_salted": (2, 0),  # day-salt window + stitch window
