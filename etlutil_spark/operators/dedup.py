@@ -538,7 +538,11 @@ def simhash_pairs(
             "raise bands (or bits) to search larger hamming radii"
         )
     width = bits // bands
-    sh = simhash(df, id_col, text_col, bits=bits)
+    # the fingerprint table feeds BOTH self-join sides: pinned so the
+    # md5-per-token fingerprint pass (the expensive part) runs once, not
+    # once per side — one (id, simhash) row per doc, the cheapest frame
+    # in the pipeline to hold
+    sh = simhash(df, id_col, text_col, bits=bits).localCheckpoint(eager=False)
     mask = (1 << width) - 1
     slices = F.array(
         *[

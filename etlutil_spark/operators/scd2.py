@@ -199,18 +199,25 @@ def scd2_cdc_intervals(
             )
         ),
     ).otherwise(F.col(op_col))
-    up = log.where(op_checked != F.lit(delete_op)).select(
+    # ONE conditional projection instead of two filtered branches + union
+    # (which re-derived the log pass per branch): every row is either an
+    # upsert (states kept, _del=0) or a tombstone (states NULLed, _del=1)
+    # — the branch predicates were disjoint and exhaustive, so the single
+    # pass emits the identical row set. op_checked still raises on NULL.
+    is_del = op_checked == F.lit(delete_op)
+    ext = log.select(
         *keys, ts_col,
         *(tie_break and _as_list(tie_break) or []),
-        *states,
-    ).withColumn("_del", F.lit(0))
-    dl = log.where(op_checked == F.lit(delete_op)).select(
-        *keys, ts_col,
-        *(tie_break and _as_list(tie_break) or []),
-        *[F.lit(None).cast(log.schema[s].dataType).alias(s) for s in states],
-    ).withColumn("_del", F.lit(1))
+        *[
+            F.when(~is_del, F.col(s)).otherwise(
+                F.lit(None).cast(log.schema[s].dataType)
+            ).alias(s)
+            for s in states
+        ],
+        F.when(is_del, F.lit(1)).otherwise(F.lit(0)).alias("_del"),
+    )
     iv = scd2_intervals(
-        up.unionByName(dl), keys, ts_col, states + ["_del"],
+        ext, keys, ts_col, states + ["_del"],
         tie_break=tie_break, valid_from_col=valid_from_col,
         valid_to_col=valid_to_col, current_col=current_col,
     )

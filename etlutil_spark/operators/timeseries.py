@@ -77,6 +77,11 @@ def gap_fill(
     non-null by construction for counts/sums).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # df feeds the spine's per-key min/max aggregate AND the join's right
+    # side — pinned so its lineage (typically an aggregation over the raw
+    # fact table) runs once, not once per consumer; a gap-fill input is a
+    # keyed series, small relative to the data it was derived from
+    df = df.localCheckpoint(eager=False)
     spine = time_spine(df, keys, ts_col, step=step)
     out = spine.join(df, [*keys, ts_col], "left")
     if zero_fill:

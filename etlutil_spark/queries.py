@@ -3240,17 +3240,25 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def parts_shipped_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (distinct semantics) of two filtered scans; Spark
-    plans a left-semi hash join over distinct keys."""
+    """Set intersection (distinct semantics). r12: ONE scan + one
+    conditional aggregate — per-part presence flags for each year, keep
+    keys with both — instead of two filtered fact scans feeding a
+    distinct + left-semi join (identical distinct-key result; the
+    combined range still pushes to the scan)."""
     li = load_table(spark, "lineitem", sf_dir)
-
-    def year(y: int) -> DataFrame:
-        return li.where(
-            (F.col("l_shipdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
-        ).select("l_partkey")
-
-    return year(1996).intersect(year(1997))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    mid = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.col("l_shipdate") < mid).alias("_in96"),
+            F.max(F.col("l_shipdate") >= mid).alias("_in97"),
+        )
+        .where(F.col("_in96") & F.col("_in97"))
+        .select("l_partkey")
+    )
 
 
 @register(
@@ -3264,16 +3272,24 @@ def parts_shipped_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def parts_1996_not_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (distinct semantics) — left-anti hash join."""
+    """Set difference (distinct semantics). r12: ONE scan + one
+    conditional aggregate (presence flags per year, keep 1996-only keys)
+    instead of two filtered fact scans + distinct + left-anti join —
+    identical distinct-key result, half the fact passes."""
     li = load_table(spark, "lineitem", sf_dir)
-
-    def year(y: int) -> DataFrame:
-        return li.where(
-            (F.col("l_shipdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
-        ).select("l_partkey")
-
-    return year(1996).subtract(year(1997))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    mid = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.col("l_shipdate") < mid).alias("_in96"),
+            F.max(F.col("l_shipdate") >= mid).alias("_in97"),
+        )
+        .where(F.col("_in96") & ~F.col("_in97"))
+        .select("l_partkey")
+    )
 
 
 def _overlap_weeks() -> list:

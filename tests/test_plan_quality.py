@@ -46,7 +46,7 @@ HEADLINE_BUDGETS = {
     "corpus_pipeline_e2e": (2, 0),  # dedup-by-text + pack-by-lang
     "orders_price_quartiles": (2, 1),  # range repartition + rank offsets
     "dedup_embedding_lsh": (2, 1),
-    "dedup_simhash": (3, 1),
+    "dedup_simhash": (1, 1),  # r12: pinned fingerprint table — one pair-dedup exchange left
     "sim_ivf_topk": (0, 0),  # partition-pruned store probe: zero shuffles
     "events_hopping_counts": (1, 0),
     "events_session_window_30m": (1, 0),
