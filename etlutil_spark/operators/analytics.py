@@ -18,6 +18,8 @@ reuses the partitioning across stages.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 
 
@@ -57,7 +59,7 @@ def funnel_counts(
         stage = (
             matched.groupBy(user_col)
             .agg(F.min(ts_col).alias("_anchor"))
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
         counts.append(
             stage.select(
@@ -223,7 +225,7 @@ def basket_rules(
         .where(F.col(item_col).isNotNull())
         .groupBy(basket_col)
         .agg(F.collect_set(item_col).alias("_items"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     n_baskets = sets.groupBy().agg(F.count("*").alias("_nb"))
     # |items|-row totals consumed by both rule sides; pin so the explode
@@ -232,7 +234,7 @@ def basket_rules(
         sets.select(F.explode("_items").alias(item_col))
         .groupBy(item_col)
         .agg(F.count("*").alias("_ni"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     pair_structs = F.filter(
         F.flatten(

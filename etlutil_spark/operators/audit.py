@@ -32,10 +32,21 @@ def fk_orphan_counts(
 
     Consecutive relations sharing the same child frame (by object
     identity) fold into ONE pass: the child is scanned once with all of
-    the group's key columns, each parent left-joined in turn (unique
-    parent keys by contract, so no row multiplication), and one
+    the group's key columns, each parent left-joined in turn, and one
     aggregate emits the group's summary structs — a fact table audited
-    against k parents costs one scan, not k."""
+    against k parents costs one scan, not k.
+
+    The parent side of every join is its DISTINCT key projection (r12
+    verdict item 4): the old fold left-joined the raw key column and
+    leaned on the "parent keys are unique" contract — a parent that
+    violated it would multiply child rows and silently corrupt
+    n_children/n_null_keys for every OTHER relation in its group. The
+    distinct makes multiplication structurally impossible (orphan-ness
+    is key EXISTENCE, so the result is identical for honest parents and
+    now also correct for dirty ones), and it costs no extra shuffle:
+    the aggregation's hash partitioning on the key is exactly what the
+    join needs (exchange reuse), and dimension-sized parents still
+    broadcast after the distinct."""
     grouped: list[list[tuple[str, DataFrame, str, DataFrame, str]]] = []
     for rel in relations:
         if grouped and grouped[-1][0][1] is rel[1]:

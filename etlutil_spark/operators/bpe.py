@@ -33,6 +33,8 @@ merge list and the per-token symbol counts are exact integers.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 
 from etlutil_spark.functions.text import tokens
@@ -94,7 +96,7 @@ def bpe_train_merges(
     # k redundant full passes' worth of job setup).
     seg = vocab.select(
         bracketed_chars("tk").alias("w"), F.col("c")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     merges: list[tuple[str, str]] = []
     for _ in range(k):
         syms = _symbols(F.col("w"))
@@ -134,7 +136,7 @@ def bpe_train_merges(
         # materialization shares the next round's top-pair job
         seg = seg.select(
             merge_replace(F.col("w"), a, b).alias("w"), "c"
-        ).localCheckpoint(eager=False)
+        ).transform(pin)
     return merges
 
 
@@ -194,7 +196,7 @@ def bpe_segmentation_table(
     # sever the k-deep replace chain: downstream consumers see a plain
     # 3-column table, not a re-derivable expression tree (lazy: computed
     # once at the first consumer's action instead of in a job of its own)
-    return out.localCheckpoint(eager=False)
+    return out.transform(pin)
 
 
 def bpe_encode_join(

@@ -37,6 +37,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Column, DataFrame
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 
 from etlutil_spark.functions.vectors import bigint_array_lit
@@ -117,7 +118,7 @@ def kmeans_fit(
         # the seed collect and EVERY Lloyd round read this — cache the
         # quantized corpus once instead of re-scanning per round (the
         # standard iterative-training trade: memory for repeated scans)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     return _kmeans_fit_q(q, id_col, k=k, iters=iters)
 
@@ -304,7 +305,7 @@ def semdedup(
         F.col(id_col), F.col("_qv"), _best_cluster(centroids)["c"].alias("cluster")
     # both self-join sides and the final left join read this projection —
     # compute the quantize+assign pass once
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     if max_cell_share is not None:
         sizes = (
             assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
@@ -378,7 +379,7 @@ def pq_train_codebooks(
         _quantized_corpus(df, id_col, vec_col, scale)
         # seed collect + every joint round read this — cache the quantized
         # corpus once (the kmeans_fit trade)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     return _pq_train_q(q, id_col, m=m, ksub=ksub, iters=iters)
 
@@ -560,9 +561,7 @@ def ivfadc_topk(
     # the residual codebook fit, and the serving scan all read it (r9
     # bench fix: each stage previously materialized its own copy,
     # tripling the corpus cost per query).
-    q = _quantized_corpus(df, id_col, vec_col, scale).localCheckpoint(
-        eager=False
-    )
+    q = _quantized_corpus(df, id_col, vec_col, scale).transform(pin)
     centroids = _kmeans_fit_q(q, id_col, k=k, iters=iters)
     d = len(centroids[0])
     if len(query_vec) != d:
@@ -598,7 +597,7 @@ def ivfadc_topk(
         )
         enc = q.select(
             F.col(id_col), cell.alias("_cell"), rv.alias("_qv")
-        ).localCheckpoint(eager=False)
+        ).transform(pin)
         codebooks = _pq_train_q(enc, id_col, m=m, ksub=ksub, iters=pq_iters)
         # per-probed-cell query tables: the query's residual against
         # cell j scores against the shared codebooks; non-probed cells
@@ -610,7 +609,7 @@ def ivfadc_topk(
     else:
         enc = q.select(
             F.col(id_col), cell.alias("_cell"), F.col("_qv")
-        ).localCheckpoint(eager=False)
+        ).transform(pin)
         codebooks = _pq_train_q(enc, id_col, m=m, ksub=ksub, iters=pq_iters)
         flat = [
             [
@@ -737,9 +736,7 @@ def ensure_ivfadc_index(
     if fs.exists(jp):
         fs.delete(jp, True)
 
-    q = _quantized_corpus(df, id_col, vec_col, scale).localCheckpoint(
-        eager=False
-    )
+    q = _quantized_corpus(df, id_col, vec_col, scale).transform(pin)
     centroids = _kmeans_fit_q(q, id_col, k=k, iters=iters)
     d = len(centroids[0])
     if d % m != 0:
@@ -754,7 +751,7 @@ def ensure_ivfadc_index(
     )
     enc = q.select(
         F.col(id_col), cell.cast("int").alias("cell"), rv.alias("_qv")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     codebooks = _pq_train_q(enc, id_col, m=m, ksub=ksub, iters=pq_iters)
     codes = F.array(
         *[
@@ -1067,7 +1064,7 @@ def gram_matrix(
     Driver state is the d^2 integer matrix — bounded."""
     q = df.where(F.col(vec_col).isNotNull()).select(
         _quantize(vec_col, scale).alias("_qv")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     first = q.first()
     if first is None:
         raise ValueError("gram_matrix: no non-null vectors")

@@ -22,6 +22,8 @@ would move the training corpus's entire shingle inventory.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 
 from etlutil_spark.operators.dedup import shingle_table
@@ -97,7 +99,7 @@ def contamination_coverage(
     t = (
         train.select(F.col(id_col), tokens(text_col).alias("_tk"))
         .where(F.size("_tk") > 0)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     grams = (
         t.where(F.size("_tk") >= n)
@@ -178,7 +180,7 @@ def bloom_contaminated_docs(
         shingle_table(eval_df, id_col, text_col, n)
         .select("shingle")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     n_elems = max(e_sh.count(), 1)
     m_words = max((n_elems * bits_per_element + 63) // 64, 1)

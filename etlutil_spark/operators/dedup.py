@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from etlutil_spark.functions.vectors import bigint_array_lit
 from etlutil_spark.functions.hashing import md5_bigint
 from etlutil_spark.functions.text import tokens, word_shingles
-from etlutil_spark.operators.util import ensure_min_partitions
+from etlutil_spark.operators.util import ensure_min_partitions, pin
 from etlutil_spark.functions.vectors import cosine
 
 # 2^31-ish prime for universal hashing; products stay < 2^63
@@ -98,7 +98,7 @@ def paragraph_dedup(
         .select(F.col(id_col), F.posexplode(paras).alias("para_idx", "para"))
         .withColumn("para", F.trim("para"))
         .where(F.length("para") > 0)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     winners = exploded.groupBy("para").agg(
         F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_w")
@@ -185,7 +185,7 @@ def ngram_jaccard_pairs(
     # passes. Lazy checkpoint: materializes inside the first consumer's
     # job; storage is one copy of the capped shingle stream, the thing
     # the self-join must hold for its shuffle anyway.
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(pin)
 
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
@@ -366,7 +366,7 @@ def verify_candidate_pairs(
     action. The verify joins are then small-table joins instead of two
     full-corpus shuffles of array<string> payloads — the difference
     between sf0.1 and 100 TB survivability."""
-    cands = cands.localCheckpoint(eager=False)
+    cands = cands.transform(pin)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -448,7 +448,7 @@ def screen_against_corpus(
     # lazy checkpoint for the same two reasons as minhash_lsh_pairs:
     # cands is referenced by both verify sides, and truncating the plan
     # stops the banding subtree re-entering every downstream op
-    cands = cands.localCheckpoint(eager=False)
+    cands = cands.transform(pin)
 
     def shingle_sets(docs: DataFrame, ids: DataFrame, out_id: str) -> DataFrame:
         keep = docs.join(F.broadcast(ids), id_col, "left_semi")
@@ -542,7 +542,7 @@ def simhash_pairs(
     # md5-per-token fingerprint pass (the expensive part) runs once, not
     # once per side — one (id, simhash) row per doc, the cheapest frame
     # in the pipeline to hold
-    sh = simhash(df, id_col, text_col, bits=bits).localCheckpoint(eager=False)
+    sh = simhash(df, id_col, text_col, bits=bits).transform(pin)
     mask = (1 << width) - 1
     slices = F.array(
         *[
@@ -734,7 +734,7 @@ def duplicate_clusters(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # every input node, kept aside so isolated-after-star-contraction
     # roots still emit a row (a component's min labels itself)
@@ -742,7 +742,7 @@ def duplicate_clusters(
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
@@ -785,7 +785,7 @@ def duplicate_clusters(
     prev_sum = _checksum(edges)
     converged = False
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges = _small_star(_large_star(edges)).transform(pin)
         cur_sum = _checksum(edges)
         if cur_sum == prev_sum:
             converged = True
@@ -1274,7 +1274,7 @@ def containment_pairs(
         )
         sh = sh.join(freq_ok, "shingle")
     # one materialization for three consumers — see ngram_jaccard_pairs
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(pin)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -1363,7 +1363,7 @@ def _seed_spans(
                 f"cast(conv(substring(md5(concat_ws(' ', slice(_tk, i, {k}))), 1, 15), 16, 10) as bigint) as h))"
             )
         ).alias("_s"),
-    ).select("_id", "_s.p", "_s.h").localCheckpoint(eager=False)
+    ).select("_id", "_s.p", "_s.h").transform(pin)
     keep = (
         sh.groupBy("h")
         .agg(
@@ -1375,7 +1375,7 @@ def _seed_spans(
     )
     # the cap-filtered seed table feeds BOTH self-join sides: pin it so
     # the frequency aggregate + semi-join run once, not once per side
-    flt = sh.join(keep, "h", "left_semi").localCheckpoint(eager=False)
+    flt = sh.join(keep, "h", "left_semi").transform(pin)
     seeds = (
         flt.alias("a")
         .join(flt.alias("b"), "h")
@@ -1439,7 +1439,7 @@ def cut_duplicate_spans(
     # counts (the old form re-tokenized the corpus for the base table)
     t = ensure_min_partitions(df).select(
         F.col(id_col), tokens(text_col).alias("_tk")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     spans = _seed_spans(
         t, id_col, k=k, min_len=min_len, max_gram_freq=max_gram_freq
     )
@@ -1519,7 +1519,7 @@ def self_repeated_spans(
                 f"cast(conv(substring(md5(concat_ws(' ', slice(_tk, i, {k}))), 1, {15}), 16, 10) as bigint) as h))"
             )
         ).alias("_s"),
-    ).select("_id", "_s.p", "_s.h").localCheckpoint(eager=False)
+    ).select("_id", "_s.p", "_s.h").transform(pin)
     keep = (
         sh.groupBy("_id", "h")
         .agg(F.count("*").alias("c"))
@@ -1528,7 +1528,7 @@ def self_repeated_spans(
     )
     # the cap-filtered seed table feeds BOTH self-join sides: pin it so
     # the frequency aggregate + semi-join run once, not once per side
-    fs = sh.join(keep, ["_id", "h"], "left_semi").localCheckpoint(eager=False)
+    fs = sh.join(keep, ["_id", "h"], "left_semi").transform(pin)
     seeds = (
         fs.alias("a")
         .join(fs.alias("b"), ["_id", "h"])

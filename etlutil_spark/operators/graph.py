@@ -33,6 +33,8 @@ events stream).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 
 DEFAULT_TOTAL = 10**12
@@ -71,7 +73,7 @@ def pagerank(
             F.sum("w").cast("bigint").alias("ow"),
             F.count("*").alias("n_out"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     bad_ow = outw.where(F.col("ow").isNull() | (F.col("ow") <= 0)).limit(1).collect()
     if bad_ow:
@@ -82,18 +84,18 @@ def pagerank(
             "truncate to 0 under the bigint cast) — flow division would "
             "fail under ANSI mode or silently leak the node's mass"
         )
-    e = e0.join(outw.select("src", "ow"), "src").localCheckpoint(eager=False)
+    e = e0.join(outw.select("src", "ow"), "src").transform(pin)
     nodes = (
         e0.select(F.col("src").alias("node"))
         .union(e0.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge list")
     tele = ((total * 15) // 100) // n
-    r = nodes.withColumn("r", F.lit(total // n).cast("bigint")).localCheckpoint(eager=False)
+    r = nodes.withColumn("r", F.lit(total // n).cast("bigint")).transform(pin)
     srcs = outw.select("src")
     for _ in range(iters):
         dm_df = (
@@ -123,7 +125,7 @@ def pagerank(
                 .cast("bigint")
                 .alias("r"),
             )
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
     return (
         r.join(outw, r["node"] == outw["src"], "left")
@@ -169,7 +171,7 @@ def triangle_stats(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # degrees feed both orientation joins and the wedge-count scalar
     nodes = (
@@ -177,14 +179,14 @@ def triangle_stats(
         .union(e0.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("d"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # the edge+degree table feeds orientation AND the wedge/closing
     # joins below — materialize once
     ed = (
         e0.join(nodes.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
         .join(nodes.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
@@ -193,7 +195,7 @@ def triangle_stats(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     e1 = o.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("d1"))
     e2 = o.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("d2"))
     wedges = e1.join(e2, "s").where(
@@ -269,7 +271,7 @@ def kcore(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     n_edges = e.count()
     for _ in range(max_rounds):
@@ -286,7 +288,7 @@ def kcore(
             e.join(good.withColumnRenamed("node", "a"), "a", "semi")
             .join(good.withColumnRenamed("node", "b"), "b", "semi")
             .select("a", "b")
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
         n_now = e.count()
         if n_now == n_edges:

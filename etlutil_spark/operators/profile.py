@@ -16,6 +16,8 @@ the whole profile into a single streaming aggregate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 
 
@@ -259,7 +261,7 @@ def psi_drift(
         )
         # <= bins rows, but its lineage is the full counting scan and it
         # feeds BOTH the totals scalar and the per-bin output
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     totals = counted.select(
         F.sum("n_base").alias("t_base"), F.sum("n_test").alias("t_test")

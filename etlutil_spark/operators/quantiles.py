@@ -28,6 +28,8 @@ Property-tested against F.ntile itself (tests/test_properties.py).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -73,11 +75,11 @@ def exact_ntile(
     # blocks. The extra block storage is bounded by the input (typically
     # a per-key aggregate), mirroring the ranged checkpoint that already
     # exists below.
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(pin)
     ranged = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     part_counts = sorted(
         (r["_pid"], r["cnt"])
@@ -155,11 +157,11 @@ def exact_cumsum(
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 1)
     # input checkpoint: same rationale as exact_ntile — the range
     # sampling pass is a full extra computation of the input plan
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(pin)
     ranged = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     sums = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s"))
     sum_type = sums.schema["_s"].dataType
@@ -243,7 +245,7 @@ def exact_running_max(
     ranged = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     maxes = ranged.groupBy("_pid").agg(F.max(value_col).alias("_m"))
     max_type = maxes.schema["_m"].dataType

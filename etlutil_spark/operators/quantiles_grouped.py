@@ -28,6 +28,8 @@ property-tested against F.row_number/F.ntile in tests/test_properties.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -65,7 +67,7 @@ def _grouped_rank_frame(
     ranged = (
         df.repartitionByRange(n_parts, *keys)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # take(bound+1), not collect(): the driver never materializes more
     # than the circuit-breaker bound + 1 rows even on a bad call

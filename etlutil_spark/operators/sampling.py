@@ -22,6 +22,8 @@ dataset releases.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -341,7 +343,7 @@ def negative_pairs(
     # the id column feeds THREE consumers (max scalar, anchor expansion,
     # existence side); pin the single-column projection so the base is
     # scanned once, not three times
-    id_only = df.select(id_col).localCheckpoint(eager=False)
+    id_only = df.select(id_col).transform(pin)
     n = id_only.agg((F.max(id_col) + 1).alias("_n"))
     a = id_only.withColumn(
         "neg_rank", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
@@ -406,7 +408,7 @@ def curriculum_phases(
     keep = [score_col] + (
         [weight_col] if weight_col and weight_col != score_col else []
     )
-    scored = df.where(ok).select(*keep).localCheckpoint(eager=False)
+    scored = df.where(ok).select(*keep).transform(pin)
     cuts = scored.agg(
         F.expr(
             f"percentile({score_col}, array({', '.join(f'{f}D' for f in fracs)}))"
@@ -479,7 +481,7 @@ def mixture_epoch_plan(
         )
         # lazy: the presence-probe collect right below is the first
         # action and carries the materialization (one job, not two)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     present = {r[0] for r in agg.select(stratum_col).collect()}
     missing = sorted(set(weights) - present)

@@ -25,6 +25,8 @@ plan-dependent.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -116,7 +118,7 @@ def scd2_apply(
     # pinned so the distinct aggregate runs once, not once per leg (the
     # set is batch-sized — the checkpoint is as cheap as the broadcast)
     affected = F.broadcast(
-        changes.select(*keys).distinct().localCheckpoint(eager=False)
+        changes.select(*keys).distinct().transform(pin)
     )
     touched = dim.join(affected, keys, "left_semi")
     untouched = dim.join(affected, keys, "left_anti")
@@ -262,7 +264,7 @@ def scd2_apply_cdc(
 
     # pinned for the same two-consumer reason as scd2_apply
     affected = F.broadcast(
-        changes.select(*keys).distinct().localCheckpoint(eager=False)
+        changes.select(*keys).distinct().transform(pin)
     )
     touched = dim.join(affected, keys, "left_semi")
     untouched = dim.join(affected, keys, "left_anti")

@@ -32,6 +32,7 @@ family (reference ``data_structures.py:1336-1353``) to aggregate land.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 
 from etlutil_spark.functions.vectors import bigint_array_lit
@@ -464,7 +465,7 @@ def histogram_quantiles(
             Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
         ).alias("cum"),
         F.sum("c").over(Window.partitionBy()).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     outs = None
     for q in qs:
         rank = F.ceil(F.lit(float(q)) * F.col("n")).cast("bigint")
@@ -824,7 +825,7 @@ def histogram_quantiles_by(hist: DataFrame, qs: list[float]) -> DataFrame:
         )
         .alias("cum"),
         F.sum("c").over(Window.partitionBy("key")).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     outs = None
     for q in qs:
         rank = F.ceil(F.lit(float(q)) * F.col("n")).cast("bigint")

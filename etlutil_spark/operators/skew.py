@@ -29,6 +29,8 @@ aggregates, made explicit for things like collect_list where it doesn't.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -160,9 +162,7 @@ def key_skew_report(
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     # the per-key count feeds the totals scalar AND the top-n heap; pin
     # it so the scan + count shuffle run once, not once per consumer
-    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows")).localCheckpoint(
-        eager=False
-    )
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows")).transform(pin)
     totals = counts.agg(
         F.sum("n_rows").cast("bigint").alias("_total"),
         F.count("*").cast("bigint").alias("_n_keys"),

@@ -9,6 +9,7 @@ carries a DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 
 from etlutil_spark.functions import text as X
@@ -111,7 +112,7 @@ def tfidf_top_terms(
         # tf feeds BOTH the df dictionary and the scoring branch; a lazy
         # local checkpoint computes the explode+aggregate once instead of
         # per-branch (the minhash-LSH pattern — see dedup.py)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n_docs = df.select(F.count("*").alias("n_docs"))
@@ -172,7 +173,7 @@ def bm25_search(
         .agg(F.count("*").alias("tf"))
         # postings feed both dfreq and scoring — compute once (see
         # tfidf_top_terms)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     dfreq = postings.groupBy("term").agg(F.count("*").alias("doc_freq"))
     stats = df.select(
@@ -264,7 +265,7 @@ def token_drift(
         )
         # counted feeds the totals scalar AND the final select — compute
         # the corpus explode + term shuffle once (the tf/postings idiom)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     totals = counted.select(
         F.sum("n_base").alias("t_base"),
@@ -326,7 +327,7 @@ def strip_boilerplate_prefixes(
         .agg(F.count("*").alias("_n"))
         # census feeds the totals aggregate AND the boiler join — compute
         # the corpus-wide prefix aggregate once
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     totals = census.groupBy(group_col).agg(
         F.sum("_n").cast("double").alias("_nt")
@@ -578,7 +579,7 @@ def lm_score(
     # re-scanning and re-tokenizing the corpus per consumer
     tk = df.select(
         F.col(id_col), X.tokens(text_col).alias("_tk")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     n = F.size(F.col("_tk"))
     db = (
         tk.where(n >= 2)
@@ -592,7 +593,7 @@ def lm_score(
             "w1",
             F.element_at(F.col("_tk"), F.col("_i") + 2).alias("w2"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     cab = db.groupBy("w1", "w2").agg(F.count("*").alias("_c_ab"))
     # prefix counts fold over the (Heaps'-law small) bigram-count table —
@@ -709,7 +710,7 @@ def dsir_log_weights(
             "_is_target",
             F.pmod(md5_bigint("_tk"), F.lit(n_buckets)).alias("_b"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     db = tb.groupBy(id_col, "_b").agg(F.count("*").alias("_n"))
     tc = tb.where(F.col("_is_target")).groupBy("_b").agg(F.count("*").alias("_ct"))

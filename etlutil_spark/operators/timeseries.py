@@ -30,6 +30,8 @@ idioms and keeps the operator a pure equi-join.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from etlutil_spark.operators.util import pin
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -81,7 +83,7 @@ def gap_fill(
     # side — pinned so its lineage (typically an aggregation over the raw
     # fact table) runs once, not once per consumer; a gap-fill input is a
     # keyed series, small relative to the data it was derived from
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(pin)
     spine = time_spine(df, keys, ts_col, step=step)
     out = spine.join(df, [*keys, ts_col], "left")
     if zero_fill:

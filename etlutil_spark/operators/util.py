@@ -21,6 +21,77 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     return df
 
 
+def _pin_impl(df: DataFrame, *, eager: bool) -> DataFrame:
+    spark = df.sparkSession
+    try:
+        mode = spark.conf.get("spark.etlutil.pinMode", "localCheckpoint")
+    except Exception:
+        mode = "localCheckpoint"
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        if eager:
+            out.count()
+        return out
+    if mode == "checkpoint":
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            cdir = spark.conf.get("spark.etlutil.checkpointDir", None)
+            if not cdir:
+                raise ValueError(
+                    "spark.etlutil.pinMode=checkpoint requires a checkpoint "
+                    "directory: call sc.setCheckpointDir(...) or set "
+                    "spark.etlutil.checkpointDir"
+                )
+            sc.setCheckpointDir(cdir)
+        return df.checkpoint(eager=eager)
+    if mode != "localCheckpoint":
+        raise ValueError(
+            f"unknown spark.etlutil.pinMode {mode!r}; expected "
+            "localCheckpoint | persist | checkpoint"
+        )
+    return df.localCheckpoint(eager=eager)
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize-once pin for a subframe with multiple consumers (or an
+    iterative loop): compute it once, serve every consumer from the stored
+    copy instead of re-deriving the lineage per consumer.
+
+    This is THE shared pin mechanism (r12 verdict item 2) — every operator
+    and query routes through here (``df.transform(pin)``), so the storage/
+    fault-tolerance posture is one session conf, ``spark.etlutil.pinMode``:
+
+    - ``localCheckpoint`` (default): executor-local blocks
+      (MEMORY_AND_DISK), lineage truncated. Cheapest and right for a
+      single-box harness — but NOT fault-tolerant: on a real cluster a
+      lost executor aborts the query (no recompute path). That abort is a
+      *correct* failure mode (never silently wrong), just not a resilient
+      one.
+    - ``persist``: ``StorageLevel.DISK_ONLY`` with lineage KEPT — a lost
+      block recomputes from lineage. The plan is not truncated, so very
+      deep iterative plans may pay planning cost; results are identical.
+    - ``checkpoint``: reliable checkpoint to ``sc.setCheckpointDir`` /
+      ``spark.etlutil.checkpointDir`` (HDFS/object store) — survives
+      executor loss AND truncates lineage, at the cost of a durable write.
+      The production posture for long multi-consumer jobs at cluster
+      scale.
+
+    Lazy in all modes: materialization rides the first consumer's job
+    instead of scheduling one of its own (for ``persist`` that is simply
+    cache-on-first-action)."""
+    return _pin_impl(df, eager=False)
+
+
+def pin_eager(df: DataFrame) -> DataFrame:
+    """:func:`pin` with eager materialization — the frame is computed NOW,
+    before this call returns. For call sites whose correctness reasoning
+    depends on an explicit materialization point (streaming sink
+    write-ordering crash invariants), not just on reuse."""
+    return _pin_impl(df, eager=True)
+
+
 def dataset_digest(df: DataFrame) -> str:
     """Content-identity digest of the files backing ``df``'s scan:
     md5 over the sorted (path, length, mtime) of every input file.

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from etlutil_spark.functions import dates as D
 from etlutil_spark.functions.daterange import DateRange, DateRanges
 from etlutil_spark.functions.vectors import bigint_array_lit, double_array_lit
-from etlutil_spark.operators.util import store_root
+from etlutil_spark.operators.util import pin, store_root
 from etlutil_spark.sources.testdata import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1325,7 +1325,7 @@ def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan runs once; pin the histogram for its two consumers
     obs = d.groupBy("digit").agg(
         F.count("*").cast("bigint").alias("n_obs")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
     exp = spark.createDataFrame(
         [(i + 1, m) for i, m in enumerate(_BENFORD_MICRO)],
@@ -1443,10 +1443,10 @@ def audit_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join sides and the dim census."""
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id"
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.size("embedding").alias("dim")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
     n_vecs = e.agg(F.count("*").cast("bigint").alias("n_vecs"))
     d_wo = d.join(
@@ -1675,7 +1675,7 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan runs once
     e = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type"
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     kept = debounce(
         e, ["user_id"], "ts", gap_seconds=21600, order_cols=["event_id"]
     )
@@ -2082,13 +2082,13 @@ def docs_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.select("source", F.explode(tokens("text")).alias("w"))
         .groupBy("source", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # |sources|-row totals consumed by FOUR legs (both pair-grid sides +
     # both count joins); pin so the vocab-table aggregate runs once
     n = d.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     pairs = (
         n.select(F.col("source").alias("s1"))
         .crossJoin(n.select(F.col("source").alias("s2")))
@@ -2204,7 +2204,7 @@ def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~in_p1, F.lit(1))).alias("_f2"),
             F.sum(F.when(~in_p1, amt)).alias("_m2"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     def _score(last, freq, mon, as_of, seg_name):
@@ -2287,7 +2287,7 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(
         load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
     )
-    tk = d.select(tokens("text").alias("tk")).localCheckpoint(eager=False)
+    tk = d.select(tokens("text").alias("tk")).transform(pin)
     # the Heaps-bounded unigram table feeds THREE legs (the token-total
     # scalar + both PMI join sides); pin it so the explode + count
     # shuffle over the full token stream runs once
@@ -2295,7 +2295,7 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         tk.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     n = uni.agg(F.sum("c").cast("bigint").alias("n"))
     sz = F.size("tk")
@@ -2598,12 +2598,12 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_minhash_cands(spark, _dedup_minhash_store(spark, sf_dir))
         .where((F.col("id_a") % 3 == 0) & (F.col("id_b") % 3 == 0))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     exact = (
         ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     hits = cands.join(exact, ["id_a", "id_b"], "semi")
     n_true = exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
@@ -3919,9 +3919,7 @@ def scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).repartition("o_custkey"),
         ["o_custkey", "o_orderdate"],
         "o_orderkey",
-    ).select("o_custkey", "o_orderdate", "o_orderpriority").localCheckpoint(
-        eager=False
-    )
+    ).select("o_custkey", "o_orderdate", "o_orderpriority").transform(pin)
     split = F.lit("1997-01-01 00:00:00").cast("timestamp")
     # dim feeds THREE consumers inside scd2_apply (touched semi-join,
     # untouched anti-join, and — under strict — the out-of-order probe's
@@ -3932,7 +3930,7 @@ def scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = scd2_intervals(
         log.where(F.col("o_orderdate") < split),
         "o_custkey", "o_orderdate", "o_orderpriority",
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     batch = log.where(F.col("o_orderdate") >= split)
     # strict=False: scd2_apply's in-order contract holds BY CONSTRUCTION
     # here — dim is built from ts < split and the batch from ts >= split
@@ -5487,7 +5485,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
         .cast("double")
         .alias("total_revenue")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
     return (
@@ -5561,7 +5559,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     brand_li = li.join(
         F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     pq = brand_li.groupBy("l_partkey").agg(
         (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
     ).withColumnRenamed("l_partkey", "pq_partkey")
@@ -6124,7 +6122,7 @@ def events_type_affinity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     g = base.select("user_id", "day").distinct().agg(
         F.count("*").alias("n_groups")
@@ -6134,7 +6132,7 @@ def events_type_affinity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (|types| rows — the checkpoint itself is free)
     s = base.groupBy("event_type").agg(
         F.count("*").alias("n_t")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     a = base.select("user_id", "day", F.col("event_type").alias("type_a"))
     b = base.select(
         F.col("user_id").alias("_u"), F.col("day").alias("_d"),
@@ -6330,7 +6328,7 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = d.select(
         "doc_id", "split", doc_fingerprint("text").alias("fp")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     m = f.groupBy("fp").agg(F.countDistinct("split").alias("nsplits"))
     return (
         f.join(m, "fp", "left")
@@ -6565,7 +6563,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_dec"
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     thr = val.agg(
         (F.sum("value_dec").cast("double") * 2.0 / F.count("*")).alias(
@@ -7433,7 +7431,7 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = (
         d.select("user_id", F.to_date("ts").alias("day"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     days = ud.select("day").distinct()
 
@@ -8356,7 +8354,7 @@ def docs_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etlutil_spark.operators.util import ensure_min_partitions
 
     d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    t = d.select("doc_id", tokens("text").alias("tk")).localCheckpoint(eager=False)
+    t = d.select("doc_id", tokens("text").alias("tk")).transform(pin)
     base = t.where(F.size("tk") > 0).select(
         "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
     )
@@ -9218,7 +9216,7 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow projection so part is scanned once
     p = load_table(spark, "part", sf_dir).where(
         F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
-    ).select("p_partkey", "p_retailprice", "p_size").localCheckpoint(eager=False)
+    ).select("p_partkey", "p_retailprice", "p_size").transform(pin)
     g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("max_size"))
     w = Window.orderBy("p_retailprice").rowsBetween(
         Window.unboundedPreceding, -1
@@ -9500,7 +9498,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -9743,7 +9741,7 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(nt, 1, 400).alias("probe"),
         )
         .where(F.length(nt) >= 24)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     cnt = b.groupBy("lang", "blk").agg(F.count("*").alias("blk_n"))
     f = b.join(F.broadcast(cnt.where(F.col("blk_n") <= 64)), ["lang", "blk"])
@@ -9930,7 +9928,7 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy("doc_id"))
         .cast("bigint")
         .alias("qt"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tok = (
         d.where(F.col("text").isNotNull())
         .select(
@@ -10170,7 +10168,7 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") <= F.col("n_kgrams") - 4)
         .select("doc_id", "n_kgrams", "fp")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     c = e.groupBy("fp").agg(F.count("*").alias("nd"))
     return (
@@ -10287,7 +10285,7 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rev").cast("double") - F.col("trend")) * 1000000
             ).cast("bigint"),
         ).alias("dq"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     se = dq.where(F.col("dq").isNotNull()).groupBy("moy").agg(
         F.sum("dq").cast("bigint").alias("sdq"),
         F.count("dq").cast("bigint").alias("ndq"),
@@ -10880,7 +10878,7 @@ def orders_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "orders", sf_dir)
         .where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
         .select("o_custkey", F.to_date("o_orderdate").alias("d"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     horizon = o.agg(F.max("d").alias("horizon"))
     wc = Window.partitionBy("o_custkey").orderBy("d")
@@ -11405,7 +11403,7 @@ def docs_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
             F.coalesce("cos_sim", F.lit(0.0)).alias("cos_sim"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     bmax = cand.agg(F.max("bm25").alias("mx"))
     cov = d.join(F.broadcast(cand.select("doc_id")), "doc_id").select(
@@ -11588,7 +11586,7 @@ def docs_retrieval_pipeline_serve(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
             F.coalesce("cos_sim", F.lit(0.0)).alias("cos_sim"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     bmax = cand.agg(F.max("bm25").alias("mx"))
     cov = d.join(F.broadcast(cand.select("doc_id")), "doc_id").select(
@@ -11743,7 +11741,7 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("bigint")
         .alias("n2_v"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     from etlutil_spark.operators.quantiles import exact_cumsum
 
     c = exact_cumsum(pv, "n1_v", ["value"], cumsum_col="cum1")
@@ -12191,7 +12189,7 @@ def docs_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens("text")).cast("bigint").alias("n_tok"),
             md5_bigint("doc_id", seed="batch-v1").alias("hv"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     def waste(order_col: str, out: str):
@@ -12294,18 +12292,18 @@ def docs_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select("source", F.size(tokens("text")).cast("bigint").alias("x"))
         .where(F.col("x") > 0)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # 1-row scalar consumed by THREE legs (both term passes + the final
     # crossJoin); pin it so the corpus-wide count/sum pass runs once
     tot = nz.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     g = nz.groupBy("source").agg(
         F.count("*").cast("bigint").alias("ng"),
         F.sum("x").cast("bigint").alias("sg"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
 
     def q(expr):
         return F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("bigint")
@@ -12603,7 +12601,7 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # m is 100 rows but its lineage is the full x100 explode+aggregate;
     # the two CI-bound filters and the rank window must not re-derive
     # that pass (measured 26.7 s -> ~9 s at sf0.1)
-    r = m.localCheckpoint(eager=False).select(
+    r = m.transform(pin).select(
         "mb", F.row_number().over(Window.orderBy("mb")).alias("rnk")
     )
     stats = o.agg(
@@ -13172,7 +13170,7 @@ def lineitem_discount_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             (F.sum(_dec("q")).cast("double") / F.count("*")).alias("m"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     def cell(t, p, out):
@@ -13416,7 +13414,7 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         qz(F.col("x") * F.col("y"), 1e2).alias("qxy"),
         qz(F.col("x") * F.col("x"), 1e2).alias("qxx"),
         qz(F.col("y") * F.col("y"), 1e2).alias("qyy"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     g = q.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("qx").cast("bigint").alias("sx"),
@@ -13547,12 +13545,12 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, "events", sf_dir)
         .select("user_id")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     o = (
         load_table(spark, "orders", sf_dir)
         .select(F.col("o_custkey").alias("user_id"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     cma = cms_sketch(ev, "user_id", width=width, depth=4, seed="jce")
     cmb = cms_sketch(o, "user_id", width=width, depth=4, seed="jce")
@@ -13654,7 +13652,7 @@ def orders_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("class_size"),
             F.count_distinct("c_mktsegment").alias("n_sensitive"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     totals = qi.agg(
         F.count("*").cast("bigint").alias("n_classes"),
@@ -13771,7 +13769,7 @@ def orders_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_band"),
             F.col("c_mktsegment").alias("seg"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     tot = j.agg(F.count("*").cast("bigint").alias("n"))
     gs = j.groupBy("seg").agg(F.count("*").cast("bigint").alias("n_s"))
@@ -13800,7 +13798,7 @@ def orders_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n").alias("n"),
             F.sum("term").cast("bigint").alias("num"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     totals = tvd.agg(
         F.count("*").cast("bigint").alias("n_classes"),
@@ -13886,7 +13884,7 @@ def orders_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("price_band"),
     ).agg(F.count("*").alias("class_size"))
-    qi = qi.localCheckpoint(eager=False)
+    qi = qi.transform(pin)
     n_classes = qi.agg(F.count("*").cast("bigint").alias("n_classes"))
     per_k = (
         qi.select(
@@ -14143,7 +14141,7 @@ def embeddings_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"_c{d}")
             for d in dims
         ],
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
 
     def top(d: int):
         return (
@@ -14152,7 +14150,7 @@ def embeddings_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(k)
         )
 
-    full = top(max(dims)).select("vec_id").localCheckpoint(eager=False)
+    full = top(max(dims)).select("vec_id").transform(pin)
     outs = []
     for d in dims:
         overlap = (
@@ -14347,7 +14345,7 @@ def lineitem_theilsen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("x"),
         (F.col("sum_q") / (F.col("cnt") * F.lit(10000.0))).alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     a = pts.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = pts.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
     slopes = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
@@ -14653,7 +14651,7 @@ def dedup_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c_e"), F.col("doc_id")).alias("ca"),
             F.coalesce(F.col("c_l"), F.col("doc_id")).alias("cb"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     c2 = lambda c: F.expr(f"({c} * ({c} - 1)) div 2")  # noqa: E731
     n_docs = nd.agg(F.count("*").cast("bigint").alias("n_docs"))
@@ -14747,7 +14745,7 @@ def docs_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin it so the score+range-ntile machinery runs once
     b = exact_grouped_ntile(
         f, 4, ["source"], ["model_score", "doc_id"], bucket_col="q"
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     qs = b.groupBy("source").agg(
         F.max(F.when(F.col("q") == 1, F.col("model_score"))).alias("q1"),
         F.max(F.when(F.col("q") <= 2, F.col("model_score"))).alias("q2"),
@@ -14899,7 +14897,7 @@ def docs_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         d.groupBy("source")
         .agg(F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     tot = w.agg(F.sum("chars").cast("bigint").alias("total"))
     u = w.crossJoin(F.broadcast(tot)).select(
@@ -14912,7 +14910,7 @@ def docs_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("u_q"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     z = u.agg(F.sum("u_q").cast("bigint").alias("z_q"))
     return u.crossJoin(F.broadcast(z)).select(
         "source",
@@ -15084,7 +15082,7 @@ def dedup_lsh_recall_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_minhash_cands(spark, _dedup_minhash_store(spark, sf_dir))
         .where((F.col("id_a") % 3 == 0) & (F.col("id_b") % 3 == 0))
         .select("id_a", "id_b", F.lit(1).alias("_hit"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     binned = exact.join(F.broadcast(cands), ["id_a", "id_b"], "left").select(
         F.least(
@@ -15639,7 +15637,7 @@ def parts_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     n = b.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n_orders"))
     a = b.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
@@ -15768,7 +15766,7 @@ def sim_whitened_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(cosine_lit("embedding", q), 6).alias("_cr"),
         F.round(cosine_lit(wv, wq), 6).alias("_cw"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     raw10 = (
         scored.select("vec_id", F.col("_cr").alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -15845,7 +15843,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     # one (doc_id, source) scan serves both lookup sides
-    src = d.select("doc_id", "source").localCheckpoint(eager=False)
+    src = d.select("doc_id", "source").transform(pin)
     sa = src.withColumnsRenamed({"doc_id": "ida", "source": "sa"})
     sb = src.withColumnsRenamed({"doc_id": "idb", "source": "sb"})
     lab = (
@@ -16136,7 +16134,7 @@ def embeddings_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("_s")
     ).select(
         "label", F.transform(F.col("_s"), lambda s: s["mu"]).alias("mus")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     dist2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("mus"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -16253,7 +16251,7 @@ def docs_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="split-v1",
     ).select("doc_id", "split")
     # one scan + hash-split pass serves both lookup sides
-    spl = spl.localCheckpoint(eager=False)
+    spl = spl.transform(pin)
     sa = spl.withColumnsRenamed({"doc_id": "ida", "split": "spa"})
     sb = spl.withColumnsRenamed({"doc_id": "idb", "split": "spb"})
     lab = (

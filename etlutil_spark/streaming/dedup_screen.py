@@ -39,6 +39,8 @@ for any append-heavy table.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from etlutil_spark.operators.util import pin_eager
 from pyspark.sql import functions as F
 
 from etlutil_spark.operators.dedup import (
@@ -127,7 +129,7 @@ def dedup_screen_batch(
         spark = batch.sparkSession
         # sever from the streaming source: every operator below is a
         # plain batch transform over a materialized micro-batch
-        docs = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        docs = batch.dropDuplicates([id_col]).transform(pin_eager)
 
         # (1) intra-batch near-dups: keep-first by id
         intra = minhash_lsh_pairs(
@@ -161,7 +163,7 @@ def dedup_screen_batch(
             accepted = survivors.join(F.broadcast(dup_ids), id_col, "left_anti")
         else:
             accepted = survivors
-        accepted = accepted.localCheckpoint(eager=True)
+        accepted = accepted.transform(pin_eager)
 
         # (3) idempotent append: this batch owns its subdirectory, and a
         # replayed batch_id overwrites rather than double-appends.

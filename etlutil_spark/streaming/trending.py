@@ -38,6 +38,8 @@ decay.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from etlutil_spark.operators.util import pin, pin_eager
 from pyspark.sql import functions as F
 
 from etlutil_spark.operators.sketch import cms_estimate, cms_merge, cms_sketch
@@ -116,9 +118,7 @@ def trending_batch(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.where(F.col(key_col).isNotNull()).localCheckpoint(
-            eager=True
-        )
+        batch = batch.where(F.col(key_col).isNotNull()).transform(pin_eager)
         prev_id = _latest_state_batch(spark, state_path, before=batch_id)
         fresh = cms_sketch(
             batch, key_col, width=width, depth=depth, seed=seed
@@ -137,7 +137,7 @@ def trending_batch(
             folded = cms_merge(decayed, fresh)
         else:
             folded = fresh
-        folded = folded.localCheckpoint(eager=True)
+        folded = folded.transform(pin_eager)
 
         cands = batch.select(F.col(key_col).alias("key")).distinct()
         prev_topk = read_trending(spark, state_path, before=batch_id)
@@ -150,7 +150,7 @@ def trending_batch(
         topk = (
             est.orderBy(F.col("est").desc(), F.col("key"))
             .limit(k)
-            .localCheckpoint(eager=True)
+            .transform(pin_eager)
         )
 
         # ORDERING INVARIANT: topk BEFORE cms. Batch visibility is keyed
@@ -225,7 +225,7 @@ def trending_fold_batches(
         # foreachBatch sink twin (trending_batch) deliberately KEEPS
         # eager checkpoints: its write-ordering crash invariant (topk
         # before cms) reasons about materialization points explicitly.
-        folded = folded.localCheckpoint(eager=False)
+        folded = folded.transform(pin)
         cands = batch.select(F.col(key_col).alias("key")).distinct()
         if topk is not None:
             cands = cands.union(topk.select("key")).distinct()
@@ -236,7 +236,7 @@ def trending_fold_batches(
         topk = (
             est.orderBy(F.col("est").desc(), F.col("key"))
             .limit(k)
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
     return topk
 

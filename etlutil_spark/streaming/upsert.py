@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etlutil_spark.operators.util import pin_eager
+
 from etlutil_spark.operators.scd2 import scd2_apply, scd2_intervals
 
 
@@ -124,7 +126,7 @@ def _commit_swap(
     ``<path>.tmp`` -> marker -> delete live -> rename. Shared by the
     upsert and CDC sinks so the swap/recovery invariants cannot drift
     between them."""
-    materialized = updated.localCheckpoint(eager=True)
+    materialized = updated.transform(pin_eager)
     tmp = dim_path + ".tmp"
     materialized.write.mode("overwrite").parquet(tmp)
     _write_marker(spark, tmp, batch_id)
