@@ -60,8 +60,14 @@ def fk_orphan_counts(
             *[F.col(ck).alias(f"_k{i}") for i, (_, _, ck, _, _) in enumerate(rels)]
         )
         for i, (_, _, _, parent, pk) in enumerate(rels):
+            # DISTINCT parent keys: orphan-ness is key existence, so this
+            # is result-identical for unique-keyed parents and makes the
+            # group-fold's row-multiplication failure mode (a dirty parent
+            # corrupting every other relation's counts) structurally
+            # impossible. The aggregate's hashpartitioning(pk) is exactly
+            # the join's required distribution, so no extra join shuffle.
             j = j.join(
-                parent.select(F.col(pk).alias(f"_p{i}")),
+                parent.select(F.col(pk).alias(f"_p{i}")).distinct(),
                 F.col(f"_k{i}") == F.col(f"_p{i}"),
                 "left",
             )

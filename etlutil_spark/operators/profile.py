@@ -346,6 +346,7 @@ def group_mad_outliers(
     value_col: str,
     *,
     cutoff: float = 3.5,
+    max_group_rows: int = 1 << 22,
 ) -> DataFrame:
     """Robust per-group outlier summary via median/MAD (the modified
     z-score of Iglewicz-Hoberg): per group emit n, the exact median, the
@@ -376,6 +377,16 @@ def group_mad_outliers(
     for a third of the passes. Groups are assumed cardinality-bounded
     (event types, not user ids); use approx_percentile for unbounded
     keys.
+
+    Circuit breaker (r12 verdict item 4): that bounded-group assumption
+    is hard-load-bearing for three statistics at once, so a group whose
+    collected array exceeds ``max_group_rows`` RAISES (the
+    ``_grouped_rank_frame`` discipline — fail loudly at a declared
+    bound, never degrade silently into an OOM). The default (4M values
+    = 32 MB of doubles per group) is far above any cardinality-bounded
+    telemetry group and comfortably inside reducer memory, so the check
+    fires while the job is still healthy; raise it explicitly only when
+    a group is genuinely that large AND the executors have the memory.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     rows = df.where(F.col(value_col).isNotNull()).select(
@@ -391,9 +402,30 @@ def group_mad_outliers(
         return F.when(lo == hi, lo).otherwise(lo * F.lit(0.5) + hi * F.lit(0.5))
 
     med = F.col("med")
+    bound = int(max_group_rows)
+    guarded = F.when(
+        F.size("_a") > F.lit(bound),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "group_mad_outliers: a group's value array exceeds "
+                    f"max_group_rows={bound} (got "
+                ),
+                F.size("_a").cast("string"),
+                F.lit(
+                    " rows) — the group keys look unbounded (per-user/"
+                    "per-doc?); this operator's exact-median contract is "
+                    "cardinality-bounded groups. Use approx_percentile, or "
+                    "raise max_group_rows explicitly if the group is "
+                    "genuinely this large and memory allows."
+                ),
+            )
+        ),
+    ).otherwise(F.col("_a"))
     return (
         rows.groupBy(*groups)
         .agg(F.sort_array(F.collect_list("_v")).alias("_a"))
+        .withColumn("_a", guarded)
         .withColumn("med", _median(F.col("_a")))
         .withColumn(
             "mad",

@@ -69,6 +69,7 @@ def gap_fill(
     step: str = "interval 1 day",
     zero_fill: dict[str, float] | None = None,
     ffill_cols: list[str] | None = None,
+    pin_input: bool = True,
 ) -> DataFrame:
     """Regularize a keyed series: insert missing grid rows, then fill.
 
@@ -77,13 +78,18 @@ def gap_fill(
     neither stay NULL on gap rows. Observed rows pass through unchanged
     (zero_fill only replaces NULLs, and on-grid observed values are
     non-null by construction for counts/sums).
+
+    ``pin_input`` (default True) materializes the input once for its two
+    consumers (the spine's per-key min/max aggregate and the join side) —
+    right for the typical case where the input's lineage is an
+    aggregation over a raw fact table. A caller whose series is LARGE or
+    already materialized (a parquet read, a cached frame) should pass
+    ``pin_input=False``: pinning would copy the whole frame to pin
+    storage and sever pushdown into the source for no saved work.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    # df feeds the spine's per-key min/max aggregate AND the join's right
-    # side — pinned so its lineage (typically an aggregation over the raw
-    # fact table) runs once, not once per consumer; a gap-fill input is a
-    # keyed series, small relative to the data it was derived from
-    df = df.transform(pin)
+    if pin_input:
+        df = df.transform(pin)
     spine = time_spine(df, keys, ts_col, step=step)
     out = spine.join(df, [*keys, ts_col], "left")
     if zero_fill:

@@ -103,10 +103,14 @@ def dataset_digest(df: DataFrame) -> str:
     one listStatus per input DIRECTORY (not one py4j round-trip per
     file — a 100 TB table has tens of thousands of part files but few
     directories, and this runs on every warm ensure_* call); an
-    in-memory frame (no backing files) digests to the empty-list hash,
-    which is stable but cannot detect content changes — persist such
-    inputs first if staleness matters."""
+    in-memory frame (no backing files) has NO content identity at all,
+    so it digests to a unique per-call sentinel — an ensure_* store keyed
+    on it can never match and therefore always REBUILDS (r12 advice: a
+    constant empty-list hash silently served stale stores for view/
+    in-memory inputs); persist such inputs to files first if build-once
+    reuse matters."""
     import hashlib
+    import uuid
     import warnings
     from collections import defaultdict
 
@@ -118,11 +122,13 @@ def dataset_digest(df: DataFrame) -> str:
     if not input_files:
         warnings.warn(
             "dataset_digest: frame has no backing files (in-memory or view "
-            "input) — digest is the constant empty-list hash and CANNOT "
-            "detect content changes; persist the input first if staleness "
-            "matters",
+            "input) — content changes are undetectable, so the digest is a "
+            "per-call sentinel and any ensure_* store keyed on it will "
+            "REBUILD every call; persist the input to files first if "
+            "build-once reuse matters",
             stacklevel=2,
         )
+        return f"degenerate-{uuid.uuid4().hex}"
     for f in input_files:
         parent, _, name = f.rpartition("/")
         by_dir[parent].add(name)

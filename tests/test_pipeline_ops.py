@@ -1211,3 +1211,33 @@ class TestMinhashStore:
         d2 = self._write_docs(spark, src, self.ROWS[:3])
         assert ensure_minhash_store(spark, d2, path) == "built"
         assert read_minhash_cands(spark, path).count() < n_before
+
+
+class TestDegenerateDigestForcesRebuild:
+    """r12 advice item 4: an in-memory / view input has no file-backed
+    content identity, so its digest must never MATCH a stored one — a
+    constant empty-list hash would silently serve stale stores after the
+    input changed. The digest is now a per-call sentinel: the store
+    REBUILDS every call (RED on the old code, which returned 'reused')."""
+
+    def test_ensure_cluster_store_never_reuses_inmemory_input(
+        self, spark, tmp_path
+    ):
+        import warnings
+
+        from etlutil_spark.operators.dedup import ensure_cluster_store
+
+        d = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "the quick brown fox jumps over the lazy dog today"),
+            ],
+            "doc_id bigint, text string",
+        )
+        path = str(tmp_path / "clstore_mem")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert ensure_cluster_store(spark, d, path) == "built"
+            # same params, same in-memory frame: still BUILT, never reused
+            assert ensure_cluster_store(spark, d, path) == "built"
+        assert any("dataset_digest" in str(x.message) for x in w)

@@ -129,8 +129,12 @@ HEADLINE_BUDGETS = {
     # prefix census agg + tiny boiler broadcast + source summary agg
     "docs_strip_boilerplate": (4, 1),
     "multimodal_header_parse": (0, 0),  # map-side build + Arrow parse
-    # five 1-row audit aggregates over broadcast-parent left joins
-    "audit_fk_orphans": (5, 4),
+    # five 1-row audit aggregates over broadcast-parent left joins;
+    # r13: each parent side is its DISTINCT key projection (the group-fold
+    # row-multiplication guard) — +1 tiny dim-sized exchange per parent,
+    # bought deliberately: existence semantics made structurally safe, and
+    # at fact scale the distinct's hashpartitioning is reused by the join
+    "audit_fk_orphans": (8, 4),
     "docs_source_report": (3, 0),  # tokenize-once scan + source agg
     # late-r6: final assignment is scan -> project, centroids are literals
     "embeddings_kmeans": (0, 0),
@@ -501,7 +505,7 @@ HEADLINE_BUDGETS = {
     "dedup_cluster_sizes": (2, 0),  # cluster map from the persisted store
     # r10 capstone: composes FIVE audits (each its own keyed passes) +
     # five 1-row gate scalars crossJoined
-    "audit_release_gate": (20, 13),
+    "audit_release_gate": (21, 13),  # r13: +1 distinct-parent-key guard exchange (see audit_fk_orphans)
     # r10: one month-keyed aggregate; lag/rank windows + error reduce
     # run over the ~80-row monthly series
     "orders_forecast_backtest": (2, 0),

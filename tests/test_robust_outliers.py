@@ -33,6 +33,28 @@ class TestGroupMadOutliers:
         assert out["mad"] == 0.0
         assert out["n_outliers"] == 2
 
+    def test_circuit_breaker_trips_on_unbounded_group(self, spark):
+        """r12 verdict item 4: a group whose collected array exceeds
+        max_group_rows must RAISE (fail loudly before the pathological
+        shape grows), never degrade silently. RED on the pre-breaker
+        code (it silently computed the median of the oversized group)."""
+        import pytest
+        from pyspark.sql.utils import PySparkRuntimeError
+        from py4j.protocol import Py4JJavaError
+
+        big = spark.range(0, 500).selectExpr(
+            "'hot' AS grp", "CAST(id AS DOUBLE) AS value"
+        )
+        with pytest.raises(Exception, match="max_group_rows"):
+            group_mad_outliers(
+                big, "grp", "value", max_group_rows=100
+            ).collect()
+        # at or under the bound: computes normally
+        ok = group_mad_outliers(
+            big, "grp", "value", max_group_rows=500
+        ).collect()[0]
+        assert ok["n"] == 500
+
     def test_nulls_excluded(self, spark):
         df = spark.createDataFrame(
             [("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0)], "grp string, value double"

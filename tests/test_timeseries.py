@@ -211,3 +211,21 @@ class TestDecayWeight:
         # silently give undated rows full weight 1.0 under the clamp
         assert raw["undated"] is None
         assert clamped["undated"] is None
+
+
+class TestGapFillPinOptOut:
+    """r12 advice item 1: gap_fill's input pin is now caller-controlled.
+    pin_input=False must return identical rows (for large or
+    already-materialized inputs where pinning costs more than it saves)."""
+
+    def test_pin_input_false_identical(self, spark):
+        df = spark.createDataFrame(
+            [("a", "2024-01-01", 1.0), ("a", "2024-01-04", 4.0),
+             ("b", "2024-01-02", 2.0)],
+            "k string, d string, v double",
+        ).selectExpr("k", "CAST(d AS DATE) AS d", "v")
+        a = sorted(map(str, gap_fill(df, "k", "d", zero_fill={"v": 0.0}).collect()))
+        b = sorted(map(str, gap_fill(
+            df, "k", "d", zero_fill={"v": 0.0}, pin_input=False
+        ).collect()))
+        assert a == b and len(a) == 5
