@@ -166,6 +166,33 @@ def ngram_jaccard_pairs(
     the same sets (an unfiltered denominator would systematically
     underestimate similarity and silently drop near-threshold pairs).
     """
+    return (
+        _capped_pair_stats(df, id_col, text_col, n, max_shingle_freq)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _capped_pair_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """The Jaccard/containment family's shared pair stage: every
+    unordered pair (id_a < id_b) sharing at least one surviving shingle,
+    with (n_common, n_a, n_b) counted over the capped shingle universe.
+    Both similarity measures (and the cluster store's persisted pairs
+    table, schema v2) derive from these three integers."""
     sh = shingle_table(df, id_col, text_col, n)
 
     if max_shingle_freq is not None:
@@ -182,7 +209,7 @@ def ngram_jaccard_pairs(
     # Catalyst plans each consumer as its own scan->explode->cap subtree
     # (measured: 6 parquet scans + 6 Generate nodes per query, zero
     # ReusedExchange) — at corpus scale that is five redundant full
-    # passes. Lazy checkpoint: materializes inside the first consumer's
+    # passes. Lazy pin: materializes inside the first consumer's
     # job; storage is one copy of the capped shingle stream, the thing
     # the self-join must hold for its shuffle anyway.
     sh = sh.transform(pin)
@@ -199,20 +226,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def _perm_coeffs(n_hashes: int) -> list[tuple[int, int]]:
@@ -844,17 +858,25 @@ def build_cluster_store(
     """Materialize the candidate-pair table and the near-dup cluster map
     under ``path`` (overwrite-always; see :func:`ensure_cluster_store`
     for the build-once wrapper). The pair stage runs ONCE at threshold
-    0.0 — every candidate pair surviving the stop-shingle cap, with its
-    exact Jaccard — and the CC stage reads the PERSISTED pairs back, so
-    the expensive capped self-join is never executed twice."""
+    0.0 — every candidate pair surviving the stop-shingle cap — and the
+    CC stage reads the PERSISTED pairs back, so the expensive capped
+    self-join is never executed twice.
+
+    Pairs schema v2 (r12 verdict item 3): alongside the rounded jaccard,
+    the table carries the raw set statistics (n_common, n_a, n_b), so
+    BOTH similarity measures of the family are pure column arithmetic
+    over the stored ints — dedup_containment reads the same store the
+    jaccard-threshold family does instead of re-running the capped
+    self-join live."""
     base = path.rstrip("/")
-    pairs = ngram_jaccard_pairs(
-        docs,
-        id_col,
-        text_col,
-        n=n,
-        threshold=0.0,
-        max_shingle_freq=max_shingle_freq,
+    pairs = _capped_pair_stats(
+        docs, id_col, text_col, n, max_shingle_freq
+    ).withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ),
     )
     pairs.write.mode("overwrite").parquet(base + "/pairs")
     spark = docs.sparkSession
@@ -1022,6 +1044,10 @@ def ensure_cluster_store(
         "max_shingle_freq": (
             int(max_shingle_freq) if max_shingle_freq is not None else None
         ),
+        # layout version: v2 pairs carry (n_common, n_a, n_b) next to
+        # jaccard (r12 verdict item 3) — bumping this forces any v1 store
+        # to read as a param mismatch and rebuild
+        "pairs_schema": 2,
         "data": dataset_digest(docs),
     }
     cur = _resolve_store_version(spark, base, _CLUSTER_META)
@@ -1077,8 +1103,9 @@ def _cluster_store_data_dir(spark, path: str) -> str:
 
 
 def read_cluster_pairs(spark, path: str) -> DataFrame:
-    """The store's candidate-pair table (id_a, id_b, jaccard) — every
-    capped candidate pair at threshold 0.0; filter ``jaccard >= t``
+    """The store's candidate-pair table (id_a, id_b, n_common, n_a, n_b,
+    jaccard; schema v2) — every capped candidate pair at threshold 0.0;
+    filter ``jaccard >= t`` (or derive containment from the raw stats)
     for any downstream threshold (the predicate pushes to the scan)."""
     return spark.read.parquet(_cluster_store_data_dir(spark, path) + "/pairs")
 
@@ -1262,38 +1289,33 @@ def containment_pairs(
     same quadratic-group risk): ``max_shingle_freq`` drops the
     stop-shingle head to bound every join group, and containment is then
     measured over the surviving shingle universe on both sides so the
-    numerator and denominators describe the same sets.
+    numerator and denominators describe the same sets. Shares the
+    :func:`_capped_pair_stats` stage with ngram_jaccard_pairs — both
+    measures are pure column arithmetic over (n_common, n_a, n_b), which
+    is also why the cluster store's v2 pairs table can serve either
+    (see :func:`containment_from_pair_stats`).
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq_ok = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .where(F.col("df_") <= max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(freq_ok, "shingle")
-    # one materialization for three consumers — see ngram_jaccard_pairs
-    sh = sh.transform(pin)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    return containment_from_pair_stats(
+        _capped_pair_stats(df, id_col, text_col, n, max_shingle_freq),
+        threshold=threshold,
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+
+
+def containment_from_pair_stats(
+    stats: DataFrame, *, threshold: float
+) -> DataFrame:
+    """Containment columns + threshold filter over a (id_a, id_b,
+    n_common, n_a, n_b) pair-stats frame — live (:func:`containment_pairs`)
+    or persisted (the cluster store's v2 pairs table)."""
     cont_ab = F.round(F.col("n_common") / F.col("n_a"), 6)
     cont_ba = F.round(F.col("n_common") / F.col("n_b"), 6)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("cont_a_in_b", cont_ab)
+        stats.withColumn("cont_a_in_b", cont_ab)
         .withColumn("cont_b_in_a", cont_ba)
-        .where(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= F.lit(float(threshold)))
+        .where(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= F.lit(float(threshold))
+        )
         .select("id_a", "id_b", "n_common", "cont_a_in_b", "cont_b_in_a")
     )
 

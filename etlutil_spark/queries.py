@@ -7696,19 +7696,30 @@ def docs_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment pairs (operators/dedup.py:containment_pairs)
-    at threshold 0.5 — the excerpt/quote detector: a short doc copied
-    into a long one has near-zero Jaccard but containment ~1 from the
-    short side. Same bounded shingle equi-join as dedup_ngram_jaccard
-    (stop-shingle cap 50 keeps every join group finite); emits both
-    directions so the curation policy can keep the longer original and
-    drop the excerpt."""
-    from etlutil_spark.operators.dedup import containment_pairs
+    """Asymmetric containment pairs at threshold 0.5 — the excerpt/quote
+    detector: a short doc copied into a long one has near-zero Jaccard
+    but containment ~1 from the short side. Emits both directions so the
+    curation policy can keep the longer original and drop the excerpt.
 
-    d = load_table(spark, "documents", sf_dir)
-    return containment_pairs(
-        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=50
+    Served from the shared cluster store's v2 pairs table (r12 verdict
+    item 3): its exact params (n=3, cap 50) ARE the store's build
+    params, the store pairs are every capped candidate (threshold 0.0 ≡
+    n_common >= 1, the same universe containment_pairs builds), and the
+    stored (n_common, n_a, n_b) make containment a pure projection +
+    filter over one pruned parquet scan — the capped self-join no longer
+    re-runs live here. The live pair stage stays exercised by
+    dedup_ngram_jaccard (the family's live flagship), and
+    containment-from-stats equivalence is pinned by
+    tests/test_robust_outliers.py + the DuckDB oracle."""
+    from etlutil_spark.operators.dedup import (
+        containment_from_pair_stats,
+        read_cluster_pairs,
     )
+
+    stats = read_cluster_pairs(spark, _dedup_cluster_store(spark, sf_dir)).select(
+        "id_a", "id_b", "n_common", "n_a", "n_b"
+    )
+    return containment_from_pair_stats(stats, threshold=0.5)
 
 
 @register(

@@ -1241,3 +1241,47 @@ class TestDegenerateDigestForcesRebuild:
             # same params, same in-memory frame: still BUILT, never reused
             assert ensure_cluster_store(spark, d, path) == "built"
         assert any("dataset_digest" in str(x.message) for x in w)
+
+
+class TestClusterStoreV2Containment:
+    """r12 verdict item 3: the store's v2 pairs table carries
+    (n_common, n_a, n_b), so containment is a projection over the stored
+    ints. Store-served containment must equal the live operator."""
+
+    def test_store_containment_equals_live(self, spark, tmp_path):
+        from etlutil_spark.operators.dedup import (
+            containment_from_pair_stats,
+            containment_pairs,
+            ensure_cluster_store,
+            read_cluster_pairs,
+        )
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta"),  # contained excerpt of 1
+            (3, "totally unrelated words only here now"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+        d = spark.read.parquet(str(tmp_path / "docs"))
+        path = str(tmp_path / "clstore_v2")
+        ensure_cluster_store(
+            spark, d, path, id_col="doc_id", text_col="text", n=3,
+            threshold=0.6, max_shingle_freq=50,
+        )
+        live = sorted(
+            map(str, containment_pairs(
+                d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=50
+            ).collect())
+        )
+        served = sorted(
+            map(str, containment_from_pair_stats(
+                read_cluster_pairs(spark, path).select(
+                    "id_a", "id_b", "n_common", "n_a", "n_b"
+                ),
+                threshold=0.5,
+            ).collect())
+        )
+        assert served == live and len(live) >= 1
