@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 
-from etlutil_spark.operators.util import pin
+from etlutil_spark.operators.util import pin, pin_eager
 from pyspark.sql import functions as F
 
 from etlutil_spark.functions.text import tokens
@@ -88,16 +88,44 @@ def bpe_train_merges(
         .groupBy("tk")
         .agg(F.count("*").alias("c"))
     )
-    # eager=False: the checkpoint still materializes exactly once (at the
-    # first round's pair-count collect) and still truncates lineage, but
-    # the materialization rides THAT job instead of scheduling one of its
-    # own — at k rounds this halves the trainer's job count (the per-job
-    # scheduling floor dominates small-vocab rounds; at scale it removes
-    # k redundant full passes' worth of job setup).
+    # EAGER pin here, deliberately (r12 verdict item 5): the corpus-sized
+    # tokenize+vocab aggregate materializes NOW, under AQE (skew handling
+    # and partition coalescing matter for the one pass that scales with
+    # data). Everything after this line is vocabulary-sized.
     seg = vocab.select(
         bracketed_chars("tk").alias("w"), F.col("c")
-    ).transform(pin)
+    ).transform(pin_eager)
+    spark = df.sparkSession
     merges: list[tuple[str, str]] = []
+    # AQE OFF for the k merge rounds: each round is one tiny vocab-keyed
+    # exchange feeding a 1-row top-pair collect, and AQE schedules every
+    # exchange as a job of its own (measured: 2 jobs/round with AQE, 1
+    # without — identical winning pairs both ways; the round's lazy
+    # re-segmentation pin rides the same job). AQE buys nothing on a
+    # Heaps-small bounded exchange and costs k scheduled jobs per train.
+    # Without AQE the rounds would fall back to the static
+    # spark.sql.shuffle.partitions (mostly-empty tasks on a vocab-sized
+    # exchange — measured: AQE-off alone REGRESSED wall), so the rounds'
+    # partition count is derived from the pinned vocabulary's own
+    # materialized partition count: scale-adaptive (grows with |vocab|,
+    # 1 at tiny SF), not a constant tuned for either local mode or the
+    # cluster. Session-scoped conf flips, restored in finally; the
+    # trainer runs sequentially (no concurrent driver threads share
+    # this session).
+    nparts = max(1, seg.rdd.getNumPartitions())
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        _train_rounds(seg, merges, k)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return merges
+
+
+def _train_rounds(seg: DataFrame, merges: list[tuple[str, str]], k: int) -> None:
     for _ in range(k):
         syms = _symbols(F.col("w"))
         # The size>=2 guard must sit BELOW the explode projection: on a
@@ -137,7 +165,6 @@ def bpe_train_merges(
         seg = seg.select(
             merge_replace(F.col("w"), a, b).alias("w"), "c"
         ).transform(pin)
-    return merges
 
 
 def bpe_segmentation(tok: Column | str, merges: list[tuple[str, str]]) -> Column:

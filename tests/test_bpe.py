@@ -105,6 +105,37 @@ class TestTraining:
         with pytest.raises(ValueError, match="k must be"):
             bpe_train_merges(df, "text", k=0)
 
+    def test_round_confs_restored_after_training(self, spark):
+        # the trainer flips AQE off and pins shuffle.partitions to the
+        # vocab's partition count for the merge rounds; both session
+        # confs must come back to their pre-call values
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        parts = spark.conf.get("spark.sql.shuffle.partitions")
+        df = spark.createDataFrame([("the theme there",)], "text string")
+        bpe_train_merges(df, "text", k=2)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
+        assert spark.conf.get("spark.sql.shuffle.partitions") == parts
+
+    def test_round_confs_restored_on_error(self, spark):
+        # restoration must also hold when a round dies mid-loop
+        import etlutil_spark.operators.bpe as B
+
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        parts = spark.conf.get("spark.sql.shuffle.partitions")
+        df = spark.createDataFrame([("abc abc",)], "text string")
+        orig = B._train_rounds
+        try:
+            def boom(seg, merges, k):
+                raise RuntimeError("round died")
+
+            B._train_rounds = boom
+            with pytest.raises(RuntimeError, match="round died"):
+                bpe_train_merges(df, "text", k=2)
+        finally:
+            B._train_rounds = orig
+        assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
+        assert spark.conf.get("spark.sql.shuffle.partitions") == parts
+
 
 class TestVocabEncode:
     """The large-k encode path: segmentation table + join must agree
