@@ -508,3 +508,80 @@ class TestScd2CdcDeletes:
         )  # predates key 2's tombstone at 25
         with _pytest.raises(ValueError, match="out-of-order"):
             scd2_apply_cdc(dim, late, "k", "ts", "st", strict=True)
+
+
+class TestScd2ApplyComposedInvariant:
+    """Re-prove the scd2_apply_incremental 'strict probe off' relaxation
+    (r12's only semantics-adjacent change; r12 verdict item 7): the
+    query's composition — ONE literal splits a (key, ts)-unique compacted
+    log into dim (< split) and batch (>= split) — guarantees the
+    in-order contract BY CONSTRUCTION, and the probe retained in
+    scd2_apply still fails loudly the moment an upstream violation
+    sneaks in."""
+
+    def _composed(self, spark, split):
+        """Mirror scd2_apply_incremental's exact construction at the
+        driver's correctness SF (sf0.01 — the 'larger SF' re-proof)."""
+        from etlutil_spark.operators.compact import latest_by_key
+        from etlutil_spark.sources.testdata import load_table
+
+        o = load_table(spark, "orders", "/root/testdata/sf0.01")
+        log = latest_by_key(
+            o.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+            ["o_custkey", "o_orderdate"],
+            "o_orderkey",
+        ).select("o_custkey", "o_orderdate", "o_orderpriority")
+        cut = F.lit(split).cast("timestamp")
+        dim = scd2_intervals(
+            log.where(F.col("o_orderdate") < cut),
+            "o_custkey", "o_orderdate", "o_orderpriority",
+        )
+        batch = log.where(F.col("o_orderdate") >= cut)
+        return log, dim, batch
+
+    @pytest.mark.parametrize(
+        "split",
+        [
+            "1993-01-01 00:00:00",  # early: most keys straddle or are post-only
+            "1997-01-01 00:00:00",  # the query's own split
+            "1998-06-01 00:00:00",  # late: many keys entirely pre-split
+        ],
+    )
+    def test_probe_never_fires_and_equals_full_recompute(self, spark, split):
+        # strict=True: if the by-construction argument were wrong at ANY
+        # split point, the probe would raise here
+        log, dim, batch = self._composed(spark, split)
+        inc = scd2_apply(
+            dim, batch, "o_custkey", "o_orderdate", "o_orderpriority",
+            strict=True,
+        )
+        full = scd2_intervals(
+            log, "o_custkey", "o_orderdate", "o_orderpriority"
+        )
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        ), split
+
+    def test_poisoned_upstream_fails_loudly(self, spark):
+        # violate the invariant upstream: one batch row predates its
+        # key's open run (possible only if the split were NOT a single
+        # literal over one log). The composed path with the retained
+        # probe must fail loudly, never silently rebuild wrong runs.
+        _, dim, batch = self._composed(spark, "1997-01-01 00:00:00")
+        victim = dim.where(F.col("is_current") == 1).limit(1).collect()[0]
+        poison = spark.createDataFrame(
+            [(victim["o_custkey"],)], "o_custkey bigint"
+        ).select(
+            "o_custkey",
+            (F.lit(victim["valid_from"]) - F.expr("INTERVAL 1 DAY")).alias(
+                "o_orderdate"
+            ),
+            F.lit("9-POISON").alias("o_orderpriority"),
+        )
+        with pytest.raises(ValueError, match="out-of-order"):
+            scd2_apply(
+                dim,
+                batch.unionByName(poison),
+                "o_custkey", "o_orderdate", "o_orderpriority",
+                strict=True,
+            )
