@@ -2181,19 +2181,35 @@ def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE orders pass computes BOTH periods' per-customer R/F/M
     triples as conditional aggregates (r12 — the old form ran a separate
     period-filtered aggregate per half, two full fact scans), pinned and
-    split into the two period frames; each is scored by the same
+    split into the two period frames; each axis is scored by the same
     single-partition-free exact-NTILE machinery as orders_rfm_segments
     (quantiles.exact_ntile — range repartition + rank offsets,
-    customer-key tiebreaks), one customer-keyed join, one cell
-    aggregate. A customer absent from a period (zero orders) is absent
-    from that period's frame exactly as with the filtered scans.
-    Determinism: exact DECIMAL monetary sums, ANSI NTILE equivalence
-    pinned by the shared oracle phrasing."""
+    customer-key tiebreaks). r13: the SIX ntile axes (R/F/M x two
+    periods) are independent functions of the pinned base — an axis's
+    bucket depends only on its own (value, custkey) total order, never
+    on another axis's output — so instead of two 3-deep sequential
+    chains that range-shuffle the full accumulating frame per axis,
+    each axis range-shuffles a NARROW (custkey, value) projection
+    (guide §2.3: project before the exchange) and all six run
+    CONCURRENTLY from a driver thread pool (guide §2.6: each axis's
+    range-sample + count-collect jobs back-fill the others' driver
+    round-trips). Re-attachment is five custkey equi-joins of
+    (custkey, bucket) tables + one cell aggregate. A customer absent
+    from a period (zero orders) is absent from that period's frame
+    exactly as with the filtered scans. Determinism: exact DECIMAL
+    monetary sums, ANSI NTILE equivalence pinned by the shared oracle
+    phrasing; thread scheduling cannot reorder results (each axis is
+    deterministic in isolation and joins are keyed)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from etlutil_spark.operators.quantiles import exact_ntile
+    from etlutil_spark.operators.util import pin_eager
 
     o = load_table(spark, "orders", sf_dir)
     in_p1 = F.to_date("o_orderdate") <= F.lit("1996-12-31")
     amt = F.col("o_totalprice").cast("decimal(38,4)")
+    # EAGER pin: six threads fork right after this and share the frame;
+    # materializing it first means no thread races the checkpoint
     per_cust = (
         o.groupBy("o_custkey")
         .agg(
@@ -2204,37 +2220,57 @@ def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~in_p1, F.lit(1))).alias("_f2"),
             F.sum(F.when(~in_p1, amt)).alias("_m2"),
         )
-        .transform(pin)
+        .transform(pin_eager)
     )
 
-    def _score(last, freq, mon, as_of, seg_name):
-        base = (
-            per_cust.where(F.col(freq) > 0)
+    def _axis(freq, value, bucket_col):
+        """One ntile axis: narrow (custkey, value) frame -> (custkey,
+        bucket). Runs in its own driver thread; only the range-sample
+        and offset-collect jobs execute here."""
+        base = per_cust.where(F.col(freq) > 0).select("o_custkey", value)
+        vcol = base.columns[1]
+        d = exact_ntile(base, 4, [vcol, "o_custkey"], bucket_col=bucket_col)
+        return d.select("o_custkey", bucket_col)
+
+    axes = [
+        (
+            "_f1",
+            F.datediff(F.lit("1996-12-31").cast("date"), F.col("_last1")).alias(
+                "_r1"
+            ),
+            "r_q1",
+        ),
+        ("_f1", (-F.col("_f1")).alias("_nf1"), "f_q1"),
+        ("_f1", (-F.col("_m1")).alias("_nm1"), "m_q1"),
+        (
+            "_f2",
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("_last2")).alias(
+                "_r2"
+            ),
+            "r_q2",
+        ),
+        ("_f2", (-F.col("_f2")).alias("_nf2"), "f_q2"),
+        ("_f2", (-F.col("_m2")).alias("_nm2"), "m_q2"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(axes)) as pool:
+        r1, f1, m1, r2, f2, m2 = pool.map(lambda a: _axis(*a), axes)
+
+    def _seg(r, f, m, seg_name):
+        return (
+            r.join(f, "o_custkey")
+            .join(m, "o_custkey")
             .select(
                 "o_custkey",
-                F.datediff(F.lit(as_of).cast("date"), F.col(last)).alias(
-                    "recency_days"
-                ),
-                F.col(freq).alias("frequency"),
-                F.col(mon).alias("monetary"),
+                F.concat(
+                    F.col(r.columns[1]).cast("string"),
+                    F.col(f.columns[1]).cast("string"),
+                    F.col(m.columns[1]).cast("string"),
+                ).alias(seg_name),
             )
-            .withColumn("_neg_f", -F.col("frequency"))
-            .withColumn("_neg_m", -F.col("monetary"))
-        )
-        d = exact_ntile(base, 4, ["recency_days", "o_custkey"], bucket_col="r_q")
-        d = exact_ntile(d, 4, ["_neg_f", "o_custkey"], bucket_col="f_q")
-        d = exact_ntile(d, 4, ["_neg_m", "o_custkey"], bucket_col="m_q")
-        return d.select(
-            "o_custkey",
-            F.concat(
-                F.col("r_q").cast("string"),
-                F.col("f_q").cast("string"),
-                F.col("m_q").cast("string"),
-            ).alias(seg_name),
         )
 
-    p1 = _score("_last1", "_f1", "_m1", "1996-12-31", "seg_p1")
-    p2 = _score("_last2", "_f2", "_m2", "1998-12-31", "seg_p2")
+    p1 = _seg(r1, f1, m1, "seg_p1")
+    p2 = _seg(r2, f2, m2, "seg_p2")
     return (
         p1.join(p2, "o_custkey")
         .groupBy("seg_p1", "seg_p2")
