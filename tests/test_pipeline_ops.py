@@ -146,6 +146,39 @@ class TestSimilarity:
         got = knn_join(left, right, k=2).where(F.col("id_a") == 0).collect()
         assert got and got[0].id_b == 1
 
+    def test_knn_join_hot_bucket_skew(self, spark):
+        """Deliberately skewed fixture (r12 verdict item 9): most vectors
+        collapse into ONE LSH bucket. Under the forced-shuffle 100 TB
+        shape (auto-broadcast off, AQE skew-join on) the hot bucket must
+        neither wedge nor change results vs the broadcast plan."""
+        import random
+
+        rng = random.Random(7)
+        # 60 near-identical vectors (one hot bucket) + 12 scattered
+        rows = [
+            (i, [1.0 + rng.uniform(-1e-3, 1e-3) for _ in range(8)])
+            for i in range(60)
+        ] + [
+            (100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        left = df.selectExpr("vec_id as id_a", "embedding")
+        right = df.selectExpr("vec_id as id_b", "embedding")
+        expected = sorted(
+            map(tuple, knn_join(left, right, k=3, n_planes=4).collect())
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            forced = knn_join(left, right, k=3, n_planes=4)
+            assert sorted(map(tuple, forced.collect())) == expected
+            # the 100 TB shape really is shuffle-based under this conf
+            plan = forced._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
     def test_adaptive_n_planes_scales_with_corpus(self):
         from etlutil_spark.operators.similarity import adaptive_n_planes
 
