@@ -16364,8 +16364,18 @@ def docs_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_keep"),
     )
-    p = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).agg(
-        F.count("*").cast("bigint").alias("n_neardup_pairs")
+    # near-dup pair volume reads the persisted cluster store (r13): the
+    # card's production threshold and params ARE the store's build
+    # params, and the stored rounded jaccard is the exact value the live
+    # query filters on — the same serve-from-store equivalence
+    # dedup_threshold_sweep and docs_split_leakage_neardup already use.
+    # The live pair stage stays exercised by dedup_ngram_jaccard itself.
+    from etlutil_spark.operators.dedup import read_cluster_pairs
+
+    p = (
+        read_cluster_pairs(spark, _dedup_cluster_store(spark, sf_dir))
+        .where(F.col("jaccard") >= _NEARDUP_THRESHOLD)
+        .agg(F.count("*").cast("bigint").alias("n_neardup_pairs"))
     )
     ct = QUERIES["docs_contamination"](spark, sf_dir).agg(
         F.count("*").cast("bigint").alias("n_contaminated")
