@@ -12623,7 +12623,14 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
     )
-    x = o.select(
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    # the x100 explode + per-row md5 is the query's dominant CPU; the
+    # one-year cohort survives the scan in a single input split, which
+    # would serialize all of it on one core (guide §2.5 input skew) --
+    # spread the narrow cohort first (no-op at scale, where the scan
+    # already arrives in many partitions)
+    x = ensure_min_partitions(o).select(
         "k", "p",
         F.explode(F.sequence(F.lit(1).cast("bigint"), F.lit(B).cast("bigint"))).alias("b"),
     )
