@@ -13356,10 +13356,19 @@ def events_trending_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
     weeks = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"]
+    # every weekly batch is consumed TWICE inside the fold (its sketch
+    # aggregate + its candidate-key distinct), so deriving the four
+    # batches straight from the table re-scanned events 8x. Pin ONE
+    # narrow (user_id, day) projection restricted to the fold's window
+    # (guide §2.3/§5); each batch is then a filter over the pin —
+    # identical rows, one scan.
+    base = (
+        ev.select("user_id", F.to_date("ts").alias("_d"))
+        .where(F.col("_d").between(weeks[0], _date_plus(weeks[-1], 6)))
+        .transform(pin)
+    )
     batches = [
-        ev.where(
-            F.to_date("ts").between(w, _date_plus(w, 6))
-        ).select("user_id")
+        base.where(F.col("_d").between(w, _date_plus(w, 6))).select("user_id")
         for w in weeks
     ]
     return trending_fold_batches(
