@@ -8758,6 +8758,10 @@ def lineitem_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_q")
         )
         .withColumn("_neg", -F.col("rev_q"))
+        # TWO consumers (the cumsum chain and the grand-total scalar)
+        # otherwise each re-run the lineitem part-keyed aggregate — pin
+        # the per-part revenue table once (r13; guide §5)
+        .transform(pin)
     )
     c = exact_cumsum(pr, "rev_q", ["_neg", "l_partkey"], cumsum_col="cum_q")
     tot = pr.groupBy().agg(F.sum("rev_q").cast("bigint").alias("tot_q"))
