@@ -154,13 +154,20 @@ def cms_sketch(
     width: int = 1024,
     depth: int = 4,
     seed: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch table: one row per (hash row j, bucket) with the
     collision-summed count. Size is depth*width regardless of input — the
     fixed-memory frequency summary (Cormode & Muthukrishnan 2005).
     Overestimates only: est(x) >= true(x), with error <= 2N/width at 95%
     for depth 4. Each input row explodes into ``depth`` (j, bucket) rows
-    pre-aggregation; map-side partials collapse them immediately."""
+    pre-aggregation; map-side partials collapse them immediately.
+
+    ``weight_col``: treat each row as that many occurrences of its key.
+    A cell is the sum of its keys' counts, so sketching a pre-collapsed
+    (key, count) table with ``weight_col`` is BIT-IDENTICAL to sketching
+    the raw rows — at ``depth`` hashes per ROW, collapsing first cuts
+    the hash work from row count to distinct-key count (guide §2.3)."""
     if width < 2 or depth < 1:
         raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
     # NULL values are not countable by hash (NULL bucket on one engine,
@@ -180,11 +187,18 @@ def cms_sketch(
             ]
         )
     )
+    if weight_col is None:
+        return (
+            df.select(pairs.alias("p"))
+            .select("p.j", "p.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
     return (
-        df.select(pairs.alias("p"))
-        .select("p.j", "p.bucket")
+        df.select(pairs.alias("p"), F.col(weight_col).alias("_w"))
+        .select("p.j", "p.bucket", "_w")
         .groupBy("j", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("_w").cast("bigint").alias("c"))
     )
 
 
@@ -295,6 +309,7 @@ def countsketch_table(
     width: int = 512,
     depth: int = 5,
     seed: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-sketch / Fast-AGMS table (Charikar-Chen-Farach-Colton;
     Cormode-Garofalakis): like the count-min table but each occurrence
@@ -309,7 +324,10 @@ def countsketch_table(
     One keyed aggregate collapsing the table to depth*width signed
     counters; both hashes ride the portable md5 family so every cell is
     engine-reproducible. ``depth`` should be odd (deterministic exact
-    median)."""
+    median). ``weight_col``: as in :func:`cms_sketch` — each row counts
+    as that many signed occurrences of its key; sketching a
+    pre-collapsed (key, count) table is bit-identical to raw rows and
+    cuts the 2x``depth`` hashes per row to per distinct key."""
     if width < 2 or depth < 1:
         raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
     df = df.where(F.col(value_col).isNotNull())
@@ -335,11 +353,18 @@ def countsketch_table(
             ]
         )
     )
+    if weight_col is None:
+        return (
+            df.select(pairs.alias("p"))
+            .select("p.j", "p.bucket", "p.sgn")
+            .groupBy("j", "bucket")
+            .agg(F.sum("sgn").cast("bigint").alias("c"))
+        )
     return (
-        df.select(pairs.alias("p"))
-        .select("p.j", "p.bucket", "p.sgn")
+        df.select(pairs.alias("p"), F.col(weight_col).alias("_w"))
+        .select("p.j", "p.bucket", (F.col("p.sgn") * F.col("_w")).alias("_sw"))
         .groupBy("j", "bucket")
-        .agg(F.sum("sgn").cast("bigint").alias("c"))
+        .agg(F.sum("_sw").cast("bigint").alias("c"))
     )
 
 

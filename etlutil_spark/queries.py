@@ -4135,15 +4135,48 @@ def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets with grouping_id — all four aggregation levels
-    in one pass (Spark expands grouping sets inside a single shuffle;
-    partial aggregation still applies per set)."""
+    """CUBE grouping sets with grouping_id — all four aggregation
+    levels. r13: one exact-DECIMAL detail aggregate over the corpus;
+    the three coarser levels (both margins + grand total) fold the
+    pinned |flags| x |statuses| detail table instead of the cube's
+    Expand replicating every corpus row 4x (guide §2.3: aggregate
+    before you replicate; DECIMAL addition is associative so the folded
+    sums are bit-identical, doubles appear only in the final casts).
+    gid matches grouping_id(): detail 0, status-margin 1, flag-margin
+    2, grand total 3."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    detail = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).alias("_sq"),
+        )
+        .transform(pin)
+    )
+
+    def _roll(keys: list[str], gone: list[str], gid: int) -> DataFrame:
+        gb = detail.groupBy(*keys) if keys else detail.groupBy()
+        out = gb.agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("_sq").alias("_sq"),
+        )
+        for c in gone:
+            out = out.withColumn(c, F.lit(None).cast("string"))
+        return out.withColumn("gid", F.lit(gid).cast("bigint"))
+
+    rows = (
+        detail.withColumn("gid", F.lit(0).cast("bigint"))
+        .unionByName(_roll(["l_returnflag"], ["l_linestatus"], 1))
+        .unionByName(_roll(["l_linestatus"], ["l_returnflag"], 2))
+        .unionByName(_roll([], ["l_returnflag", "l_linestatus"], 3))
+    )
+    return rows.select(
+        "l_returnflag",
+        "l_linestatus",
+        "gid",
+        "n",
+        F.col("_sq").cast("double").alias("sum_qty"),
+    )
 
 
 @register(
@@ -9888,31 +9921,57 @@ def sample_correlated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the grouping lattice cube/rollup can't
     express: the (flag, status) detail plus BOTH one-dimension margins,
-    WITHOUT the grand total. Spark plans this as a single Expand (one
-    scan, rows replicated once per set) feeding one hash aggregate —
-    the same one-shuffle shape as pricing_cube, with map-side partials
-    bounding the replicated volume by |sets| x |groups|. The grouping
-    id is emitted explicitly (flag-bit * 2 + status-bit) so the margin
-    rows are distinguishable from genuine NULL group values in both
-    engines."""
+    WITHOUT the grand total. One detail aggregate runs over the corpus
+    in exact DECIMAL; both margins fold the pinned detail table instead
+    of Expand-replicating every corpus row once per set (see the inline
+    note). The grouping id is emitted explicitly (flag-bit * 2 +
+    status-bit) so the margin rows are distinguishable from genuine
+    NULL group values in both engines."""
     li = load_table(spark, "lineitem", sf_dir)
-    g = li.groupingSets(
-        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+    # r13: the groupingSets form planned an Expand replicating every
+    # corpus row once per set (3x the rows through the hash aggregate).
+    # ONE detail aggregate runs over the corpus in exact DECIMAL; both
+    # margins fold the pinned |flags| x |statuses| detail table (guide
+    # §2.3: aggregate before you replicate). DECIMAL addition is
+    # associative, so margin sums of detail sums are bit-identical to
+    # margin sums over raw rows; doubles appear only in the final casts,
+    # exactly as before.
+    detail = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias(
+                "_rev"
+            ),
+            F.count("*").cast("bigint").alias("_n"),
+        )
+        .transform(pin)
+    )
+
+    def _margin(key: str, gone: str, gid: int) -> DataFrame:
+        return (
+            detail.groupBy(key)
+            .agg(
+                F.sum("_sq").alias("_sq"),
+                F.sum("_rev").alias("_rev"),
+                F.sum("_n").cast("bigint").alias("_n"),
+            )
+            .withColumn(gone, F.lit(None).cast("string"))
+            .withColumn("gid", F.lit(gid).cast("bigint"))
+        )
+
+    rows = (
+        detail.withColumn("gid", F.lit(0).cast("bigint"))
+        .unionByName(_margin("l_returnflag", "l_linestatus", 1))
+        .unionByName(_margin("l_linestatus", "l_returnflag", 2))
+    )
+    return rows.select(
         "l_returnflag",
         "l_linestatus",
-    )
-    return g.agg(
-        (
-            F.grouping("l_returnflag").cast("bigint") * 2
-            + F.grouping("l_linestatus").cast("bigint")
-        ).alias("gid"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
-        .cast("double")
-        .alias("revenue"),
-        F.count("*").cast("bigint").alias("n"),
-    ).select(
-        "l_returnflag", "l_linestatus", "gid", "sum_qty", "revenue", "n"
+        "gid",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_rev").cast("double").alias("revenue"),
+        F.col("_n").alias("n"),
     )
 
 
@@ -13607,20 +13666,31 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     width = 512
     # each side feeds THREE full-table consumers (CMS build, countsketch
-    # build, exact-join ground truth); pin the single-key projections so
-    # each table is scanned once, not three times
+    # build, exact-join ground truth). r13: collapse each side to its
+    # DISTINCT-KEY frequency table first and pin THAT — every consumer
+    # is a pure function of the key frequencies (a sketch cell is the
+    # sum of its keys' counts; |A join B| = sum_k fA(k) fB(k)), so the
+    # 14 md5 hashes per ROW become 14 per distinct key, and the exact
+    # ground truth joins two key tables instead of the raw fact rows
+    # (guide §2.3: aggregate before you replicate). Bit-identical by
+    # construction; pinned weighted-sketch equivalence in
+    # tests/test_sketch_ops.py.
     ev = (
         load_table(spark, "events", sf_dir)
-        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("_w"))
         .transform(pin)
     )
     o = (
         load_table(spark, "orders", sf_dir)
-        .select(F.col("o_custkey").alias("user_id"))
+        .where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count("*").cast("bigint").alias("_w"))
         .transform(pin)
     )
-    cma = cms_sketch(ev, "user_id", width=width, depth=4, seed="jce")
-    cmb = cms_sketch(o, "user_id", width=width, depth=4, seed="jce")
+    cma = cms_sketch(ev, "user_id", width=width, depth=4, seed="jce", weight_col="_w")
+    cmb = cms_sketch(o, "user_id", width=width, depth=4, seed="jce", weight_col="_w")
     cmip = (
         cma.alias("a")
         .join(cmb.alias("b"), ["j", "bucket"])
@@ -13628,17 +13698,27 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("est"))
     )
     cms_est = cmip.agg(F.min("est").cast("bigint").alias("cms_est"))
-    csa = countsketch_table(ev, "user_id", width=width, depth=5, seed="jce")
-    csb = countsketch_table(o, "user_id", width=width, depth=5, seed="jce")
+    csa = countsketch_table(
+        ev, "user_id", width=width, depth=5, seed="jce", weight_col="_w"
+    )
+    csb = countsketch_table(
+        o, "user_id", width=width, depth=5, seed="jce", weight_col="_w"
+    )
     agms = countsketch_join_size(csa, csb).select(
         F.col("est_size").cast("bigint").alias("agms_est")
     )
+    # |A join B| = sum_k fA(k) * fB(k) over the shared keys — exact,
+    # computed on the two key tables instead of a raw-row join
     tru = (
         ev.join(
-            o.select(F.col("user_id").alias("o_custkey")),
+            o.select(F.col("user_id").alias("o_custkey"), F.col("_w").alias("_wb")),
             F.col("user_id") == F.col("o_custkey"),
         )
-        .agg(F.count("*").cast("bigint").alias("true_size"))
+        .agg(
+            F.coalesce(F.sum(F.col("_w") * F.col("_wb")), F.lit(0))
+            .cast("bigint")
+            .alias("true_size")
+        )
     )
     return (
         tru.crossJoin(cms_est)

@@ -51,7 +51,9 @@ HEADLINE_BUDGETS = {
     "events_hopping_counts": (1, 0),
     "events_session_window_30m": (1, 0),
     "events_value_outliers": (1, 1),  # broadcast moments join
-    "pricing_cube": (1, 0),  # all grouping sets inside one shuffle
+    # r13: no Expand — detail aggregate + three metadata-scale folds
+    # of the pinned detail table (see pricing_grouping_sets)
+    "pricing_cube": (3, 0),
     "lineitem_rollup_maintenance": (2, 0),
     "orders_monthly_price_rank": (1, 0),
     # r5 additions
@@ -153,10 +155,11 @@ HEADLINE_BUDGETS = {
     "docs_url_normalize": (0, 0),
     # hourly count agg + trailing-baseline window over the collapsed series
     "events_hourly_anomaly": (2, 0),
-    # bounded shingle equi-join — identical AQE-final shape to
-    # dedup_ngram_jaccard (shingle subtree feeds freq-cap, sizes, and
-    # both join sides; AQE folds the tiny summary joins to broadcasts)
-    "dedup_containment": (10, 1),
+    # r13: served from the cluster store's v2 pairs table — one pruned
+    # parquet scan, containment derived from the stored (n_common, n_a,
+    # n_b); zero shuffles, zero broadcasts (the store build pays the
+    # capped self-join once)
+    "dedup_containment": (0, 0),
     # one scan + one source-keyed aggregate
     "docs_pii_report": (1, 0),
     # url + quality projection, one domain-keyed aggregate
@@ -260,8 +263,10 @@ HEADLINE_BUDGETS = {
     "dedup_fuzzy_edit": (2, 2),
     # map-side hash sample on the dim + one fact join + segment agg
     "sample_correlated_join": (2, 1),
-    # one Expand feeding one hash aggregate — same shape as pricing_cube
-    "pricing_grouping_sets": (1, 0),
+    # r13: no Expand — one exact-DECIMAL detail aggregate over the
+    # corpus, both margins fold the pinned 6-row detail (the second
+    # exchange is metadata-scale)
+    "pricing_grouping_sets": (2, 0),
     # token first-occurrence agg is the data pass; per-source ntile window
     # + two 4-rows-per-source aggregates joined back
     "docs_vocab_growth": (6, 2),
@@ -394,9 +399,13 @@ HEADLINE_BUDGETS = {
     # r9: unigram agg + zip-shifted bigram agg + two keyed joins onto
     # the Heaps'-law unigram table + two 1-row scalars crossJoined
     "docs_pmi_collocations": (6, 3),
-    # r9: two period aggregates through exact_ntile's range
-    # repartitions + one customer-keyed join + cell aggregate
-    "customer_rfm_migration": (6, 0),
+    # r13: six concurrent NARROW (custkey, value) ntile axes re-attached
+    # with custkey equi-joins — more exchanges than the old two 3-deep
+    # chains (which hid their range shuffles behind pins), but each
+    # carries 2 columns instead of the full accumulating frame, and the
+    # axes overlap (measured 5.5 -> 4.1 s; fewer jobs/tasks: 42/1098 ->
+    # 26/856). 12 join-side hash exchanges + the cell aggregate.
+    "customer_rfm_migration": (13, 0),
     # r9: (source,token)-count pass + pair-grid expansion over the
     # Heaps'-law vocab (15-row pair side broadcast) + two keyed joins
     "docs_js_divergence_sources": (6, 4),
@@ -537,7 +546,10 @@ HEADLINE_BUDGETS = {
     # r10 capstone: composes FOUR docs audits + four 1-row card scalars
     # r12: the shared shingle checkpoint lets Catalyst reuse one
     # BroadcastExchange across the dup-span leg (8 -> 7, all joins broadcast)
-    "docs_release_card": (22, 7),  # split-leak leg reads the persisted store
+    # r13: the near-dup leg now reads the persisted store too (2 of the
+    # old broadcasts were the live pair stage's); split-leak + near-dup
+    # legs are pruned store scans
+    "docs_release_card": (12, 5),
     # r10: one capped pair pass + 6-literal threshold broadcast
     "dedup_threshold_sweep": (1, 1),  # pair table from the persisted store
     # r10: serving reads the keyed store (|keys| x |bounds| rows) +
@@ -581,6 +593,7 @@ SCALAR_OK = {
     "lineitem_basket_rules",  # 1-row basket-count scalar
     "orders_revenue_trend",  # index window + moments over ~80 monthly rows
     "lineitem_abc_classes",  # 1-row revenue-total scalar
+    "pricing_cube",  # r13: grand-total fold of the 6-row pinned detail
     "orders_dow_seasonality",  # totals window over the 7-row dow table
     "events_time_to_convert",  # 1-row latency summary
     "events_changepoint_cusum",  # cusum windows over the tiny daily series
