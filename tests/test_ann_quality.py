@@ -161,6 +161,11 @@ class TestIvfadcResidualRecall:
         )
 
         df, qv, _ = self._corpus(spark)
+        # file-backed for a stable digest: an in-memory frame digests to
+        # a per-call sentinel (the r13 degenerate-digest guard) and would
+        # rebuild on every ensure
+        df.write.parquet(str(tmp_path / "src"))
+        df = spark.read.parquet(str(tmp_path / "src"))
         kwargs = dict(k=8, iters=3, m=4, ksub=8, pq_iters=3)
         path = str(tmp_path / "ivfadc_idx")
         assert (

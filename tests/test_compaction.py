@@ -80,9 +80,14 @@ class TestEnsureBucketedTable:
 
         from etlutil_spark.sources.io import ensure_bucketed_table
 
-        df = spark.range(100).select(
+        # file-backed input: an in-memory frame digests to a per-call
+        # sentinel (the r13 degenerate-digest guard) and would rebuild on
+        # every ensure — the catalog/reattach contract needs a stable
+        # source identity
+        spark.range(100).select(
             F.col("id").alias("k"), (F.col("id") % 7).alias("v")
-        )
+        ).write.parquet(str(tmp_path / "src"))
+        df = spark.read.parquet(str(tmp_path / "src"))
         path = str(tmp_path / "bkt")
         kw = dict(bucket_by=["k"], n_buckets=4, sort_by=["k"], path=path)
         t = "default.ensure_bkt_test"
@@ -113,7 +118,11 @@ class TestEnsureBucketedTable:
 
         from etlutil_spark.sources.io import ensure_bucketed_table
 
-        df = spark.range(50).select(F.col("id").alias("k"))
+        # file-backed for a stable digest (see test_three_states)
+        spark.range(50).select(F.col("id").alias("k")).write.parquet(
+            str(tmp_path / "src")
+        )
+        df = spark.read.parquet(str(tmp_path / "src"))
         path = tmp_path / "bkt_spec"
         t = "default.ensure_bkt_spec"
         try:
@@ -212,10 +221,12 @@ class TestEnsureServingStores:
             ensure_postings_store,
         )
 
-        df = spark.createDataFrame(
+        # file-backed for a stable digest (see test_three_states)
+        spark.createDataFrame(
             [(1, "alpha beta gamma"), (2, "beta gamma delta"), (3, "alpha")],
             "doc_id bigint, text string",
-        )
+        ).write.parquet(str(tmp_path / "src"))
+        df = spark.read.parquet(str(tmp_path / "src"))
         path = str(tmp_path / "postings")
         assert ensure_postings_store(spark, df, path, n_buckets=8) == "written"
         assert ensure_postings_store(spark, df, path, n_buckets=8) == "reused"
@@ -228,10 +239,12 @@ class TestEnsureServingStores:
     def test_ivf_store_reuse(self, spark, tmp_path):
         from etlutil_spark.operators.similarity import ensure_ivf_store, ivf_topk
 
-        df = spark.createDataFrame(
+        # file-backed for a stable digest (see test_three_states)
+        spark.createDataFrame(
             [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(30)],
             "vec_id bigint, embedding array<double>",
-        )
+        ).write.parquet(str(tmp_path / "src"))
+        df = spark.read.parquet(str(tmp_path / "src"))
         path = str(tmp_path / "ivf")
         assert ensure_ivf_store(spark, df, path, n_planes=3) == "written"
         assert ensure_ivf_store(spark, df, path, n_planes=3) == "reused"
