@@ -16816,10 +16816,77 @@ def orders_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_FRONT = [
-    # r12 window (COVERAGE.md 'Round-12 rotation'; r11 verdict items 1-3:
-    # front every query whose CODE OR ORACLE changed after its newest
-    # driver row, then the SURVEY-2 rotation block, then oldest-first
-    # re-proofs; catalog growth stays FROZEN).
+    # r13 window (COVERAGE.md 'Round-13 rotation plan' + this round's
+    # changed code, which outranks stale rows; catalog stays FROZEN at
+    # 282).
+    # --- (a) r13 changed-code re-proofs ---
+    # cluster-store pairs schema v2 (n_common/n_a/n_b) + store-served
+    # containment/release-card legs: every consumer of the store
+    "dedup_containment",
+    "dedup_threshold_sweep",
+    "docs_split_leakage_neardup",
+    "dedup_best_of_cluster",
+    "dedup_clusters",
+    "dedup_cluster_sizes",
+    "dedup_cross_source_matrix",
+    "dedup_impact_report",
+    "dedup_agreement_ari",
+    "docs_release_card",
+    # BPE trainer round-conf change (AQE off + derived partitioning)
+    "docs_bpe_encode_stats",
+    "docs_bpe_vocab_encode_stats",
+    # restructured queries (concurrent ntile axes; no-Expand margins;
+    # weighted sketches; pinned/spread inputs)
+    "customer_rfm_migration",
+    "orders_bootstrap_ci",
+    "events_trending_heavy_hitters",
+    "lineitem_abc_classes",
+    "pricing_grouping_sets",
+    "pricing_cube",
+    "sketch_join_cardinality",
+    "lineitem_checksum_blocks",
+    # fail-loud-guard consumers (fk_orphan distinct-parent fold, MAD
+    # group bound, gap_fill pin opt-out)
+    "audit_fk_orphans",
+    "events_value_mad_outliers",
+    "events_gap_fill_daily",
+    # --- (b) late-r12 displaced rows (COVERAGE.md plan) ---
+    "docs_source_report",
+    "docs_contamination_coverage",
+    "docs_contamination_bloom",
+    "docs_gopher_filter",
+    "docs_take_n_per_lang",
+    "docs_train_eval_split",
+    "orders_monthly_price_rank",
+    "docs_stratified_sample",
+    "events_backfill_chunks",
+    # --- (c) r6-remainder oldest-first re-proofs (COVERAGE.md plan
+    #         order; names already fronted above are skipped) ---
+    "dedup_paragraphs",
+    "docs_chunks",
+    "docs_domain_quality",
+    "docs_fertility_by_lang",
+    "docs_lm_score",
+    "docs_negative_pairs",
+    "docs_pii_report",
+    "docs_quality_model",
+    "docs_shard_plan",
+    "docs_split_leakage",
+    "docs_strip_boilerplate",
+    "docs_url_normalize",
+    "embeddings_quantize_err",
+    "events_debounce",
+    "events_hourly_anomaly",
+    "events_type_affinity_daily",
+    "events_user_running_totals",
+    "lineitem_corr_matrix",
+]
+
+_DRIVER_FRONT_R12 = [
+    # r12 window, kept for the ledger (COVERAGE.md 'Round-12 rotation';
+    # r11 verdict items 1-3: front every query whose CODE OR ORACLE
+    # changed after its newest driver row, then the SURVEY-2 rotation
+    # block, then oldest-first re-proofs).
     # --- (a) r11 late-bug-hunt changed-code re-proofs (verdict item 1;
     #         commit b7c4165 landed after the r11 window ran) ---
     "docs_weighted_sample",  # oracle changed in lockstep — highest priority

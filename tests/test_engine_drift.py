@@ -166,75 +166,36 @@ class TestOracleGuards:
         front50 = list(QUERIES)[:50]
         assert front50 == _DRIVER_FRONT[:50]
         must_have = {
-            # r12: every query whose CODE OR ORACLE changed after its
-            # newest driver row — the r11 late-bug-hunt fixes (landed
-            # post-window in b7c4165), the MinHash-family-store rewires,
-            # and the delta-partitioned store-layout upgrade's serve
-            # family. The rest of the window is freshness rotation
-            # (SURVEY-2 block + oldest rows), not unproven code.
-            # (a) r11 late-bug-hunt changed-code re-proofs
-            "docs_weighted_sample",
-            "docs_mixture_epoch_plan",
-            "docs_curriculum",
-            "docs_pack_token_budget",
-            "docs_length_batching",
-            "corpus_pipeline_e2e",
-            "customer_scd2_cdc_deletes",
-            "scd2_apply_incremental",
-            "scd2_customer_priority",
-            "dedup_screen_new_batch",
-            "docs_mixture_sample",
-            # (b) MinHash-family-store rewires
-            "dedup_minhash_lsh",
-            "dedup_minhash_recall",
-            "dedup_lsh_recall_by_bin",
-            "dedup_minhash_estimator_error",
+            # r13: every query whose CODE changed this round — the
+            # cluster-store pairs schema v2 + its serve family, the BPE
+            # trainer round-conf change, the restructured queries
+            # (concurrent ntile axes, no-Expand margins, weighted
+            # sketches, pinned/spread inputs), and the fail-loud-guard
+            # consumers. The rest of the window is freshness rotation
+            # (late-r12 displaced rows + r6-remainder oldest-first).
+            "dedup_containment",
+            "dedup_threshold_sweep",
+            "docs_split_leakage_neardup",
+            "dedup_best_of_cluster",
+            "dedup_clusters",
+            "dedup_cluster_sizes",
+            "dedup_cross_source_matrix",
+            "dedup_impact_report",
             "dedup_agreement_ari",
-            "dedup_clusters_lsh",
-            # (d) store-layout v2 serve family + histogram representative
-            "docs_bm25_serve",
-            "docs_bm25_serve_incremental",
-            "docs_bm25_serve_batch",
-            "docs_hybrid_serve",
-            "docs_retrieval_pipeline_serve",
-            "sim_ivfadc_serve",
-            "sim_ivfadc_serve_incremental",
-            "sim_ivfadc_serve_batch",
-            "sim_ivfadc_recall",
-            "orders_price_quantile_store",
-            # late r12: ensure_bucketed_table gained the source digest;
-            # the JPEG marker walk learned fill-byte skipping
-            "orders_bucketed_join_stats",
-            "multimodal_header_parse",
-            # late r12 second hunt pass: asof_join NULL-time guards;
-            # interval_overlap_join first-common-bucket dedup
-            "asof_purchase_attribution",
-            "asof_attribution_tolerance",
-            "orders_week_overlap",
-            # late r12 fourth hunt pass: bool conversion follows the
-            # reference's type dispatch (numeric STRINGS no longer
-            # coerce to true) — code and oracle changed in lockstep
-            "op_convert_types",
-            # late r12 fourth hunt pass: clean_dict parity fixes
-            # (array-of-strings truncation, EMPTY-mode truncation,
-            # empty-container guard)
-            "op_clean_hash_skip_rules",
-            "op_clean_replace_truncate",
-            "op_clean_fingerprint",
-            # late r12 fourth hunt pass: prune_data parity fixes
-            # (map-entry key removal, map-value recursion, bool/int
-            # cross-equality)
-            "op_prune_values",
-            "op_prune_keys_depth",
-            # late r12 fourth hunt pass: flatten whitelist/blacklist
-            # matches bare field names at any level
-            "op_flatten_struct",
-            "op_flatten_depth_limit",
-            # late r12 fourth hunt pass: select_with_extras reference
-            # ordering; normalize_date_fields container-typed guard
-            "op_select_with_extras",
-            "op_normalize_date_fields",
-            "op_normalize_dates_recursive",
+            "docs_release_card",
+            "docs_bpe_encode_stats",
+            "docs_bpe_vocab_encode_stats",
+            "customer_rfm_migration",
+            "orders_bootstrap_ci",
+            "events_trending_heavy_hitters",
+            "lineitem_abc_classes",
+            "pricing_grouping_sets",
+            "pricing_cube",
+            "sketch_join_cardinality",
+            "lineitem_checksum_blocks",
+            "audit_fk_orphans",
+            "events_value_mad_outliers",
+            "events_gap_fill_daily",
         }
         assert must_have <= set(front50)
 
