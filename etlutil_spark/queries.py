@@ -10672,14 +10672,8 @@ def lineitem_checksum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles enter the digest as DECIMAL(18,4) strings and timestamps
     as integer microseconds — the two render-stable encodings — with
     NULLs marked explicitly so 'NULL' and absent stay distinct. One
-    map-side projection + one 256-group aggregate. r13: the per-row md5
-    over the wide concat is the query's CPU; a single-row-group input
-    file arrives as ONE scan partition, serializing it — spread first
-    (guide §2.5 input skew; no-op at scale, and XOR makes the checksum
-    partitioning-independent by construction)."""
-    from etlutil_spark.operators.util import ensure_min_partitions
-
-    li = ensure_min_partitions(load_table(spark, "lineitem", sf_dir))
+    map-side projection + one 256-group aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
 
     def enc_dec(c: str):
         return F.coalesce(
