@@ -298,9 +298,7 @@ HEADLINE_BUDGETS = {
     # are gone
     "events_snapshot_diff": (2, 0),
     # map-side row digests + one 256-group XOR aggregate
-    # r13: +1 round-robin spread of the single-split scan before the
-    # per-row digest (no-op at scale; XOR is partitioning-independent)
-    "lineitem_checksum_blocks": (2, 0),
+    "lineitem_checksum_blocks": (1, 0),
     # r8: BM25 leg (postings agg + dfreq/stats broadcasts) + TakeOrdered
     # vector leg; fusion join/rank/sort run on <=40 rows (scalar scale)
     "docs_hybrid_search_rrf": (4, 2),
