@@ -16830,7 +16830,9 @@ _DRIVER_FRONT = [
     "docs_bpe_encode_stats",
     "docs_bpe_vocab_encode_stats",
     # restructured queries (concurrent ntile axes; no-Expand margins;
-    # weighted sketches; pinned/spread inputs)
+    # weighted sketches; pinned/spread inputs). lineitem_checksum_blocks'
+    # change was tried and REVERTED (measured flat) — its slot stays as
+    # a freshness row.
     "customer_rfm_migration",
     "orders_bootstrap_ci",
     "events_trending_heavy_hitters",
