@@ -1194,3 +1194,97 @@ def postings_update_sink(index_path: str):
         )
 
     return _apply
+
+
+def ensure_quality_store(
+    spark,
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.55,
+) -> str:
+    """Build-ONCE per-document quality-score table — the "score once,
+    audit many" serving pattern (the postings/IVFADC ensure_* contract
+    applied to the quality family): ONE corpus text pass materializes
+    (id, source, lang, n_chars, model_score, kept, gopher_keep) and
+    every downstream calibration/normalization/concentration audit is
+    a pruned parquet scan instead of its own regex-heavy re-scoring
+    pass. At 100 TB the text pass is a full corpus scan; the audits
+    read a narrow corpus-rows table.
+
+    Columns are exact deterministic projections (the rounded-6 linear
+    logit + the Gopher rule verdict at the DEFAULT rule thresholds), so
+    serving from the store is bit-identical to recomputing — pinned by
+    tests/test_text_quality_store.py and by every consumer's DuckDB
+    oracle, which recomputes from raw text. Same staleness contract as
+    every ensure_* store: params + the input's content digest live in a
+    ``_quality_meta.json`` sidecar; a param or data change (or a
+    file-less input's per-call sentinel digest) rebuilds; a damaged
+    sidecar rebuilds rather than bricking."""
+    import json
+
+    from etlutil_spark.operators.util import dataset_digest
+
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = path.rstrip("/")
+    marker = jvm.org.apache.hadoop.fs.Path(base + "/_SUCCESS")
+    meta_path = jvm.org.apache.hadoop.fs.Path(base + "/_quality_meta.json")
+    w = {**DEFAULT_QUALITY_WEIGHTS, **(weights or {})}
+    params = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "weights": {k: float(v) for k, v in sorted(w.items())},
+        "threshold": float(threshold),
+        # gopher verdict at the operator's default thresholds — part of
+        # the contract so a default change rebuilds instead of serving
+        # verdicts from an older rule set
+        "gopher_defaults": [30, 10000, 3.0, 10.0, 0.03, 0.6, "en"],
+        "schema": 1,
+        "data": dataset_digest(df),
+    }
+    if fs.exists(jp) and fs.exists(marker) and fs.exists(meta_path):
+        try:
+            stream = fs.open(meta_path)
+            try:
+                txt = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            if json.loads(txt).get("params") == params:
+                return "reused"
+        except Exception:
+            pass
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    scored = gopher_quality_filter(
+        quality_model_score(df, text_col, weights=weights, threshold=threshold),
+        text_col,
+    ).select(
+        F.col(id_col),
+        "source",
+        "lang",
+        "n_chars",
+        "model_score",
+        "kept",
+        F.col("keep").alias("gopher_keep"),
+    )
+    scored.write.mode("overwrite").parquet(base)
+    out = fs.create(meta_path, True)
+    try:
+        out.write(bytearray(json.dumps({"params": params}, sort_keys=True).encode()))
+    finally:
+        out.close()
+    return "written"
+
+
+def read_quality_scores(spark, path: str) -> DataFrame:
+    """The quality store's per-document score table (id, source, lang,
+    n_chars, model_score, kept, gopher_keep) — filters on score/verdict
+    push down to the parquet scan."""
+    return spark.read.parquet(path.rstrip("/"))

@@ -8709,12 +8709,13 @@ def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-quantize each rounded score before summing so the per-decile
     averages are ratios of exact integer sums."""
     from etlutil_spark.operators.quantiles import exact_ntile
-    from etlutil_spark.operators.text_analysis import quality_model_score
-    from etlutil_spark.operators.util import ensure_min_partitions
+    from etlutil_spark.operators.text_analysis import read_quality_scores
 
-    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    # r13: scores read from the shared quality store (one corpus scoring
+    # pass serves the whole audit family; store == live pinned by
+    # tests + the oracle, which re-scores from raw text)
     f = (
-        quality_model_score(d, "text")
+        read_quality_scores(spark, _docs_quality_store(spark, sf_dir))
         .where(F.col("model_score").isNotNull())
         .select(
             "doc_id",
@@ -14570,18 +14571,16 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded score so every reported number is a ratio of exact integer
     sums — bit-identical cross-engine at any corpus size."""
     from etlutil_spark.operators.quantiles import exact_ntile
-    from etlutil_spark.operators.text_analysis import (
-        gopher_quality_filter,
-        quality_model_score,
-    )
-    from etlutil_spark.operators.util import ensure_min_partitions
+    from etlutil_spark.operators.text_analysis import read_quality_scores
 
-    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
-    labeled = gopher_quality_filter(quality_model_score(d, "text"), "text")
+    # r13: BOTH the model score and the Gopher verdict come from the
+    # shared quality store (one text pass at build; see
+    # _docs_quality_store)
+    labeled = read_quality_scores(spark, _docs_quality_store(spark, sf_dir))
     f = labeled.where(F.col("model_score").isNotNull()).select(
         "doc_id",
         "model_score",
-        "keep",
+        F.col("gopher_keep").alias("keep"),
         (-F.col("model_score")).alias("_neg"),
     )
     dec = exact_ntile(f, 10, ["_neg", "doc_id"], bucket_col="decile")
@@ -14636,6 +14635,29 @@ def _dedup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
         threshold=_NEARDUP_THRESHOLD,
         max_shingle_freq=50,
     )
+    return path
+
+
+def _docs_quality_store(spark: SparkSession, sf_dir: str) -> str:
+    """Shared persisted quality-score store for the quality-audit family
+    (deciles, calibration, per-source concentration/Lorenz/robust
+    scaling): ONE regex-heavy corpus scoring pass materialized per
+    (dataset, params), then every audit reads the narrow per-doc score
+    table instead of re-scoring the corpus — the "score once, audit
+    many" pattern a real curation pipeline persists. Live scoring stays
+    exercised by docs_quality_model / docs_gopher_filter /
+    docs_domain_quality / docs_curriculum (different frames or flagship
+    by policy). The dataset digest in the store meta forces a rebuild
+    when the data at sf_dir is regenerated."""
+    from etlutil_spark.operators.text_analysis import ensure_quality_store
+    from etlutil_spark.operators.util import ensure_min_partitions
+
+    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    path = (
+        f"{store_root(spark)}/etlutil_spark_qstore_"
+        + sf_dir.strip("/").replace("/", "_")
+    )
+    ensure_quality_store(spark, d, path, id_col="doc_id", text_col="text")
     return path
 
 
@@ -14879,12 +14901,11 @@ def docs_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     op on identical operands, NULLIF-guarded for degenerate IQR=0
     strata. Two keyed aggregates + one broadcast join, no funnels."""
     from etlutil_spark.operators.quantiles import exact_grouped_ntile
-    from etlutil_spark.operators.text_analysis import quality_model_score
-    from etlutil_spark.operators.util import ensure_min_partitions
+    from etlutil_spark.operators.text_analysis import read_quality_scores
 
-    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    # r13: scores from the shared quality store (see _docs_quality_store)
     f = (
-        quality_model_score(d, "text")
+        read_quality_scores(spark, _docs_quality_store(spark, sf_dir))
         .where(F.col("model_score").isNotNull())
         .select("doc_id", "source", "model_score")
     )
@@ -14967,12 +14988,11 @@ def docs_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the doubles appear only in the final divisions,
     op-order mirrored in the oracle."""
     from etlutil_spark.operators.quantiles_grouped import exact_grouped_rank
-    from etlutil_spark.operators.text_analysis import quality_model_score
-    from etlutil_spark.operators.util import ensure_min_partitions
+    from etlutil_spark.operators.text_analysis import read_quality_scores
 
-    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    # r13: scores from the shared quality store (see _docs_quality_store)
     f = (
-        quality_model_score(d, "text")
+        read_quality_scores(spark, _docs_quality_store(spark, sf_dir))
         .where(F.col("model_score").isNotNull())
         .select("doc_id", "source", "n_chars", "model_score")
     )
@@ -15303,13 +15323,12 @@ def docs_source_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     report's own size, never by the data. Shares are exact-integer
     ratios rounded at 6."""
     from etlutil_spark.operators.quantiles import exact_grouped_ntile
-    from etlutil_spark.operators.text_analysis import quality_model_score
-    from etlutil_spark.operators.util import ensure_min_partitions
+    from etlutil_spark.operators.text_analysis import read_quality_scores
     from pyspark.sql.window import Window
 
-    d = ensure_min_partitions(load_table(spark, "documents", sf_dir))
+    # r13: scores from the shared quality store (see _docs_quality_store)
     f = (
-        quality_model_score(d, "text")
+        read_quality_scores(spark, _docs_quality_store(spark, sf_dir))
         .where(F.col("model_score").isNotNull())
         .select(
             "doc_id",
@@ -16871,11 +16890,15 @@ _DRIVER_FRONT = [
     "docs_strip_boilerplate",
     "docs_url_normalize",
     "embeddings_quantize_err",
-    "events_debounce",
-    "events_hourly_anomaly",
-    "events_type_affinity_daily",
-    "events_user_running_totals",
-    "lineitem_corr_matrix",
+    # --- (d) late-r13 changed code: the quality-score store's five
+    #         consumers (one corpus scoring pass serves the audit
+    #         family) — displaces the last five block-(c) freshness
+    #         rows, which roll to the next window ---
+    "docs_quality_deciles",
+    "docs_source_concentration",
+    "docs_source_lorenz",
+    "docs_robust_scaling",
+    "docs_quality_calibration",
 ]
 
 _DRIVER_FRONT_R12 = [

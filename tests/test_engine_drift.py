@@ -196,6 +196,12 @@ class TestOracleGuards:
             "audit_fk_orphans",
             "events_value_mad_outliers",
             "events_gap_fill_daily",
+            # late r13: the quality-score store's five consumers
+            "docs_quality_deciles",
+            "docs_source_concentration",
+            "docs_source_lorenz",
+            "docs_robust_scaling",
+            "docs_quality_calibration",
         }
         assert must_have <= set(front50)
 
